@@ -1,0 +1,311 @@
+"""Global configuration + the AnnData schema registry (SKM).
+
+Capability parity with reference spateo/configuration.py:27-247 (SpateoConfig,
+SpateoAdataKeyManager), re-designed TPU-first:
+
+- ``SpateoConfig`` adds device/mesh control (`mesh_shape`, `mesh_axis_names`,
+  `precision`, `enable_x64`) in place of the reference's torch/cv2 thread
+  fan-out — on TPU the intra-op parallelism is XLA's job, and cross-chip
+  parallelism is declared here once and consumed by `spateo_tpu.parallel`.
+- ``SKM`` keeps the exact same key vocabulary (``__type``, ``AGG``/``UMI``,
+  layer suffixes) so artifacts are interchangeable with the reference's.
+"""
+
+from __future__ import annotations
+
+import functools
+import inspect
+import logging
+import os
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+from scipy import sparse
+
+from .core.anndata import AnnData
+from .errors import ConfigurationError
+from .logging import logger_manager as lm
+
+# Global tolerance values (parity: reference configuration.py:22-24)
+EPS = np.finfo(float).eps
+MAX = np.finfo(np.float32).max
+
+
+class SpateoConfig:
+    """Global framework configuration.
+
+    TPU-native: instead of fanning a thread count to torch/cv2/tf
+    (reference configuration.py:62-84), this controls the JAX device mesh and
+    numeric policy used by every jitted kernel in the framework.
+    """
+
+    def __init__(
+        self,
+        logging_level: int = logging.INFO,
+        n_threads: int = os.cpu_count() or 1,
+        mesh_shape: Optional[Tuple[int, ...]] = None,
+        mesh_axis_names: Tuple[str, ...] = ("data", "model"),
+        precision: str = "float32",
+        enable_x64: bool = False,
+    ):
+        self.logging_level = logging_level
+        self.n_threads = n_threads
+        self._mesh_shape = mesh_shape
+        self._mesh_axis_names = mesh_axis_names
+        self._mesh = None
+        self.precision = precision
+        self.enable_x64 = enable_x64
+
+    # -- logging ------------------------------------------------------------
+    @property
+    def logging_level(self):
+        return self.__logging_level
+
+    @logging_level.setter
+    def logging_level(self, level: Union[str, int]):
+        if isinstance(level, str):
+            level = getattr(logging, level.upper())
+        lm.main_set_level(level)
+        self.__logging_level = level
+
+    # -- host threads (host-side IO/parse only) ------------------------------
+    @property
+    def n_threads(self):
+        return self.__n_threads
+
+    @n_threads.setter
+    def n_threads(self, n: int):
+        lm.main_debug(f"Setting n_threads to {n} (host-side IO/parsing only).")
+        try:
+            import cv2
+
+            cv2.setNumThreads(n)
+        except Exception:
+            pass
+        self.__n_threads = n
+
+    # -- numeric policy -------------------------------------------------------
+    @property
+    def enable_x64(self) -> bool:
+        return self.__enable_x64
+
+    @enable_x64.setter
+    def enable_x64(self, on: bool):
+        """float64 mode — used for validation runs against the reference
+        (see SURVEY.md §7 'numerics parity'); default off for TPU speed."""
+        import jax
+
+        jax.config.update("jax_enable_x64", bool(on))
+        self.__enable_x64 = bool(on)
+
+    # -- device mesh ----------------------------------------------------------
+    @property
+    def mesh_shape(self) -> Optional[Tuple[int, ...]]:
+        return self._mesh_shape
+
+    @mesh_shape.setter
+    def mesh_shape(self, shape: Optional[Tuple[int, ...]]):
+        self._mesh_shape = tuple(shape) if shape is not None else None
+        self._mesh = None  # invalidate cache
+
+    @property
+    def mesh_axis_names(self) -> Tuple[str, ...]:
+        return self._mesh_axis_names
+
+    @mesh_axis_names.setter
+    def mesh_axis_names(self, names: Tuple[str, ...]):
+        self._mesh_axis_names = tuple(names)
+        self._mesh = None
+
+    @property
+    def mesh(self):
+        """The global `jax.sharding.Mesh` all framework kernels shard over.
+
+        Defaults to all visible devices on a single 'data' axis; configure
+        `config.mesh_shape = (dp, mp)` for 2D meshes. Cached until shape or
+        axis names change.
+        """
+        if self._mesh is None:
+            from .parallel.mesh import create_mesh
+
+            self._mesh = create_mesh(self._mesh_shape, self._mesh_axis_names)
+        return self._mesh
+
+    @property
+    def dtype(self):
+        import jax.numpy as jnp
+
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float64": jnp.float64}[self.precision]
+
+
+config = SpateoConfig()
+
+
+class SpateoAdataKeyManager:
+    """Central registry for every AnnData key the framework reads or writes.
+
+    Key vocabulary is identical to the reference (spateo/configuration.py:90-247)
+    so that h5ad artifacts round-trip between the two implementations.
+    """
+
+    ADATA_TYPE_KEY = "__type"
+    ADATA_DEFAULT_TYPE = None
+    ADATA_AGG_TYPE = "AGG"  # aggregated UMI counts on a pixel raster
+    ADATA_UMI_TYPE = "UMI"  # obs x genes (canonical)
+
+    UNS_PP_KEY = "pp"
+    UNS_SPATIAL_KEY = "spatial"
+    UNS_SPATIAL_BINSIZE_KEY = "binsize"
+    UNS_SPATIAL_SCALE_KEY = "scale"
+    UNS_SPATIAL_SCALE_UNIT_KEY = "scale_unit"
+    UNS_SPATIAL_SEGMENTATION_KEY = "segmentation"
+    UNS_SPATIAL_ALIGNMENT_KEY = "alignment"
+    UNS_SPATIAL_QC_KEY = "qc"
+
+    SPLICED_LAYER_KEY = "spliced"
+    UNSPLICED_LAYER_KEY = "unspliced"
+    STAIN_LAYER_KEY = "stain"
+    LABELS_LAYER_KEY = "labels"
+    MASK_SUFFIX = "mask"
+    MARKERS_SUFFIX = "markers"
+    DISTANCES_SUFFIX = "distances"
+    BINS_SUFFIX = "bins"
+    LABELS_SUFFIX = "labels"
+    SCORES_SUFFIX = "scores"
+    EXPANDED_SUFFIX = "expanded"
+    AUGMENTED_SUFFIX = "augmented"
+    SELECTION_SUFFIX = "selection"
+    BOUNDARY_SUFFIX = "boundary"
+
+    X_LAYER = "X"
+
+    @staticmethod
+    def gen_new_layer_key(layer_name: str, key: str, sep: str = "_") -> str:
+        if layer_name == "":
+            return key
+        if layer_name[-1] == sep:
+            return layer_name + key
+        return sep.join([layer_name, key])
+
+    @staticmethod
+    def select_layer_data(
+        adata: AnnData, layer: Optional[str], copy: bool = False, make_dense: bool = False
+    ) -> Union[np.ndarray, sparse.spmatrix]:
+        if layer is None:
+            layer = SpateoAdataKeyManager.X_LAYER
+        if layer == SpateoAdataKeyManager.X_LAYER:
+            res_data = adata.X
+        else:
+            res_data = adata.layers[layer]
+        if make_dense and sparse.issparse(res_data):
+            return res_data.toarray()
+        if copy:
+            return res_data.copy()
+        return res_data
+
+    @staticmethod
+    def set_layer_data(
+        adata: AnnData,
+        layer: str,
+        vals: np.ndarray,
+        var_indices: Optional[np.ndarray] = None,
+        replace: bool = False,
+    ):
+        lm.main_info_insert_adata_layer(layer)
+        vals = np.asarray(vals) if not sparse.issparse(vals) else vals
+        if replace:
+            adata.layers[layer] = vals
+            return
+        if var_indices is None:
+            var_indices = slice(None)
+        if layer == SpateoAdataKeyManager.X_LAYER:
+            adata.X[:, var_indices] = vals
+        elif layer in adata.layers:
+            adata.layers[layer][:, var_indices] = vals
+        else:
+            adata.layers[layer] = vals
+
+    @staticmethod
+    def get_adata_type(adata: AnnData) -> str:
+        return adata.uns[SpateoAdataKeyManager.ADATA_TYPE_KEY]
+
+    @staticmethod
+    def adata_is_type(adata: AnnData, t: str) -> bool:
+        return SpateoAdataKeyManager.get_adata_type(adata) == t
+
+    @staticmethod
+    def check_adata_is_type(t: str, argname: str = "adata", optional: bool = False):
+        def decorator(func):
+            @functools.wraps(func)
+            def wrapper(*args, **kwargs):
+                unwrapped = inspect.unwrap(func)
+                call_args = inspect.getcallargs(unwrapped, *args, **kwargs)
+                adata = call_args[argname]
+                if isinstance(adata, (list, tuple)):
+                    passing = all(SpateoAdataKeyManager.adata_is_type(a, t) for a in adata)
+                elif isinstance(adata, AnnData):
+                    passing = SpateoAdataKeyManager.adata_is_type(adata, t)
+                else:
+                    passing = False
+                if (not optional or adata is not None) and not passing:
+                    if isinstance(adata, (list, tuple)):
+                        raise ConfigurationError(
+                            f"AnnDatas provided to `{argname}` must be of `{t}` type, but some are not."
+                        )
+                    elif isinstance(adata, AnnData):
+                        raise ConfigurationError(
+                            f"AnnData provided to `{argname}` must be of `{t}` type, but received "
+                            f"`{SpateoAdataKeyManager.get_adata_type(adata)}` type."
+                        )
+                    raise ConfigurationError(f"`{argname}` is not an AnnData object, but {type(adata)}.")
+                return func(*args, **kwargs)
+
+            return wrapper
+
+        return decorator
+
+    @staticmethod
+    def init_adata_type(adata: AnnData, t: Optional[str] = None):
+        if t is None:
+            t = SpateoAdataKeyManager.ADATA_DEFAULT_TYPE
+        adata.uns[SpateoAdataKeyManager.ADATA_TYPE_KEY] = t
+
+    @staticmethod
+    def init_uns_pp_namespace(adata: AnnData):
+        if SpateoAdataKeyManager.UNS_PP_KEY not in adata.uns:
+            adata.uns[SpateoAdataKeyManager.UNS_PP_KEY] = {}
+
+    @staticmethod
+    def init_uns_spatial_namespace(adata: AnnData):
+        if SpateoAdataKeyManager.UNS_SPATIAL_KEY not in adata.uns:
+            adata.uns[SpateoAdataKeyManager.UNS_SPATIAL_KEY] = {}
+
+    @staticmethod
+    def set_uns_spatial_attribute(adata: AnnData, key: str, value: object):
+        if SpateoAdataKeyManager.UNS_SPATIAL_KEY not in adata.uns:
+            SpateoAdataKeyManager.init_uns_spatial_namespace(adata)
+        adata.uns[SpateoAdataKeyManager.UNS_SPATIAL_KEY][key] = value
+
+    @staticmethod
+    def get_uns_spatial_attribute(adata: AnnData, key: str) -> object:
+        return adata.uns[SpateoAdataKeyManager.UNS_SPATIAL_KEY][key]
+
+    @staticmethod
+    def has_uns_spatial_attribute(adata: AnnData, key: str) -> bool:
+        return key in adata.uns.get(SpateoAdataKeyManager.UNS_SPATIAL_KEY, {})
+
+    @staticmethod
+    def get_agg_bounds(adata: AnnData) -> Tuple[int, int, int, int]:
+        """(xmin, xmax, ymin, ymax) for AGG-type AnnDatas."""
+        atype = SpateoAdataKeyManager.get_adata_type(adata)
+        if atype != SpateoAdataKeyManager.ADATA_AGG_TYPE:
+            raise ConfigurationError(f"AnnData has incorrect type: {atype}")
+        return (
+            int(adata.obs_names[0]),
+            int(adata.obs_names[-1]),
+            int(adata.var_names[0]),
+            int(adata.var_names[-1]),
+        )
+
+
+SKM = SpateoAdataKeyManager

@@ -1,0 +1,55 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding/collective paths are
+validated on XLA's host platform with 8 virtual devices (same approach the
+driver uses for `dryrun_multichip`).
+"""
+
+import os
+
+# Must run before the first JAX backend initialization. The image's
+# sitecustomize imports jax at interpreter start (latching JAX_PLATFORMS=axon),
+# so we switch via jax.config rather than the environment variable.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import sparse
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(2021)
+
+
+def make_random_adata(shape=(50, 30), seed=2021, adata_type="UMI", sparse_x=True):
+    import spateo_tpu as st
+
+    rng = np.random.default_rng(seed)
+    X = rng.poisson(0.6, size=shape).astype(np.float32)
+    if sparse_x:
+        X = sparse.csr_matrix(X)
+    adata = st.AnnData(
+        X=X,
+        obs=pd.DataFrame(index=[str(i) for i in range(shape[0])]),
+        var=pd.DataFrame(index=[f"gene_{i}" for i in range(shape[1])]),
+    )
+    st.SKM.init_adata_type(adata, adata_type)
+    return adata
+
+
+@pytest.fixture
+def random_adata():
+    return make_random_adata()
+
+
+@pytest.fixture
+def random_agg_adata():
+    return make_random_adata(shape=(64, 64), adata_type="AGG", sparse_x=False)

@@ -1,0 +1,178 @@
+"""L0 tests: AnnData data model, SKM registry, config, mesh, bridge."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import sparse
+
+import spateo_tpu as st
+from spateo_tpu.core.anndata import AnnData, concat, read_h5ad
+
+
+class TestAnnData:
+    def test_construct_dense(self):
+        X = np.arange(12, dtype=np.float32).reshape(3, 4)
+        adata = AnnData(X=X)
+        assert adata.shape == (3, 4)
+        assert adata.n_obs == 3 and adata.n_vars == 4
+        np.testing.assert_array_equal(adata.X, X)
+
+    def test_construct_sparse(self):
+        X = sparse.random(20, 10, density=0.3, format="csr", random_state=0)
+        adata = AnnData(X=X)
+        assert adata.shape == (20, 10)
+        assert sparse.issparse(adata.X)
+
+    def test_layers_shape_check(self):
+        adata = AnnData(X=np.zeros((3, 4)))
+        adata.layers["ok"] = np.ones((3, 4))
+        with pytest.raises(ValueError):
+            adata.layers["bad"] = np.ones((3, 5))
+
+    def test_obsm_shape_check(self):
+        adata = AnnData(X=np.zeros((3, 4)))
+        adata.obsm["spatial"] = np.zeros((3, 2))
+        with pytest.raises(ValueError):
+            adata.obsm["bad"] = np.zeros((4, 2))
+
+    def test_slicing(self):
+        X = np.arange(20, dtype=float).reshape(4, 5)
+        adata = AnnData(X=X, obs=pd.DataFrame({"total": [1, 2, 3, 4]}))
+        adata.layers["copy"] = X * 2
+        adata.obsm["spatial"] = np.arange(8).reshape(4, 2)
+        sub = adata[[0, 2], :]
+        assert sub.shape == (2, 5)
+        np.testing.assert_array_equal(sub.X, X[[0, 2]])
+        np.testing.assert_array_equal(sub.layers["copy"], X[[0, 2]] * 2)
+        np.testing.assert_array_equal(sub.obsm["spatial"], [[0, 1], [4, 5]])
+        # boolean mask
+        sub2 = adata[np.array([True, False, True, False]), :]
+        np.testing.assert_array_equal(sub2.X, X[[0, 2]])
+        # var name select
+        sub3 = adata[:, np.array(["1", "3"])]
+        np.testing.assert_array_equal(sub3.X, X[:, [1, 3]])
+
+    def test_copy_is_deep(self):
+        adata = AnnData(X=np.zeros((2, 2)), uns={"nested": {"a": 1}})
+        c = adata.copy()
+        c.uns["nested"]["a"] = 2
+        assert adata.uns["nested"]["a"] == 1
+
+    def test_h5ad_roundtrip(self, tmp_path):
+        X = sparse.random(15, 8, density=0.4, format="csr", random_state=1)
+        adata = AnnData(
+            X=X,
+            obs=pd.DataFrame({"area": np.arange(15.0)}),
+            var=pd.DataFrame(index=[f"g{i}" for i in range(8)]),
+            uns={"__type": "UMI", "spatial": {"binsize": 1}},
+        )
+        adata.layers["raw"] = X.copy()
+        adata.obsm["spatial"] = np.random.rand(15, 2)
+        path = str(tmp_path / "t.h5ad")
+        adata.write_h5ad(path)
+        back = read_h5ad(path)
+        assert back.shape == adata.shape
+        np.testing.assert_allclose(back.X.toarray(), X.toarray())
+        np.testing.assert_allclose(back.obsm["spatial"], adata.obsm["spatial"])
+        assert back.uns["__type"] == "UMI"
+        assert back.uns["spatial"]["binsize"] == 1
+        np.testing.assert_array_equal(back.obs["area"].values, adata.obs["area"].values)
+
+    def test_concat_inner(self):
+        a = AnnData(X=np.ones((2, 3)), var=pd.DataFrame(index=["a", "b", "c"]))
+        b = AnnData(X=2 * np.ones((3, 2)), var=pd.DataFrame(index=["b", "c"]))
+        out = concat([a, b], join="inner")
+        assert out.shape == (5, 2)
+        assert list(out.var_names) == ["b", "c"]
+
+    def test_transpose(self):
+        adata = AnnData(X=np.arange(6).reshape(2, 3))
+        assert adata.T.shape == (3, 2)
+
+
+class TestSKM:
+    def test_adata_type_guard(self, random_adata):
+        @st.SKM.check_adata_is_type(st.SKM.ADATA_UMI_TYPE)
+        def fn(adata):
+            return True
+
+        assert fn(random_adata)
+        st.SKM.init_adata_type(random_adata, st.SKM.ADATA_AGG_TYPE)
+        with pytest.raises(st.ConfigurationError):
+            fn(random_adata)
+
+    def test_layer_select_set(self, random_adata):
+        dense = st.SKM.select_layer_data(random_adata, "X", make_dense=True)
+        assert isinstance(dense, np.ndarray)
+        st.SKM.set_layer_data(random_adata, "new_layer", dense * 2)
+        np.testing.assert_allclose(random_adata.layers["new_layer"], dense * 2)
+
+    def test_gen_new_layer_key(self):
+        assert st.SKM.gen_new_layer_key("stain", "mask") == "stain_mask"
+        assert st.SKM.gen_new_layer_key("", "mask") == "mask"
+
+    def test_agg_bounds(self):
+        adata = AnnData(
+            X=np.zeros((3, 4)),
+            obs=pd.DataFrame(index=["10", "11", "12"]),
+            var=pd.DataFrame(index=["5", "6", "7", "8"]),
+        )
+        st.SKM.init_adata_type(adata, "AGG")
+        assert st.SKM.get_agg_bounds(adata) == (10, 12, 5, 8)
+
+
+class TestMesh:
+    def test_default_mesh_all_devices(self):
+        import jax
+
+        from spateo_tpu.parallel import create_mesh
+
+        mesh = create_mesh(axis_names=("data", "model"))
+        assert mesh.shape["data"] == jax.device_count()
+        assert mesh.shape["model"] == 1
+
+    def test_mesh_2d(self):
+        from spateo_tpu.parallel import create_mesh
+
+        mesh = create_mesh((4, 2), ("data", "model"))
+        assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+    def test_bad_shape_raises(self):
+        from spateo_tpu.parallel import create_mesh
+
+        with pytest.raises(st.MeshError):
+            create_mesh((3, 2), ("data", "model"))
+
+    def test_shard_rows_pads(self):
+        import jax.numpy as jnp
+
+        from spateo_tpu.parallel import shard_rows
+
+        x = jnp.ones((10, 4))
+        sharded, n = shard_rows(x)
+        assert n == 10
+        assert sharded.shape[0] % 8 == 0
+
+
+class TestBridge:
+    def test_csr_to_dense_device(self):
+        from spateo_tpu.core.bridge import csr_to_dense_device
+
+        mat = sparse.random(37, 21, density=0.2, format="csr", random_state=0)
+        dense, (r, c) = csr_to_dense_device(mat, pad_rows_to=8, pad_cols_to=128)
+        assert (r, c) == (37, 21)
+        assert dense.shape == (40, 128)
+        np.testing.assert_allclose(np.asarray(dense)[:37, :21], mat.toarray(), rtol=1e-6)
+        assert np.asarray(dense)[37:, :].sum() == 0
+
+    def test_points_to_raster(self):
+        from spateo_tpu.core.bridge import points_to_raster
+
+        x = np.array([0, 0, 1, 3])
+        y = np.array([0, 0, 2, 1])
+        counts = np.array([1.0, 2.0, 3.0, 4.0])
+        raster = np.asarray(points_to_raster(x, y, counts, (4, 4)))
+        assert raster[0, 0] == 3.0
+        assert raster[1, 2] == 3.0
+        assert raster[3, 1] == 4.0
+        assert raster.sum() == 10.0
