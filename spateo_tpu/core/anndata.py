@@ -233,6 +233,38 @@ class AnnData:
     def copy(self) -> "AnnData":
         return self[:, :]
 
+    def _replace_with(self, other: "AnnData"):
+        self._X = other._X
+        self.obs = other.obs
+        self.var = other.var
+        self.uns = other.uns
+        self.obsm = _AlignedDict(self, (0,), dict(other.obsm))
+        self.varm = _AlignedDict(self, (1,), dict(other.varm))
+        self.layers = _AlignedDict(self, (0, 1), dict(other.layers))
+        self.obsp = _AlignedDict(self, (0, 0), dict(other.obsp))
+        self.varp = _AlignedDict(self, (1, 1), dict(other.varp))
+
+    def _inplace_subset_obs(self, index):
+        self._replace_with(self[index, :])
+
+    def _inplace_subset_var(self, index):
+        self._replace_with(self[:, index])
+
+    @property
+    def is_view(self) -> bool:
+        return False  # this implementation has no view machinery
+
+    def uns_keys(self):
+        return self.uns.keys()
+
+    def strings_to_categoricals(self):
+        for col in self.obs.columns:
+            if self.obs[col].dtype == object:
+                self.obs[col] = self.obs[col].astype("category")
+        for col in self.var.columns:
+            if self.var[col].dtype == object:
+                self.var[col] = self.var[col].astype("category")
+
     def transpose(self) -> "AnnData":
         new = AnnData(
             X=self._X.T if self._X is not None else None,

@@ -1,0 +1,137 @@
+"""Expression transforms: log1p, scale (parity: reference spateo/preprocessing/transform.py:18,118)."""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+import scipy.sparse
+
+from ..core.anndata import AnnData
+from ..logging import logger_manager as lm
+
+
+def log1p_array(X, base: Optional[float] = None, copy: bool = False):
+    X = X.astype(float) if not np.issubdtype(X.dtype, np.floating) else (X.copy() if copy else X)
+    np.log1p(X, out=X)
+    if base is not None:
+        np.divide(X, np.log(base), out=X)
+    return X
+
+
+def log1p_sparse(X, base: Optional[float] = None, copy: bool = False):
+    X = X.copy() if copy else X
+    X = X.astype(float) if not np.issubdtype(X.dtype, np.floating) else X
+    X.data = np.log1p(X.data)
+    if base is not None:
+        X.data /= np.log(base)
+    return X
+
+
+def log1p(adata_or_X, base: Optional[float] = None, copy: bool = False, layer: Optional[str] = None):
+    """log(1+x) transform of an AnnData layer or raw matrix."""
+    if isinstance(adata_or_X, AnnData):
+        return log1p_anndata(adata_or_X, base=base, copy=copy, layer=layer)
+    X = adata_or_X
+    if scipy.sparse.issparse(X):
+        return log1p_sparse(X, base=base, copy=copy)
+    return log1p_array(np.asarray(X), base=base, copy=copy)
+
+
+def log1p_anndata(adata: AnnData, base: Optional[float] = None, copy: bool = False, layer: Optional[str] = None):
+    if copy:
+        adata = adata.copy()
+    X = adata.layers[layer] if layer is not None else adata.X
+    out = log1p(X, base=base, copy=False)
+    if layer is not None:
+        adata.layers[layer] = out
+    else:
+        adata.X = out
+    adata.uns.setdefault("pp", {})["log1p"] = {"base": base}
+    return adata if copy else None
+
+
+def _get_mean_var(X, axis: int = 0):
+    if scipy.sparse.issparse(X):
+        mean = np.asarray(X.mean(axis=axis)).ravel()
+        sq = X.copy()
+        sq.data **= 2
+        ex2 = np.asarray(sq.mean(axis=axis)).ravel()
+        var = ex2 - mean**2
+        var *= X.shape[axis] / max(X.shape[axis] - 1, 1)
+    else:
+        mean = np.mean(X, axis=axis, dtype=np.float64)
+        var = np.var(X, axis=axis, dtype=np.float64, ddof=1)
+    return mean, var
+
+
+def scale_array(
+    X: np.ndarray,
+    zero_center: bool = True,
+    max_value: Optional[float] = None,
+    copy: bool = False,
+    return_mean_std: bool = False,
+):
+    X = X.copy() if copy else X
+    X = X.astype(float) if not np.issubdtype(X.dtype, np.floating) else X
+    mean, var = _get_mean_var(X)
+    std = np.sqrt(var)
+    std[std == 0] = 1
+    if zero_center:
+        X -= mean
+    X /= std
+    if max_value is not None:
+        X[X > max_value] = max_value
+    if return_mean_std:
+        return X, mean, std
+    return X
+
+
+def scale_sparse(X, zero_center: bool = True, max_value: Optional[float] = None, copy: bool = False):
+    if zero_center:
+        return scale_array(np.asarray(X.todense()), zero_center=True, max_value=max_value)
+    X = X.copy() if copy else X
+    mean, var = _get_mean_var(X)
+    std = np.sqrt(var)
+    std[std == 0] = 1
+    from sklearn.utils import sparsefuncs
+
+    sparsefuncs.inplace_column_scale(X, 1 / std)
+    if max_value is not None:
+        X.data[X.data > max_value] = max_value
+    return X
+
+
+def scale(
+    adata_or_X,
+    zero_center: bool = True,
+    max_value: Optional[float] = None,
+    copy: bool = False,
+    layer: Optional[str] = None,
+):
+    """z-score expression per gene (dense is centered; sparse only scaled
+    unless zero_center densifies)."""
+    if isinstance(adata_or_X, AnnData):
+        return scale_anndata(adata_or_X, zero_center=zero_center, max_value=max_value, copy=copy, layer=layer)
+    X = adata_or_X
+    if scipy.sparse.issparse(X):
+        return scale_sparse(X, zero_center=zero_center, max_value=max_value, copy=copy)
+    return scale_array(np.asarray(X), zero_center=zero_center, max_value=max_value, copy=copy)
+
+
+def scale_anndata(
+    adata: AnnData,
+    zero_center: bool = True,
+    max_value: Optional[float] = None,
+    copy: bool = False,
+    layer: Optional[str] = None,
+):
+    if copy:
+        adata = adata.copy()
+    X = adata.layers[layer] if layer is not None else adata.X
+    out = scale(X, zero_center=zero_center, max_value=max_value, copy=False)
+    if layer is not None:
+        adata.layers[layer] = out
+    else:
+        adata.X = out
+    return adata if copy else None

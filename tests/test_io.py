@@ -1,0 +1,170 @@
+"""IO layer tests against the real Stereo-seq bin1 fixture tile."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import sparse
+
+import spateo_tpu as st
+from spateo_tpu.io.utils import bin_indices, bin_matrix, centroids, get_coords_labels, get_label_props
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "bgi", "SS200000135TL_D1_bin1_small.gem.gz")
+
+
+class TestBGI:
+    def test_read_bgi_as_dataframe(self):
+        df = st.io.read_bgi_as_dataframe(FIXTURE)
+        assert {"geneID", "x", "y", "total"}.issubset(df.columns)
+        assert len(df) == 77634
+        assert df["total"].sum() > 0
+
+    def test_read_bgi_agg(self):
+        adata = st.io.read_bgi_agg(FIXTURE)
+        assert st.SKM.get_adata_type(adata) == st.SKM.ADATA_AGG_TYPE
+        assert sparse.issparse(adata.X)
+        df = st.io.read_bgi_as_dataframe(FIXTURE)
+        assert adata.X.sum() == df["total"].sum()
+        # obs/var names carry absolute pixel coordinates
+        xmin, xmax, ymin, ymax = st.SKM.get_agg_bounds(adata)
+        assert xmin == df["x"].min() and xmax == df["x"].max()
+        assert ymin == df["y"].min() and ymax == df["y"].max()
+
+    def test_read_bgi_agg_binsize(self):
+        adata1 = st.io.read_bgi_agg(FIXTURE)
+        adata10 = st.io.read_bgi_agg(FIXTURE, binsize=10)
+        assert adata10.X.sum() == adata1.X.sum()
+        assert adata10.shape[0] <= adata1.shape[0] // 10 + 2
+
+    def test_read_bgi_bins(self):
+        adata = st.io.read_bgi(FIXTURE, binsize=50)
+        assert st.SKM.get_adata_type(adata) == st.SKM.ADATA_UMI_TYPE
+        df = st.io.read_bgi_as_dataframe(FIXTURE)
+        assert adata.X.sum() == df["total"].sum()
+        assert adata.n_vars == df["geneID"].nunique()
+        assert "spatial" in adata.obsm
+        assert adata.obs["area"].iloc[0] == 2500
+
+    def test_read_bgi_with_labels(self):
+        df = st.io.read_bgi_as_dataframe(FIXTURE)
+        shape = (df["x"].max() + 1, df["y"].max() + 1)
+        labels = np.zeros(shape, dtype=int)
+        # one big label over the whole used area
+        labels[df["x"].values, df["y"].values] = 1
+        adata = st.io.read_bgi(FIXTURE, labels=labels)
+        assert adata.n_obs == 1
+        assert adata.X.sum() == df["total"].sum()
+
+
+class TestIOUtils:
+    def test_bin_indices_and_centroids(self):
+        coords = np.array([0, 49, 50, 120])
+        idx = bin_indices(coords, 0, 50)
+        np.testing.assert_array_equal(idx, [0, 0, 1, 2])
+        np.testing.assert_allclose(centroids(idx, 0, 50), [25, 25, 75, 125])
+
+    def test_bin_matrix_dense_sparse_agree(self):
+        rng = np.random.default_rng(0)
+        X = rng.poisson(1, size=(13, 17)).astype(np.int64)
+        dense = bin_matrix(X, 4)
+        sp = bin_matrix(sparse.csr_matrix(X), 4)
+        np.testing.assert_array_equal(dense, sp.toarray())
+        assert dense.sum() == X.sum()
+
+    def test_get_coords_labels_roundtrip(self):
+        labels = np.zeros((5, 5), dtype=int)
+        labels[1, 2] = 3
+        labels[4, 4] = 7
+        df = get_coords_labels(labels)
+        assert set(map(tuple, df.values)) == {(1, 2, 3), (4, 4, 7)}
+
+    def test_get_label_props(self):
+        labels = np.zeros((10, 10), dtype=int)
+        labels[2:5, 2:5] = 1
+        labels[7:9, 7:10] = 4
+        props = get_label_props(labels)
+        assert list(props.index) == ["1", "4"]
+        assert props.loc["1", "area"] == 9
+        assert props.loc["4", "area"] == 6
+        np.testing.assert_allclose(props.loc["1", ["centroid-0", "centroid-1"]].values.astype(float), [3, 3])
+        np.testing.assert_array_equal(
+            props.loc["4", ["bbox-0", "bbox-1", "bbox-2", "bbox-3"]].values.astype(int), [7, 7, 9, 10]
+        )
+
+    def test_alpha_shape_square(self):
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(0, 10, size=(500, 2))
+        rings, edges = st.io.alpha_shape(pts[:, 0], pts[:, 1], alpha=0.3)
+        assert len(rings) >= 1
+        ring = max(rings, key=len)
+        # hull should roughly cover the square
+        assert ring[:, 0].max() > 9 and ring[:, 0].min() < 1
+
+
+class TestPreprocessing:
+    def test_filter_cells_genes(self, random_adata):
+        before = random_adata.shape
+        out = st.pp.filter_cells(random_adata, min_expr_genes=5)
+        assert out.n_obs <= before[0]
+        assert (np.asarray((out.X > 0).sum(1)).ravel() >= 5).all()
+        out2 = st.pp.filter_genes(out, min_cells=2)
+        assert (np.asarray((out2.X > 0).sum(0)).ravel() >= 2).all()
+
+    def test_normalize_total(self, random_adata):
+        st.pp.normalize_total(random_adata, target_sum=100)
+        sums = np.asarray(random_adata.X.sum(1)).ravel()
+        np.testing.assert_allclose(sums[sums > 0], 100, rtol=1e-5)
+
+    def test_log1p(self, random_adata):
+        raw = random_adata.X.toarray().copy()
+        st.pp.log1p(random_adata)
+        np.testing.assert_allclose(random_adata.X.toarray(), np.log1p(raw), rtol=1e-6)
+
+    def test_scale_dense(self):
+        rng = np.random.default_rng(3)
+        X = rng.poisson(5, size=(40, 10)).astype(float)
+        adata = st.AnnData(X=X)
+        st.SKM.init_adata_type(adata, "UMI")
+        st.pp.scale(adata)
+        np.testing.assert_allclose(adata.X.mean(0), 0, atol=1e-8)
+        np.testing.assert_allclose(adata.X.std(0, ddof=1), 1, atol=1e-6)
+
+    def test_calc_norm_factors_tmm_matches_numpy_reference(self):
+        """Batched-on-device TMM must agree with a direct numpy transcription
+        of the edgeR algorithm."""
+        rng = np.random.default_rng(42)
+        counts = rng.negative_binomial(5, 0.3, size=(12, 300)).astype(float)
+
+        def np_tmm(obs, ref, nO, nR, logratioTrim=0.3, sumTrim=0.05):
+            logR = np.log2((obs / nO) / (ref / nR))
+            absE = (np.log2(obs / nO) + np.log2(ref / nR)) / 2
+            v = (nO - obs) / nO / obs + (nR - ref) / nR / ref
+            fin = np.isfinite(logR) & np.isfinite(absE) & (absE > -1e10)
+            logR, absE, v = logR[fin], absE[fin], v[fin]
+            if np.max(np.abs(logR)) < 1e-6:
+                return 1.0
+            n = len(logR)
+            loL = int(n * logratioTrim) + 1
+            loS = int(n * sumTrim) + 1
+            keep = (np.argsort(logR).argsort() >= loL) & (np.argsort(absE).argsort() >= loS)
+            f = np.sum(logR[keep] / v[keep]) / np.sum(1 / v[keep])
+            return 2**f if not np.isnan(f) else 1.0
+
+        lib = counts.sum(1)
+        f95 = np.percentile(counts, 95, axis=1) / lib
+        ref_col = int(np.argmin(np.abs(f95 - f95.mean())))
+        expected = np.array([np_tmm(counts[i], counts[ref_col], lib[i], lib[ref_col]) for i in range(12)])
+        got = st.pp.calcNormFactors(counts, method="TMM")
+        # device path runs float32; a trim-boundary rank can flip vs float64,
+        # moving a weighted mean of ~200 kept genes by O(0.5%)
+        np.testing.assert_allclose(got, expected, rtol=1.5e-2)
+
+    def test_bin_adata(self):
+        X = sparse.csr_matrix(np.eye(6, dtype=float))
+        adata = st.AnnData(X=X)
+        st.SKM.init_adata_type(adata, "UMI")
+        adata.obsm["spatial"] = np.array([[0, 0], [0, 1], [5, 5], [5, 6], [10, 10], [10, 11]], dtype=float)
+        binned = st.pp.bin_adata(adata, bin_size=5)
+        assert binned.n_obs == 3
+        assert binned.X.sum() == 6
