@@ -1,0 +1,132 @@
+"""Thresholding kernels: Otsu, multi-Otsu, adaptive, knee — on device.
+
+TPU-native replacements for skimage.filters.threshold_otsu/multiotsu,
+cv2.adaptiveThreshold, and the kneed.KneeLocator usage in the reference
+(spateo/segmentation/utils.py:38, icell.py:394). Histogram reductions and the
+inter-class-variance search are vectorized jnp; multi-Otsu does an exhaustive
+vectorized search over the (t1 < t2) grid.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def _otsu_from_values(values: jnp.ndarray, vmin: jnp.ndarray, vmax: jnp.ndarray, nbins: int = 256):
+    """Otsu threshold over a flat value array (returns bin-center threshold)."""
+    span = jnp.maximum(vmax - vmin, 1e-30)
+    edges = vmin + span * jnp.arange(nbins + 1) / nbins
+    centers = (edges[:-1] + edges[1:]) / 2
+    idx = jnp.clip(((values - vmin) / span * nbins).astype(jnp.int32), 0, nbins - 1)
+    hist = jnp.zeros(nbins, jnp.float32).at[idx].add(1.0)
+
+    w0 = jnp.cumsum(hist)
+    total = w0[-1]
+    w1 = total - w0
+    cm = jnp.cumsum(hist * centers)
+    mu_total = cm[-1]
+    mu0 = cm / jnp.maximum(w0, 1e-30)
+    mu1 = (mu_total - cm) / jnp.maximum(w1, 1e-30)
+    var_between = w0 * w1 * (mu0 - mu1) ** 2
+    var_between = jnp.where((w0 > 0) & (w1 > 0), var_between, -jnp.inf)
+    return centers[jnp.argmax(var_between)]
+
+
+def threshold_otsu(X, nbins: int = 256) -> float:
+    """Otsu's threshold (skimage-compatible semantics)."""
+    values = jnp.asarray(np.asarray(X), jnp.float32).ravel()
+    return float(_otsu_from_values(values, jnp.min(values), jnp.max(values), nbins))
+
+
+@partial(jax.jit, static_argnames=("nbins",))
+def _multiotsu3(values: jnp.ndarray, vmin, vmax, nbins: int = 128):
+    """Two thresholds splitting values into 3 classes, maximizing between-class
+    variance — exhaustive vectorized search over the upper-triangular grid."""
+    span = jnp.maximum(vmax - vmin, 1e-30)
+    edges = vmin + span * jnp.arange(nbins + 1) / nbins
+    centers = (edges[:-1] + edges[1:]) / 2
+    idx = jnp.clip(((values - vmin) / span * nbins).astype(jnp.int32), 0, nbins - 1)
+    hist = jnp.zeros(nbins, jnp.float32).at[idx].add(1.0)
+    p = hist / jnp.maximum(jnp.sum(hist), 1.0)
+    P = jnp.concatenate([jnp.zeros(1), jnp.cumsum(p)])  # P[i] = sum p[:i]
+    S = jnp.concatenate([jnp.zeros(1), jnp.cumsum(p * centers)])
+
+    def seg(lo, hi):  # class weight & mean*weight for bins [lo, hi)
+        w = P[hi] - P[lo]
+        s = S[hi] - S[lo]
+        return w, s
+
+    t1 = jnp.arange(nbins)[:, None]  # class0 = [0, t1)
+    t2 = jnp.arange(nbins)[None, :]  # class1 = [t1, t2), class2 = [t2, nbins)
+    w0, s0 = seg(0, t1)
+    w1, s1 = seg(t1, t2)
+    w2, s2 = seg(t2, nbins)
+    mu = S[-1]
+
+    def term(w, s):
+        return jnp.where(w > 0, s * s / jnp.maximum(w, 1e-30), 0.0)
+
+    sigma_b = term(w0, s0) + term(w1, s1) + term(w2, s2) - mu * mu
+    valid = (t1 < t2) & (w0 > 0) & (w1 > 0) & (w2 > 0)
+    sigma_b = jnp.where(valid, sigma_b, -jnp.inf)
+    flat = jnp.argmax(sigma_b)
+    i, j = flat // nbins, flat % nbins
+    # class boundaries are the lower edges of the first bin of each upper class
+    return jnp.stack([edges[i], edges[j]])
+
+
+def threshold_multiotsu(X, classes: int = 3, nbins: int = 128) -> np.ndarray:
+    """Multi-Otsu thresholds (classes-1 values). classes in {2, 3} supported;
+    higher class counts fall back to recursive splitting."""
+    values = jnp.asarray(np.asarray(X), jnp.float32).ravel()
+    if classes == 2:
+        return np.array([threshold_otsu(X, nbins)])
+    if classes == 3:
+        return np.asarray(_multiotsu3(values, jnp.min(values), jnp.max(values), nbins))
+    # recursive split for >3 classes
+    t = threshold_otsu(X, nbins)
+    Xn = np.asarray(X)
+    left = threshold_multiotsu(Xn[Xn < t], classes - 2, nbins) if classes - 2 >= 2 else np.array([])
+    right = threshold_multiotsu(Xn[Xn >= t], classes - 2, nbins) if classes - 2 >= 2 else np.array([])
+    return np.sort(np.concatenate([left, [t], right]))
+
+
+def threshold_local(X, k: int, method: str = "gaussian", offset: float = 0.0) -> jnp.ndarray:
+    """Adaptive local threshold surface (skimage.filters.threshold_local
+    semantics): per-pixel threshold = local weighted mean - offset."""
+    from .image import conv2d
+
+    X = jnp.asarray(np.asarray(X), jnp.float32)
+    if method == "gaussian":
+        local_mean = conv2d(X, k, mode="gauss")
+    elif method == "mean":
+        local_mean = conv2d(X, k, mode="square") / float(k * k)
+    else:
+        raise ValueError(f"unsupported method {method}")
+    return local_mean - offset
+
+
+def knee_threshold(X, n_bins: int = 256, clip: int = 5) -> float:
+    """Knee of the cumulative-count curve (kneedle, concave/increasing),
+    replacing kneed.KneeLocator (reference segmentation/utils.py:38)."""
+    X = np.asarray(X)
+    _X = X.astype(int)
+    if np.array_equal(X, _X):
+        x = np.sort(np.unique(_X)).astype(float)
+    else:
+        x = np.linspace(X.min(), X.max(), n_bins)
+    y = np.searchsorted(np.sort(X.ravel()), x, side="right") / X.size
+    x, y = x[clip:], y[clip:]
+    if len(x) < 3:
+        return float(x[-1]) if len(x) else float(X.max())
+    # kneedle: normalize, difference curve, maxima
+    xn = (x - x.min()) / max(x.max() - x.min(), 1e-30)
+    yn = (y - y.min()) / max(y.max() - y.min(), 1e-30)
+    d = yn - xn
+    return float(x[int(np.argmax(d))])

@@ -1,0 +1,215 @@
+"""Device kernel tests: conv/threshold/morphology/EM/BP/labels."""
+
+import numpy as np
+import pytest
+from scipy import signal
+
+import spateo_tpu as st
+from spateo_tpu.ops import bp as bp_ops
+from spateo_tpu.ops import em as em_ops
+from spateo_tpu.ops import image as img_ops
+from spateo_tpu.ops import labels as lbl_ops
+from spateo_tpu.ops import threshold as thr_ops
+
+
+class TestImageOps:
+    def test_circle(self):
+        c = img_ops.circle(3)
+        np.testing.assert_array_equal(c, [[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+        assert img_ops.circle(7).sum() > 20
+
+    def test_conv2d_circle_matches_scipy(self, rng):
+        X = rng.poisson(2, (32, 33)).astype(float)
+        got = np.asarray(img_ops.conv2d(X, 5, mode="circle"))
+        expected = signal.convolve2d(X, img_ops.circle(5), boundary="symm", mode="same")
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+    def test_conv2d_gauss_normalized(self, rng):
+        X = np.ones((16, 16))
+        got = np.asarray(img_ops.conv2d(X, 5, mode="gauss"))
+        np.testing.assert_allclose(got, 1.0, rtol=1e-5)
+
+    def test_conv2d_bins(self, rng):
+        X = rng.poisson(2, (20, 20)).astype(float)
+        bins = np.zeros((20, 20), int)
+        bins[:10] = 1
+        bins[10:] = 2
+        got = np.asarray(img_ops.conv2d(X, 3, mode="circle", bins=bins))
+        # per-bin conv must not leak across the bin boundary
+        exp_top = signal.convolve2d(X * (bins == 1), img_ops.circle(3), boundary="symm", mode="same")
+        np.testing.assert_allclose(got[:10], exp_top[:10], rtol=1e-5)
+
+    def test_median_blur(self, rng):
+        X = rng.integers(0, 255, (16, 16)).astype(float)
+        got = np.asarray(img_ops.median_blur(X, 3))
+        assert got.shape == X.shape
+        # interior pixel check against numpy median
+        i, j = 8, 8
+        np.testing.assert_allclose(got[i, j], np.median(X[i - 1 : i + 2, j - 1 : j + 2]))
+
+    def test_erode_dilate(self):
+        mask = np.zeros((11, 11), bool)
+        mask[3:8, 3:8] = True
+        er = np.asarray(img_ops.erode(mask, 3, square=True))
+        assert er.sum() == 9  # 5x5 -> 3x3
+        di = np.asarray(img_ops.dilate(mask, 3, square=True))
+        assert di.sum() == 49  # 5x5 -> 7x7
+
+    def test_mclose_mopen_removes_noise(self):
+        mask = np.zeros((20, 20), bool)
+        mask[5:15, 5:15] = True
+        mask[0, 0] = True  # speck
+        out = np.asarray(img_ops.mclose_mopen(mask, 3))
+        assert not out[0, 0]
+        assert out[7:13, 7:13].all()
+
+
+class TestThreshold:
+    def test_otsu_bimodal(self, rng):
+        X = np.concatenate([rng.normal(10, 2, 5000), rng.normal(50, 5, 5000)])
+        t = thr_ops.threshold_otsu(X)
+        assert 15 < t < 40
+
+    def test_multiotsu_trimodal(self, rng):
+        X = np.concatenate([rng.normal(10, 1, 3000), rng.normal(40, 2, 3000), rng.normal(90, 3, 3000)])
+        t = thr_ops.threshold_multiotsu(X, classes=3)
+        assert len(t) == 2
+        assert 12 < t[0] < 35 and 45 < t[1] < 85
+
+    def test_knee(self, rng):
+        X = rng.exponential(5, 10000).astype(int)
+        t = thr_ops.knee_threshold(X)
+        assert 0 < t < X.max()
+
+
+class TestEM:
+    def test_nbn_em_recovers_params(self, rng):
+        # background: NB(mean 5, var 10); cells: NB(mean 100, var 200)
+        def nb_sample(mean, var, size):
+            r = mean**2 / (var - mean)
+            p = mean / var
+            return rng.negative_binomial(r, p, size)
+
+        X = np.concatenate([nb_sample(5, 10, 8000), nb_sample(100, 200, 2000)]).astype(float)
+        w, r, p = em_ops.nbn_em(X, w=(0.5, 0.5), mu=(3, 50), var=(6, 100), precision=1e-5)
+        mu_b = r[0] * (1 - p[0]) / p[0]
+        mu_c = r[1] * (1 - p[1]) / p[1]
+        assert 4 < mu_b < 6.5
+        assert 85 < mu_c < 115
+        assert 0.7 < w[0] < 0.9
+
+    def test_run_em_with_bins_matches_unbinned_per_bin(self, rng):
+        X = rng.negative_binomial(2, 0.3, (40, 40)).astype(float)
+        bins = np.ones((40, 40), int)
+        bins[:, 20:] = 2
+        res = em_ops.run_em(X, downsample=1.0, bins=bins, seed=0,
+                            params=dict(w=(0.5, 0.5), mu=(2.0, 10.0), var=(4.0, 20.0)))
+        assert set(res.keys()) == {1, 2}
+        for label, (w, r, p) in res.items():
+            assert len(w) == 2 and len(r) == 2 and len(p) == 2
+            assert 0 <= w[0] <= 1
+
+    def test_confidence_monotone(self, rng):
+        X = rng.negative_binomial(2, 0.3, (20, 20)).astype(float)
+        em_results = ((0.8, 0.2), (2.0, 2.0), (0.6, 0.2))
+        conf = em_ops.confidence(X, em_results)
+        assert conf.shape == X.shape
+        assert (conf >= 0).all() and (conf <= 1).all()
+
+
+class TestBP:
+    def test_bp_sharpens_probabilities(self, rng):
+        # two blocks: clear cell region and clear background + noisy pixels
+        cell_prob = np.full((20, 20), 0.3)
+        cell_prob[5:15, 5:15] = 0.7
+        # add noise
+        noise = rng.uniform(-0.15, 0.15, cell_prob.shape)
+        cell_prob = np.clip(cell_prob + noise, 0.05, 0.95)
+        bg_prob = 1 - cell_prob
+        marg = bp_ops.run_bp(bg_prob, cell_prob, k=3, p=0.7, q=0.3, max_iter=100)
+        assert marg.shape == (20, 20)
+        # BP should push interior pixels toward consensus
+        assert marg[8:12, 8:12].mean() > 0.9
+        assert marg[:3, :3].mean() < 0.1
+
+    def test_neighbor_offsets(self):
+        off = bp_ops.create_neighbor_offsets(img_ops.circle(3))
+        assert off.shape == (4, 2)
+        assert set(map(tuple, off.tolist())) == {(-1, 0), (1, 0), (0, -1), (0, 1)}
+
+
+class TestLabels:
+    def test_connected_components(self):
+        mask = np.zeros((20, 20), bool)
+        mask[2:5, 2:5] = True
+        mask[10:14, 10:14] = True
+        mask[18, 18] = True
+        labels, n = lbl_ops.connected_components(mask)
+        assert n == 3
+        assert labels[3, 3] != labels[11, 11] != labels[18, 18]
+        assert (labels[mask] > 0).all()
+        assert (labels[~mask] == 0).all()
+
+    def test_connected_components_4_vs_8(self):
+        mask = np.zeros((4, 4), bool)
+        mask[0, 0] = mask[1, 1] = True  # diagonal touch
+        _, n8 = lbl_ops.connected_components(mask, connectivity=8)
+        _, n4 = lbl_ops.connected_components(mask, connectivity=4)
+        assert n8 == 1 and n4 == 2
+
+    def test_distance_transform(self):
+        mask = np.zeros((21, 21), bool)
+        mask[5:16, 5:16] = True
+        d = lbl_ops.distance_transform(mask)
+        assert d[10, 10] == d.max()
+        assert abs(d[10, 10] - 6 * 0.955) < 1.0  # ~6 px to boundary
+        assert (d[~mask] == 0).all()
+
+    def test_watershed_two_cells(self):
+        # two circular blobs merged at the waist
+        yy, xx = np.mgrid[0:40, 0:40]
+        blob1 = (yy - 20) ** 2 + (xx - 12) ** 2 <= 64
+        blob2 = (yy - 20) ** 2 + (xx - 28) ** 2 <= 64
+        mask = blob1 | blob2
+        dist = lbl_ops.distance_transform(mask)
+        markers = np.zeros((40, 40), int)
+        markers[20, 12] = 1
+        markers[20, 28] = 2
+        labels = lbl_ops.watershed(dist, markers, mask)
+        assert (labels[mask] > 0).mean() > 0.98
+        assert labels[20, 8] == 1
+        assert labels[20, 32] == 2
+        # the two sides split at the waist
+        assert labels[20, 10] == 1 and labels[20, 30] == 2
+
+    def test_expand_labels_capped(self):
+        labels = np.zeros((20, 20), np.int32)
+        labels[10, 5] = 1
+        labels[10, 15] = 2
+        out = lbl_ops.expand_labels_capped(labels, distance=3, max_area=1000)
+        assert out[10, 5] == 1 and out[7, 5] == 1  # expanded up 3
+        assert (out == 1).sum() > 10
+        # cap: tiny max area stops expansion immediately
+        out2 = lbl_ops.expand_labels_capped(labels, distance=3, max_area=1)
+        assert (out2 == 1).sum() == 1
+
+    def test_label_overlap(self):
+        X = np.array([[0, 1, 1], [2, 2, 0]])
+        Y = np.array([[0, 1, 2], [2, 2, 0]])
+        o = lbl_ops.label_overlap(X, Y)
+        assert o[1, 1] == 1 and o[1, 2] == 1 and o[2, 2] == 2 and o[0, 0] == 2
+
+    def test_peak_local_max(self):
+        X = np.zeros((20, 20))
+        X[5, 5] = 10
+        X[15, 15] = 8
+        peaks = lbl_ops.peak_local_max(X, min_distance=3)
+        assert peaks[5, 5] > 0 and peaks[15, 15] > 0
+        assert peaks[5, 5] != peaks[15, 15]
+        assert (peaks > 0).sum() == 2
+
+    def test_find_boundaries(self):
+        labels = np.zeros((10, 10), int)
+        labels[2:8, 2:8] = 1
+        b = lbl_ops.find_boundaries(labels)
+        assert b[2, 2] and b[2, 5] and not b[4, 4]

@@ -1,0 +1,157 @@
+"""Starro segmentation tests, including the end-to-end MVP slice on simulated
+ground truth (SURVEY.md §7 step 3)."""
+
+import numpy as np
+import pytest
+
+import spateo_tpu as st
+from spateo_tpu.segmentation.icell import _initial_nb_params, _score_pixels
+
+
+@pytest.fixture(scope="module")
+def sim_adata():
+    from spateo_tpu.segmentation.simulation import simulate_cells
+
+    return simulate_cells((128, 128), 30, seed=2021)
+
+
+class TestSimulation:
+    def test_simulated_anndata(self, sim_adata):
+        assert st.SKM.get_adata_type(sim_adata) == "AGG"
+        labels = sim_adata.layers["labels"]
+        assert labels.max() > 10
+        # foreground has higher expression than background
+        fg = sim_adata.X[labels > 0].mean()
+        bg = sim_adata.X[labels == 0].mean()
+        assert fg > bg
+
+
+class TestScoring:
+    def test_initial_nb_params(self, sim_adata):
+        X = np.asarray(sim_adata.X, dtype=float)
+        params = _initial_nb_params(X)
+        assert set(params.keys()) == {"w", "mu", "var"}
+        assert params["mu"][1] > params["mu"][0]
+
+    def test_score_pixels_em(self, sim_adata):
+        X = np.asarray(sim_adata.X, dtype=float)
+        scores = _score_pixels(X, k=5, method="EM", em_kwargs=dict(seed=2021))
+        labels = np.asarray(sim_adata.layers["labels"])
+        assert scores.shape == X.shape
+        assert (scores >= 0).all() and (scores <= 1).all()
+        # cells should score higher than background on average
+        assert scores[labels > 0].mean() > scores[labels == 0].mean() + 0.2
+
+    def test_score_pixels_em_bp(self, sim_adata):
+        X = np.asarray(sim_adata.X, dtype=float)
+        scores = _score_pixels(X, k=5, method="EM+BP", em_kwargs=dict(seed=2021), bp_kwargs=dict(max_iter=50))
+        labels = np.asarray(sim_adata.layers["labels"])
+        assert scores[labels > 0].mean() > scores[labels == 0].mean() + 0.3
+
+    def test_score_pixels_gauss(self, sim_adata):
+        X = np.asarray(sim_adata.X, dtype=float)
+        scores = _score_pixels(X, k=5, method="gauss")
+        assert scores.min() >= 0 and scores.max() <= 1
+
+    def test_score_and_mask_pixels(self, sim_adata):
+        adata = sim_adata.copy()
+        st.cs.score_and_mask_pixels(adata, "X", k=5, method="EM+BP", em_kwargs=dict(seed=2021))
+        assert "X_scores" in adata.layers
+        assert "X_mask" in adata.layers
+        mask = adata.layers["X_mask"]
+        labels = np.asarray(adata.layers["labels"])
+        # mask should recover most of the true foreground (IoU-style check)
+        tp = (mask & (labels > 0)).sum()
+        recall = tp / (labels > 0).sum()
+        precision = tp / max(mask.sum(), 1)
+        assert recall > 0.5, f"recall {recall}"
+        assert precision > 0.5, f"precision {precision}"
+
+
+class TestEndToEnd:
+    def test_full_starro_pipeline(self, sim_adata):
+        """mask -> markers -> watershed -> expand: the full RNA-only flow."""
+        adata = sim_adata.copy()
+        st.cs.score_and_mask_pixels(adata, "X", k=5, method="EM+BP", em_kwargs=dict(seed=2021))
+        st.cs.find_peaks_from_mask(adata, "X", min_distance=5)
+        st.cs.watershed(adata, "X", k=5)
+        assert "X_labels" in adata.layers
+        pred = adata.layers["X_labels"]
+        assert pred.max() > 5  # found multiple cells
+        st.cs.expand_labels(adata, "X", distance=2, max_area=800)
+        assert "X_labels_expanded" in adata.layers
+        assert (adata.layers["X_labels_expanded"] > 0).sum() >= (pred > 0).sum()
+
+        # benchmark against ground truth
+        res = st.cs.compare(adata, "labels", "X_labels", seed=0)
+        assert res.loc["Accuracy", "X_labels"] > 0.7
+        # predictions must beat random background on precision
+        assert res.loc["Precision", "X_labels"] > res.loc["Precision", "background"]
+
+    def test_label_connected_components(self, sim_adata):
+        adata = sim_adata.copy()
+        st.cs.score_and_mask_pixels(adata, "X", k=5, method="EM", em_kwargs=dict(seed=2021))
+        st.cs.label_connected_components(adata, "X", area_threshold=300, distance=4)
+        assert "X_labels" in adata.layers
+        # several components labeled (small saved + split large ones)
+        assert adata.layers["X_labels"].max() >= 2
+        assert (adata.layers["X_labels"] > 0).any()
+
+
+class TestDensity:
+    def test_segment_densities(self):
+        rng = np.random.default_rng(0)
+        X = rng.poisson(0.3, (64, 64)).astype(float)
+        X[16:48, 16:48] += rng.poisson(3.0, (32, 32))
+        adata = st.AnnData(X=X)
+        st.SKM.init_adata_type(adata, "AGG")
+        st.SKM.init_uns_spatial_namespace(adata)
+        st.cs.segment_densities(adata, "X", binsize=1, k=7, dk=5)
+        bins = adata.layers["X_bins"]
+        assert bins.max() >= 2
+        # dense center and sparse border should mostly be in different bins
+        center_mode = np.bincount(bins[20:44, 20:44].ravel()).argmax()
+        border_mode = np.bincount(np.concatenate([bins[:8].ravel(), bins[-8:].ravel()])).argmax()
+        assert center_mode != border_mode
+
+
+class TestVI:
+    def test_run_vi_recovers_separation(self):
+        rng = np.random.default_rng(1)
+        X = np.concatenate([rng.negative_binomial(5, 0.5, 3000), rng.negative_binomial(50, 0.3, 1000)]).astype(float)
+        res = st.cs.run_vi(X.reshape(40, 100), downsample=1.0, n_epochs=300, seed=0)
+        assert "counts" in res and "logits" in res
+        means = res["counts"] * np.exp(res["logits"])
+        assert means.max() > means.min() * 3
+
+    def test_vi_conditionals(self):
+        rng = np.random.default_rng(1)
+        X = rng.negative_binomial(5, 0.5, (20, 20)).astype(float)
+        res = st.cs.run_vi(X, downsample=1.0, n_epochs=100, seed=0)
+        from spateo_tpu.segmentation.vi import conditionals
+
+        bg, cell = conditionals(X, res)
+        assert bg.shape == X.shape and cell.shape == X.shape
+
+
+class TestRefineAlignment:
+    def test_rigid_refines_shift(self):
+        rng = np.random.default_rng(0)
+        rna = np.zeros((64, 64))
+        rna[20:40, 20:40] = 10.0
+        # stain shifted by 3 pixels
+        stain = np.zeros((64, 64))
+        stain[23:43, 23:43] = 200.0
+        adata = st.AnnData(X=rna.astype(np.float32))
+        st.SKM.init_adata_type(adata, "AGG")
+        st.SKM.init_uns_spatial_namespace(adata)
+        adata.layers["stain"] = stain.copy()
+        adata.layers["unspliced"] = rna
+        before = ((stain > 0) & (rna > 0)).sum()
+        st.cs.refine_alignment(adata, mode="rigid", n_epochs=200, transform_layers=["stain"])
+        params = st.SKM.get_uns_spatial_attribute(adata, st.SKM.UNS_SPATIAL_ALIGNMENT_KEY)
+        # translation component should be nonzero (moving stain toward rna)
+        assert np.abs(params["theta"][:, 2]).max() > 0.01
+        # transformed stain should overlap rna better than before
+        after = ((adata.layers["stain"] > 0) & (rna > 0)).sum()
+        assert after > before
