@@ -1,0 +1,176 @@
+"""Benchmark: Starro segmentation throughput (Mpixels/sec) on the real chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Workload (BASELINE.json config #1): NB-mixture EM scoring + belief propagation
++ Otsu mask + morphology on a synthetic Stereo-seq-like UMI raster — the full
+`_score_pixels(method="EM+BP")` + threshold path, measured steady-state
+(after one warmup for XLA compilation).
+
+vs_baseline: ratio against a single-threaded vectorized NumPy/SciPy
+implementation of the same math measured in-process on a smaller tile and
+scaled by pixel count. This is the closest runnable stand-in for the
+reference CPU path (the reference's EM is vectorized NumPy, em.py:83; its BP
+is the OpenMP C++ `fbgbp` extension which is not installable here — the NumPy
+BP mimic below is the same message-passing math).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def make_raster(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.negative_binomial(1, 0.5, (h, w)).astype(np.float32)
+    # sprinkle cells: disks of elevated counts
+    yy, xx = np.mgrid[0:h, 0:w]
+    n_cells = (h * w) // 2500
+    for i in range(n_cells):
+        cy, cx = rng.integers(0, h), rng.integers(0, w)
+        r = rng.integers(4, 10)
+        mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+        X[mask] += rng.negative_binomial(8, 0.35, int(mask.sum())).astype(np.float32)
+    return X
+
+
+def tpu_pipeline(X, seed=0):
+    from spateo_tpu.segmentation.icell import _score_pixels
+    from spateo_tpu.segmentation.utils import apply_threshold
+    from spateo_tpu.ops.threshold import threshold_otsu
+
+    scores = _score_pixels(X, k=5, method="EM+BP", em_kwargs=dict(seed=seed), bp_kwargs=dict(max_iter=50))
+    thr = threshold_otsu(scores)
+    mask = apply_threshold(scores, 7, thr)
+    return mask
+
+
+def numpy_baseline_pipeline(X, seed=0):
+    """Single-process NumPy/SciPy transcription of the same scoring math."""
+    from scipy import signal, special, stats
+
+    def circle(k):
+        r = (k - 1) // 2
+        yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
+        return (yy**2 + xx**2 <= r * r).astype(float)
+
+    res = signal.convolve2d(X, circle(5), boundary="symm", mode="same")
+
+    # initial params by Otsu split
+    flat = res.ravel()
+    hist, edges = np.histogram(flat, bins=256)
+    centers = (edges[:-1] + edges[1:]) / 2
+    w0 = np.cumsum(hist)
+    cm = np.cumsum(hist * centers)
+    w1 = w0[-1] - w0
+    mu0 = cm / np.maximum(w0, 1e-30)
+    mu1 = (cm[-1] - cm) / np.maximum(w1, 1e-30)
+    vb = w0 * w1 * (mu0 - mu1) ** 2
+    thr = max(centers[np.argmax(vb)], 1)
+    m = flat > thr
+    w = np.array([(~m).sum(), m.sum()]) / flat.size
+    mu = np.array([flat[~m].mean(), flat[m].mean()])
+    var = np.array([max(flat[~m].var(), mu[0] * 1.1), max(flat[m].var(), mu[1] * 1.1)])
+
+    # EM on downsampled pixels (reference em.py:297-308 semantics)
+    rng = np.random.default_rng(seed)
+    n_samp = max(int(flat.size * 0.01), 2000)
+    wts = np.log1p(flat + 1)
+    samp = rng.choice(flat, min(n_samp, flat.size), replace=False, p=wts / wts.sum())
+    r = mu**2 / (var - mu)
+    theta = mu / var
+    lam = -r * np.log(theta)
+    for _ in range(200):
+        bp_ = stats.nbinom(float(r[0]), float(theta[0])).pmf(samp)
+        cp_ = stats.nbinom(float(r[1]), float(theta[1])).pmf(samp)
+        tau = np.clip(np.stack([w[0] * bp_, w[1] * cp_]), 1e-10, 1e10)
+        tau /= tau.sum(0)
+        beta = 1 - 1 / (1 - theta) - 1 / np.log(theta)
+        delta = r.reshape(-1, 1) * (special.digamma(r.reshape(-1, 1) + samp) - special.digamma(r.reshape(-1, 1)))
+        tau_sum = tau.sum(1)
+        w_new = tau_sum / tau_sum.sum()
+        lam_new = (tau * delta).sum(1) / tau_sum
+        theta_new = beta * (tau * delta).sum(1) / (tau * (samp - (1 - beta).reshape(-1, 1) * delta)).sum(1)
+        if np.max(np.abs(w_new - w)) < 1e-6:
+            break
+        w, lam, theta = w_new, lam_new, theta_new
+        r = -lam / np.log(theta)
+
+    # conditionals over full raster + BP message passing (numpy mimic of fbgbp)
+    bg = stats.nbinom(float(r[0]), float(theta[0])).pmf(res)
+    cell = stats.nbinom(float(r[1]), float(theta[1])).pmf(res)
+    phi = np.stack([bg, cell], -1)
+    phi /= np.maximum(phi.sum(-1, keepdims=True), 1e-30)
+    psi = np.array([[0.6, 0.4], [0.4, 0.6]])
+    offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    M = np.full((4,) + res.shape + (2,), 0.5)
+
+    def shift(arr, dy, dx):
+        out = np.roll(arr, (dy, dx), axis=(0, 1))
+        if dy > 0:
+            out[:dy] = 0.5
+        elif dy < 0:
+            out[dy:] = 0.5
+        if dx > 0:
+            out[:, :dx] = 0.5
+        elif dx < 0:
+            out[:, dx:] = 0.5
+        return out
+
+    rev = [1, 0, 3, 2]
+    for _ in range(50):
+        prod = phi * np.prod(M, axis=0)
+        M_new = np.empty_like(M)
+        for d, (dy, dx) in enumerate(offsets):
+            excl = prod / np.maximum(M[rev[d]], 1e-30)
+            out = excl @ psi
+            out /= np.maximum(out.sum(-1, keepdims=True), 1e-30)
+            M_new[d] = shift(out, dy, dx)
+        if np.sqrt(((M_new - M) ** 2).sum()) < 1e-6:
+            M = M_new
+            break
+        M = M_new
+    belief = phi * np.prod(M, axis=0)
+    marg = belief[..., 1] / np.maximum(belief.sum(-1), 1e-30)
+    return marg > 0.5
+
+
+def main():
+    H = W = 1024
+    X = make_raster(H, W)
+
+    # warmup at FULL shape (XLA compiles per raster shape)
+    import jax
+
+    tpu_pipeline(X, seed=1)
+    jax.effects_barrier()
+
+    t0 = time.perf_counter()
+    mask = tpu_pipeline(X)
+    jax.effects_barrier()
+    tpu_time = time.perf_counter() - t0
+    mpix_s = (H * W) / tpu_time / 1e6
+
+    # CPU baseline on a smaller tile, scaled by pixel count
+    hb = wb = 256
+    Xb = X[:hb, :wb]
+    t0 = time.perf_counter()
+    numpy_baseline_pipeline(Xb)
+    cpu_time_small = time.perf_counter() - t0
+    cpu_mpix_s = (hb * wb) / cpu_time_small / 1e6
+
+    print(
+        json.dumps(
+            {
+                "metric": "starro_segmentation_throughput",
+                "value": round(mpix_s, 3),
+                "unit": "Mpixels/sec",
+                "vs_baseline": round(mpix_s / cpu_mpix_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

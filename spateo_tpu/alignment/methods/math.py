@@ -1,0 +1,288 @@
+"""Alignment math kernels: pairwise distances, probabilities, SE kernels.
+
+TPU-native re-derivation of reference spateo/alignment/methods/utils.py:
+`calc_distance`:866 (euc/kl/sym_kl/cos/label), `calc_probability`:944,
+`get_P_core`:993 (the E-step core), `con_K`:1132, `inlier_from_NN`:1220,
+`voxel_data`:1283, `_init_guess_sigma2`:1339. Everything is jnp and jittable;
+pairwise distances are expressed as matmuls so XLA maps them onto the MXU.
+
+Metric naming follows the reference exactly: metric "euc" returns SQUARED
+euclidean distances (reference `_euc_distance_backend(..., squared=True)`),
+which is what the Gaussian probabilities expect.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def euc_dist(X: jnp.ndarray, Y: jnp.ndarray, squared: bool = True) -> jnp.ndarray:
+    """Pairwise (squared) euclidean distance via the matmul expansion
+    ||x||^2 + ||y||^2 - 2 x.y (one MXU GEMM for the cross term)."""
+    x2 = jnp.sum(X * X, axis=1)[:, None]
+    y2 = jnp.sum(Y * Y, axis=1)[None, :]
+    cross = X @ Y.T
+    d2 = jnp.maximum(x2 + y2 - 2.0 * cross, 0.0)
+    return d2 if squared else jnp.sqrt(d2)
+
+
+def kl_dist(X: jnp.ndarray, Y: jnp.ndarray, probabilistic: bool = True, eps: float = 1e-8) -> jnp.ndarray:
+    """Pairwise KL(X_i || Y_j): rows shifted by +0.01 and normalized, then
+    KL = sum_d x log x - x log y — the cross term is one GEMM."""
+    X = X + 0.01
+    Y = Y + 0.01
+    if probabilistic:
+        X = X / jnp.sum(X, axis=1, keepdims=True)
+        Y = Y / jnp.sum(Y, axis=1, keepdims=True)
+    log_X = jnp.log(X + eps)
+    log_Y = jnp.log(Y + eps)
+    entropy = jnp.sum(X * log_X, axis=1)[:, None]
+    cross = X @ log_Y.T
+    return entropy - cross
+
+
+def cosine_dist(X: jnp.ndarray, Y: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    Xn = X / (jnp.linalg.norm(X, axis=1, keepdims=True) + eps)
+    Yn = Y / (jnp.linalg.norm(Y, axis=1, keepdims=True) + eps)
+    return 1.0 - Xn @ Yn.T
+
+
+def label_dist(X_labels: jnp.ndarray, Y_labels: jnp.ndarray, label_transfer: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise label-transfer cost: lookup into a (K, L) cost matrix."""
+    return label_transfer[X_labels[:, None], Y_labels[None, :]]
+
+
+def calc_distance(
+    X,
+    Y,
+    metric: Union[List[str], str] = "euc",
+    label_transfer: Optional[jnp.ndarray] = None,
+) -> List[jnp.ndarray]:
+    """Pairwise distances for (lists of) representations (parity:
+    reference methods/utils.py:866)."""
+    if not isinstance(X, list):
+        X = [X]
+    if not isinstance(Y, list):
+        Y = [Y]
+    if not isinstance(metric, list):
+        metric = [metric] * len(X)
+    out = []
+    for x, y, m in zip(X, Y, metric):
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        if m == "label":
+            assert label_transfer is not None, "label_transfer must be provided for metric 'label'."
+            out.append(label_dist(x.astype(jnp.int32), y.astype(jnp.int32), label_transfer))
+        elif m in ("euc", "euclidean"):
+            out.append(euc_dist(x, y, squared=True))
+        elif m in ("square_euc", "square_euclidean"):
+            out.append(euc_dist(x, y, squared=False))
+        elif m == "kl":
+            out.append(kl_dist(x, y))
+        elif m == "sym_kl":
+            out.append((kl_dist(x, y) + kl_dist(y, x).T) / 2)
+        elif m in ("cos", "cosine"):
+            out.append(cosine_dist(x, y))
+        else:
+            raise ValueError(f"Unsupported metric {m}")
+    return out
+
+
+def calc_probability(distance_matrix: jnp.ndarray, probability_type: str = "gauss", probability_parameter=None):
+    """Distance -> unnormalized probability (parity: methods/utils.py:944)."""
+    if probability_type.lower() in ("gauss", "gaussian"):
+        if probability_parameter is None:
+            raise ValueError("probability_parameter must be provided for 'Gauss' probability type.")
+        return jnp.exp(-distance_matrix / (2 * probability_parameter))
+    if probability_type.lower() in ("cos", "cosine"):
+        return 1 - distance_matrix
+    if probability_type.lower() == "prob":
+        return distance_matrix
+    raise ValueError(f"Unsupported probability type: {probability_type}")
+
+
+def con_K(X: jnp.ndarray, Y: jnp.ndarray, beta: float = 0.01) -> jnp.ndarray:
+    """Squared-exponential kernel K(i,j)=exp(-beta ||X_i - Y_j||^2)
+    (parity: methods/utils.py:1132)."""
+    return jnp.exp(-beta * euc_dist(jnp.asarray(X), jnp.asarray(Y), squared=True))
+
+
+def get_P_core(
+    Dim: float,
+    spatial_dist: jnp.ndarray,  # [NA, M] squared distances
+    exp_dist: List[jnp.ndarray],  # list of [NA, M]
+    sigma2: jnp.ndarray,
+    model_mul: jnp.ndarray,  # [NA, 1]: alpha * exp(-SigmaDiag / sigma2)
+    gamma: jnp.ndarray,
+    samples_s: jnp.ndarray,
+    sigma2_variance: jnp.ndarray,
+    probability_type: List[str],
+    probability_parameters: List,
+    eps: float = 1e-8,
+):
+    """E-step soft-assignment core (parity: reference methods/utils.py:993-1095).
+
+    The outlier model normalizes over COLUMNS (each B cell's assignment mass
+    sums to <= 1, the rest going to the outlier component); all reductions are
+    axis-0 sums that XLA turns into psum collectives when the NA axis is
+    sharded across the mesh.
+
+    Returns (P, K_NA_spatial, K_NA_sigma2, sigma2_related).
+    """
+    spatial_prob = calc_probability(spatial_dist, "gauss", sigma2 / sigma2_variance)
+    outlier_s = samples_s * spatial_dist.shape[0]
+    spatial_outlier = jnp.power(2 * jnp.pi * sigma2, Dim / 2) * (1 - gamma) / (gamma * outlier_s)
+    spatial_inlier = 1 - spatial_outlier / (spatial_outlier + jnp.sum(spatial_prob, axis=0, keepdims=True))
+    spatial_prob = spatial_prob * model_mul
+
+    P = spatial_prob / (spatial_outlier + jnp.sum(spatial_prob, axis=0, keepdims=True))
+    K_NA_spatial = P.sum(1)
+
+    spatial_prob = calc_probability(spatial_dist, "gauss", sigma2) * model_mul
+    P = spatial_inlier * spatial_prob / (jnp.sum(spatial_prob, axis=0, keepdims=True) + eps)
+    K_NA_sigma2 = P.sum(1)
+    sigma2_related = (P * spatial_dist).sum()
+
+    for e_d, p_t, p_p in zip(exp_dist, probability_type, probability_parameters):
+        spatial_prob = spatial_prob * calc_probability(e_d, p_t, p_p)
+
+    P = spatial_inlier * spatial_prob / (jnp.sum(spatial_prob, axis=0, keepdims=True) + eps)
+    return P, K_NA_spatial, K_NA_sigma2, sigma2_related
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _inlier_from_NN_kernel(train_x, train_y, distance, max_iter: int = 100):
+    """Robust rigid fit from noisy NN matches (parity: methods/utils.py:1220),
+    as one jitted fori_loop."""
+    N, D = train_x.shape
+    alpha0 = 1.0
+    distance = jnp.maximum(0.0, distance)
+    normalize = jnp.max(distance) / (jnp.log(10.0) * 2.0)
+    distance = distance / normalize
+    weight0 = jnp.exp(-distance * alpha0)
+    sigma2_0 = jnp.sum((train_x - train_y) ** 2) / (D * N)
+    a = jnp.maximum(
+        jnp.prod(jnp.max(train_x, axis=0) - jnp.min(train_x, axis=0)),
+        jnp.prod(jnp.max(train_y, axis=0) - jnp.min(train_y, axis=0)),
+    )
+    alpha_end = 0.1
+    alpha_decrease = jnp.power(alpha_end / alpha0, 1.0 / (max_iter - 20))
+
+    P0 = weight0 * jnp.ones((N, 1))
+    state = dict(
+        P=P0,
+        R=jnp.eye(D),
+        t=jnp.zeros((D,)),
+        y_hat=train_x,
+        sigma2=sigma2_0,
+        gamma=jnp.asarray(0.5),
+        alpha=jnp.asarray(alpha0),
+        weight=weight0,
+        Sp=jnp.sum(P0),
+    )
+
+    def body(it, s):
+        mu_x = jnp.sum(train_x * s["P"], 0) / s["Sp"]
+        mu_y = jnp.sum(train_y * s["P"], 0) / s["Sp"]
+        X_mu, Y_mu = train_x - mu_x, train_y - mu_y
+        A = (Y_mu.T @ (X_mu * s["P"]))
+        svdU, svdS, svdV = jnp.linalg.svd(A)
+        C = jnp.eye(D).at[-1, -1].set(jnp.linalg.det(svdU @ svdV))
+        R = svdU @ C @ svdV
+        t = mu_y - mu_x @ R.T
+        y_hat = train_x @ R.T + t
+        term1 = jnp.exp(-jnp.sum((train_y - y_hat) ** 2, 1, keepdims=True) / (2 * s["sigma2"])) * s["weight"]
+        outlier_part = jnp.max(s["weight"]) * (1 - s["gamma"]) * jnp.power(2 * jnp.pi * s["sigma2"], D / 2) / (
+            s["gamma"] * a
+        )
+        P = term1 / (term1 + outlier_part)
+        Sp = jnp.sum(P)
+        gamma = jnp.clip(Sp / N, 0.01, 0.99)
+        P = jnp.maximum(P, 1e-6)
+        sigma2 = jnp.sum((y_hat - train_y) ** 2 * P) / (D * Sp)
+        alpha = jnp.where(it > 20, s["alpha"] * alpha_decrease, s["alpha"])
+        weight = jnp.where(it > 20, jnp.exp(-distance * alpha), s["weight"])
+        weight = jnp.where(it > 20, weight / jnp.max(weight), weight)
+        return dict(P=P, R=R, t=t, y_hat=y_hat, sigma2=sigma2, gamma=gamma, alpha=alpha, weight=weight, Sp=Sp)
+
+    s = jax.lax.fori_loop(0, max_iter, body, state)
+
+    fix_sigma2, fix_gamma = 1e-2, 0.1
+    term1 = jnp.exp(-jnp.sum((train_y - s["y_hat"]) ** 2, 1, keepdims=True) / (2 * fix_sigma2)) * s["weight"]
+    outlier_part = jnp.max(s["weight"]) * (1 - fix_gamma) * jnp.power(2 * jnp.pi * fix_sigma2, D / 2) / (fix_gamma * a)
+    P = term1 / (term1 + outlier_part)
+    gamma = jnp.clip(jnp.sum(P) / N, 0.01, 0.99)
+    return P, s["R"], s["t"], weight0, s["sigma2"], gamma
+
+
+def inlier_from_NN(train_x, train_y, distance) -> Tuple[np.ndarray, ...]:
+    """Host-facing wrapper returning numpy (parity signature with reference)."""
+    P, R, t, w, sigma2, gamma = _inlier_from_NN_kernel(
+        jnp.asarray(train_x, jnp.float32), jnp.asarray(train_y, jnp.float32), jnp.asarray(distance, jnp.float32)
+    )
+    return np.asarray(P), np.asarray(R), np.asarray(t), np.asarray(w), float(sigma2), float(gamma)
+
+
+def voxel_data(
+    coords: np.ndarray,
+    gene_exp: np.ndarray,
+    voxel_size: Optional[float] = None,
+    voxel_num: Optional[int] = 10000,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Mean-pool points and expression into spatial voxels (parity:
+    methods/utils.py:1283). Host-side binning + device segment means."""
+    coords = np.asarray(coords)
+    gene_exp = np.asarray(gene_exp)
+    D = coords.shape[1]
+    mins, maxs = coords.min(0), coords.max(0)
+    if voxel_size is None:
+        voxel_size = float(np.prod(maxs - mins + 1e-12) / voxel_num) ** (1.0 / D)
+    grid = np.floor((coords - mins) / max(voxel_size, 1e-12)).astype(np.int64)
+    dims = grid.max(0) + 1
+    flat = np.zeros(len(coords), dtype=np.int64)
+    for d in range(D):
+        flat = flat * dims[d] + grid[:, d]
+    uniq, codes = np.unique(flat, return_inverse=True)
+    n = len(uniq)
+    counts = np.bincount(codes).astype(float)
+    vox_coords = np.zeros((n, D))
+    for d in range(D):
+        vox_coords[:, d] = np.bincount(codes, weights=coords[:, d]) / counts
+    vox_exp = np.zeros((n, gene_exp.shape[1]), dtype=float)
+    for g in range(gene_exp.shape[1]):
+        vox_exp[:, g] = np.bincount(codes, weights=gene_exp[:, g]) / counts
+    return vox_coords, vox_exp
+
+
+def init_guess_sigma2(XA: np.ndarray, XB: np.ndarray, subsample: int = 20000) -> float:
+    """Initial sigma2 guess (parity: methods/utils.py:1339)."""
+    rng = np.random.default_rng(0)
+    NA, NB, D = XA.shape[0], XB.shape[0], XA.shape[1]
+    sa = rng.choice(NA, subsample, replace=False) if NA > subsample else np.arange(NA)
+    sb = rng.choice(NB, subsample, replace=False) if NB > subsample else np.arange(NB)
+    d2 = np.asarray(euc_dist(jnp.asarray(XA[sa]), jnp.asarray(XB[sb]), squared=True)) ** 2
+    return float(d2.sum() / (D * len(sa) * len(sa)))
+
+
+def normalize_coords(
+    coords: List[np.ndarray],
+    separate_mean: bool = True,
+    separate_scale: bool = False,
+) -> Tuple[List[np.ndarray], np.ndarray, np.ndarray]:
+    """Zero-center and scale-normalize coordinate sets (parity:
+    methods/utils.py:516)."""
+    D = coords[0].shape[1]
+    normalize_means = np.stack([c.mean(0) for c in coords])
+    if not separate_mean:
+        normalize_means = np.tile(normalize_means.mean(0), (len(coords), 1))
+    coords = [c - m for c, m in zip(coords, normalize_means)]
+    normalize_scales = np.array([np.sqrt((c**2).sum() / c.shape[0]) for c in coords])
+    if not separate_scale:
+        normalize_scales = np.full(len(coords), normalize_scales.mean())
+    coords = [c / s for c, s in zip(coords, normalize_scales)]
+    return coords, normalize_scales, normalize_means

@@ -1,0 +1,684 @@
+"""Morpho pairwise alignment: Bayesian non-rigid + rigid EM, fully on device.
+
+TPU-native re-derivation of reference spateo/alignment/methods/morpho_class.py
+(`Morpho_pairwise`:54 — coarse NN init :898, variational init :683, EM loop
+:242-313 with E-step :1071/get_P_core, gamma/alpha :1202/:1226, non-rigid
+Nyström M-step :1254, rigid SVD M-step :1300, sigma2 :1410, final Procrustes
+:1437, output :1471). Architectural differences from the reference:
+
+- The ENTIRE EM loop runs as one jitted `lax.fori_loop`: no per-iteration
+  host round-trips, no torch/numpy dual backend. SVI minibatch indices are
+  precomputed as a [max_iter, B] array and gathered per iteration.
+- The non-rigid stage gate (iter > nonrigid_start_iter) is a branch-free
+  `jnp.where` on a carried flag.
+- Pairwise distance + column-softmax E-step are MXU matmuls + VPU reductions.
+  When `coordsA`/`exp_A` rows are sharded over the mesh ('data' axis), the
+  axis-0 sums in `get_P_core` compile to psum collectives over ICI, giving
+  the tensor-parallel E-step described in SURVEY.md §2.12.
+
+Not yet implemented from the reference (documented gaps, tracked for later
+rounds): guidance pairs, label-transfer priors, sparse top-k P mode, geodesic
+kernels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import sparse as sp
+
+from ...configuration import SKM
+from ...core.anndata import AnnData
+from ...errors import AlignmentError
+from ...logging import logger_manager as lm
+from .math import (
+    calc_distance,
+    con_K,
+    euc_dist,
+    get_P_core,
+    init_guess_sigma2,
+    inlier_from_NN,
+    normalize_coords,
+    voxel_data,
+)
+
+
+def get_rep(sample: AnnData, rep: str = "X", rep_field: str = "layer", genes=None) -> np.ndarray:
+    """Extract a representation (expression layer / obsm embedding / obs label)
+    (parity: reference methods/utils.py:441)."""
+    if rep_field == "layer":
+        s = sample[:, np.asarray(genes)] if genes is not None else sample
+        X = s.X if rep == "X" else s.layers[rep]
+        X = X.toarray() if sp.issparse(X) else np.asarray(X)
+        return np.asarray(X, dtype=np.float32)
+    if rep_field == "obsm":
+        return np.asarray(sample.obsm[rep], dtype=np.float32)
+    if rep_field == "obs":
+        codes = np.asarray(sample.obs[rep].astype("category").cat.codes)
+        return codes.astype(np.int32)
+    raise AlignmentError(f"Unsupported rep_field {rep_field}")
+
+
+def filter_common_genes(*genes_lists, verbose: bool = True) -> List[str]:
+    common = set(genes_lists[0])
+    for g in genes_lists[1:]:
+        common &= set(g)
+    common_genes = sorted(common)
+    if len(common_genes) == 0:
+        raise AlignmentError("No common genes between samples.")
+    return common_genes
+
+
+# ---------------------------------------------------------------------------
+# The jitted EM core
+# ---------------------------------------------------------------------------
+@partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter",
+        "nonrigid_start_iter",
+        "probability_type",
+        "update_R",
+        "nn_init",
+    ),
+)
+def _morpho_em(
+    coordsA: jnp.ndarray,  # [NA, D] (after coarse init transform)
+    coordsB: jnp.ndarray,  # [NB, D]
+    exp_dist_full: jnp.ndarray,  # [L, NA, NB] precomputed expression distances
+    U: jnp.ndarray,  # [NA, K]
+    GammaSparse: jnp.ndarray,  # [K, K]
+    batch_schedule: jnp.ndarray,  # [max_iter, B] int32
+    inlier_A: jnp.ndarray,  # [Ni, D]
+    inlier_B: jnp.ndarray,  # [Ni, D]
+    inlier_P: jnp.ndarray,  # [Ni, 1]
+    probability_parameters: jnp.ndarray,  # [L]
+    sigma2_init: jnp.ndarray,
+    samples_s: jnp.ndarray,
+    *,
+    max_iter: int = 200,
+    nonrigid_start_iter: int = 80,
+    probability_type: tuple = ("gauss",),
+    update_R: bool = True,
+    nn_init: bool = True,
+    gamma_a: float = 1.0,
+    gamma_b: float = 1.0,
+    kappa: float = 1.0,
+    lambdaVF: float = 1e2,
+    partial_robust_level: float = 10.0,
+    nn_init_weight: float = 1.0,
+    SVI_decay: float = 10.0,
+):
+    NA, D = coordsA.shape
+    K = U.shape[1]
+    B = batch_schedule.shape[1]
+    Dim = float(D)
+
+    sigma2_variance_end = partial_robust_level
+    sigma2_variance_decrease = (sigma2_variance_end / 1.0) ** (1.0 / 100.0)
+    inlier_sum = jnp.sum(inlier_P)
+
+    state = dict(
+        gamma=jnp.asarray(0.5, jnp.float32),
+        alpha=jnp.ones((NA,), jnp.float32),
+        sigma2=jnp.asarray(sigma2_init, jnp.float32),
+        sigma2_variance=jnp.asarray(1.0, jnp.float32),
+        VnA=jnp.zeros((NA, D), jnp.float32),
+        RnA=coordsA,
+        XAHat=coordsA,
+        Coff=jnp.zeros((K, D), jnp.float32),
+        SigmaDiag=jnp.zeros((NA,), jnp.float32),
+        R=jnp.eye(D, dtype=jnp.float32),
+        t=jnp.zeros((D,), jnp.float32),
+        SigmaInv=jnp.zeros((K, K), jnp.float32),
+        PXB_term=jnp.zeros((NA, D), jnp.float32),
+        Sp=jnp.asarray(0.0, jnp.float32),
+        Sp_spatial=jnp.asarray(0.0, jnp.float32),
+        Sp_sigma2=jnp.asarray(0.0, jnp.float32),
+        nonrigid_flag=jnp.asarray(False),
+        P=jnp.zeros((NA, B), jnp.float32),
+        K_NA=jnp.zeros((NA,), jnp.float32),
+        K_NB=jnp.zeros((B,), jnp.float32),
+        batch_idx=batch_schedule[0],
+    )
+
+    def body(it, s):
+        step_size = jnp.minimum(1.0, SVI_decay / (it + 1.0))
+        batch_idx = batch_schedule[it]
+        coordsB_batch = coordsB[batch_idx]  # [B, D]
+        exp_dist_batch = jnp.take(exp_dist_full, batch_idx, axis=2)  # [L, NA, B]
+
+        # ---- E-step ----
+        model_mul = (s["alpha"] * jnp.exp(-s["SigmaDiag"] / s["sigma2"]))[:, None]
+        spatial_dist = euc_dist(s["XAHat"], coordsB_batch, squared=True)
+        P, K_NA_spatial, K_NA_sigma2, sigma2_related = get_P_core(
+            Dim=Dim,
+            spatial_dist=spatial_dist,
+            exp_dist=[exp_dist_batch[l] for l in range(exp_dist_batch.shape[0])],
+            sigma2=s["sigma2"],
+            model_mul=model_mul,
+            gamma=s["gamma"],
+            samples_s=samples_s,
+            sigma2_variance=s["sigma2_variance"],
+            probability_type=list(probability_type),
+            probability_parameters=[probability_parameters[l] for l in range(exp_dist_batch.shape[0])],
+        )
+        Sp = P.sum()
+        Sp_spatial_new = K_NA_spatial.sum()
+        Sp_sigma2_new = K_NA_sigma2.sum()
+        K_NA = P.sum(axis=1)
+        K_NB = P.sum(axis=0)
+        Sp_spatial = step_size * Sp_spatial_new + (1 - step_size) * s["Sp_spatial"]
+        Sp_total = step_size * Sp + (1 - step_size) * s["Sp"]
+        Sp_sigma2 = step_size * Sp_sigma2_new + (1 - step_size) * s["Sp_sigma2"]
+        sigma2_related = sigma2_related / (Dim * Sp_sigma2)
+
+        # ---- gamma / alpha (variational) ----
+        gamma = jnp.exp(jax.scipy.special.digamma(gamma_a + Sp_spatial) - jax.scipy.special.digamma(gamma_a + gamma_b + B))
+        gamma = jnp.clip(gamma, 0.01, 0.99)
+        alpha_new = jnp.exp(
+            jax.scipy.special.digamma(kappa + K_NA_spatial) - jax.scipy.special.digamma(kappa * NA + Sp_spatial)
+        )
+        alpha = step_size * alpha_new + (1 - step_size) * s["alpha"]
+
+        # ---- non-rigid M-step (gated) ----
+        nonrigid_flag = s["nonrigid_flag"] | (it > nonrigid_start_iter)
+        SigmaInv_new = s["sigma2"] * lambdaVF * GammaSparse + U.T @ (U * K_NA[:, None])
+        PXB_term_new = P @ coordsB_batch - s["RnA"] * K_NA[:, None]
+        SigmaInv = step_size * SigmaInv_new + (1 - step_size) * s["SigmaInv"]
+        PXB_term = step_size * PXB_term_new + (1 - step_size) * s["PXB_term"]
+        UPXB_term = U.T @ PXB_term
+        Sigma = jnp.linalg.pinv(SigmaInv)
+        Coff_new = Sigma @ UPXB_term
+        VnA_new = U @ Coff_new
+        SigmaDiag_new = s["sigma2"] * jnp.einsum("ij,ji->i", U, Sigma @ U.T)
+
+        use_nr = nonrigid_flag
+        Coff = jnp.where(use_nr, Coff_new, s["Coff"])
+        VnA = jnp.where(use_nr, VnA_new, s["VnA"])
+        SigmaDiag = jnp.where(use_nr, SigmaDiag_new, s["SigmaDiag"])
+        SigmaInv = jnp.where(use_nr, SigmaInv, s["SigmaInv"])
+        PXB_term = jnp.where(use_nr, PXB_term, s["PXB_term"])
+
+        # ---- rigid M-step ----
+        PXA = (K_NA @ coordsA)[None, :]
+        PVA = (K_NA @ VnA)[None, :]
+        PXB = (K_NB @ coordsB_batch)[None, :]
+        mu_XB, mu_XA, mu_Vn = PXB, PXA, PVA
+        mu_X_deno = Sp_total
+        mu_Vn_deno = Sp_total
+        if nn_init:
+            nn_coef = s["sigma2"] * nn_init_weight * Sp_total / inlier_sum
+            mu_XB = mu_XB + nn_coef * (inlier_P.T @ inlier_B)
+            mu_XA = mu_XA + nn_coef * (inlier_P.T @ inlier_A)
+            mu_X_deno = mu_X_deno + nn_coef * inlier_sum
+        mu_XB = mu_XB / mu_X_deno
+        mu_XA = mu_XA / mu_X_deno
+        mu_Vn = mu_Vn / mu_Vn_deno
+
+        XA_hat = coordsA - mu_XA
+        VnA_hat = VnA - mu_Vn
+        XB_hat = coordsB_batch - mu_XB
+        A_mat = -(XA_hat.T @ (VnA_hat * K_NA[:, None]) - (XA_hat.T @ P) @ XB_hat).T
+        if nn_init:
+            inlier_A_hat = inlier_A - mu_XA
+            inlier_B_hat = inlier_B - mu_XB
+            A_mat = A_mat - nn_coef * ((inlier_A_hat * inlier_P).T @ (-inlier_B_hat)).T
+        svdU, svdS, svdV = jnp.linalg.svd(A_mat)
+        C = jnp.eye(D, dtype=jnp.float32).at[-1, -1].set(jnp.linalg.det(svdU @ svdV))
+        R_new = svdU @ C @ svdV
+        if update_R:
+            R = jnp.where(step_size < 1, step_size * R_new + (1 - step_size) * s["R"], R_new)
+        else:
+            R = s["R"]
+
+        t_numerator = PXB - PVA - PXA @ R.T
+        t_deno = Sp_total
+        if nn_init:
+            t_numerator = t_numerator + nn_coef * (inlier_P.T @ (inlier_B - inlier_A @ R.T))
+            t_deno = t_deno + nn_coef * inlier_sum
+        t_new = (t_numerator / t_deno)[0]
+        t = jnp.where(step_size < 1, step_size * t_new + (1 - step_size) * s["t"], t_new)
+
+        RnA = coordsA @ R.T + t
+        XAHat = VnA + RnA
+
+        # ---- sigma2 ----
+        sigma2 = jnp.maximum(sigma2_related + (K_NA_sigma2 @ SigmaDiag) / Sp_sigma2, 1e-3)
+        sigma2 = jnp.where(it < 100, jnp.maximum(sigma2, 1e-2), sigma2)
+        sigma2_variance = jnp.minimum(s["sigma2_variance"] * sigma2_variance_decrease, sigma2_variance_end)
+
+        return dict(
+            gamma=gamma,
+            alpha=alpha,
+            sigma2=sigma2,
+            sigma2_variance=sigma2_variance,
+            VnA=VnA,
+            RnA=RnA,
+            XAHat=XAHat,
+            Coff=Coff,
+            SigmaDiag=SigmaDiag,
+            R=R,
+            t=t,
+            SigmaInv=SigmaInv,
+            PXB_term=PXB_term,
+            Sp=Sp_total,
+            Sp_spatial=Sp_spatial,
+            Sp_sigma2=Sp_sigma2,
+            nonrigid_flag=nonrigid_flag,
+            P=P,
+            K_NA=K_NA,
+            K_NB=K_NB,
+            batch_idx=batch_idx,
+        )
+
+    s = jax.lax.fori_loop(0, max_iter, body, state)
+
+    # final optimal Procrustes on the last batch (reference :1437)
+    coordsB_last = coordsB[s["batch_idx"]]
+    mu_XnA = (s["K_NA"] @ coordsA) / s["Sp"]
+    mu_XnB = (s["K_NB"] @ coordsB_last) / s["Sp"]
+    XnABar = coordsA - mu_XnA
+    XnBBar = coordsB_last - mu_XnB
+    A_opt = (s["P"] @ XnBBar).T @ XnABar
+    svdU, svdS, svdV = jnp.linalg.svd(A_opt)
+    C = jnp.eye(D, dtype=jnp.float32).at[-1, -1].set(jnp.linalg.det(svdU @ svdV))
+    optimal_R = svdU @ C @ svdV
+    optimal_t = mu_XnB - mu_XnA @ optimal_R.T
+    optimal_RnA = coordsA @ optimal_R.T + optimal_t
+    return s, optimal_R, optimal_t, optimal_RnA
+
+
+class Morpho_pairwise:
+    """Pairwise spatial-transcriptomics alignment (parity surface:
+    reference morpho_class.py:54)."""
+
+    def __init__(
+        self,
+        sampleA: AnnData,
+        sampleB: AnnData,
+        rep_layer: Union[str, List[str]] = "X",
+        rep_field: Union[str, List[str]] = "layer",
+        genes: Optional[List[str]] = None,
+        spatial_key: str = "spatial",
+        key_added: str = "align_spatial",
+        iter_key_added: Optional[str] = None,
+        save_concrete_iter: bool = False,
+        vecfld_key_added: Optional[str] = None,
+        dissimilarity: Union[str, List[str]] = "kl",
+        probability_type: Union[str, List[str]] = "gauss",
+        probability_parameters: Optional[List] = None,
+        label_transfer_dict: Optional[dict] = None,
+        use_hvg: bool = True,
+        nn_init: bool = True,
+        init_transform: bool = True,
+        allow_flip: bool = False,
+        init_layer: str = "X",
+        init_field: str = "layer",
+        nn_init_top_K: int = 10,
+        nn_init_weight: float = 1.0,
+        max_iter: int = 200,
+        nonrigid_start_iter: int = 80,
+        SVI_mode: bool = True,
+        batch_size: Optional[int] = None,
+        pre_compute_dist: bool = True,
+        sparse_calculation_mode: bool = False,
+        sparse_top_k: int = 1024,
+        lambdaVF: float = 1e2,
+        beta: float = 0.01,
+        K: int = 15,
+        kernel_type: str = "euc",
+        sigma2_init_scale: float = 0.1,
+        sigma2_end: Optional[float] = None,
+        gamma_a: float = 1.0,
+        gamma_b: float = 1.0,
+        kappa: float = 1.0,
+        partial_robust_level: float = 10,
+        normalize_c: bool = True,
+        normalize_g: bool = False,
+        separate_mean: bool = True,
+        separate_scale: bool = False,
+        dtype: str = "float32",
+        device: str = "tpu",
+        verbose: bool = True,
+        guidance_pair=None,
+        guidance_effect=False,
+        guidance_weight: float = 1.0,
+        use_chunk: bool = False,
+        chunk_capacity: float = 1.0,
+        return_mapping: bool = False,
+        update_R: bool = True,
+        seed: int = 0,
+    ):
+        if guidance_effect not in (False, None):
+            raise NotImplementedError("guidance pairs are not yet supported in the TPU build")
+        if sparse_calculation_mode:
+            lm.main_warning("sparse_calculation_mode not yet supported; using dense P.")
+        self.sampleA = sampleA
+        self.sampleB = sampleB
+        self.rep_layer = [rep_layer] if isinstance(rep_layer, str) else list(rep_layer)
+        self.rep_field = [rep_field] if isinstance(rep_field, str) else list(rep_field)
+        if len(self.rep_field) == 1 and len(self.rep_layer) > 1:
+            self.rep_field = self.rep_field * len(self.rep_layer)
+        self.genes = list(genes) if genes is not None else None
+        self.spatial_key = spatial_key
+        self.key_added = key_added
+        self.iter_key_added = iter_key_added
+        self.vecfld_key_added = vecfld_key_added
+        diss = [dissimilarity] if isinstance(dissimilarity, str) else list(dissimilarity)
+        self.dissimilarity = [d.lower() for d in diss] * (len(self.rep_layer) if len(diss) == 1 else 1)
+        ptype = [probability_type] if isinstance(probability_type, str) else list(probability_type)
+        self.probability_type = [p.lower() for p in ptype] * (len(self.rep_layer) if len(ptype) == 1 else 1)
+        # labels use 'prob' probability in the reference; 'cos' uses cosine prob
+        for i, d in enumerate(self.dissimilarity):
+            if d == "label":
+                self.probability_type[i] = "prob"
+        self.probability_parameters = (
+            list(probability_parameters) if probability_parameters is not None else [None] * len(self.rep_layer)
+        )
+        self.label_transfer_dict = label_transfer_dict
+        self.use_hvg = use_hvg
+        self.nn_init = nn_init
+        self.init_transform = init_transform
+        self.allow_flip = allow_flip
+        self.init_layer = init_layer
+        self.init_field = init_field
+        self.nn_init_top_K = nn_init_top_K
+        self.nn_init_weight = nn_init_weight
+        self.max_iter = max_iter
+        self.nonrigid_start_iter = nonrigid_start_iter
+        self.SVI_mode = SVI_mode
+        self.batch_size = batch_size
+        self.pre_compute_dist = pre_compute_dist
+        self.lambdaVF = lambdaVF
+        self.beta = beta
+        self.K = K
+        self.kernel_type = kernel_type
+        self.sigma2_init_scale = sigma2_init_scale
+        self.sigma2_end = sigma2_end
+        self.gamma_a = gamma_a
+        self.gamma_b = gamma_b
+        self.kappa = kappa
+        self.partial_robust_level = partial_robust_level
+        self.normalize_c = normalize_c
+        self.normalize_g = normalize_g
+        self.separate_mean = separate_mean
+        self.separate_scale = separate_scale
+        self.verbose = verbose
+        self.return_mapping = return_mapping
+        self.update_R = update_R
+        self.seed = seed
+        self.rng = np.random.default_rng(seed)
+
+        self._align_preprocess()
+        self._construct_kernel(K)
+
+    # -- preprocessing ------------------------------------------------------
+    def _align_preprocess(self):
+        if (
+            self.use_hvg
+            and ("highly_variable" in self.sampleA.var.columns)
+            and ("highly_variable" in self.sampleB.var.columns)
+        ):
+            genes_lists = [
+                self.sampleA.var.index[self.sampleA.var["highly_variable"].astype(bool)],
+                self.sampleB.var.index[self.sampleB.var["highly_variable"].astype(bool)],
+            ]
+        else:
+            genes_lists = [self.sampleA.var.index, self.sampleB.var.index]
+        common_genes = filter_common_genes(*genes_lists, verbose=self.verbose)
+        self.genes = common_genes if self.genes is None else sorted(set(common_genes) & set(self.genes))
+
+        self.exp_layers_A = [
+            get_rep(self.sampleA, rep, rep_f, self.genes if rep_f == "layer" else None)
+            for rep, rep_f in zip(self.rep_layer, self.rep_field)
+        ]
+        self.exp_layers_B = [
+            get_rep(self.sampleB, rep, rep_f, self.genes if rep_f == "layer" else None)
+            for rep, rep_f in zip(self.rep_layer, self.rep_field)
+        ]
+        self.label_transfer = None  # label-transfer priors: later round
+
+        self.coordsA = np.asarray(self.sampleA.obsm[self.spatial_key], dtype=np.float32)
+        self.coordsB = np.asarray(self.sampleB.obsm[self.spatial_key], dtype=np.float32)
+        assert self.coordsA.shape[1] == self.coordsB.shape[1], "Spatial coordinate dimensions are different."
+        self.NA, self.NB, self.D = self.coordsA.shape[0], self.coordsB.shape[0], self.coordsA.shape[1]
+
+        if self.normalize_c:
+            (coords, self.normalize_scales, self.normalize_means) = normalize_coords(
+                [self.coordsA, self.coordsB], self.separate_mean, self.separate_scale
+            )
+            self.coordsA, self.coordsB = coords
+        else:
+            self.normalize_scales = np.ones(2)
+            self.normalize_means = np.zeros((2, self.D))
+
+    def _construct_kernel(self, inducing_variables_num: int):
+        unique_coords, unique_idx = np.unique(self.coordsA, return_index=True, axis=0)
+        if unique_coords.shape[0] > inducing_variables_num:
+            pick = self.rng.choice(unique_coords.shape[0], inducing_variables_num, replace=False)
+        else:
+            pick = np.arange(unique_coords.shape[0])
+        idx = unique_idx[pick]
+        self.inducing_variables = self.coordsA[idx, :]
+        if self.kernel_type != "euc":
+            raise NotImplementedError(f"Kernel type '{self.kernel_type}' is not implemented (use 'euc').")
+        self.GammaSparse = np.asarray(con_K(self.inducing_variables, self.inducing_variables, self.beta))
+        self.K = self.inducing_variables.shape[0]
+
+    def _init_probability_parameters(self, subsample: int = 20000):
+        for i, (exp_A, exp_B, d_s, p_t) in enumerate(
+            zip(self.exp_layers_A, self.exp_layers_B, self.dissimilarity, self.probability_type)
+        ):
+            if self.probability_parameters[i] is not None:
+                continue
+            if p_t == "gauss":
+                sa = self.rng.choice(self.NA, subsample, replace=False) if self.NA > subsample else np.arange(self.NA)
+                sb = self.rng.choice(self.NB, subsample, replace=False) if self.NB > subsample else np.arange(self.NB)
+                [exp_dist] = calc_distance(exp_A[sa], exp_B[sb], metric=d_s)
+                min_exp_dist = np.asarray(jnp.min(exp_dist, axis=1))
+                order = np.argsort(min_exp_dist)
+                self.probability_parameters[i] = max(
+                    float(min_exp_dist[order[int(len(sa) * 0.05)]] / 5), 0.01
+                )
+            else:
+                self.probability_parameters[i] = 0.0  # unused by 'prob'/'cos'
+
+    def _coarse_rigid_alignment(self, n_sampling: int = 20000):
+        top_K = self.nn_init_top_K
+        sa = self.rng.choice(self.NA, n_sampling, replace=False) if self.NA > n_sampling else np.arange(self.NA)
+        sb = self.rng.choice(self.NB, n_sampling, replace=False) if self.NB > n_sampling else np.arange(self.NB)
+        coordsA, coordsB = self.coordsA[sa], self.coordsB[sb]
+        X_A = get_rep(self.sampleA[sa], self.init_layer, self.init_field, self.genes if self.init_field == "layer" else None)
+        X_B = get_rep(self.sampleB[sb], self.init_layer, self.init_field, self.genes if self.init_field == "layer" else None)
+
+        N, M = coordsA.shape[0], coordsB.shape[0]
+        coordsA, X_A = voxel_data(coordsA, X_A, voxel_num=max(min(int(N / 20), 1000), 100))
+        coordsB, X_B = voxel_data(coordsB, X_B, voxel_num=max(min(int(M / 20), 1000), 100))
+
+        [exp_dist] = calc_distance(
+            X_A.astype(np.float32), X_B.astype(np.float32), metric="kl" if self.init_field == "layer" else "euc"
+        )
+        exp_dist = np.asarray(exp_dist)
+        top_K = min(top_K, exp_dist.shape[0] - 1, exp_dist.shape[1] - 1)
+        # mutual top-K matching pairs (host argpartition on the voxelized set)
+        item2 = np.argpartition(exp_dist, top_K, axis=0)[:top_K, :].T
+        item1 = np.repeat(np.arange(exp_dist.shape[1])[:, None], top_K, axis=1)
+        NN1 = np.dstack((item1, item2)).reshape((-1, 2))
+        distance1 = exp_dist.T[NN1[:, 0], NN1[:, 1]]
+        item1 = np.argpartition(exp_dist, top_K, axis=1)[:, :top_K]
+        item2 = np.repeat(np.arange(exp_dist.shape[0])[:, None], top_K, axis=1)
+        NN2 = np.dstack((item1, item2)).reshape((-1, 2))
+        distance2 = exp_dist.T[NN2[:, 0], NN2[:, 1]]
+        NN = np.vstack((NN1, NN2))
+        distance = np.r_[distance1, distance2]
+
+        train_x, train_y = coordsA[NN[:, 1], :], coordsB[NN[:, 0], :]
+        P, R, t, init_weight, sigma2, gamma = inlier_from_NN(train_x, train_y, distance[:, None])
+        if self.allow_flip:
+            R_flip = np.eye(self.D)
+            R_flip[-1, -1] = -1
+            P2, R2, t2, _, sigma2_2, gamma_2 = inlier_from_NN(np.dot(train_x, R_flip), train_y, distance[:, None])
+            if gamma_2 > gamma:
+                P, R, t, sigma2 = P2, R2, t2, sigma2_2
+                R = np.dot(R, R_flip)
+                lm.main_info("Flipping detected in coarse rigid alignment.")
+        inlier_threshold = min(P[np.argsort(-P[:, 0])[min(20, len(P) - 1)], 0], 0.5)
+        inlier_set = np.where(P[:, 0] > inlier_threshold)[0]
+        self.inlier_A = train_x[inlier_set, :]
+        self.inlier_B = train_y[inlier_set, :]
+        self.inlier_P = P[inlier_set, :]
+        self.init_R, self.init_t = R, t
+        if self.init_transform:
+            self.inlier_A = self.inlier_A @ R.T + t
+            self.coordsA = self.coordsA @ R.T + t
+            # inducing points / U follow the transformed coordinates
+            self.inducing_variables = self.inducing_variables @ R.T + t
+
+    # -- main ---------------------------------------------------------------
+    def run(self) -> np.ndarray:
+        if self.nn_init:
+            self._coarse_rigid_alignment()
+        else:
+            self.init_R, self.init_t = np.eye(self.D), np.zeros(self.D)
+            self.inlier_A = np.zeros((1, self.D), np.float32)
+            self.inlier_B = np.zeros((1, self.D), np.float32)
+            self.inlier_P = np.ones((1, 1), np.float32)
+
+        self._init_probability_parameters()
+        sigma2_init = self.sigma2_init_scale * init_guess_sigma2(self.coordsA, self.coordsB)
+        samples_s = max(
+            float(np.prod(self.coordsA.max(0) - self.coordsA.min(0))),
+            float(np.prod(self.coordsB.max(0) - self.coordsB.min(0))),
+        )
+
+        U = np.asarray(con_K(self.coordsA, self.inducing_variables, self.beta))
+
+        # expression distances precomputed once [L, NA, NB]
+        exp_dist = calc_distance(
+            [jnp.asarray(a) for a in self.exp_layers_A],
+            [jnp.asarray(b) for b in self.exp_layers_B],
+            self.dissimilarity,
+            self.label_transfer,
+        )
+        exp_dist_full = jnp.stack(exp_dist)
+
+        if self.batch_size is None:
+            batch_size = min(max(int(self.NB / 10), 1000), self.NB)
+        else:
+            batch_size = min(self.batch_size, self.NB)
+        if not self.SVI_mode:
+            batch_size = self.NB
+        perm = self.rng.permutation(self.NB)
+        schedule = np.zeros((self.max_iter, batch_size), dtype=np.int32)
+        for it in range(self.max_iter):
+            schedule[it] = perm[:batch_size]
+            perm = np.roll(perm, -batch_size)
+
+        probability_parameters = np.asarray(
+            [p if p is not None else 0.0 for p in self.probability_parameters], dtype=np.float32
+        )
+
+        s, optimal_R, optimal_t, optimal_RnA = _morpho_em(
+            jnp.asarray(self.coordsA),
+            jnp.asarray(self.coordsB),
+            exp_dist_full.astype(jnp.float32),
+            jnp.asarray(U, jnp.float32),
+            jnp.asarray(self.GammaSparse, jnp.float32),
+            jnp.asarray(schedule),
+            jnp.asarray(self.inlier_A, jnp.float32),
+            jnp.asarray(self.inlier_B, jnp.float32),
+            jnp.asarray(self.inlier_P, jnp.float32),
+            jnp.asarray(probability_parameters),
+            jnp.asarray(sigma2_init, jnp.float32),
+            jnp.asarray(samples_s, jnp.float32),
+            max_iter=self.max_iter,
+            nonrigid_start_iter=self.nonrigid_start_iter,
+            probability_type=tuple(self.probability_type),
+            update_R=self.update_R,
+            nn_init=self.nn_init,
+            gamma_a=self.gamma_a,
+            gamma_b=self.gamma_b,
+            kappa=self.kappa,
+            lambdaVF=self.lambdaVF,
+            partial_robust_level=self.partial_robust_level,
+            nn_init_weight=self.nn_init_weight,
+        )
+        self._state = {k: np.asarray(v) for k, v in s.items()}
+        self.sigma2 = float(s["sigma2"]) if self.sigma2_end is None else self.sigma2_end
+        self.gamma = float(s["gamma"])
+        self.R = np.asarray(s["R"])
+        self.t = np.asarray(s["t"])
+        self.Coff = np.asarray(s["Coff"])
+        self.XAHat = np.asarray(s["XAHat"])
+        self.RnA = np.asarray(s["RnA"])
+        self.VnA = np.asarray(s["VnA"])
+        self.optimal_R = np.asarray(optimal_R)
+        self.optimal_t = np.asarray(optimal_t)
+        self.optimal_RnA = np.asarray(optimal_RnA)
+        self.P = np.asarray(s["P"])
+        self.batch_idx = np.asarray(s["batch_idx"])
+        self.sigma2_variance = float(s["sigma2_variance"])
+
+        if self.return_mapping:
+            # full NA x NB assignment
+            model_mul = (self._state["alpha"] * np.exp(-self._state["SigmaDiag"] / self.sigma2))[:, None]
+            spatial_dist = euc_dist(jnp.asarray(self.XAHat), jnp.asarray(self.coordsB), squared=True)
+            P_full, _, _, _ = get_P_core(
+                Dim=float(self.D),
+                spatial_dist=spatial_dist,
+                exp_dist=[exp_dist_full[l] for l in range(exp_dist_full.shape[0])],
+                sigma2=jnp.asarray(self.sigma2),
+                model_mul=jnp.asarray(model_mul),
+                gamma=jnp.asarray(self.gamma),
+                samples_s=jnp.asarray(samples_s),
+                sigma2_variance=jnp.asarray(self.sigma2_variance),
+                probability_type=self.probability_type,
+                probability_parameters=[jnp.asarray(p) for p in probability_parameters],
+            )
+            self.P = np.asarray(P_full)
+
+        self._wrap_output()
+        return self.P
+
+    def _wrap_output(self):
+        # denormalize
+        if self.normalize_c:
+            scale_B, mean_B = self.normalize_scales[1], self.normalize_means[1]
+            self.XAHat = self.XAHat * scale_B + mean_B
+            self.RnA = self.RnA * scale_B + mean_B
+            self.optimal_RnA = self.optimal_RnA * scale_B + mean_B
+
+        norm_dict = {
+            "mean_transformed": self.normalize_means[0],
+            "mean_fixed": self.normalize_means[1],
+            "scale": self.normalize_scales[0],
+            "scale_transformed": self.normalize_scales[0],
+            "scale_fixed": self.normalize_scales[1],
+        }
+        self.vecfld = {
+            "R": self.R,
+            "t": self.t,
+            "optimal_R": self.optimal_R,
+            "optimal_t": self.optimal_t,
+            "init_R": self.init_R,
+            "init_t": self.init_t,
+            "beta": self.beta,
+            "Coff": self.Coff,
+            "inducing_variables": self.inducing_variables,
+            "normalize_scales": self.normalize_scales if self.normalize_c else None,
+            "normalize_means": self.normalize_means if self.normalize_c else None,
+            "normalize_c": self.normalize_c,
+            "dissimilarity": self.dissimilarity,
+            "sigma2": self.sigma2,
+            "gamma": self.gamma,
+            "NA": self.NA,
+            "sigma2_variance": self.sigma2_variance,
+            "method": "Spateo",
+            "norm_dict": norm_dict,
+            "kernel_type": self.kernel_type,
+        }

@@ -1,0 +1,237 @@
+"""Alignment utilities (capability parity: reference spateo/alignment/utils.py)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..core.anndata import AnnData
+from ..logging import logger_manager as lm
+
+
+def _iteration(n: int, progress_name: str, verbose: bool = True, start_n: int = 0, indent_level=1):
+    iteration = range(start_n, n)
+    if verbose:
+        return lm.progress_logger(iteration, progress_name=progress_name)
+    return iteration
+
+
+def downsampling(
+    models: Union[List[AnnData], AnnData],
+    n_sampling: Optional[int] = 2000,
+    sampling_method: str = "random",
+    spatial_key: str = "spatial",
+    seed: int = 0,
+) -> Union[List[AnnData], AnnData]:
+    """Downsample AnnData(s) by spatial sampling (parity: reference
+    alignment/utils.py:25; 'trn'/'kmeans'/'random' from methods.sampling)."""
+    from .methods.sampling import sample
+
+    models = models if isinstance(models, list) else [models]
+    out = []
+    for m in models:
+        n = min(n_sampling, m.n_obs)
+        idx = sample(np.asarray(m.obsm[spatial_key]), n, method=sampling_method, seed=seed)
+        out.append(m[idx, :])
+    return out
+
+
+def generate_label_transfer_prior(cat1, cat2, positive_pairs=None, negative_pairs=None) -> Dict:
+    """Label transfer prior dict (parity: alignment/utils.py:51): matrix of
+    transfer probabilities between categorical labels."""
+    label_transfer_prior = dict()
+    if positive_pairs is None and negative_pairs is None:
+        positive_pairs = [{"left": [c], "right": [c], "value": 10.0} for c in cat2 if c in cat1]
+    positive_pairs = positive_pairs or []
+    negative_pairs = negative_pairs or []
+    for c2 in cat2:
+        cur_transfer_prior = {c1: 1.0 for c1 in cat1}
+        label_transfer_prior[c2] = cur_transfer_prior
+    for pairs in positive_pairs:
+        for l in pairs["left"]:
+            for r in pairs["right"]:
+                label_transfer_prior[r][l] = pairs["value"]
+    for pairs in negative_pairs:
+        for l in pairs["left"]:
+            for r in pairs["right"]:
+                label_transfer_prior[r][l] = pairs["value"]
+    # normalize per row
+    for c2 in label_transfer_prior:
+        total = sum(label_transfer_prior[c2].values())
+        label_transfer_prior[c2] = {k: v / total for k, v in label_transfer_prior[c2].items()}
+    return label_transfer_prior
+
+
+def group_pca(
+    adatas: List[AnnData],
+    batch_key: str = "slices",
+    pca_key: str = "X_pca",
+    use_hvg: bool = True,
+    hvg_top: int = 2000,
+    n_comps: int = 50,
+) -> List[AnnData]:
+    """Joint PCA over concatenated slices (parity: alignment/utils.py:88)."""
+    from scipy import sparse
+
+    from ..core.anndata import concat
+    from ..tools.dimensionality_reduction import pca as run_pca
+
+    for i, a in enumerate(adatas):
+        a.obs[batch_key] = str(i)
+    joint = concat(adatas, join="inner")
+    if use_hvg:
+        from ..preprocessing.normalize import select_hvf_seurat
+
+        hv = select_hvf_seurat(joint, n_top=min(hvg_top, joint.n_vars))
+        joint = joint[:, hv]
+    run_pca(joint, n_pca_components=n_comps)
+    offset = 0
+    for a in adatas:
+        a.obsm[pca_key] = joint.obsm["X_pca"][offset : offset + a.n_obs]
+        offset += a.n_obs
+    return adatas
+
+
+def get_optimal_mapping_relationship(X: np.ndarray, Y: np.ndarray, pi: np.ndarray, keep_all: bool = False):
+    """Max-probability correspondences from an assignment matrix (parity:
+    alignment/utils.py:157)."""
+    X_max_index = np.argmax(pi, axis=1)
+    if not keep_all:
+        values = pi[np.arange(pi.shape[0]), X_max_index]
+        mask = values > 0
+        X_index = np.arange(pi.shape[0])[mask]
+        Y_index = X_max_index[mask]
+    else:
+        X_index = np.arange(pi.shape[0])
+        Y_index = X_max_index
+    return X_index, Y_index, X[X_index], Y[Y_index]
+
+
+def mapping_aligned_coords(
+    X: np.ndarray, Y: np.ndarray, pi: np.ndarray, keep_all: bool = False
+) -> Tuple[dict, dict]:
+    """Mappings of aligned coordinate pairs (parity: alignment/utils.py:194)."""
+    X = np.asarray(X)
+    Y = np.asarray(Y)
+    X_index, Y_index, mapX, mapY = get_optimal_mapping_relationship(X, Y, pi, keep_all=keep_all)
+    mapping_coords = {"mapping_X": mapX, "mapping_Y": mapY, "pi_index": np.c_[X_index, Y_index]}
+    pi_values = pi[X_index, Y_index]
+    mapping_relations = {"X_index": X_index, "Y_index": Y_index, "pi_value": pi_values}
+    return mapping_coords, mapping_relations
+
+
+def get_labels_based_on_coords(
+    model: AnnData,
+    coords: np.ndarray,
+    labels_key: Union[str, List[str]],
+    spatial_key: str = "align_spatial",
+) -> "np.ndarray":
+    """Nearest-point label lookup (parity: alignment/utils.py:324)."""
+    import pandas as pd
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(np.asarray(model.obsm[spatial_key]))
+    _, idx = tree.query(np.asarray(coords), k=1)
+    labels_key = [labels_key] if isinstance(labels_key, str) else labels_key
+    out = pd.DataFrame({k: np.asarray(model.obs[k])[idx] for k in labels_key})
+    return out
+
+
+def solve_RT_by_correspondence(
+    X: np.ndarray, Y: np.ndarray, return_scale: bool = False
+):
+    """Procrustes solve of R, t mapping Y onto X given correspondences
+    (parity: alignment/utils.py:350)."""
+    X = np.asarray(X)
+    Y = np.asarray(Y)
+    tX = np.mean(X, axis=0)
+    tY = np.mean(Y, axis=0)
+    X_demean = X - tX
+    Y_demean = Y - tY
+    H = np.dot(Y_demean.T, X_demean)
+    U, S, Vt = np.linalg.svd(H)
+    R = np.dot(Vt.T, U.T)
+    t = tX - np.dot(tY, R.T)
+    if return_scale:
+        s = np.trace(np.dot(X_demean.T, X_demean) - np.dot(R.T, np.dot(Y_demean.T, X_demean))) / np.trace(
+            np.dot(Y_demean.T, Y_demean)
+        )
+        return R, t, s
+    return R, t
+
+
+def rigid_transformation(adata, spatial_key, key_added, theta=None, translation=None, inplace: bool = True):
+    """Apply (random) rigid transformation to spatial coords (parity:
+    alignment/utils.py:405)."""
+    if not inplace:
+        adata = adata.copy()
+    spatial = np.asarray(adata.obsm[spatial_key])
+    mean = np.mean(spatial, axis=0)
+    spatial = spatial - mean
+    if theta is None:
+        theta = np.random.rand() * 2 * np.pi
+    rotation_matrix = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    spatial = spatial @ rotation_matrix + mean
+    if translation is not None:
+        spatial = spatial + translation
+    adata.obsm[key_added] = spatial
+    if not inplace:
+        return adata
+
+
+def split_slice(adata, spatial_key, split_num: int = 5, axis: int = 2) -> List[AnnData]:
+    """Split a 3D model into slices along an axis (parity: alignment/utils.py:438)."""
+    spatial_points = np.asarray(adata.obsm[spatial_key])
+    N = spatial_points.shape[0]
+    sorted_points = np.argsort(spatial_points[:, axis])
+    points_per_segment = len(sorted_points) // split_num
+    out = []
+    for slice_id, i in enumerate(range(0, N, points_per_segment)):
+        sub = adata[sorted_points[i : i + points_per_segment], :]
+        sub.obs["slice"] = slice_id
+        out.append(sub)
+    return out[:split_num]
+
+
+def tps_deformation(
+    adata,
+    spatial_key: str,
+    key_added: str,
+    grid_num: int = 2,
+    tps_noise_scale: float = 25,
+    alpha: float = 0.1,
+    inplace: bool = True,
+    seed: int = 0,
+):
+    """Simulate a smooth non-rigid (thin-plate-spline) deformation (parity:
+    alignment/utils.py:515). Implemented with a native TPS solve."""
+    if not inplace:
+        adata = adata.copy()
+    rng = np.random.default_rng(seed)
+    spatial = np.asarray(adata.obsm[spatial_key], dtype=float)[:, :2]
+    x_min, y_min = spatial.min(0)
+    x_max, y_max = spatial.max(0)
+    gx = np.linspace(x_min, x_max, grid_num + 1)
+    gy = np.linspace(y_min, y_max, grid_num + 1)
+    src = np.array([[x, y] for x in gx for y in gy])
+    dst = src + rng.normal(0, tps_noise_scale, src.shape)
+
+    # TPS solve: f(x) = sum_i w_i U(|x - src_i|) + a0 + a.x with U(r)=r^2 log r
+    def U(r):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(r > 0, r**2 * np.log(r), 0.0)
+
+    n = len(src)
+    K = U(np.linalg.norm(src[:, None] - src[None, :], axis=-1)) + alpha * np.eye(n)
+    P = np.c_[np.ones(n), src]
+    L = np.zeros((n + 3, n + 3))
+    L[:n, :n] = K
+    L[:n, n:] = P
+    L[n:, :n] = P.T
+    params = np.linalg.solve(L, np.r_[dst, np.zeros((3, 2))])
+    Kq = U(np.linalg.norm(spatial[:, None] - src[None, :], axis=-1))
+    warped = Kq @ params[:n] + np.c_[np.ones(len(spatial)), spatial] @ params[n:]
+    adata.obsm[key_added] = warped
+    if not inplace:
+        return adata

@@ -1,0 +1,153 @@
+"""Morpho + PASTE alignment tests on synthetic rotated slices."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import spateo_tpu as st
+
+
+def make_slice_pair(n=400, g=30, angle_deg=20.0, shift=(2.0, -1.0), noise=0.03, seed=0):
+    rng = np.random.default_rng(seed)
+    coordsA = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+    th = np.deg2rad(angle_deg)
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], dtype=np.float32)
+    coordsB = coordsA @ R.T + np.asarray(shift, np.float32) + rng.normal(0, noise, (n, 2)).astype(np.float32)
+
+    freqs1 = np.linspace(0.3, 2.0, g)
+    freqs2 = np.linspace(0.2, 1.5, g)
+    def expr(c):
+        out = np.stack([np.sin(c[:, 0] * f1) + np.cos(c[:, 1] * f2) for f1, f2 in zip(freqs1, freqs2)], 1)
+        return np.abs(out - out.min() + 0.1).astype(np.float32)
+
+    expA = expr(coordsA) + np.abs(rng.normal(0, 0.02, (n, g)))
+    expB = expr(coordsA) + np.abs(rng.normal(0, 0.02, (n, g)))
+    var = pd.DataFrame(index=[f"g{i}" for i in range(g)])
+    A = st.AnnData(X=expA, var=var.copy())
+    B = st.AnnData(X=expB, var=var.copy())
+    A.obsm["spatial"] = coordsA
+    B.obsm["spatial"] = coordsB
+    for a in (A, B):
+        st.SKM.init_adata_type(a, "UMI")
+    return A, B, R
+
+
+class TestMorphoPairwise:
+    def test_recovers_rotation(self):
+        A, B, R_true = make_slice_pair(seed=3)
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+        m = Morpho_pairwise(A, B, max_iter=80, nonrigid_start_iter=40, batch_size=200, verbose=False, seed=1)
+        m.run()
+        # A cells align onto B's frame: XAHat close to where each A cell sits in B
+        coordsB = np.asarray(B.obsm["spatial"])
+        err = np.sqrt(((m.XAHat - coordsB) ** 2).sum(1)).mean()
+        spread = np.sqrt(((coordsB - coordsB.mean(0)) ** 2).sum(1)).mean()
+        assert err / spread < 0.05, f"relative error {err / spread:.3f}"
+
+    def test_vecfld_keys(self):
+        A, B, _ = make_slice_pair(n=200, seed=4)
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+        m = Morpho_pairwise(A, B, max_iter=30, batch_size=100, verbose=False)
+        m.run()
+        for key in ("R", "t", "optimal_R", "optimal_t", "init_R", "init_t", "Coff", "inducing_variables", "beta", "norm_dict"):
+            assert key in m.vecfld, key
+
+    def test_ba_transform_consistency(self):
+        """BA_transform on the training points must reproduce XAHat."""
+        A, B, _ = make_slice_pair(n=250, seed=5)
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+        m = Morpho_pairwise(A, B, max_iter=60, nonrigid_start_iter=30, batch_size=150, verbose=False)
+        m.run()
+        XAHat2, vel, rigid = st.align.BA_transform(m.vecfld, np.asarray(A.obsm["spatial"]))
+        np.testing.assert_allclose(XAHat2, m.XAHat, atol=1e-2)
+
+
+class TestMorphoAlign:
+    def test_three_slice_chain(self):
+        A, B, _ = make_slice_pair(n=250, angle_deg=15, seed=6)
+        _, C, _ = make_slice_pair(n=250, angle_deg=30, shift=(4.0, 1.0), seed=6)
+        models, pis = st.align.morpho_align(
+            [A, B, C], max_iter=50, nonrigid_start_iter=25, batch_size=150, verbose=False
+        )
+        assert len(models) == 3 and len(pis) == 2
+        for m in models:
+            assert "align_spatial" in m.obsm
+            assert "align_spatial_rigid" in m.obsm
+            assert "align_spatial_nonrigid" in m.obsm
+        # aligned slices should be closer to slice0 than raw
+        d_before = np.abs(np.asarray(B.obsm["spatial"]).mean(0) - np.asarray(A.obsm["spatial"]).mean(0)).sum()
+        d_after = np.abs(models[1].obsm["align_spatial"].mean(0) - models[0].obsm["align_spatial"].mean(0)).sum()
+        assert d_after < d_before
+
+    def test_transformation_save_resume(self, tmp_path):
+        A, B, _ = make_slice_pair(n=200, seed=7)
+        path = str(tmp_path / "trans")
+        t1 = st.align.morpho_align_transformation(
+            [A, B], save_transformation=True, transformation_path=path,
+            max_iter=30, batch_size=100, verbose=False,
+        )
+        assert len(t1) == 1 and "Rotation" in t1[0]
+        # resume: should skip the already-computed pair
+        t2 = st.align.morpho_align_transformation(
+            [A, B], save_transformation=True, transformation_path=path, resume=True,
+            max_iter=30, batch_size=100, verbose=False,
+        )
+        assert len(t2) == 1
+        np.testing.assert_allclose(t1[0]["Rotation"], t2[0]["Rotation"])
+        models = st.align.morpho_align_apply_transformation([A, B], transformation=t1)
+        assert "align_spatial" in models[1].obsm
+
+
+class TestPaste:
+    def test_paste_pairwise(self):
+        A, B, _ = make_slice_pair(n=120, seed=8)
+        pi, obj = st.align.paste_pairwise_align(A, B, alpha=0.1, numItermax=50, verbose=False)
+        assert pi.shape == (120, 120)
+        np.testing.assert_allclose(pi.sum(), 1.0, atol=1e-2)
+        # same-cell pairs should carry most mass (cells are in the same order)
+        diag_mass = np.trace(pi)
+        assert diag_mass > 0.2, f"diagonal mass {diag_mass:.3f}"
+
+    def test_paste_align_driver(self):
+        A, B, _ = make_slice_pair(n=100, seed=9)
+        models, pis = st.align.paste_align([A, B], numItermax=30, verbose=False)
+        assert len(pis) == 1
+        assert "align_spatial" in models[1].obsm
+        # procrustes should bring centroids together
+        c0 = models[0].obsm["align_spatial"].mean(0)
+        c1 = models[1].obsm["align_spatial"].mean(0)
+        assert np.abs(c0 - c1).sum() < 1.0
+
+
+class TestUtilities:
+    def test_solve_RT_by_correspondence(self):
+        rng = np.random.default_rng(0)
+        Y = rng.normal(size=(50, 2))
+        th = 0.7
+        R_true = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        X = Y @ R_true.T + np.array([1.0, 2.0])
+        R, t = st.align.solve_RT_by_correspondence(X, Y)
+        np.testing.assert_allclose(Y @ R.T + t, X, atol=1e-8)
+
+    def test_downsampling(self):
+        A, _, _ = make_slice_pair(n=300, seed=10)
+        [small] = st.align.downsampling([A], n_sampling=50, sampling_method="random")
+        assert small.n_obs == 50
+        [small_k] = st.align.downsampling([A], n_sampling=50, sampling_method="kmeans")
+        assert 25 <= small_k.n_obs <= 50
+
+    def test_tps_deformation(self):
+        A, _, _ = make_slice_pair(n=200, seed=11)
+        st.align.tps_deformation(A, "spatial", "tps_spatial", tps_noise_scale=0.5)
+        assert "tps_spatial" in A.obsm
+        assert not np.allclose(A.obsm["tps_spatial"], np.asarray(A.obsm["spatial"])[:, :2])
+
+    def test_grid_deformation(self):
+        A, B, _ = make_slice_pair(n=250, seed=12)
+        models, _ = st.align.morpho_align([A, B], max_iter=30, batch_size=150, verbose=False)
+        out = st.align.grid_deformation(models[1], spatial_key="align_spatial", grid_num=5, grid_density=20)
+        assert len(out["grid_lines"]) == 10
+        assert out["deformed_lines"][0].shape == (20, 2)

@@ -1,0 +1,143 @@
+"""Digitization tests: Jacobi heat solver, digitize/gridit, contours."""
+
+import cv2
+import numpy as np
+import pandas as pd
+import pytest
+
+import spateo_tpu as st
+from spateo_tpu.ops.stencil import graph_heat_solve, jacobi_solve
+
+
+class TestJacobi:
+    def test_laplace_1d_profile(self):
+        """On a rectangle with hot left edge and cold right edge, the solution
+        is a linear ramp."""
+        H, W = 32, 64
+        field = np.zeros((H, W), np.float32)
+        border = np.zeros((H, W))
+        mask = np.ones((H, W))
+        field[:, 0] = 1.0
+        field[:, -1] = 100.0
+        border[:, 0] = 1
+        border[:, -1] = 1
+        # top/bottom edges: linear gradient Dirichlet
+        ramp = np.linspace(1, 100, W)
+        field[0] = ramp
+        field[-1] = ramp
+        border[0] = 1
+        border[-1] = 1
+        sol, it, err = jacobi_solve(field, border, mask, max_err=1e-8, max_itr=50_000)
+        np.testing.assert_allclose(sol[H // 2], ramp, rtol=0.02)
+
+    def test_matches_numpy_reference_solver(self):
+        """Device solver must agree with a literal numpy transcription of the
+        reference update rule (reference digitization/utils.py:513-515)."""
+        rng = np.random.default_rng(0)
+        H = W = 24
+        init = np.zeros((H, W), np.float32)
+        border = np.zeros((H, W))
+        mask = np.ones((H, W))
+        init[0, :] = 1
+        init[-1, :] = 100
+        border[0] = border[-1] = 1
+        got, _, _ = jacobi_solve(init, border, mask, max_err=1e-12, max_itr=100_000)
+
+        grid = init.copy()
+        for _ in range(20000):
+            pre = grid.copy()
+            grid[1:-1, 1:-1] = 0.25 * (pre[1:-1, 2:] + pre[1:-1, :-2] + pre[2:, 1:-1] + pre[:-2, 1:-1])
+            grid = np.where(border != 0, init, grid)
+        np.testing.assert_allclose(got, grid * mask, atol=0.3)
+
+    def test_graph_heat(self):
+        # path graph 0-1-2-3-4 with ends fixed
+        rows = np.array([0, 1, 1, 2, 2, 3, 3, 4])
+        cols = np.array([1, 0, 2, 1, 3, 2, 4, 3])
+        v, it, err = graph_heat_solve(5, rows, cols, [0], [4], lh=0.0, hh=4.0)
+        np.testing.assert_allclose(v, [0, 1, 2, 3, 4], atol=0.05)
+
+
+@pytest.fixture
+def domain_adata():
+    """Cells filling a square domain with a contour around it."""
+    n = 30
+    xs, ys = np.meshgrid(np.arange(5, 35), np.arange(5, 35))
+    coords = np.c_[xs.ravel(), ys.ravel()].astype(float)
+    adata = st.AnnData(X=np.ones((len(coords), 4)))
+    adata.obsm["spatial"] = coords
+    st.SKM.init_adata_type(adata, "UMI")
+    # contour: the boundary of the square [5,34]x[5,34]
+    mask = np.zeros((40, 40), np.uint8)
+    mask[5:35, 5:35] = 255
+    ctrs, _ = cv2.findContours(mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE)
+    return adata, ctrs
+
+
+class TestDigitize:
+    def test_digitize_and_gridit(self, domain_adata):
+        adata, ctrs = domain_adata
+        # corners in (x, y) = (col, row) order as cv2 produces
+        pnt_xy = (5, 5)
+        pnt_Xy = (34, 5)
+        pnt_xY = (5, 34)
+        pnt_XY = (34, 34)
+        st.dd.digitize(adata, ctrs, 0, pnt_xy, pnt_Xy, pnt_xY, pnt_XY, max_itr=20000)
+        layer = np.asarray(adata.obs["digital_layer"], float)
+        column = np.asarray(adata.obs["digital_column"], float)
+        assert (layer > 0).mean() > 0.9
+        # heat must increase along the layer direction: the min/max isolines
+        # sit at contour-y = 5 / 34, and contour-y maps to spatial[:, 0]
+        coords = np.asarray(adata.obsm["spatial"])
+        low = layer[coords[:, 0] < 10].mean()
+        high = layer[coords[:, 0] > 30].mean()
+        assert high > low + 20
+
+        st.dd.gridit(adata, layer_num=4, column_num=4)
+        assert set(np.unique(adata.obs["layer_label"])) - {0} <= {1, 2, 3, 4}
+        assert (np.asarray(adata.obs["layer_label"]) > 0).mean() > 0.8
+
+
+class TestContour:
+    def test_gen_cluster_image_and_contours(self):
+        rng = np.random.default_rng(0)
+        coords = rng.uniform(2, 38, (300, 2))
+        clusters = np.where(coords[:, 0] < 20, "A", "B")
+        adata = st.AnnData(X=np.ones((300, 3)))
+        adata.obsm["spatial"] = coords
+        adata.obs["scc"] = clusters
+        st.SKM.init_adata_type(adata, "UMI")
+        img = st.dd.gen_cluster_image(adata, bin_size=2, cluster_key="scc", show=False)
+        assert img.max() == 2
+        labels = np.asarray(adata.obs["cluster_img_label"])
+        ctrs, filled, outline = st.dd.extract_cluster_contours(img, [1], bin_size=2, min_area=4, show=False)
+        assert len(ctrs) >= 1
+        assert filled.sum() > 0
+
+    def test_set_domains(self):
+        rng = np.random.default_rng(1)
+        coords = rng.uniform(2, 38, (400, 2))
+        clusters = np.where(coords[:, 0] < 20, "A", "B")
+        adata = st.AnnData(X=np.ones((400, 3)))
+        adata.obsm["spatial"] = coords
+        adata.obs["scc"] = clusters
+        st.SKM.init_adata_type(adata, "UMI")
+        st.dd.set_domains(adata, bin_size_high=2, cluster_key="scc", min_area=2)
+        domains = np.asarray(adata.obs["domain_scc"])
+        assert (domains != "NA").mean() > 0.7
+
+
+class TestBorderline:
+    def test_get_borderline(self):
+        xs, ys = np.meshgrid(np.arange(2, 38), np.arange(2, 38))
+        coords = np.c_[xs.ravel(), ys.ravel()].astype(float)
+        clusters = np.where(coords[:, 0] < 20, "A", "B")
+        adata = st.AnnData(X=np.ones((len(coords), 3)))
+        adata.obsm["spatial"] = coords
+        adata.obs["cl"] = clusters
+        st.SKM.init_adata_type(adata, "UMI")
+        img = st.dd.get_borderline(adata, "cl", ["A"], ["B"], bin_size=1, k_size=4, min_area=4)
+        assert img.sum() > 0
+        # borderline should be near x=20
+        ys_b, xs_b = np.nonzero(img)
+        assert abs(np.median(ys_b) - 20) < 5

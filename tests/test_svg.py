@@ -1,0 +1,98 @@
+"""SVG tests: OT distance batch kernel + SVG identification."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import spateo_tpu as st
+from spateo_tpu.svg.utils import cal_wass_dis, cal_wass_dis_batch, loess_1d, multipletests_bh
+
+
+class TestOTKernels:
+    def test_sinkhorn_matches_closed_form_two_points(self):
+        # two locations distance 1 apart: moving mass p from loc0 to loc1 costs p
+        M = np.array([[0.0, 1.0], [1.0, 0.0]])
+        a = np.array([1.0, 0.0])
+        b = np.array([0.5, 0.5])
+        w = cal_wass_dis(M, a, b, eps=1e-3)
+        assert abs(w - 0.5) < 0.02
+
+    def test_batch_consistency(self):
+        rng = np.random.default_rng(0)
+        N, G = 30, 10
+        pts = rng.uniform(0, 1, (N, 2))
+        from scipy.spatial.distance import cdist
+
+        M = cdist(pts, pts)
+        A = rng.dirichlet(np.ones(N), size=G)
+        batch = cal_wass_dis_batch(M, A)
+        singles = np.array([cal_wass_dis(M, A[i]) for i in range(G)])
+        np.testing.assert_allclose(batch, singles, rtol=1e-3, atol=1e-4)
+
+    def test_uniform_source_is_zero(self):
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(0, 1, (25, 2))
+        from scipy.spatial.distance import cdist
+
+        M = cdist(pts, pts)
+        a = np.ones(25) / 25
+        w = cal_wass_dis(M, a)
+        assert w < 0.08  # entropic bias only
+
+
+class TestHelpers:
+    def test_loess_smooths(self):
+        rng = np.random.default_rng(0)
+        x = np.linspace(0, 1, 100)
+        y = np.sin(2 * np.pi * x) + rng.normal(0, 0.1, 100)
+        _, yout, _ = loess_1d(x, y, frac=0.3)
+        assert np.abs(yout - np.sin(2 * np.pi * x)).mean() < 0.1
+
+    def test_bh_correction(self):
+        p = np.array([0.01, 0.02, 0.03, 0.5])
+        adj = multipletests_bh(p)
+        assert (adj >= p).all()
+        assert adj[-1] == 0.5
+
+
+@pytest.fixture
+def svg_adata():
+    """30x30 grid of bins; one gene spatially localized, others uniform."""
+    rng = np.random.default_rng(0)
+    xs, ys = np.meshgrid(np.arange(16.0), np.arange(16.0))
+    coords = np.c_[xs.ravel(), ys.ravel()]
+    n = len(coords)
+    G = 12
+    X = rng.poisson(5, (n, G)).astype(float)
+    # gene 0: expressed only in one corner
+    corner = (coords[:, 0] < 6) & (coords[:, 1] < 6)
+    X[:, 0] = np.where(corner, rng.poisson(20, n), 0)
+    adata = st.AnnData(X=X, var=pd.DataFrame(index=[f"g{i}" for i in range(G)]))
+    adata.obsm["spatial"] = coords
+    st.SKM.init_adata_type(adata, "UMI")
+    return adata
+
+
+class TestSVG:
+    def test_svg_iden_reg_flags_localized_gene(self, svg_adata):
+        w0 = st.svg.svg_iden_reg(
+            svg_adata, cell_distance_method="euclidean", min_dis_cutoff=2.0, max_dis_cutoff=50.0
+        )
+        assert "Wasserstein_distance" in w0.columns
+        assert "adj_pvalue" in w0.columns
+        # the localized gene must have the largest OT distance
+        assert w0["Wasserstein_distance"].idxmax() == "g0"
+
+    def test_cal_wass_dist_bs(self, svg_adata):
+        w_df, b_adata = st.svg.cal_wass_dist_bs(
+            svg_adata,
+            cell_distance_method="euclidean",
+            min_dis_cutoff=2.0,
+            max_dis_cutoff=50.0,
+            bootstrap=5,
+            rank_p=False,
+        )
+        assert "pvalue" in w_df.columns
+        assert w_df.loc["g0", "Wasserstein_distance"] > w_df["Wasserstein_distance"].drop("g0").max()
+        # localized gene should be significant vs permutations
+        assert w_df.loc["g0", "pvalue"] < 0.05
