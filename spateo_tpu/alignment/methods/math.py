@@ -106,6 +106,27 @@ def calc_probability(distance_matrix: jnp.ndarray, probability_type: str = "gaus
     raise ValueError(f"Unsupported probability type: {probability_type}")
 
 
+def procrustes_rotation(A: jnp.ndarray) -> jnp.ndarray:
+    """argmax_{R in SO(D)} tr(R^T A).
+
+    For D=2 this has the closed form R = [[c,-s],[s,c]] with
+    (c, s) ∝ (A00+A11, A10-A01) — replacing `jnp.linalg.svd` inside jitted
+    EM loops, where a general SVD is disproportionately expensive to compile
+    and run on TPU. D>=3 falls back to the SVD construction with the
+    det(+1) correction (the reference always uses the SVD route,
+    morpho_class.py:1372-1380)."""
+    D = A.shape[0]
+    if D == 2:
+        a = A[0, 0] + A[1, 1]
+        b = A[1, 0] - A[0, 1]
+        n = jnp.sqrt(a * a + b * b) + 1e-30
+        c, s = a / n, b / n
+        return jnp.array([[c, -s], [s, c]])
+    svdU, _, svdV = jnp.linalg.svd(A)
+    C = jnp.eye(D, dtype=A.dtype).at[-1, -1].set(jnp.linalg.det(svdU @ svdV))
+    return svdU @ C @ svdV
+
+
 def con_K(X: jnp.ndarray, Y: jnp.ndarray, beta: float = 0.01) -> jnp.ndarray:
     """Squared-exponential kernel K(i,j)=exp(-beta ||X_i - Y_j||^2)
     (parity: methods/utils.py:1132)."""
@@ -191,9 +212,7 @@ def _inlier_from_NN_kernel(train_x, train_y, distance, max_iter: int = 100):
         mu_y = jnp.sum(train_y * s["P"], 0) / s["Sp"]
         X_mu, Y_mu = train_x - mu_x, train_y - mu_y
         A = (Y_mu.T @ (X_mu * s["P"]))
-        svdU, svdS, svdV = jnp.linalg.svd(A)
-        C = jnp.eye(D).at[-1, -1].set(jnp.linalg.det(svdU @ svdV))
-        R = svdU @ C @ svdV
+        R = procrustes_rotation(A)
         t = mu_y - mu_x @ R.T
         y_hat = train_x @ R.T + t
         term1 = jnp.exp(-jnp.sum((train_y - y_hat) ** 2, 1, keepdims=True) / (2 * s["sigma2"])) * s["weight"]

@@ -43,6 +43,7 @@ from .math import (
     init_guess_sigma2,
     inlier_from_NN,
     normalize_coords,
+    procrustes_rotation,
     voxel_data,
 )
 
@@ -192,10 +193,19 @@ def _morpho_em(
         SigmaInv = step_size * SigmaInv_new + (1 - step_size) * s["SigmaInv"]
         PXB_term = step_size * PXB_term_new + (1 - step_size) * s["PXB_term"]
         UPXB_term = U.T @ PXB_term
-        Sigma = jnp.linalg.pinv(SigmaInv)
-        Coff_new = Sigma @ UPXB_term
+        # regularized linear solves replace pinv. SigmaInv is PD by
+        # construction (sigma2*lambdaVF*Gamma + U^T diag(K_NA) U) but can be
+        # numerically near-rank-1 when beta is small (the SE kernel saturates),
+        # so the ridge is scaled to the trace — playing the role of pinv's
+        # small-singular-value truncation.
+        ridge = 1e-4 * jnp.trace(SigmaInv) / K + 1e-8
+        SigmaInv_reg = SigmaInv + ridge * jnp.eye(K, dtype=SigmaInv.dtype)
+        Coff_new = jnp.linalg.solve(SigmaInv_reg, UPXB_term)
         VnA_new = U @ Coff_new
-        SigmaDiag_new = s["sigma2"] * jnp.einsum("ij,ji->i", U, Sigma @ U.T)
+        Sigma_UT = jnp.linalg.solve(SigmaInv_reg, U.T)
+        # diag(U Sigma U^T) is >= 0 for PD Sigma; clip numerical noise so the
+        # E-step's exp(-SigmaDiag/sigma2) stays bounded.
+        SigmaDiag_new = s["sigma2"] * jnp.maximum(jnp.einsum("ij,ji->i", U, Sigma_UT), 0.0)
 
         use_nr = nonrigid_flag
         Coff = jnp.where(use_nr, Coff_new, s["Coff"])
@@ -228,9 +238,7 @@ def _morpho_em(
             inlier_A_hat = inlier_A - mu_XA
             inlier_B_hat = inlier_B - mu_XB
             A_mat = A_mat - nn_coef * ((inlier_A_hat * inlier_P).T @ (-inlier_B_hat)).T
-        svdU, svdS, svdV = jnp.linalg.svd(A_mat)
-        C = jnp.eye(D, dtype=jnp.float32).at[-1, -1].set(jnp.linalg.det(svdU @ svdV))
-        R_new = svdU @ C @ svdV
+        R_new = procrustes_rotation(A_mat)
         if update_R:
             R = jnp.where(step_size < 1, step_size * R_new + (1 - step_size) * s["R"], R_new)
         else:
@@ -285,9 +293,7 @@ def _morpho_em(
     XnABar = coordsA - mu_XnA
     XnBBar = coordsB_last - mu_XnB
     A_opt = (s["P"] @ XnBBar).T @ XnABar
-    svdU, svdS, svdV = jnp.linalg.svd(A_opt)
-    C = jnp.eye(D, dtype=jnp.float32).at[-1, -1].set(jnp.linalg.det(svdU @ svdV))
-    optimal_R = svdU @ C @ svdV
+    optimal_R = procrustes_rotation(A_opt)
     optimal_t = mu_XnB - mu_XnA @ optimal_R.T
     optimal_RnA = coordsA @ optimal_R.T + optimal_t
     return s, optimal_R, optimal_t, optimal_RnA

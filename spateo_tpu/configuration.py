@@ -31,6 +31,24 @@ EPS = np.finfo(float).eps
 MAX = np.finfo(np.float32).max
 
 
+def _enable_persistent_compilation_cache():
+    """Persist XLA executables to disk so the large fused kernels (Morpho EM,
+    Starro scoring) compile once per machine, not once per process. Especially
+    important when compilation happens through a remote-compile service."""
+    try:
+        import jax
+
+        cache_dir = os.environ.get("SPATEO_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/spateo_tpu_xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never fail import over a cache nicety
+        pass
+
+
+_enable_persistent_compilation_cache()
+
+
 class SpateoConfig:
     """Global framework configuration.
 

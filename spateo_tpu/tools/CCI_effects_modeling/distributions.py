@@ -1,0 +1,244 @@
+"""GLM link functions and distribution families
+(capability parity: reference spateo/tools/CCI_effects_modeling/distributions.py:16-1396
+— vendored statsmodels-like Link/Variance/Distribution classes).
+
+Implemented numpy-first with jnp-compatible math so the same formulas run
+inside the jitted batched IWLS kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from scipy import special
+
+EPS = np.finfo(float).eps
+
+
+# ---------------------------------------------------------------------------
+# Link functions
+# ---------------------------------------------------------------------------
+class Link:
+    def __call__(self, mu):
+        raise NotImplementedError
+
+    def inverse(self, z):
+        raise NotImplementedError
+
+    def deriv(self, mu):
+        """d eta / d mu."""
+        raise NotImplementedError
+
+    def inverse_deriv(self, z):
+        """d mu / d eta."""
+        return 1.0 / self.deriv(self.inverse(z))
+
+
+class identity(Link):
+    def __call__(self, mu):
+        return mu
+
+    def inverse(self, z):
+        return z
+
+    def deriv(self, mu):
+        return np.ones_like(np.asarray(mu, dtype=float))
+
+
+class log(Link):
+    def __call__(self, mu):
+        return np.log(np.clip(mu, EPS, None))
+
+    def inverse(self, z):
+        return np.exp(np.clip(z, -50, 50))
+
+    def deriv(self, mu):
+        return 1.0 / np.clip(mu, EPS, None)
+
+
+class logit(Link):
+    def __call__(self, mu):
+        mu = np.clip(mu, EPS, 1 - EPS)
+        return np.log(mu / (1 - mu))
+
+    def inverse(self, z):
+        z = np.clip(z, -50, 50)
+        return 1.0 / (1.0 + np.exp(-z))
+
+    def deriv(self, mu):
+        mu = np.clip(mu, EPS, 1 - EPS)
+        return 1.0 / (mu * (1 - mu))
+
+
+# ---------------------------------------------------------------------------
+# Variance functions
+# ---------------------------------------------------------------------------
+class VarianceFunction:
+    def __call__(self, mu):
+        raise NotImplementedError
+
+
+class constant_var(VarianceFunction):
+    def __call__(self, mu):
+        return np.ones_like(np.asarray(mu, dtype=float))
+
+
+class mu_var(VarianceFunction):
+    def __call__(self, mu):
+        return np.clip(mu, EPS, None)
+
+
+class mu_squared_var(VarianceFunction):
+    def __call__(self, mu):
+        return np.clip(mu, EPS, None) ** 2
+
+
+class binary_var(VarianceFunction):
+    def __call__(self, mu):
+        mu = np.clip(mu, EPS, 1 - EPS)
+        return mu * (1 - mu)
+
+
+class nb_var(VarianceFunction):
+    def __init__(self, disp: float = 1.0):
+        self.disp = disp
+
+    def __call__(self, mu):
+        mu = np.clip(mu, EPS, None)
+        return mu + self.disp * mu**2
+
+
+# ---------------------------------------------------------------------------
+# Distribution families
+# ---------------------------------------------------------------------------
+class Distribution:
+    """Base family (parity surface: reference distributions.py Distribution)."""
+
+    link: Link
+    variance: VarianceFunction
+
+    def initial_predictions(self, y):
+        return (np.asarray(y, dtype=float) + np.mean(y)) / 2.0
+
+    def deviance(self, endog, mu):
+        raise NotImplementedError
+
+    def log_likelihood(self, endog, mu):
+        raise NotImplementedError
+
+    def predict(self, eta):
+        return self.link.inverse(eta)
+
+    def get_predictors(self, mu):
+        return self.link(mu)
+
+    def weights(self, mu):
+        """IRLS weights 1 / (V(mu) * g'(mu)^2)."""
+        return 1.0 / (self.variance(mu) * self.link.deriv(mu) ** 2 + EPS)
+
+
+class Gaussian(Distribution):
+    """(parity: reference distributions.py:880)."""
+
+    def __init__(self, link: Optional[Link] = None):
+        self.link = link or identity()
+        self.variance = constant_var()
+
+    def deviance(self, endog, mu):
+        return np.sum((endog - mu) ** 2)
+
+    def log_likelihood(self, endog, mu, scale: Optional[float] = None):
+        n = len(endog)
+        resid = endog - mu
+        scale = scale if scale is not None else resid.var() + EPS
+        return float(-0.5 * n * np.log(2 * np.pi * scale) - 0.5 * (resid**2).sum() / scale)
+
+
+class Poisson(Distribution):
+    """(parity: reference distributions.py:763)."""
+
+    def __init__(self, link: Optional[Link] = None):
+        self.link = link or log()
+        self.variance = mu_var()
+
+    def deviance(self, endog, mu):
+        endog = np.asarray(endog, dtype=float)
+        mu = np.clip(mu, EPS, None)
+        ratio = np.where(endog > 0, endog * np.log(np.clip(endog, EPS, None) / mu), 0.0)
+        return float(2 * np.sum(ratio - (endog - mu)))
+
+    def log_likelihood(self, endog, mu):
+        mu = np.clip(mu, EPS, None)
+        return float(np.sum(endog * np.log(mu) - mu - special.gammaln(endog + 1)))
+
+
+class NegativeBinomial(Distribution):
+    """NB2 with fixed dispersion (parity: reference distributions.py:1250)."""
+
+    def __init__(self, link: Optional[Link] = None, disp: float = 1.0):
+        self.link = link or log()
+        self.disp = disp
+        self.variance = nb_var(disp)
+
+    def deviance(self, endog, mu):
+        endog = np.asarray(endog, dtype=float)
+        mu = np.clip(mu, EPS, None)
+        a = self.disp
+        t1 = np.where(endog > 0, endog * np.log(np.clip(endog, EPS, None) / mu), 0.0)
+        t2 = (endog + 1 / a) * np.log((1 + a * endog) / (1 + a * mu))
+        return float(2 * np.sum(t1 - t2))
+
+    def log_likelihood(self, endog, mu):
+        a = self.disp
+        mu = np.clip(mu, EPS, None)
+        r = 1.0 / a
+        return float(
+            np.sum(
+                special.gammaln(endog + r)
+                - special.gammaln(r)
+                - special.gammaln(endog + 1)
+                + r * np.log(r / (r + mu))
+                + endog * np.log(mu / (r + mu))
+            )
+        )
+
+
+class Gamma(Distribution):
+    """(parity: reference distributions.py:979)."""
+
+    def __init__(self, link: Optional[Link] = None):
+        self.link = link or log()
+        self.variance = mu_squared_var()
+
+    def deviance(self, endog, mu):
+        endog = np.clip(np.asarray(endog, dtype=float), EPS, None)
+        mu = np.clip(mu, EPS, None)
+        return float(2 * np.sum((endog - mu) / mu - np.log(endog / mu)))
+
+    def log_likelihood(self, endog, mu, scale: float = 1.0):
+        endog = np.clip(np.asarray(endog, dtype=float), EPS, None)
+        mu = np.clip(mu, EPS, None)
+        return float(np.sum(-endog / mu - np.log(mu) + (scale - 1) * np.log(endog) - special.gammaln(scale)))
+
+
+class Binomial(Distribution):
+    """(parity: reference distributions.py:1108)."""
+
+    def __init__(self, link: Optional[Link] = None):
+        self.link = link or logit()
+        self.variance = binary_var()
+
+    def initial_predictions(self, y):
+        return (np.asarray(y, dtype=float) + 0.5) / 2.0
+
+    def deviance(self, endog, mu):
+        endog = np.asarray(endog, dtype=float)
+        mu = np.clip(mu, EPS, 1 - EPS)
+        t1 = np.where(endog > 0, endog * np.log(np.clip(endog, EPS, None) / mu), 0.0)
+        t2 = np.where(endog < 1, (1 - endog) * np.log(np.clip(1 - endog, EPS, None) / (1 - mu)), 0.0)
+        return float(2 * np.sum(t1 + t2))
+
+    def log_likelihood(self, endog, mu):
+        mu = np.clip(mu, EPS, 1 - EPS)
+        return float(np.sum(endog * np.log(mu) + (1 - endog) * np.log(1 - mu)))

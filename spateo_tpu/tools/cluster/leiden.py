@@ -1,0 +1,88 @@
+"""Graph community detection (capability parity: reference
+spateo/tools/cluster/leiden.py:61,126).
+
+igraph/leidenalg are not shipped in this image; partitions run on networkx's
+Louvain implementation. `calculate_leiden_partition` additionally applies a
+refinement pass (each community re-checked for connectivity and split),
+approximating the Leiden guarantee.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import scipy.sparse
+
+
+def distance_knn_graph(dist: np.ndarray, num_neighbors: int):
+    """KNN graph from a distance matrix (parity: leiden.py:13)."""
+    import networkx as nx
+
+    n = dist.shape[0]
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    idx = np.argsort(dist, axis=1)[:, 1 : num_neighbors + 1]
+    for i in range(n):
+        for j in idx[i]:
+            G.add_edge(i, int(j), weight=float(1.0 / (dist[i, j] + 1e-12)))
+    return G
+
+
+def embedding_knn_graph(X: np.ndarray, num_neighbors: int):
+    """KNN graph from an embedding (parity: leiden.py:40)."""
+    from scipy.spatial.distance import cdist
+
+    return distance_knn_graph(cdist(X, X), num_neighbors)
+
+
+def _adj_to_nx(adj):
+    import networkx as nx
+
+    adj = scipy.sparse.csr_matrix(adj)
+    G = nx.from_scipy_sparse_array(adj)
+    return G
+
+
+def _partition_to_labels(communities, n: int) -> np.ndarray:
+    labels = np.zeros(n, dtype=int)
+    for c, nodes in enumerate(sorted(communities, key=lambda s: -len(s))):
+        for v in nodes:
+            labels[v] = c
+    return labels
+
+
+def calculate_louvain_partition(
+    adj=None,
+    graph=None,
+    resolution: Optional[float] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Louvain communities of an adjacency matrix (parity: leiden.py:126)."""
+    from networkx.algorithms.community import louvain_communities
+
+    G = graph if graph is not None else _adj_to_nx(adj)
+    comms = louvain_communities(G, resolution=resolution or 1.0, seed=seed)
+    return _partition_to_labels(comms, G.number_of_nodes())
+
+
+def calculate_leiden_partition(
+    adj=None,
+    graph=None,
+    resolution: Optional[float] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Leiden-style partition: Louvain + connectivity refinement
+    (parity surface: leiden.py:61)."""
+    import networkx as nx
+    from networkx.algorithms.community import louvain_communities
+
+    G = graph if graph is not None else _adj_to_nx(adj)
+    comms = louvain_communities(G, resolution=resolution or 1.0, seed=seed)
+    # refinement: split communities that are internally disconnected
+    refined = []
+    for c in comms:
+        sub = G.subgraph(c)
+        for comp in nx.connected_components(sub):
+            refined.append(comp)
+    return _partition_to_labels(refined, G.number_of_nodes())

@@ -1,0 +1,261 @@
+"""Tools layer tests: neighbors, clustering, DEGs, lisa, CCI, MuSIC."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from scipy import sparse
+
+import spateo_tpu as st
+
+
+@pytest.fixture(scope="module")
+def spatial_adata():
+    """Two spatial domains with distinct cell types and expression programs."""
+    rng = np.random.default_rng(0)
+    n_per = 150
+    coords_a = rng.uniform(0, 10, (n_per, 2))
+    coords_b = rng.uniform(0, 10, (n_per, 2)) + np.array([10.0, 0.0])
+    coords = np.vstack([coords_a, coords_b])
+    G = 30
+    base = rng.poisson(2, (2 * n_per, G)).astype(float)
+    base[:n_per, :10] += rng.poisson(6, (n_per, 10))  # program A
+    base[n_per:, 10:20] += rng.poisson(6, (n_per, 10))  # program B
+    adata = st.AnnData(X=base, var=pd.DataFrame(index=[f"g{i}" for i in range(G)]))
+    adata.obsm["spatial"] = coords
+    adata.obs["cell_type"] = ["A"] * n_per + ["B"] * n_per
+    st.SKM.init_adata_type(adata, "UMI")
+    return adata
+
+
+class TestNeighbors:
+    def test_construct_nn_graph(self, spatial_adata):
+        adata = spatial_adata.copy()
+        st.tl.construct_nn_graph(adata, n_neighbors=6)
+        assert "adj" in adata.obsp
+        assert adata.obsp["adj"].shape == (adata.n_obs, adata.n_obs)
+
+    def test_kernel_weights_batch_matches_single(self, spatial_adata):
+        from spateo_tpu.tools.find_neighbors import get_wi, get_wi_batch
+
+        coords = np.asarray(spatial_adata.obsm["spatial"])
+        W = get_wi_batch(coords, bw=3.0, fixed_bw=True, kernel="gaussian")
+        w0 = get_wi(0, len(coords), coords, fixed_bw=True, kernel="gaussian", bw=3.0).toarray().ravel()
+        np.testing.assert_allclose(W[0], w0, atol=1e-5)
+
+
+class TestPCA:
+    def test_pca_matches_sklearn(self, spatial_adata):
+        from sklearn.decomposition import PCA as SkPCA
+
+        X = np.asarray(spatial_adata.X, dtype=float)
+        adata = spatial_adata.copy()
+        st.tl.pca(adata, n_pca_components=5)
+        ours = adata.obsm["X_pca"]
+        ref = SkPCA(n_components=5).fit_transform(X)
+        # compare column-wise absolute correlation (signs arbitrary)
+        for j in range(5):
+            c = abs(np.corrcoef(ours[:, j], ref[:, j])[0, 1])
+            assert c > 0.98, f"PC{j} corr {c}"
+
+    def test_pca_sparse_no_densify(self):
+        Xs = sparse.random(500, 80, density=0.1, format="csr", random_state=0)
+        adata = st.AnnData(X=Xs)
+        st.SKM.init_adata_type(adata, "UMI")
+        st.tl.pca(adata, n_pca_components=10)
+        assert adata.obsm["X_pca"].shape == (500, 10)
+
+
+class TestClustering:
+    def test_scc_separates_domains(self, spatial_adata):
+        adata = spatial_adata.copy()
+        st.tl.scc(adata, s_neigh=6, e_neigh=15, key_added="scc")
+        labels = np.asarray(adata.obs["scc"])
+        # the two domains should mostly get different dominant clusters
+        from collections import Counter
+
+        dom_a = Counter(labels[:150]).most_common(1)[0][0]
+        dom_b = Counter(labels[150:]).most_common(1)[0][0]
+        assert dom_a != dom_b
+
+    def test_mclust(self, spatial_adata):
+        adata = spatial_adata.copy()
+        st.tl.pca(adata, n_pca_components=5)
+        st.tl.mclust_py(adata, n_components=2)
+        assert len(np.unique(adata.obs["mclust"])) == 2
+
+    def test_smooth_labels(self, spatial_adata):
+        adata = spatial_adata.copy()
+        labels = np.array(["A"] * 150 + ["B"] * 150, dtype=object)
+        labels[0] = "B"  # lone wrong label
+        adata.obs["label"] = labels
+        st.tl.smooth_labels(adata, radius=10, key="label")
+        assert adata.obs["label_smooth"].iloc[0] == "A"
+
+
+class TestDEGs:
+    def test_find_cluster_degs(self, spatial_adata):
+        df = st.tl.find_cluster_degs(spatial_adata, "A", ["B"], group="cell_type")
+        # program-A genes (g0..g9) should be among the markers
+        marker_hits = sum(1 for g in df.index if int(g[1:]) < 10)
+        assert marker_hits >= 5
+        assert (df["log2fc"] > 0).all()
+
+    def test_find_all_cluster_degs(self, spatial_adata):
+        adata = st.tl.find_all_cluster_degs(spatial_adata, group="cell_type")
+        assert "cluster_markers" in adata.uns
+        top = st.tl.top_n_degs(adata, group="cell_type", top_n_genes=3)
+        assert set(top.keys()) == {"A", "B"}
+
+    def test_moran_i_flags_spatial_genes(self, spatial_adata):
+        res = st.tl.moran_i(spatial_adata, k=8, permutations=49)
+        # spatially localized programs should have high moran's I
+        spatial_genes = res.sort_values("moran_i", ascending=False).head(10).index
+        n_program = sum(1 for g in spatial_genes if int(g[1:]) < 20)
+        assert n_program >= 8
+        assert (res["moran_i"] < 1.01).all()
+
+
+class TestLisa:
+    def test_lisa_geo_df(self, spatial_adata):
+        lisa, df = st.tl.lisa_geo_df(spatial_adata, "g0", n_neighbors=8)
+        assert {"x", "y", "exp", "w_exp", "Is", "group"}.issubset(df.columns)
+        # g0 is enriched in domain A: its hotspots should be in x < 11
+        hot = df[df["group"] == "1 hot spot"]
+        if len(hot):
+            assert hot["x"].mean() < 11
+
+    def test_GM_lag_model(self, spatial_adata):
+        adata = spatial_adata.copy()
+        st.tl.GM_lag_model(adata, group="cell_type", genes=["g0", "g15"], n_neighbors=5)
+        cols = [c for c in adata.var.columns if c.endswith("_GM_lag_coeff")]
+        assert len(cols) >= 1
+        assert np.isfinite(adata.var.loc["g0", cols[0]])
+
+
+class TestCCI:
+    def test_find_cci_two_group(self, spatial_adata):
+        # add real ligand-receptor gene names so the db join hits
+        adata = spatial_adata.copy()
+        var_names = list(adata.var_names)
+        var_names[0], var_names[10] = "TGFB1", "TGFBR1_TGFBR2"
+        adata.var_names = var_names
+        res = st.tl.find_cci_two_group(
+            adata,
+            species="human",
+            group="cell_type",
+            sender_group="A",
+            receiver_group="B",
+            num=50,
+            pvalue=1.1,  # keep all for the shape check
+            min_pairs_ratio=1e-5,
+        )
+        assert res is not None
+        assert {"cell_pair", "lr_pair"} <= set(res.keys())
+        assert "cell_typesp" in adata.obs
+
+
+class TestMuSIC:
+    def test_music_niche_fit(self, spatial_adata):
+        import tempfile
+
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC, define_spateo_argparse
+
+        with tempfile.TemporaryDirectory() as tmp:
+            parser, args_list = define_spateo_argparse(
+                mod_type="niche",
+                group_key="cell_type",
+                distr="gaussian",
+                output_path=f"{tmp}/out.csv",
+                custom_targets=["g0", "g15"],
+                bw_fixed=True,
+                bw=4.0,
+                fit_intercept=True,
+            )
+            model = MuSIC(parser, args_list)
+            model.adata = spatial_adata.copy()
+            model.fit()
+            assert set(model.coeffs.keys()) == {"g0", "g15"}
+            coeffs = model.coeffs["g0"]
+            assert coeffs.shape[0] == spatial_adata.n_obs
+            # g0 is an A-program gene: its A-niche coefficient should exceed B's
+            a_col = [c for c in coeffs.columns if "Niche_A" in c][0]
+            b_col = [c for c in coeffs.columns if "Niche_B" in c][0]
+            assert coeffs[a_col].mean() > coeffs[b_col].mean()
+            preds = model.predict()
+            assert preds.shape[0] == spatial_adata.n_obs
+
+    def test_music_interpreter(self, spatial_adata):
+        import tempfile
+
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC, MuSIC_Interpreter, define_spateo_argparse
+
+        with tempfile.TemporaryDirectory() as tmp:
+            parser, args_list = define_spateo_argparse(
+                mod_type="niche",
+                group_key="cell_type",
+                output_path=f"{tmp}/out.csv",
+                custom_targets=["g0"],
+                bw_fixed=True,
+                bw=4.0,
+            )
+            model = MuSIC(parser, args_list)
+            model.adata = spatial_adata.copy()
+            model.fit()
+            interp = MuSIC_Interpreter(parser, args_list)
+            interp.adata = spatial_adata.copy()
+            interp.coeffs = model.coeffs
+            sig = interp.compute_coeff_significance()
+            assert "g0" in sig
+            eff = interp.effect_distribution()
+            assert eff.shape[0] == 1
+            top = interp.top_interactions(n=3)
+            assert len(top) <= 3
+
+
+class TestMisc:
+    def test_archetypes(self, spatial_adata):
+        adata = spatial_adata.copy()
+        arch = st.tl.archetypes(adata, moran_i_genes=[f"g{i}" for i in range(20)], num_clusters=3)
+        assert arch.shape == (3, adata.n_obs)
+        assert "archetype" in adata.obsm
+
+    def test_procrustes(self):
+        rng = np.random.default_rng(0)
+        Y = rng.normal(size=(40, 2))
+        th = 0.5
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        X = 2.0 * Y @ R.T + np.array([1, 2])
+        d, Z, tform = st.tl.procrustes(X, Y)
+        np.testing.assert_allclose(Z, X, atol=1e-8)
+        assert abs(tform["scale"] - 2.0) < 1e-8
+
+    def test_variance_decomposition(self, spatial_adata):
+        adata = spatial_adata.copy()
+        adata.obs["region"] = np.where(np.asarray(adata.obsm["spatial"])[:, 1] > 5, "top", "bottom")
+        out = st.tl.compute_variance_decomposition(adata, "region", "cell_type", genes=["g0", "g5", "g25"])
+        assert np.allclose(
+            out["total_variance"],
+            out["intercelltype_variance"] + out["interniche_variance"] + out["intrinsic_variance"],
+            rtol=1e-6,
+        )
+
+    def test_glm_degs(self, spatial_adata):
+        adata = spatial_adata.copy()
+        adata.obs["time"] = np.linspace(0, 1, adata.n_obs)
+        st.tl.glm_degs(adata, genes=["g0", "g5"], fullModelFormulaStr="~cr(time, df=3)")
+        assert "glm_degs" in adata.uns
+
+    def test_label_matching(self):
+        from spateo_tpu.tools.labels import Label, match_labels
+
+        l1 = Label(np.array([0, 0, 1, 1, 2, 2]))
+        # same partition, permuted ids
+        l2 = Label(np.array([2, 2, 0, 0, 1, 1]))
+        matched = match_labels(l1, l2)
+        np.testing.assert_array_equal(matched.dense, l1.dense)
+
+    def test_cast_embedding(self, spatial_adata):
+        adata = spatial_adata.copy()
+        st.tl.pca(adata, n_pca_components=10)
+        adata2 = st.tl.CAST(adata, basis="X_pca", n_epochs=30)
+        assert adata2.obsm["X_cast"].shape[0] == adata.n_obs
