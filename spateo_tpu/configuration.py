@@ -38,10 +38,18 @@ def _enable_persistent_compilation_cache():
     try:
         import jax
 
+        # CPU executables must NOT be cached here: under a remote-compile
+        # service the cached AOT result may target a different host CPU's
+        # feature set and silently mis-execute (observed: XLA:CPU AOT loader
+        # warning + wrong numerics). Only cache for accelerator backends.
+        platforms = str(getattr(jax.config, "jax_platforms", "") or "")
+        if "cpu" in platforms:
+            return
         cache_dir = os.environ.get("SPATEO_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/spateo_tpu_xla"))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:  # never fail import over a cache nicety
         pass
 

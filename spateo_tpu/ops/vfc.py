@@ -1,0 +1,224 @@
+"""SparseVFC: vector-field learning by sparse kernel regression — on device.
+
+TPU-native replacement for the dynamo-release `SparseVFC` the reference
+delegates to (reference spateo/tdr/morphometrics/morphofield/sparsevfc.py:167;
+algorithm: Ma et al. 2013 "Regularized vector field learning with sparse
+approximation for mismatch removal"). The EM loop (inlier posterior E-step +
+regularized kernel ridge M-step) runs as one jitted `lax.while_loop`; the
+M-step solve is a [M, M] system on the MXU.
+
+Returns a dynamo-compatible dict (X/Y/beta/V/C/P/VFCIndex/sigma2/grid/grid_V/
+iteration/tecr_traj/E_traj) so downstream consumers are interchangeable.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def con_K(x: jnp.ndarray, y: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """SE kernel exp(-beta ||x-y||^2) via the matmul expansion."""
+    d2 = (
+        jnp.sum(x * x, 1)[:, None]
+        + jnp.sum(y * y, 1)[None, :]
+        - 2.0 * x @ y.T
+    )
+    return jnp.exp(-beta * jnp.maximum(d2, 0.0))
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _sparsevfc_em(
+    X: jnp.ndarray,  # [N, D]
+    Y: jnp.ndarray,  # [N, D] velocities
+    ctrl: jnp.ndarray,  # [M, D]
+    beta: jnp.ndarray,
+    gamma0: float,
+    a: float,
+    lambda_: float,
+    ecr: float,
+    minP: float,
+    max_iter: int,
+):
+    N = X.shape[0]
+    D = Y.shape[1]  # output dimension (may differ from the input space's)
+    M = ctrl.shape[0]
+    K = con_K(X, ctrl, beta)  # [N, M]
+    U = con_K(ctrl, ctrl, beta)  # [M, M]
+
+    state = dict(
+        C=jnp.zeros((M, D)),
+        P=jnp.ones(N),
+        V=jnp.zeros((N, D)),
+        sigma2=jnp.sum(Y * Y) / (N * D),
+        gamma=jnp.asarray(gamma0),
+        E=jnp.asarray(1.0),
+        tecr=jnp.asarray(jnp.inf),
+        i=0,
+    )
+
+    def cond(s):
+        return (s["i"] < max_iter) & (s["tecr"] > ecr) & (s["sigma2"] > 1e-8)
+
+    def body(s):
+        # E-step: inlier posterior (exponent clipped: a diverged V must not
+        # produce 0/inf posteriors that lock the all-outlier fixed point)
+        resid2 = jnp.sum((Y - s["V"]) ** 2, axis=1)
+        gauss = jnp.exp(jnp.clip(-resid2 / (2 * s["sigma2"]), -50.0, 0.0))
+        temp = (2 * jnp.pi * s["sigma2"]) ** (D / 2) * (1 - s["gamma"]) / (s["gamma"] * a)
+        P = jnp.maximum(gauss / (gauss + temp), minP)
+        # energy (negative log-likelihood proxy + regularization)
+        E = (
+            jnp.sum(P * resid2) / (2 * s["sigma2"])
+            + jnp.sum(P) * jnp.log(s["sigma2"]) * D / 2
+            + lambda_ / 2 * jnp.trace(s["C"].T @ U @ s["C"])
+        )
+        tecr = jnp.abs((E - s["E"]) / jnp.maximum(jnp.abs(E), 1e-12))
+        # M-step: weighted kernel ridge. The ridge is floored relative to the
+        # data term's trace: as sigma2 -> 0 on near-noiseless data the
+        # lambda*sigma2*U regularizer would vanish, leaving an ill-conditioned
+        # solve whose coefficients oscillate wildly between data points.
+        KP = K * P[:, None]  # [N, M] scaled rows
+        KtPK = K.T @ KP
+        ridge_floor = 1e-4 * jnp.trace(KtPK) / M
+        ridge = jnp.maximum(lambda_ * s["sigma2"], ridge_floor)
+        lhs = KtPK + ridge * U + ridge_floor * jnp.eye(M)
+        rhs = KP.T @ Y
+        C = jnp.linalg.solve(lhs, rhs)
+        V = K @ C
+        Sp = jnp.sum(P)
+        sigma2 = jnp.sum(P * jnp.sum((Y - V) ** 2, axis=1)) / (Sp * D)
+        # cap sigma2 at its initialization scale: growth beyond the raw data
+        # variance always signals a diverged fit, never real noise
+        sigma2 = jnp.minimum(sigma2, jnp.sum(Y * Y) / (N * D) * 2.0)
+        gamma = jnp.clip(Sp / N, 0.05, 0.95)
+        return dict(C=C, P=P, V=V, sigma2=sigma2, gamma=gamma, E=E, tecr=tecr, i=s["i"] + 1)
+
+    s = jax.lax.while_loop(cond, body, state)
+    return s, K
+
+
+def SparseVFC(
+    X: np.ndarray,
+    Y: np.ndarray,
+    Grid: Optional[np.ndarray] = None,
+    M: int = 100,
+    a: float = 5.0,
+    beta: Optional[float] = None,
+    ecr: float = 1e-5,
+    gamma: float = 0.9,
+    lambda_: float = 3.0,
+    minP: float = 1e-5,
+    MaxIter: int = 500,
+    theta: float = 0.75,
+    div_cur_free_kernels: bool = False,
+    velocity_based_sampling: bool = True,
+    seed: int = 0,
+    lstsq_method: str = "drouin",
+    verbose: int = 1,
+) -> dict:
+    """Sparse Vector Field Consensus (dynamo-compatible signature/return)."""
+    X = np.asarray(X, dtype=np.float32)
+    Y = np.asarray(Y, dtype=np.float32)
+    valid_ind = np.where(np.isfinite(Y).all(axis=1) & np.isfinite(X).all(axis=1))[0]
+    Xv, Yv = X[valid_ind], Y[valid_ind]
+    N, D = Xv.shape
+
+    rng = np.random.default_rng(seed)
+    uniq, uniq_idx = np.unique(Xv, axis=0, return_index=True)
+    M_eff = min(M, len(uniq))
+    ctrl_idx = uniq_idx[rng.choice(len(uniq), M_eff, replace=False)]
+    ctrl = Xv[ctrl_idx]
+
+    if beta is None:
+        # median heuristic over a subsample
+        sub = Xv[rng.choice(N, min(N, 2000), replace=False)]
+        d2 = ((sub[:, None, :] - sub[None, :, :]) ** 2).sum(-1)
+        h = np.sqrt(np.median(d2[d2 > 0])) if (d2 > 0).any() else 1.0
+        beta = 1.0 / (h**2)
+
+    # normalize Y to unit RMS: keeps the EM in the inlier basin (the
+    # all-outlier fixed point P=minP is otherwise reachable when |Y| and the
+    # outlier volume `a` are mismatched in scale)
+    y_scale = float(np.sqrt((Yv**2).mean())) + 1e-12
+    Yn = Yv / y_scale
+
+    def run_em(sigma2_scale: float):
+        return _sparsevfc_em(
+            jnp.asarray(Xv),
+            jnp.asarray(Yn),
+            jnp.asarray(ctrl),
+            jnp.asarray(beta, jnp.float32),
+            gamma,
+            a,
+            lambda_,
+            ecr,
+            minP,
+            MaxIter,
+        )
+
+    s, Kmat = run_em(1.0)
+    # all-outlier collapse guard: gamma pinned at its floor means the fit
+    # never engaged; retry once from a colder sigma2 via scaled Y
+    if float(s["gamma"]) <= 0.06:
+        s2, Kmat = _sparsevfc_em(
+            jnp.asarray(Xv),
+            jnp.asarray(Yn * 0.1),
+            jnp.asarray(ctrl),
+            jnp.asarray(beta, jnp.float32),
+            gamma,
+            a,
+            lambda_,
+            ecr,
+            minP,
+            MaxIter,
+        )
+        if float(s2["gamma"]) > float(s["gamma"]):
+            s = dict(s2)
+            s["C"] = s2["C"] * 10.0
+            s["V"] = s2["V"] * 10.0
+            s["sigma2"] = s2["sigma2"] * 100.0
+    C = np.asarray(s["C"]) * y_scale
+    V = np.asarray(s["V"]) * y_scale
+    P = np.asarray(s["P"])
+
+    grid_V = None
+    if Grid is not None:
+        Grid = np.asarray(Grid, dtype=np.float32)
+        grid_V = np.asarray(con_K(jnp.asarray(Grid), jnp.asarray(ctrl), float(beta)) @ jnp.asarray(C))
+
+    return {
+        "X": Xv,
+        "valid_ind": np.arange(len(valid_ind)),
+        "X_ctrl": ctrl,
+        "ctrl_idx": ctrl_idx,
+        "Y": Yv,
+        "beta": float(beta),
+        "V": V,
+        "C": C,
+        "P": P,
+        "VFCIndex": np.where(P > theta)[0],
+        "sigma2": float(s["sigma2"]) * y_scale**2,
+        "grid": Grid,
+        "grid_V": grid_V,
+        "iteration": int(s["i"]),
+        "tecr_traj": np.asarray([float(s["tecr"])]),
+        "E_traj": np.asarray([float(s["E"])]),
+    }
+
+
+def vector_field_function(x: np.ndarray, vf_dict: dict) -> np.ndarray:
+    """Evaluate a learned SparseVFC field at arbitrary points."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float32))
+    K = con_K(jnp.asarray(x), jnp.asarray(vf_dict["X_ctrl"], jnp.float32), float(vf_dict["beta"]))
+    return np.asarray(K @ jnp.asarray(vf_dict["C"], jnp.float32))
+
+
+def vector_field_function_jax(x: jnp.ndarray, ctrl: jnp.ndarray, C: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """Jittable single-point field evaluation (for autodiff geometry)."""
+    K = jnp.exp(-beta * jnp.sum((x[None, :] - ctrl) ** 2, axis=1))
+    return K @ C

@@ -1,0 +1,18 @@
+"""TDR layer (`st.tdr`): 3D reconstruction and morphometrics.
+
+Capability parity with reference spateo/tdr/__init__.py: point clouds,
+surfaces, voxels, backbones, migration models, morphofield learning (SparseVFC
+/ GP), differential geometry, trajectory integration, interpolation engines,
+and widgets.
+"""
+
+from .interpolations import (
+    deep_intepretation,
+    get_X_Y_grid,
+    gp_interpolation,
+    kernel_interpolation,
+    vtk_interpolation,
+)
+from .models import *  # noqa: F401,F403
+from .morphometrics import *  # noqa: F401,F403
+from .widgets import clip_models, interactive_pick, pick_models, slice_models

@@ -1,0 +1,141 @@
+"""Deep-learning interpolation (MLP / SIREN)
+(capability parity: reference spateo/tdr/interpolations/interpolation_dl.py:13
++ interpolation_deeplearn/deep_interpolation.py:20 — torch training loop with
+A/B/h blocks, interpolation_nn.py:220). TPU-native: a jitted optax training
+loop over a SIREN-style coordinate network."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ...core.anndata import AnnData
+from ...logging import logger_manager as lm
+from .utils import get_X_Y_grid
+
+
+def _init_siren(key, sizes, w0: float = 5.0):
+    params = []
+    keys = jax.random.split(key, len(sizes) - 1)
+    for i, (k, (a, b)) in enumerate(zip(keys, zip(sizes[:-1], sizes[1:]))):
+        bound = (1.0 / a) if i == 0 else (jnp.sqrt(6.0 / a) / w0)
+        W = jax.random.uniform(k, (a, b), minval=-bound, maxval=bound)
+        params.append({"W": W, "b": jnp.zeros(b)})
+    return params
+
+
+def _siren_forward(params, x, w0: float = 5.0):
+    h = x
+    for i, layer in enumerate(params[:-1]):
+        h = jnp.sin(w0 * (h @ layer["W"] + layer["b"])) if i == 0 else jnp.sin(h @ layer["W"] + layer["b"])
+    return h @ params[-1]["W"] + params[-1]["b"]
+
+
+class DeepInterpolation:
+    """Coordinate-network interpolator (parity surface: reference
+    deep_interpolation.py:20)."""
+
+    def __init__(
+        self,
+        model=None,
+        data_sampler=None,
+        sirens: bool = True,
+        enforce_positivity: bool = True,
+        hidden: int = 256,
+        depth: int = 4,
+        seed: int = 0,
+        **kwargs,
+    ):
+        self.sirens = sirens
+        self.enforce_positivity = enforce_positivity
+        self.hidden = hidden
+        self.depth = depth
+        self.seed = seed
+        self.params = None
+        self.norm = None
+
+    def train(self, X: np.ndarray, Y: np.ndarray, max_iter: int = 1000, lr: float = 1e-4, batch_size: int = 4096):
+        X = np.asarray(X, np.float32)
+        Y = np.asarray(Y, np.float32)
+        x_mean, x_std = X.mean(0), X.std(0) + 1e-8
+        y_mean, y_std = Y.mean(0), Y.std(0) + 1e-8
+        self.norm = (x_mean, x_std, y_mean, y_std)
+        Xn = (X - x_mean) / x_std
+        Yn = (Y - y_mean) / y_std
+        sizes = [X.shape[1]] + [self.hidden] * self.depth + [Y.shape[1]]
+        key = jax.random.PRNGKey(self.seed)
+        params = _init_siren(key, sizes)
+
+        import optax
+
+        opt = optax.adam(lr)
+
+        @partial(jax.jit, static_argnames=("n",))
+        def fit(params, Xd, Yd, key, n):
+            state = opt.init(params)
+
+            def loss_fn(params, idx):
+                pred = _siren_forward(params, Xd[idx])
+                return jnp.mean((pred - Yd[idx]) ** 2)
+
+            def step(carry, _):
+                params, state, key = carry
+                key, sub = jax.random.split(key)
+                idx = jax.random.randint(sub, (min(batch_size, Xd.shape[0]),), 0, Xd.shape[0])
+                loss, grads = jax.value_and_grad(loss_fn)(params, idx)
+                updates, state = opt.update(grads, state)
+                params = optax.apply_updates(params, updates)
+                return (params, state, key), loss
+
+            (params, _, _), losses = jax.lax.scan(step, (params, state, key), None, length=n)
+            return params, losses
+
+        self.params, losses = fit(params, jnp.asarray(Xn), jnp.asarray(Yn), key, max_iter)
+        lm.main_info(f"DeepInterpolation trained: mse {float(losses[0]):.4f} -> {float(losses[-1]):.4f}")
+        return np.asarray(losses)
+
+    def predict(self, Xnew: np.ndarray) -> np.ndarray:
+        x_mean, x_std, y_mean, y_std = self.norm
+        Xn = (np.asarray(Xnew, np.float32) - x_mean) / x_std
+        pred = np.asarray(_siren_forward(self.params, jnp.asarray(Xn))) * y_std + y_mean
+        if self.enforce_positivity:
+            pred = np.maximum(pred, 0)
+        return pred
+
+
+def deep_intepretation(
+    source_adata: Optional[AnnData] = None,
+    target_points: Optional[np.ndarray] = None,
+    keys: Union[str, list, None] = None,
+    spatial_key: str = "spatial",
+    layer: str = "X",
+    max_iter: int = 1000,
+    **kwargs,
+) -> AnnData:
+    """Learn a deep continuous expression field and evaluate it at target
+    points (parity: interpolation_dl.py:13; the reference's spelling of
+    'interpretation' is preserved)."""
+    from scipy.sparse import issparse
+
+    X = np.asarray(source_adata.obsm[spatial_key], dtype=np.float32)
+    keys = [keys] if isinstance(keys, str) else (list(keys) if keys else list(source_adata.var_names))
+    V = source_adata[:, np.asarray(keys)].X if layer == "X" else source_adata[:, np.asarray(keys)].layers[layer]
+    Y = (V.toarray() if issparse(V) else np.asarray(V)).astype(np.float32)
+
+    model = DeepInterpolation(**kwargs)
+    model.train(X, Y, max_iter=max_iter)
+    target_points = np.asarray(target_points, dtype=np.float32)
+    pred = model.predict(target_points)
+    interp_adata = AnnData(
+        X=pred,
+        obs=pd.DataFrame(index=[f"target_{i}" for i in range(len(target_points))]),
+        var=pd.DataFrame(index=keys),
+    )
+    interp_adata.obsm[spatial_key] = target_points
+    interp_adata.uns["__type"] = "UMI"
+    return interp_adata

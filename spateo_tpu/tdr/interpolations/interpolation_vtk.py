@@ -1,0 +1,100 @@
+"""Shepard / Gaussian-kernel / linear interpolation of expression onto target
+points (capability parity: reference
+spateo/tdr/interpolations/interpolation_vtk.py:18, which wraps VTK's
+vtkPointInterpolator). VTK-free: the weighted gather is one blocked device
+kernel."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.sparse import issparse
+
+from ...core.anndata import AnnData
+from ...logging import logger_manager as lm
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def _interp_block(query, source, values, radius, kernel: str = "shepard", sharpness: float = 2.0, power: float = 2.0):
+    d2 = (
+        jnp.sum(query**2, 1)[:, None]
+        + jnp.sum(source**2, 1)[None, :]
+        - 2 * query @ source.T
+    )
+    d2 = jnp.maximum(d2, 0.0)
+    if kernel == "shepard":
+        w = 1.0 / jnp.maximum(d2 ** (power / 2), 1e-12)
+    elif kernel == "gaussian":
+        w = jnp.exp(-((sharpness * jnp.sqrt(d2) / radius) ** 2))
+    elif kernel == "linear":
+        w = jnp.maximum(1.0 - jnp.sqrt(d2) / radius, 0.0)
+    else:
+        raise ValueError(f"Unsupported kernel {kernel}")
+    w = jnp.where(d2 <= radius**2, w, 0.0)
+    wsum = jnp.sum(w, axis=1, keepdims=True)
+    # fall back to nearest neighbor where no source in radius
+    nearest = jnp.argmin(d2, axis=1)
+    interp = jnp.where(wsum > 0, (w @ values) / jnp.maximum(wsum, 1e-12), values[nearest])
+    return interp
+
+
+def vtk_interpolation(
+    source_adata: AnnData,
+    target_points: Optional[np.ndarray] = None,
+    keys: Union[str, list, None] = None,
+    spatial_key: str = "spatial",
+    layer: str = "X",
+    radius: Optional[float] = None,
+    n_points: Optional[int] = None,
+    kernel: str = "shepard",
+    null_strategy: int = 1,
+    null_value: float = 0.0,
+    block: int = 4096,
+) -> AnnData:
+    """Interpolate expression from source cells onto target points
+    (parity: interpolation_vtk.py:18)."""
+    source = np.asarray(source_adata.obsm[spatial_key], dtype=np.float32)
+    if keys is None:
+        keys = list(source_adata.var_names)
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    obs_keys = [k for k in keys if k in source_adata.obs.columns]
+    var_keys = [k for k in keys if k in source_adata.var_names]
+    vals = []
+    if var_keys:
+        V = source_adata[:, np.asarray(var_keys)].X if layer == "X" else source_adata[:, np.asarray(var_keys)].layers[layer]
+        vals.append(V.toarray() if issparse(V) else np.asarray(V, dtype=np.float32))
+    for k in obs_keys:
+        vals.append(np.asarray(source_adata.obs[k], dtype=np.float32).reshape(-1, 1))
+    values = np.concatenate(vals, axis=1).astype(np.float32)
+
+    target_points = np.asarray(target_points, dtype=np.float32)
+    if radius is None:
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(source)
+        k_n = n_points or 8
+        radius = float(np.median(tree.query(source, k=min(k_n + 1, len(source)))[0][:, -1]) * 2)
+
+    out = np.zeros((len(target_points), values.shape[1]), np.float32)
+    src_d = jnp.asarray(source)
+    val_d = jnp.asarray(values)
+    for s in range(0, len(target_points), block):
+        q = jnp.asarray(target_points[s : s + block])
+        out[s : s + q.shape[0]] = np.asarray(_interp_block(q, src_d, val_d, jnp.asarray(radius, jnp.float32), kernel))
+
+    import pandas as pd
+
+    interp_adata = AnnData(
+        X=out[:, : len(var_keys)] if var_keys else np.zeros((len(target_points), 0)),
+        obs=pd.DataFrame(index=[f"target_{i}" for i in range(len(target_points))]),
+        var=pd.DataFrame(index=var_keys),
+    )
+    interp_adata.obsm[spatial_key] = target_points
+    for i, k in enumerate(obs_keys):
+        interp_adata.obs[k] = out[:, len(var_keys) + i]
+    interp_adata.uns["__type"] = "UMI"
+    return interp_adata

@@ -1,0 +1,162 @@
+"""Morphometric vector field via SparseVFC
+(capability parity: reference spateo/tdr/morphometrics/morphofield/sparsevfc.py:18,103,241
+— `cell_directions` maps cells across stages with FGW-OT; the field is learned
+with the framework's own device SparseVFC instead of dynamo's)."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+
+from ....alignment.methods.paste import paste_pairwise_align
+from ....alignment.utils import get_optimal_mapping_relationship
+from ....core.anndata import AnnData
+from ....logging import logger_manager as lm
+from ....ops.vfc import SparseVFC
+from ...interpolations import get_X_Y_grid
+
+
+def cell_directions(
+    adataA: AnnData,
+    adataB: AnnData,
+    layer: str = "X",
+    genes: Optional[Union[list, np.ndarray]] = None,
+    spatial_key: str = "align_spatial",
+    key_added: str = "mapping",
+    alpha: float = 0.001,
+    numItermax: int = 200,
+    numItermaxEmd: int = 100000,
+    dtype: str = "float32",
+    device: str = "tpu",
+    keep_all: bool = False,
+    inplace: bool = True,
+    **kwargs,
+) -> Tuple[Optional[AnnData], np.ndarray]:
+    """Optimal mapping + developmental direction between two stages
+    (parity: sparsevfc.py:18)."""
+    pi, _ = paste_pairwise_align(
+        sampleA=adataA.copy(),
+        sampleB=adataB.copy(),
+        spatial_key=spatial_key,
+        layer=layer,
+        genes=genes,
+        alpha=alpha,
+        numItermax=numItermax,
+        verbose=False,
+        **kwargs,
+    )
+    X_index, Y_index, _, _ = get_optimal_mapping_relationship(
+        X=np.asarray(adataA.obsm[spatial_key]).copy(),
+        Y=np.asarray(adataB.obsm[spatial_key]).copy(),
+        pi=pi,
+        keep_all=keep_all,
+    )
+    mapping_data = pd.DataFrame(
+        {
+            "index_x": X_index.astype(np.int32),
+            "index_y": Y_index.astype(np.int32),
+            "pi_value": pi[X_index, Y_index].astype(np.float64),
+        }
+    )
+    mapping_data.sort_values(by=["index_x", "pi_value"], ascending=[True, False], inplace=True)
+    mapping_data.drop_duplicates(subset=["index_x"], keep="first", inplace=True)
+    adataA.obsm[f"X_{key_added}"] = np.asarray(adataB.obsm[spatial_key])[mapping_data["index_y"].values]
+    adataA.obsm[f"V_{key_added}"] = adataA.obsm[f"X_{key_added}"] - np.asarray(adataA.obsm[spatial_key])
+    return (None if inplace else adataA), pi
+
+
+def _morphofield_sparsevfc(
+    X: np.ndarray,
+    V: np.ndarray,
+    NX: Optional[np.ndarray] = None,
+    grid_num: Optional[List[int]] = None,
+    M: int = 100,
+    lambda_: float = 0.02,
+    lstsq_method: str = "scipy",
+    min_vel_corr: float = 0.8,
+    restart_num: int = 10,
+    restart_seed: Union[List[int], Tuple[int], np.ndarray] = (0, 100, 200, 300, 400),
+    **kwargs,
+) -> dict:
+    """SparseVFC fit with correlation-gated restarts (parity:
+    sparsevfc.py:103, restart logic :178-232)."""
+    if NX is not None:
+        predict_X = np.asarray(NX)
+    else:
+        if grid_num is None:
+            grid_num = [50, 50, 50]
+            lm.main_warning("grid_num and NX are both None, using `grid_num = [50,50,50]`.")
+        _, _, Grid, _ = get_X_Y_grid(X=X.copy(), Y=V.copy(), grid_num=grid_num)
+        predict_X = Grid
+
+    if restart_num > 0:
+        restart_seed = np.asarray(restart_seed)
+        if len(restart_seed) != restart_num:
+            restart_seed = np.arange(restart_num) * 100
+        cur_vf_list, res_list = [], []
+        for counter in range(restart_num):
+            cur = SparseVFC(
+                X=X, Y=V, Grid=predict_X, M=M, lstsq_method=lstsq_method, lambda_=lambda_,
+                seed=int(restart_seed[counter]), **kwargs,
+            )
+            reference = cur["Y"][cur["valid_ind"]]
+            prediction = cur["V"][cur["valid_ind"]]
+            tn = reference / (np.linalg.norm(reference, axis=1, keepdims=True) + 1e-20)
+            pn = prediction / (np.linalg.norm(prediction, axis=1, keepdims=True) + 1e-20)
+            res = float(np.mean(tn * pn) * prediction.shape[1])
+            cur_vf_list.append(cur)
+            res_list.append(res)
+            if res >= min_vel_corr:
+                vf_dict = cur
+                break
+            lm.main_info(
+                f"Current cosine correlation ({round(res, 5)}) < {min_vel_corr}; retrial {counter + 1}."
+            )
+        else:
+            lm.main_warning(
+                f"Cosine correlation below {min_vel_corr} after {restart_num} trials; keeping the best."
+            )
+            vf_dict = cur_vf_list[int(np.argmax(res_list))]
+    else:
+        vf_dict = SparseVFC(X=X, Y=V, Grid=predict_X, M=M, lstsq_method=lstsq_method, lambda_=lambda_, **kwargs)
+
+    vf_dict["method"] = "sparsevfc"
+    return vf_dict
+
+
+def morphofield_sparsevfc(
+    adata: AnnData,
+    spatial_key: str = "align_spatial",
+    V_key: str = "V_mapping",
+    key_added: str = "VecFld_morpho",
+    NX: Optional[np.ndarray] = None,
+    grid_num: Optional[List[int]] = None,
+    M: int = 100,
+    lambda_: float = 0.02,
+    lstsq_method: str = "scipy",
+    min_vel_corr: float = 0.8,
+    restart_num: int = 10,
+    restart_seed: Union[List[int], Tuple[int], np.ndarray] = (0, 100, 200, 300, 400),
+    inplace: bool = True,
+    **kwargs,
+) -> Optional[AnnData]:
+    """AnnData-level SparseVFC morphofield (parity: sparsevfc.py:241)."""
+    adata = adata if inplace else adata.copy()
+    vf_dict = _morphofield_sparsevfc(
+        X=np.asarray(adata.obsm[spatial_key], dtype=float),
+        V=np.asarray(adata.obsm[V_key], dtype=float),
+        NX=NX,
+        grid_num=grid_num,
+        M=M,
+        lambda_=lambda_,
+        lstsq_method=lstsq_method,
+        min_vel_corr=min_vel_corr,
+        restart_num=restart_num,
+        restart_seed=restart_seed,
+        **kwargs,
+    )
+    adata.uns[key_added] = vf_dict
+    adata.obsm["velocity_" + spatial_key.split("_")[-1] if "_" in spatial_key else "velocity"] = vf_dict["V"]
+    return None if inplace else adata

@@ -1,0 +1,6 @@
+"""Model editing widgets (capability parity: reference spateo/tdr/widgets/ —
+interactive pyvista clip/pick/slice). Headless-first: the same operations
+exposed as array-predicate functions; interactive picking is a documented
+non-goal without a display server."""
+
+from .ops import clip_models, interactive_pick, pick_models, slice_models

@@ -1,0 +1,206 @@
+"""TDR tests: SparseVFC field learning, differential geometry, meshes, backbone."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import spateo_tpu as st
+from spateo_tpu.ops.vfc import SparseVFC, vector_field_function
+
+
+@pytest.fixture(scope="module")
+def rotation_field_data():
+    """A rigid-rotation velocity field: v = omega x r (divergence-free,
+    constant curl 2*omega)."""
+    rng = np.random.default_rng(0)
+    X = rng.uniform(-1, 1, (400, 3)).astype(np.float32)
+    omega = np.array([0.0, 0.0, 1.0])
+    V = np.cross(np.broadcast_to(omega, X.shape), X).astype(np.float32)
+    return X, V
+
+
+class TestSparseVFC:
+    def test_recovers_field(self, rotation_field_data):
+        X, V = rotation_field_data
+        res = SparseVFC(X, V, Grid=X[:50], M=80, lambda_=0.1)
+        # learned velocities should correlate with the truth
+        pred = res["V"]
+        cos = np.sum(pred * V, axis=1) / (
+            np.linalg.norm(pred, axis=1) * np.linalg.norm(V, axis=1) + 1e-12
+        )
+        assert np.mean(cos) > 0.95
+        assert res["grid_V"].shape == (50, 3)
+        assert set(res.keys()) >= {"X", "V", "C", "P", "beta", "sigma2", "X_ctrl"}
+
+    def test_vector_field_function(self, rotation_field_data):
+        X, V = rotation_field_data
+        res = SparseVFC(X, V, M=80, lambda_=0.1)
+        v_query = vector_field_function(X[:5], res)
+        cos = np.sum(v_query * V[:5], axis=1) / (
+            np.linalg.norm(v_query, axis=1) * np.linalg.norm(V[:5], axis=1) + 1e-12
+        )
+        assert np.mean(cos) > 0.9
+
+
+class TestDifferentialGeometry:
+    @pytest.fixture(scope="class")
+    def vf_adata(self, rotation_field_data):
+        X, V = rotation_field_data
+        adata = st.AnnData(X=np.ones((len(X), 3)))
+        st.SKM.init_adata_type(adata, "UMI")
+        adata.obsm["align_spatial"] = X
+        adata.obsm["V_mapping"] = V
+        st.tdr.morphofield_sparsevfc(adata, spatial_key="align_spatial", V_key="V_mapping",
+                                     NX=X[:10], M=80, lambda_=0.1, restart_num=2, min_vel_corr=0.5)
+        return adata
+
+    def test_curl_and_divergence_of_rotation(self, vf_adata):
+        """For v = omega x r: div = 0, curl = 2*omega."""
+        st.tdr.morphofield_curl(vf_adata, vf_key="VecFld_morpho")
+        st.tdr.morphofield_divergence(vf_adata, vf_key="VecFld_morpho")
+        curl = np.asarray(vf_adata.obsm["curl"])
+        div = np.asarray(vf_adata.obs["divergence"])
+        np.testing.assert_allclose(curl.mean(axis=0), [0, 0, 2], atol=0.3)
+        # derivatives amplify kernel-fit noise: require |div| well below the
+        # field's curl magnitude (2), not near machine zero
+        assert np.abs(div).mean() < 0.8
+        assert np.median(np.abs(div)) < 0.6
+
+    def test_acceleration_curvature_torsion_jacobian(self, vf_adata):
+        st.tdr.morphofield_acceleration(vf_adata)
+        st.tdr.morphofield_curvature(vf_adata)
+        st.tdr.morphofield_torsion(vf_adata)
+        st.tdr.morphofield_jacobian(vf_adata)
+        assert vf_adata.obsm["acceleration"].shape[1] == 3
+        assert "curvature" in vf_adata.obs
+        assert "torsion" in vf_adata.obs
+        assert vf_adata.uns["jacobian"].shape[1:] == (3, 3)
+
+    def test_morphopath_trajectories(self, vf_adata):
+        st.tdr.morphopath(vf_adata, vf_key="VecFld_morpho", interpolation_num=50)
+        fate = vf_adata.uns["fate_morpho"]
+        traj0 = np.asarray(fate["prediction"][0]).T  # [T, 3]
+        assert traj0.shape[0] == 51
+        # rotation field preserves radius from the z-axis
+        r0 = np.linalg.norm(traj0[0, :2])
+        r_end = np.linalg.norm(traj0[-1, :2])
+        assert abs(r_end - r0) / (r0 + 1e-9) < 0.3
+
+
+class TestModels:
+    @pytest.fixture(scope="class")
+    def sphere_points(self):
+        rng = np.random.default_rng(1)
+        pts = rng.normal(size=(800, 3))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        # fill interior too
+        radii = rng.uniform(0, 1, 800) ** (1 / 3)
+        return (pts * radii[:, None]).astype(float)
+
+    def test_construct_pc(self, sphere_points):
+        adata = st.AnnData(X=np.ones((len(sphere_points), 2)))
+        st.SKM.init_adata_type(adata, "UMI")
+        adata.obsm["spatial"] = sphere_points
+        pc, _ = st.tdr.construct_pc(adata)
+        assert pc.n_points == len(sphere_points)
+
+    def test_construct_surface_sphere(self, sphere_points):
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+
+        pc = PointCloud(sphere_points)
+        mesh, clipped, _ = st.tdr.construct_surface(pc, smooth=5)
+        assert mesh.n_faces > 50
+        # unit ball: V ~ 4/3 pi ~ 4.19, SA ~ 4 pi ~ 12.57 (alpha shape approximates)
+        assert 1.5 < mesh.volume < 6.0
+        assert 6.0 < mesh.area < 20.0
+
+    def test_marching_cubes_surface(self, sphere_points):
+        from spateo_tpu.tdr.models.models_individual.voxel import marching_cubes_mesh
+
+        mesh = marching_cubes_mesh(sphere_points, resolution=16)
+        assert mesh.n_faces > 50
+        assert 0.5 < mesh.volume < 10.0
+
+    def test_voxelize_pc(self, sphere_points):
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+
+        vox = st.tdr.voxelize_pc(PointCloud(sphere_points), voxel_size=np.array([0.2, 0.2, 0.2]))
+        assert 0 < vox.n_points < len(sphere_points)
+
+    def test_model_morphology(self, sphere_points):
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+
+        pc = PointCloud(sphere_points)
+        mesh, _, _ = st.tdr.construct_surface(pc, smooth=3)
+        morph = st.tdr.model_morphology(mesh, pc=pc)
+        assert morph["Volume"] > 0 and morph["Surface_area"] > 0
+        assert "cell_density" in morph
+
+    def test_backbone_on_curve(self):
+        t = np.linspace(0, 2 * np.pi, 500)
+        rng = np.random.default_rng(0)
+        pts = np.c_[np.cos(t), np.sin(t), t / 3] + rng.normal(0, 0.03, (500, 3))
+        backbone, length, _ = st.tdr.construct_backbone(pts, rd_method="SimplePPT", num_nodes=20)
+        assert backbone.n_points <= 20
+        # the helix arclength is ~ 2pi * sqrt(1 + (1/3)^2) ~ 6.6
+        assert 4.0 < length < 10.0
+
+    def test_shape_similarity_self(self, sphere_points):
+        sim_self = st.tdr.pairwise_shape_similarity(sphere_points, sphere_points + 0.01)
+        rng = np.random.default_rng(3)
+        cube = rng.uniform(-1, 1, (800, 3))
+        sim_cross = st.tdr.pairwise_shape_similarity(sphere_points, cube)
+        assert sim_self > 0.5
+
+    def test_widgets(self, sphere_points):
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+
+        pc = PointCloud(sphere_points)
+        pc["groups"] = np.where(sphere_points[:, 0] > 0, "right", "left")
+        clipped = st.tdr.clip_models(pc, plane_origin=[0, 0, 0], plane_normal=[1, 0, 0])
+        assert (clipped.points[:, 0] >= 0).all()
+        picked = st.tdr.pick_models(pc, "groups", "left")
+        assert (picked.points[:, 0] <= 0).all()
+        slabs = st.tdr.slice_models(pc, axis=2, n_slices=4)
+        assert len(slabs) == 4
+        assert sum(s.n_points for s in slabs) == pc.n_points
+
+
+class TestInterpolation:
+    @pytest.fixture(scope="class")
+    def field_adata(self):
+        rng = np.random.default_rng(0)
+        X = rng.uniform(0, 1, (400, 3))
+        expr = np.c_[np.sin(4 * X[:, 0]), X[:, 1] ** 2].astype(np.float32)
+        adata = st.AnnData(X=expr, var=pd.DataFrame(index=["gA", "gB"]))
+        st.SKM.init_adata_type(adata, "UMI")
+        adata.obsm["spatial"] = X
+        return adata
+
+    def test_vtk_interpolation(self, field_adata):
+        target = np.random.default_rng(1).uniform(0.2, 0.8, (50, 3))
+        out = st.tdr.vtk_interpolation(field_adata, target_points=target, keys=["gA", "gB"])
+        truth = np.sin(4 * target[:, 0])
+        err = np.abs(np.asarray(out.X)[:, 0] - truth).mean()
+        assert err < 0.25
+
+    def test_kernel_interpolation(self, field_adata):
+        target = np.random.default_rng(2).uniform(0.2, 0.8, (40, 3))
+        out = st.tdr.kernel_interpolation(field_adata, genes=["gA", "gB"], NX=target, M=60)
+        truth = np.sin(4 * target[:, 0])
+        err = np.abs(np.asarray(out.X)[:, 0] - truth).mean()
+        assert err < 0.3
+
+    def test_gp_interpolation(self, field_adata):
+        target = np.random.default_rng(3).uniform(0.2, 0.8, (40, 3))
+        out = st.tdr.gp_interpolation(field_adata, target_points=target, keys=["gA"], training_iter=100, inducing_num=64)
+        truth = np.sin(4 * target[:, 0])
+        err = np.abs(np.asarray(out.X)[:, 0] - truth).mean()
+        assert err < 0.3
+
+    def test_deep_interpolation(self, field_adata):
+        target = np.random.default_rng(4).uniform(0.2, 0.8, (40, 3))
+        out = st.tdr.deep_intepretation(field_adata, target_points=target, keys=["gA"], max_iter=400)
+        truth = np.sin(4 * target[:, 0])
+        err = np.abs(np.asarray(out.X)[:, 0] - truth).mean()
+        assert err < 0.35
