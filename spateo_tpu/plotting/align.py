@@ -1,0 +1,299 @@
+"""Alignment visualizations (capability parity: reference
+spateo/plotting/static/align.py:24 `slices_2d`, :445 `overlay_slices_2d`,
+:817 `optimization_animation`, :901 `plot_deformation_grid`,
+:1261 `multi_slices`)."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+
+from .utils import DEFAULT_PALETTE, despline_all, get_categorical_colors, resolve_cmap, save_return_show_fig_utils
+
+
+def _slices_list(slices, slices_key):
+    """Normalize (AnnData|list, slices_key) -> list of (name, adata)."""
+    if isinstance(slices, (list, tuple)):
+        return [(str(s.obs[slices_key].iloc[0]) if slices_key and slices_key in s.obs else str(i), s) for i, s in enumerate(slices)]
+    if slices_key is None or slices_key is False:
+        return [("0", slices)]
+    names = pd.unique(np.asarray(slices.obs[slices_key]).astype(str))
+    return [(n, slices[np.asarray(slices.obs[slices_key]).astype(str) == n]) for n in names]
+
+
+def _label_values(adata, label_key):
+    from scipy.sparse import issparse
+
+    if label_key is None:
+        return np.zeros(adata.n_obs)
+    if label_key in adata.obs.columns:
+        return np.asarray(adata.obs[label_key])
+    j = list(map(str, adata.var_names)).index(str(label_key))
+    col = adata.X[:, j]
+    return np.asarray(col.toarray()).ravel() if issparse(adata.X) else np.asarray(col).ravel()
+
+
+def slices_2d(
+    slices,
+    slices_key: Optional[str] = None,
+    label_key: Optional[str] = None,
+    label_type: Optional[str] = None,
+    spatial_key: str = "spatial",
+    point_size: Optional[float] = None,
+    n_sampling: int = -1,
+    palette: Optional[dict] = None,
+    ncols: int = 4,
+    title: str = "",
+    show_legend: bool = True,
+    axis_off: bool = False,
+    ticks_off: bool = True,
+    height: float = 2,
+    alpha: float = 1.0,
+    cmap="tab20",
+    center_coordinate: bool = False,
+    return_palette: bool = False,
+    save_show_or_return: str = "return",
+    save_kwargs: Optional[dict] = None,
+    **kwargs,
+):
+    """One panel per slice, colored by a categorical cluster or scalar value
+    (parity: reference align.py:24)."""
+    items = _slices_list(slices, slices_key)
+    n = len(items)
+    ncols = min(ncols, n)
+    nrows = int(np.ceil(n / ncols))
+    fig, axes = plt.subplots(nrows, ncols, figsize=(height * 1.2 * ncols, height * nrows), squeeze=False)
+    axes_flat = axes.ravel()
+
+    # shared palette / value range across panels
+    all_vals = np.concatenate([_label_values(a, label_key) for _, a in items])
+    numeric = np.issubdtype(all_vals.dtype, np.number) if label_type is None else (label_type == "scalar")
+    if not numeric and palette is None:
+        cats = list(pd.unique(pd.Series(all_vals).astype(str)))
+        palette = {c: DEFAULT_PALETTE[i % len(DEFAULT_PALETTE)] for i, c in enumerate(cats)}
+    vmin, vmax = (float(np.nanmin(all_vals)), float(np.nanmax(all_vals))) if numeric else (None, None)
+
+    rng = np.random.default_rng(0)
+    for i, (name, a) in enumerate(items):
+        ax = axes_flat[i]
+        pts = np.asarray(a.obsm[spatial_key])[:, :2].astype(float)
+        vals = _label_values(a, label_key)
+        if 0 < n_sampling < len(pts):
+            idx = rng.choice(len(pts), n_sampling, replace=False)
+            pts, vals = pts[idx], np.asarray(vals)[idx]
+        if center_coordinate:
+            pts = pts - pts.mean(0)
+        ps = point_size if point_size is not None else max(0.5, 8000.0 / max(len(pts), 1))
+        if numeric:
+            sc = ax.scatter(pts[:, 0], pts[:, 1], c=np.asarray(vals, float), s=ps, alpha=alpha, cmap=resolve_cmap(cmap if isinstance(cmap, str) else None, "viridis"), vmin=vmin, vmax=vmax, linewidths=0)
+            if show_legend and i == n - 1:
+                plt.colorbar(sc, ax=ax, shrink=0.7)
+        else:
+            svals = pd.Series(vals).astype(str).values
+            for c in pd.unique(svals):
+                m = svals == c
+                ax.scatter(pts[m, 0], pts[m, 1], color=palette[c], s=ps, alpha=alpha, label=c, linewidths=0)
+            if show_legend and i == n - 1:
+                ax.legend(loc="center left", bbox_to_anchor=(1, 0.5), fontsize=6, markerscale=3, frameon=False)
+        ax.set_title(name, fontsize=9)
+        ax.set_aspect("equal")
+        if axis_off:
+            ax.axis("off")
+        elif ticks_off:
+            ax.set_xticks([])
+            ax.set_yticks([])
+    for j in range(n, len(axes_flat)):
+        axes_flat[j].axis("off")
+    if title:
+        fig.suptitle(title)
+
+    out = save_return_show_fig_utils(save_show_or_return, show_legend, None, "slices_2d", save_kwargs, n, fig, list(axes_flat[:n]))
+    if return_palette:
+        return out, palette
+    return out
+
+
+def overlay_slices_2d(
+    slices,
+    slices_key: Optional[str] = None,
+    label_key: Optional[str] = None,
+    spatial_key: str = "spatial",
+    point_size: Optional[float] = None,
+    overlay_type: str = "forward",
+    ncols: int = 4,
+    height: float = 2,
+    alpha: float = 0.6,
+    save_show_or_return: str = "return",
+    save_kwargs: Optional[dict] = None,
+    **kwargs,
+):
+    """Overlay consecutive slice pairs to inspect alignment quality
+    (parity: reference align.py:445). Each panel shows slice i (red) over
+    slice i+1 (blue)."""
+    items = _slices_list(slices, slices_key)
+    pairs = list(zip(items[:-1], items[1:]))
+    n = max(len(pairs), 1)
+    ncols = min(ncols, n)
+    nrows = int(np.ceil(n / ncols))
+    fig, axes = plt.subplots(nrows, ncols, figsize=(height * 1.2 * ncols, height * nrows), squeeze=False)
+    axes_flat = axes.ravel()
+    for i, ((na, a), (nb, b)) in enumerate(pairs):
+        ax = axes_flat[i]
+        pa = np.asarray(a.obsm[spatial_key])[:, :2]
+        pb = np.asarray(b.obsm[spatial_key])[:, :2]
+        ps = point_size if point_size is not None else max(0.5, 8000.0 / max(len(pa) + len(pb), 1))
+        order = (pa, pb) if overlay_type == "forward" else (pb, pa)
+        ax.scatter(order[0][:, 0], order[0][:, 1], s=ps, color="tab:red", alpha=alpha, label=na, linewidths=0)
+        ax.scatter(order[1][:, 0], order[1][:, 1], s=ps, color="tab:blue", alpha=alpha, label=nb, linewidths=0)
+        ax.set_title(f"{na} vs {nb}", fontsize=9)
+        ax.set_aspect("equal")
+        ax.set_xticks([])
+        ax.set_yticks([])
+    for j in range(n, len(axes_flat)):
+        axes_flat[j].axis("off")
+    return save_return_show_fig_utils(save_show_or_return, True, None, "overlay_slices_2d", save_kwargs, n, fig, list(axes_flat[:n]))
+
+
+def multi_slices(
+    slices,
+    slices_key: Optional[str] = None,
+    label_key: Optional[str] = None,
+    spatial_key: str = "spatial",
+    layer: str = "X",
+    point_size: Optional[float] = None,
+    font_size: int = 10,
+    palette=None,
+    alpha: float = 1.0,
+    ax=None,
+    save_show_or_return: str = "return",
+    save_kwargs: Optional[dict] = None,
+    **kwargs,
+):
+    """All slices side-by-side on ONE axes, offset along x
+    (parity: reference align.py:1261)."""
+    items = _slices_list(slices, slices_key)
+    if ax is None:
+        fig, ax = plt.subplots(figsize=(3 * len(items), 3))
+    else:
+        fig = ax.figure
+    x_cursor = 0.0
+    all_vals = np.concatenate([_label_values(a, label_key) for _, a in items])
+    numeric = np.issubdtype(all_vals.dtype, np.number)
+    if not numeric and palette is None:
+        cats = list(pd.unique(pd.Series(all_vals).astype(str)))
+        palette = {c: DEFAULT_PALETTE[i % len(DEFAULT_PALETTE)] for i, c in enumerate(cats)}
+    seen = set()
+    for name, a in items:
+        pts = np.asarray(a.obsm[spatial_key])[:, :2].astype(float).copy()
+        pts -= pts.min(0)
+        width = pts[:, 0].max()
+        pts[:, 0] += x_cursor
+        vals = _label_values(a, label_key)
+        ps = point_size if point_size is not None else max(0.5, 8000.0 / max(len(pts), 1))
+        if numeric:
+            ax.scatter(pts[:, 0], pts[:, 1], c=np.asarray(vals, float), s=ps, alpha=alpha, cmap="viridis", linewidths=0)
+        else:
+            svals = pd.Series(vals).astype(str).values
+            for c in pd.unique(svals):
+                m = svals == c
+                ax.scatter(pts[m, 0], pts[m, 1], color=palette[c], s=ps, alpha=alpha, linewidths=0,
+                           label=None if c in seen else c)
+                seen.add(c)
+        ax.text(x_cursor + width / 2, -0.08 * pts[:, 1].max(), name, ha="center", fontsize=font_size)
+        x_cursor += width * 1.15
+    if not numeric:
+        ax.legend(loc="center left", bbox_to_anchor=(1, 0.5), fontsize=7, markerscale=3, frameon=False)
+    ax.set_aspect("equal")
+    ax.axis("off")
+    return save_return_show_fig_utils(save_show_or_return, True, None, "multi_slices", save_kwargs, 1, fig, ax)
+
+
+def plot_deformation_grid(
+    adata,
+    spatial_key: str,
+    origin_spatial_key: str,
+    label_key: str,
+    predict_func,
+    ax=None,
+    point_size: float = 2,
+    grid_num: int = 10,
+    line_width: float = 0.5,
+    grid_color: str = "black",
+    expand_scale: float = 0.1,
+    palette=None,
+    title: str = "",
+    legend: bool = True,
+    fontsize: int = 8,
+    **kwargs,
+):
+    """Draw the nonrigid deformation as a warped lattice over the aligned
+    points (parity: reference align.py:901). `predict_func` maps original
+    coordinates -> deformed coordinates (e.g. a BA_transform closure)."""
+    if ax is None:
+        _, ax = plt.subplots(figsize=(5, 5))
+    pts = np.asarray(adata.obsm[spatial_key])[:, :2]
+    origin = np.asarray(adata.obsm[origin_spatial_key])[:, :2]
+    labels = np.asarray(adata.obs[label_key]).astype(str)
+    if palette is None:
+        cats = list(pd.unique(labels))
+        palette = {c: DEFAULT_PALETTE[i % len(DEFAULT_PALETTE)] for i, c in enumerate(cats)}
+    for c in pd.unique(labels):
+        m = labels == c
+        ax.scatter(pts[m, 0], pts[m, 1], s=point_size, color=palette[c], label=c, linewidths=0)
+
+    x_min, x_max = origin[:, 0].min(), origin[:, 0].max()
+    y_min, y_max = origin[:, 1].min(), origin[:, 1].max()
+    x_min, x_max = x_min - (x_max - x_min) * expand_scale, x_max + (x_max - x_min) * expand_scale
+    y_min, y_max = y_min - (y_max - y_min) * expand_scale, y_max + (y_max - y_min) * expand_scale
+    t = np.linspace(0, 1, 200)
+    for xv in np.linspace(x_min, x_max, grid_num):
+        line = np.stack([np.full_like(t, xv), y_min + t * (y_max - y_min)], 1)
+        d = np.asarray(predict_func(line))
+        ax.plot(d[:, 0], d[:, 1], color=grid_color, lw=line_width)
+    for yv in np.linspace(y_min, y_max, grid_num):
+        line = np.stack([x_min + t * (x_max - x_min), np.full_like(t, yv)], 1)
+        d = np.asarray(predict_func(line))
+        ax.plot(d[:, 0], d[:, 1], color=grid_color, lw=line_width)
+    if legend:
+        ax.legend(fontsize=fontsize, markerscale=3, frameon=False, loc="center left", bbox_to_anchor=(1, 0.5))
+    ax.set_title(title)
+    ax.set_aspect("equal")
+    despline_all(ax)
+    return ax
+
+
+def optimization_animation(
+    aligned_slices: List[np.ndarray],
+    fixed_slice: np.ndarray,
+    filename: str = "alignment.gif",
+    fps: int = 5,
+    point_size: float = 2,
+    **kwargs,
+):
+    """Animate the alignment iterations (parity: reference align.py:817).
+    `aligned_slices` is a sequence of [N, 2] coordinate snapshots of the
+    moving slice; writes a GIF via matplotlib's PillowWriter."""
+    from matplotlib import animation
+
+    fig, ax = plt.subplots(figsize=(5, 5))
+    fixed = np.asarray(fixed_slice)[:, :2]
+    frames = [np.asarray(f)[:, :2] for f in aligned_slices]
+    allpts = np.concatenate([fixed] + frames)
+    ax.set_xlim(allpts[:, 0].min(), allpts[:, 0].max())
+    ax.set_ylim(allpts[:, 1].min(), allpts[:, 1].max())
+    ax.set_aspect("equal")
+    ax.scatter(fixed[:, 0], fixed[:, 1], s=point_size, color="tab:blue", linewidths=0)
+    moving = ax.scatter(frames[0][:, 0], frames[0][:, 1], s=point_size, color="tab:red", linewidths=0)
+
+    def update(i):
+        moving.set_offsets(frames[i])
+        ax.set_title(f"iteration {i}")
+        return (moving,)
+
+    anim = animation.FuncAnimation(fig, update, frames=len(frames), blit=True)
+    anim.save(filename, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return filename

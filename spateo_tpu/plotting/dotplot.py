@@ -1,0 +1,257 @@
+"""Dotplot machinery (capability parity: reference
+spateo/plotting/static/dotplot.py:46 `adata_to_frame`, :258 `Dotplot`,
+:1513 `CCDotplot`, :1628 `dotplot`).
+
+Lean re-design: one class computing (fraction, mean) matrices host-side and
+rendering the scanpy-style dot grid + size legend + colorbar; the cell-cell
+variant marks significant entries with open rings."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+from matplotlib.colors import Normalize
+
+from .utils import check_colornorm, plot_dendrogram, resolve_cmap, save_return_show_fig_utils
+
+
+def adata_to_frame(
+    adata,
+    var_names: Sequence[str],
+    cat_key: str,
+    num_categories: int = 7,
+    layer: Optional[str] = None,
+    gene_symbols_key: Optional[str] = None,
+) -> pd.DataFrame:
+    """Long-form (cell, gene) expression frame with a category column
+    (parity: reference dotplot.py:46)."""
+    from scipy.sparse import issparse
+
+    names = list(map(str, adata.var_names))
+    if gene_symbols_key is not None:
+        symbols = list(map(str, adata.var[gene_symbols_key]))
+        idx = [symbols.index(str(g)) for g in var_names]
+    else:
+        idx = [names.index(str(g)) for g in var_names]
+    M = adata.X if layer is None else adata.layers[layer]
+    sub = M[:, idx]
+    sub = np.asarray(sub.toarray() if issparse(sub) else sub)
+    cats = np.asarray(adata.obs[cat_key])
+    if np.issubdtype(cats.dtype, np.number) and len(np.unique(cats)) > num_categories:
+        cats = pd.cut(cats, num_categories).astype(str)
+    df = pd.DataFrame(sub, columns=[str(g) for g in var_names])
+    df["_cat"] = pd.Series(cats).astype(str).values
+    return df
+
+
+class Dotplot:
+    """Fraction-size / mean-color dot grid (parity surface: reference
+    dotplot.py:258)."""
+
+    default_dot_max = None
+    default_dot_min = None
+    default_smallest_dot = 0.0
+    default_largest_dot = 200.0
+    default_color_legend_title = "Mean expression\nin group"
+    default_size_legend_title = "Fraction of cells\nin group (%)"
+
+    def __init__(
+        self,
+        adata=None,
+        var_names: Sequence[str] = (),
+        cat_key: str = None,
+        num_categories: int = 7,
+        expression_cutoff: float = 0.0,
+        mean_only_expressed: bool = False,
+        standard_scale: Optional[str] = None,
+        dot_color_df: Optional[pd.DataFrame] = None,
+        dot_size_df: Optional[pd.DataFrame] = None,
+        layer: Optional[str] = None,
+        gene_symbols_key: Optional[str] = None,
+        title: Optional[str] = None,
+        figsize: Optional[Tuple[float, float]] = None,
+        **kwargs,
+    ):
+        if dot_color_df is not None and dot_size_df is not None:
+            self.dot_color_df, self.dot_size_df = dot_color_df, dot_size_df
+        else:
+            df = adata_to_frame(adata, var_names, cat_key, num_categories, layer, gene_symbols_key)
+            grouped = df.groupby("_cat")
+            frac = grouped.agg(lambda v: (np.asarray(v) > expression_cutoff).mean())
+            if mean_only_expressed:
+                mean = grouped.agg(lambda v: np.asarray(v)[np.asarray(v) > expression_cutoff].mean() if (np.asarray(v) > expression_cutoff).any() else 0.0)
+            else:
+                mean = grouped.mean()
+            self.dot_size_df, self.dot_color_df = frac, mean
+        if standard_scale == "var":
+            c = self.dot_color_df
+            self.dot_color_df = (c - c.min(0)) / (c.max(0) - c.min(0) + 1e-12)
+        elif standard_scale == "group":
+            c = self.dot_color_df
+            self.dot_color_df = c.sub(c.min(1), axis=0).div(c.max(1) - c.min(1) + 1e-12, axis=0)
+        self.title = title
+        self.figsize = figsize
+        self._style = dict(
+            cmap="Reds", dot_max=None, dot_min=None, smallest_dot=0.0,
+            largest_dot=200.0, dot_edge_color="black", dot_edge_lw=0.2,
+        )
+        self._legend = dict(show=True, colorbar_title=self.default_color_legend_title, size_title=self.default_size_legend_title)
+        self.swap_axes = False
+        self.vmin = self.vmax = self.vcenter = self.norm = None
+
+    def style(self, **kwargs):
+        self._style.update({k: v for k, v in kwargs.items() if v is not None or k in ("dot_max", "dot_min")})
+        return self
+
+    def legend(self, show: bool = True, colorbar_title=None, size_title=None, **kwargs):
+        self._legend["show"] = show
+        if colorbar_title is not None:
+            self._legend["colorbar_title"] = colorbar_title
+        if size_title is not None:
+            self._legend["size_title"] = size_title
+        return self
+
+    def _size_norm(self, frac: np.ndarray) -> np.ndarray:
+        dot_max = self._style["dot_max"] if self._style["dot_max"] is not None else max(float(np.nanmax(frac)), 1e-12)
+        dot_min = self._style["dot_min"] or 0.0
+        fr = np.clip(frac, dot_min, dot_max)
+        fr = (fr - dot_min) / max(dot_max - dot_min, 1e-12)
+        return self._style["smallest_dot"] + fr * (self._style["largest_dot"] - self._style["smallest_dot"])
+
+    def make_figure(self, ax=None, dendrogram_adata=None, dendrogram_key=None):
+        color = self.dot_color_df
+        size = self.dot_size_df.loc[color.index, color.columns]
+        if self.swap_axes:
+            color, size = color.T, size.T
+        ny, nx = color.shape
+        if ax is None:
+            figsize = self.figsize or (max(3.0, 0.35 * nx + 2.5), max(2.5, 0.3 * ny + 1.5))
+            self.fig, ax = plt.subplots(figsize=figsize)
+        else:
+            self.fig = ax.figure
+        self.ax = ax
+        yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+        cvals = color.values.astype(float)
+        svals = self._size_norm(size.values.astype(float))
+        norm = check_colornorm(self.vmin, self.vmax, self.vcenter, self.norm)
+        sc = ax.scatter(
+            xx.ravel(), yy.ravel(), s=svals.ravel(), c=cvals.ravel(),
+            cmap=resolve_cmap(self._style["cmap"]), norm=norm,
+            edgecolors=self._style["dot_edge_color"], linewidths=self._style["dot_edge_lw"],
+        )
+        ax.set_xticks(range(nx))
+        ax.set_xticklabels(color.columns, rotation=90, fontsize=8)
+        ax.set_yticks(range(ny))
+        ax.set_yticklabels(color.index, fontsize=8)
+        ax.set_xlim(-0.6, nx - 0.4)
+        ax.set_ylim(ny - 0.4, -0.6)
+        if self.title:
+            ax.set_title(self.title)
+        if self._legend["show"]:
+            cb = self.fig.colorbar(sc, ax=ax, shrink=0.5, pad=0.02)
+            cb.set_label(self._legend["colorbar_title"], fontsize=8)
+            handles = []
+            for f in (0.25, 0.5, 0.75, 1.0):
+                s = self._style["smallest_dot"] + f * (self._style["largest_dot"] - self._style["smallest_dot"])
+                handles.append(plt.scatter([], [], s=s, c="grey", edgecolors="black", linewidths=0.2, label=f"{int(f*100)}"))
+            ax.legend(handles=handles, title=self._legend["size_title"], loc="center left",
+                      bbox_to_anchor=(1.25, 0.5), frameon=False, fontsize=7, title_fontsize=7)
+        if dendrogram_adata is not None and dendrogram_key:
+            pass  # dendrogram ordering already applied by caller
+        return self
+
+
+class CCDotplot(Dotplot):
+    """Cell-cell communication dotplot: p-value-sized dots, significant
+    entries ringed (parity: reference dotplot.py:1513)."""
+
+    def __init__(self, delta=None, minn=None, alpha=None, sig_df=None, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.delta, self.minn, self.alpha = delta, minn, alpha
+        self.sig_df = sig_df  # boolean mask of entries to ring (p <= alpha)
+        self._legend["colorbar_title"] = "Log fold change"
+        self._legend["size_title"] = r"Significance ($-\log_{10}(pval)$)"
+
+    def make_figure(self, ax=None, **kwargs):
+        super().make_figure(ax=ax, **kwargs)
+        if self.sig_df is not None:
+            sig = self.sig_df.loc[self.dot_color_df.index, self.dot_color_df.columns].values.astype(bool)
+            if self.swap_axes:
+                sig = sig.T
+            yy, xx = np.nonzero(sig)
+            self.ax.scatter(xx, yy, s=self._style["largest_dot"] * 1.4, facecolors="none",
+                            edgecolors="black", linewidths=1.0)
+        return self
+
+
+def dotplot(
+    adata,
+    var_names: Sequence[str],
+    cat_key: Union[str, Sequence[str]],
+    num_categories: int = 7,
+    cell_cell_dp: bool = False,
+    delta: Optional[float] = None,
+    minn: Optional[float] = None,
+    alpha: Optional[float] = None,
+    prescale_adata: bool = False,
+    expression_cutoff: float = 0.0,
+    mean_only_expressed: bool = False,
+    cmap: str = "Reds",
+    dot_max=None,
+    dot_min=None,
+    standard_scale: Optional[str] = None,
+    smallest_dot: float = 0.0,
+    largest_dot: float = 200.0,
+    title: Optional[str] = None,
+    colorbar_title: Optional[str] = None,
+    size_title: Optional[str] = None,
+    figsize: Optional[Tuple[float, float]] = None,
+    dendrogram: Union[bool, str] = False,
+    gene_symbols_key: Optional[str] = None,
+    layer: Optional[str] = None,
+    swap_axes: bool = False,
+    dot_color_df: Optional[pd.DataFrame] = None,
+    dot_size_df: Optional[pd.DataFrame] = None,
+    save_show_or_return: str = "return",
+    save_kwargs: Optional[dict] = None,
+    ax=None,
+    vmin=None,
+    vmax=None,
+    vcenter=None,
+    norm=None,
+    **kwargs,
+):
+    """Dot plot of expression values: color = mean expression per group, size
+    = fraction expressing (parity: reference dotplot.py:1628)."""
+    cat_key = cat_key if isinstance(cat_key, str) else list(cat_key)[0]
+    cls = CCDotplot if cell_cell_dp else Dotplot
+    init_kwargs = dict(
+        adata=adata, var_names=var_names, cat_key=cat_key, num_categories=num_categories,
+        expression_cutoff=expression_cutoff, mean_only_expressed=mean_only_expressed,
+        standard_scale=standard_scale, dot_color_df=dot_color_df, dot_size_df=dot_size_df,
+        layer=layer, gene_symbols_key=gene_symbols_key, title=title, figsize=figsize,
+    )
+    if cell_cell_dp:
+        init_kwargs.update(delta=delta, minn=minn, alpha=alpha)
+    dp = cls(**init_kwargs)
+    dp.swap_axes = swap_axes
+    dp.vmin, dp.vmax, dp.vcenter, dp.norm = vmin, vmax, vcenter, norm
+    dp.style(cmap=cmap, dot_max=dot_max, dot_min=dot_min, smallest_dot=smallest_dot, largest_dot=largest_dot)
+    dp.legend(colorbar_title=colorbar_title, size_title=size_title)
+
+    if dendrogram and adata is not None:
+        from .utils import dendrogram as _dend
+
+        key = dendrogram if isinstance(dendrogram, str) else f"dendrogram_{cat_key}"
+        if key not in adata.uns:
+            _dend(adata, cat_key, var_names=var_names, key_added=key)
+        order = adata.uns[key]["categories_ordered"]
+        keep = [c for c in order if c in dp.dot_color_df.index]
+        dp.dot_color_df = dp.dot_color_df.loc[keep]
+        dp.dot_size_df = dp.dot_size_df.loc[keep]
+
+    dp.make_figure(ax=ax)
+    return save_return_show_fig_utils(save_show_or_return, True, None, "dotplot", save_kwargs, 1, dp.fig, dp.ax)

@@ -1,0 +1,330 @@
+"""Shared plotting helpers (capability parity: reference
+spateo/plotting/static/utils.py:37-1878 — color-vector resolution, hex
+conversion, save/show/return protocol, color normalization, dendrograms).
+
+Implemented as lean matplotlib idioms; device work never happens here — the
+plotting layer is a host-side consumer of arrays already computed by the
+jit'd compute layers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple, Union
+
+import matplotlib
+
+if os.environ.get("DISPLAY") is None and matplotlib.get_backend().lower() not in ("agg", "pdf", "svg"):
+    matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+from matplotlib import colormaps
+from matplotlib.axes import Axes
+from matplotlib.colors import Colormap, ListedColormap, Normalize, TwoSlopeNorm, to_hex, to_rgba
+from matplotlib.figure import Figure
+
+from ..logging import logger_manager as lm
+
+# ---------------------------------------------------------------------------
+# default palettes
+# ---------------------------------------------------------------------------
+
+#: categorical palette used when a grouping has no registered colors
+#: (parity with the reference's glasbey-style defaults)
+DEFAULT_PALETTE: List[str] = (
+    list(plt.get_cmap("tab20").colors)
+    + list(plt.get_cmap("tab20b").colors)
+    + list(plt.get_cmap("tab20c").colors)
+)
+
+
+def is_gene_name(adata, var: str) -> bool:
+    """True if `var` names a gene (reference utils.py:37)."""
+    return isinstance(var, str) and var in set(map(str, adata.var_names))
+
+
+def is_cell_anno_column(adata, var: str) -> bool:
+    """True if `var` names an obs column (reference utils.py:44)."""
+    return isinstance(var, str) and var in adata.obs.columns
+
+
+def is_layer_keys(adata, var: str) -> bool:
+    """True if `var` names a layer (reference utils.py:51)."""
+    return isinstance(var, str) and var in adata.layers
+
+
+def _get_adata_color_vec(adata, layer: str, col: str) -> np.ndarray:
+    """Resolve a color vector from obs / gene expression / layer
+    (reference utils.py:62)."""
+    from scipy.sparse import issparse
+
+    if is_cell_anno_column(adata, col):
+        return np.asarray(adata.obs[col])
+    if is_gene_name(adata, col):
+        j = list(map(str, adata.var_names)).index(col)
+        M = adata.X if layer in (None, "X") else adata.layers[layer]
+        v = M[:, j]
+        return np.asarray(v.toarray()).ravel() if issparse(M) else np.asarray(v).ravel()
+    raise ValueError(f"color key `{col}` is neither an obs column nor a gene name")
+
+
+def map2color(val, min=None, max=None, cmap: str = "viridis"):
+    """Map scalars to RGBA via a colormap (reference utils.py:77)."""
+    val = np.asarray(val, dtype=float)
+    lo = np.nanmin(val) if min is None else min
+    hi = np.nanmax(val) if max is None else max
+    norm = Normalize(vmin=lo, vmax=hi)
+    return colormaps[cmap](norm(val))
+
+
+def _to_hex(arr) -> List[str]:
+    """RGBA array -> hex strings (reference utils.py:91)."""
+    return [to_hex(c) for c in np.asarray(arr)]
+
+
+def _select_font_color(background: str) -> str:
+    """Pick a readable font color for the background (reference utils.py:141)."""
+    r, g, b, _ = to_rgba(background)
+    return "black" if (0.299 * r + 0.587 * g + 0.114 * b) > 0.5 else "white"
+
+
+def check_colornorm(
+    vmin: Optional[float] = None,
+    vmax: Optional[float] = None,
+    vcenter: Optional[float] = None,
+    norm: Optional[Normalize] = None,
+) -> Normalize:
+    """Build a matplotlib Normalize honoring vmin/vmax/vcenter
+    (reference utils.py:1578)."""
+    if norm is not None:
+        return norm
+    if vcenter is not None:
+        return TwoSlopeNorm(vcenter=vcenter, vmin=vmin, vmax=vmax)
+    return Normalize(vmin=vmin, vmax=vmax)
+
+
+def resolve_cmap(cmap: Union[str, Colormap, None], default: str = "viridis") -> Colormap:
+    if cmap is None:
+        return colormaps[default]
+    if isinstance(cmap, str):
+        return colormaps[cmap]
+    return cmap
+
+
+def get_color_map_matplotlib(*args, **kwargs):  # pragma: no cover - thin alias
+    return resolve_cmap(*args, **kwargs)
+
+
+def despline(ax: Optional[Axes] = None) -> None:
+    """Remove the top/right spines (reference utils.py:870)."""
+    ax = ax or plt.gca()
+    for side in ("top", "right"):
+        ax.spines[side].set_visible(False)
+
+
+def despline_all(ax: Optional[Axes] = None, sides: Optional[Sequence[str]] = None) -> None:
+    """Remove all (or selected) spines (reference utils.py:882)."""
+    ax = ax or plt.gca()
+    for side in sides or ("top", "right", "bottom", "left"):
+        ax.spines[side].set_visible(False)
+
+
+def deaxis_all(ax: Optional[Axes] = None) -> None:
+    """Hide both axes (reference utils.py:894)."""
+    ax = ax or plt.gca()
+    ax.get_xaxis().set_visible(False)
+    ax.get_yaxis().set_visible(False)
+
+
+def quiver_autoscaler(X_emb: np.ndarray, V_emb: np.ndarray) -> float:
+    """Estimate a quiver scale so arrows are visible but non-overlapping
+    (reference utils.py:1098)."""
+    X_emb, V_emb = np.asarray(X_emb), np.asarray(V_emb)
+    span = np.abs(np.ptp(X_emb[:, 0])) + np.abs(np.ptp(X_emb[:, 1]))
+    mean_len = np.mean(np.sqrt((V_emb[:, :2] ** 2).sum(1))) + 1e-12
+    return float(mean_len / (0.01 * span + 1e-12))
+
+
+def save_fig(
+    path: Optional[str] = None,
+    prefix: Optional[str] = None,
+    dpi: Optional[int] = None,
+    ext: str = "pdf",
+    transparent: bool = True,
+    close: bool = True,
+    verbose: bool = True,
+) -> None:
+    """Save the current figure (reference utils.py:1200)."""
+    path = path or os.getcwd()
+    prefix = prefix or "figure"
+    if os.path.splitext(path)[1]:
+        savepath = path
+    else:
+        os.makedirs(path, exist_ok=True)
+        savepath = os.path.join(path, f"{prefix}.{ext}")
+    if verbose:
+        lm.main_info(f"Saving figure to {savepath}...")
+    plt.savefig(savepath, dpi=dpi, transparent=transparent, bbox_inches="tight")
+    if close:
+        plt.close()
+
+
+def save_return_show_fig_utils(
+    save_show_or_return: str,
+    show_legend: bool,
+    background: Optional[str],
+    prefix: str,
+    save_kwargs: Optional[dict],
+    total_panels: int,
+    fig: Figure,
+    axes,
+    return_all: bool = False,
+    return_all_list=None,
+):
+    """The reference's unified figure exit protocol (utils.py:1476):
+    'save' writes to disk, 'show' calls plt.show, 'return' hands back the
+    axes; 'both'/'all' combine."""
+    save_kwargs = save_kwargs or {}
+    if save_show_or_return in ("save", "both", "all"):
+        s_kwargs = {"path": None, "prefix": prefix, "dpi": None, "ext": "pdf", "close": save_show_or_return == "save"}
+        s_kwargs.update(save_kwargs)
+        save_fig(**s_kwargs)
+    if save_show_or_return in ("show", "both", "all"):
+        if show_legend:
+            plt.subplots_adjust(right=0.85)
+        plt.show()
+    if save_show_or_return in ("return", "all"):
+        if return_all and return_all_list is not None:
+            return return_all_list
+        return axes
+    return None
+
+
+def deduplicate_kwargs(kwargs_dict: dict, **kwargs) -> dict:
+    """Fill defaults without clobbering user kwargs (reference utils.py:1627)."""
+    out = dict(kwargs)
+    out.update(kwargs_dict)
+    return out
+
+
+def _get_array_values(X, dim_names, keys, axis, backed=False) -> np.ndarray:
+    """Column extraction helper (reference utils.py:1530)."""
+    from scipy.sparse import issparse
+
+    idx = [list(map(str, dim_names)).index(str(k)) for k in keys]
+    sub = X[:, idx] if axis == 1 else X[idx, :]
+    return np.asarray(sub.toarray() if issparse(sub) else sub)
+
+
+# ---------------------------------------------------------------------------
+# categorical color handling
+# ---------------------------------------------------------------------------
+
+
+def get_categorical_colors(
+    adata, key: str, values: Optional[np.ndarray] = None
+) -> Tuple[List[str], dict]:
+    """Categories + a name->hex mapping, honoring `adata.uns[f'{key}_colors']`
+    if present (scanpy/reference convention)."""
+    vals = np.asarray(adata.obs[key]) if values is None else np.asarray(values)
+    cats = list(pd.unique(pd.Series(vals).astype(str)))
+    try:
+        cats = sorted(cats, key=lambda c: (len(c), c))
+    except Exception:  # pragma: no cover
+        pass
+    stored = adata.uns.get(f"{key}_colors") if adata is not None else None
+    if stored is not None and len(stored) >= len(cats):
+        colors = [to_hex(c) for c in stored[: len(cats)]]
+    else:
+        colors = [to_hex(DEFAULT_PALETTE[i % len(DEFAULT_PALETTE)]) for i in range(len(cats))]
+    return cats, dict(zip(cats, colors))
+
+
+# ---------------------------------------------------------------------------
+# dendrogram (host scipy; reference utils.py:1648-1878)
+# ---------------------------------------------------------------------------
+
+
+def _dendrogram_sig(data: np.ndarray, method: str = "ward", **kwargs):
+    """Hierarchical ordering of rows/cols (reference utils.py:1648)."""
+    from scipy.cluster import hierarchy as sch
+    from scipy.spatial.distance import pdist
+
+    link = sch.linkage(pdist(data), method=method)
+    dend = sch.dendrogram(link, no_plot=True)
+    leaves = dend["leaves"]
+    return leaves, dend["icoord"], dend["dcoord"], link
+
+
+def dendrogram(
+    adata,
+    cluster_key: str,
+    var_names: Optional[Sequence[str]] = None,
+    use_rep: Optional[str] = None,
+    method: str = "ward",
+    key_added: Optional[str] = None,
+) -> None:
+    """Compute a cluster-level dendrogram and stash it in .uns
+    (reference utils.py:1669)."""
+    from scipy.sparse import issparse
+
+    groups = np.asarray(adata.obs[cluster_key]).astype(str)
+    cats = list(pd.unique(groups))
+    if use_rep is not None and use_rep in adata.obsm:
+        M = np.asarray(adata.obsm[use_rep])
+    else:
+        M = adata.X.toarray() if issparse(adata.X) else np.asarray(adata.X)
+        if var_names is not None:
+            idx = [list(map(str, adata.var_names)).index(str(g)) for g in var_names]
+            M = M[:, idx]
+    means = np.stack([M[groups == c].mean(axis=0) for c in cats])
+    leaves, icoord, dcoord, link = _dendrogram_sig(means, method=method)
+    key_added = key_added or f"dendrogram_{cluster_key}"
+    adata.uns[key_added] = {
+        "linkage": link,
+        "categories_ordered": [cats[i] for i in leaves],
+        "categories_idx_ordered": leaves,
+        "dendrogram_info": {"icoord": icoord, "dcoord": dcoord, "leaves": leaves},
+        "cluster_key": cluster_key,
+    }
+
+
+def plot_dendrogram(ax: Axes, adata, cluster_key: str, orientation: str = "top", remove_labels: bool = True):
+    """Draw a stored dendrogram onto `ax` (reference utils.py:1820)."""
+    info = adata.uns.get(f"dendrogram_{cluster_key}")
+    if info is None:
+        dendrogram(adata, cluster_key)
+        info = adata.uns[f"dendrogram_{cluster_key}"]
+    icoord = np.asarray(info["dendrogram_info"]["icoord"])
+    dcoord = np.asarray(info["dendrogram_info"]["dcoord"])
+    for xs, ys in zip(icoord, dcoord):
+        if orientation in ("top", "bottom"):
+            ax.plot(xs, ys, color="#555555", lw=1)
+        else:
+            ax.plot(ys, xs, color="#555555", lw=1)
+    if orientation == "bottom":
+        ax.invert_yaxis()
+    if orientation == "left":
+        ax.invert_xaxis()
+    if remove_labels:
+        ax.set_xticks([])
+        ax.set_yticks([])
+        despline_all(ax)
+    return ax
+
+
+def arrowed_spines(ax: Axes, basis: str = "", background: str = "white"):
+    """Replace box spines with small arrowed axes (reference utils.py:1002)."""
+    despline_all(ax)
+    fc = _select_font_color(background)
+    xmin, xmax = ax.get_xlim()
+    ymin, ymax = ax.get_ylim()
+    dx, dy = (xmax - xmin) * 0.25, (ymax - ymin) * 0.25
+    ax.annotate("", xy=(xmin + dx, ymin), xytext=(xmin, ymin), arrowprops=dict(arrowstyle="->", color=fc))
+    ax.annotate("", xy=(xmin, ymin + dy), xytext=(xmin, ymin), arrowprops=dict(arrowstyle="->", color=fc))
+    if basis:
+        ax.text(xmin, ymin - dy * 0.15, f"{basis}_1", fontsize=8, color=fc)
+        ax.text(xmin - dx * 0.12, ymin, f"{basis}_2", fontsize=8, color=fc, rotation=90)
+    return ax

@@ -1,0 +1,236 @@
+"""Plotting-layer tests: each plot path renders to an Agg canvas and we
+assert on the artists it created (reference test model: smoke + structure,
+spateo's tests don't pixel-compare either)."""
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+import pytest
+
+import spateo_tpu as st
+import spateo_tpu.plotting as pl
+
+
+@pytest.fixture(autouse=True)
+def _close_figs():
+    yield
+    plt.close("all")
+
+
+@pytest.fixture()
+def adata():
+    rng = np.random.default_rng(0)
+    n = 300
+    X = rng.poisson(2.0, (n, 5)).astype(np.float32)
+    a = st.AnnData(
+        X=X,
+        obs=pd.DataFrame({"leiden": rng.choice(["a", "b", "c"], n)}, index=[f"c{i}" for i in range(n)]),
+        var=pd.DataFrame(index=[f"g{j}" for j in range(5)]),
+    )
+    a.obsm["spatial"] = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+    st.SKM.init_adata_type(a, "UMI")
+    return a
+
+
+class TestScattersSpace:
+    def test_scatters_categorical_and_gene(self, adata):
+        ax = pl.scatters(adata, basis="spatial", color="leiden", save_show_or_return="return")
+        assert len(ax.collections) >= 3  # one PathCollection per category
+
+        ax2 = pl.scatters(adata, basis="spatial", color="g0", save_show_or_return="return")
+        assert len(ax2.collections) >= 1
+
+    def test_space_figsize_and_stack(self, adata):
+        axes = pl.space(adata, genes=["g0", "g1"], save_show_or_return="return")
+        assert len(axes) == 2
+        ax = pl.space(adata, genes=["g0", "g1"], stack_genes=True, save_show_or_return="return")
+        assert ax.get_legend() is not None
+
+    def test_plot_vectors_quiver(self, adata):
+        _, ax = plt.subplots()
+        V = np.random.default_rng(1).normal(size=(adata.n_obs, 2))
+        pl.plot_vectors(ax, adata.obsm["spatial"], V, method="cell")
+        from matplotlib.quiver import Quiver
+
+        assert any(isinstance(c, Quiver) for c in ax.get_children())
+
+
+class TestAgg:
+    def test_imshow_and_qc(self):
+        rng = np.random.default_rng(0)
+        img = rng.poisson(1.0, (40, 50)).astype(np.float32)
+        a = st.AnnData(X=img, obs=pd.DataFrame(index=[str(i) for i in range(40)]), var=pd.DataFrame(index=[str(j) for j in range(50)]))
+        st.SKM.init_adata_type(a, "AGG")
+        fig, ax = pl.imshow(a, save_show_or_return="return")
+        assert ax.get_images()[0].get_array().shape == (40, 50)
+
+        from spateo_tpu.segmentation.qc import select_qc_regions
+
+        select_qc_regions(a, n=2, size=10)
+        fig, ax = pl.box_qc_regions(a, save_show_or_return="return")
+        assert len(ax.patches) == 2
+        axes = pl.qc_regions(a, save_show_or_return="return")
+        assert len(axes) == 2
+
+    def test_imshow_rejects_umi(self, adata):
+        with pytest.raises(ValueError):
+            pl.imshow(adata)
+
+
+class TestAlign:
+    def test_slices_2d_and_overlay(self, adata):
+        b = adata.copy() if hasattr(adata, "copy") else adata
+        axes = pl.slices_2d([adata, b], label_key="leiden", save_show_or_return="return")
+        assert len(axes) == 2
+        axes = pl.overlay_slices_2d([adata, b], save_show_or_return="return")
+        assert len(axes) == 1
+        ax = pl.multi_slices([adata, b], label_key="leiden", save_show_or_return="return")
+        assert len(ax.collections) > 0
+
+    def test_deformation_grid(self, adata):
+        adata.obsm["align_spatial"] = np.asarray(adata.obsm["spatial"]) + 1.0
+        ax = pl.plot_deformation_grid(
+            adata, "align_spatial", "spatial", "leiden",
+            predict_func=lambda x: x + 1.0, point_size=2, grid_num=5,
+        )
+        assert len(ax.lines) == 10  # 5 horizontal + 5 vertical grid lines
+
+
+class TestDotplot:
+    def test_dotplot_basic(self, adata):
+        ax = pl.dotplot(adata, var_names=["g0", "g1", "g2"], cat_key="leiden", save_show_or_return="return")
+        sc = ax.collections[0]
+        assert sc.get_offsets().shape[0] == 9  # 3 genes x 3 groups
+
+    def test_dotplot_dendrogram_orders_rows(self, adata):
+        ax = pl.dotplot(adata, var_names=["g0", "g1"], cat_key="leiden", dendrogram=True, save_show_or_return="return")
+        assert f"dendrogram_leiden" in adata.uns
+
+
+class TestInteractions:
+    def test_ligrec(self, adata):
+        pairs = ["L1-R1", "L2-R2", "L3-R3"]
+        cols = ["a|b", "b|c"]
+        rng = np.random.default_rng(0)
+        adata.uns["cci"] = {
+            "means": pd.DataFrame(rng.uniform(0.1, 2.0, (3, 2)), index=pairs, columns=cols),
+            "pvalues": pd.DataFrame(rng.uniform(0, 0.2, (3, 2)), index=pairs, columns=cols),
+        }
+        ax = pl.ligrec(adata, "cci", alpha=0.05, save_show_or_return="return")
+        assert ax.collections  # dots rendered
+
+    def test_plot_connections(self, adata):
+        fig, axes = pl.plot_connections(adata, "leiden", n_spatial_neighbors=5, save_show_or_return="return")
+        assert len(axes) == 1
+        assert len(axes[0].patches) > 0  # squares drawn
+
+
+class TestGlmLisaPolarity:
+    def test_glm_plots(self, adata):
+        xs = np.linspace(0, 1, 50)
+        corr = {"g0": pd.DataFrame({"torsion": xs, "expression": 2 * xs + 0.1})}
+        adata.uns["glm_degs"] = {"glm_result": pd.DataFrame(index=["g0"]), "correlation": corr}
+        axes = pl.glm_fit(adata, genes="g0", feature_x="torsion", save_show_or_return="return")
+        assert axes[0].lines  # fitted trend drawn
+        ax = pl.glm_heatmap(adata, genes="g0", feature_x="torsion", save_show_or_return="return")
+        assert ax.get_images()
+
+    def test_lisa_panels(self):
+        rng = np.random.default_rng(0)
+        df = pd.DataFrame({
+            "x": rng.uniform(0, 10, 100), "y": rng.uniform(0, 10, 100),
+            "exp_zscore": rng.normal(size=100), "w_exp_zscore": rng.normal(size=100),
+            "Is": rng.normal(size=100),
+            "labels": rng.choice(["Q1", "Q2", "Q3", "Q4"], 100),
+            "sig": rng.choice([0, 1], 100),
+            "group": rng.choice(["0 ns", "1 hot spot"], 100),
+        })
+        ax = pl.lisa_quantiles(df)
+        assert ax.lines  # regression + axlines
+        axs = pl.lisa(df)
+        assert len(axs) == 4
+
+    def test_polarity(self, adata):
+        adata.obs["region"] = np.random.default_rng(0).integers(0, 5, adata.n_obs)
+        ax = pl.polarity(adata, {"anno": ["g0"]}, "region", mode="exp")
+        assert ax.lines
+
+
+class TestGeoNetwork:
+    def test_geo_fallback_squares(self, adata):
+        ax = pl.geo(adata, color="leiden", save_show_or_return="return")
+        assert ax.collections  # PolyCollection added
+        ax = pl.color_label(adata, save_show_or_return="return")
+        assert ax.collections
+
+    def test_plot_network(self):
+        import networkx as nx
+
+        G = nx.DiGraph()
+        G.add_edge("A", "B", weight=2.0)
+        G.add_edge("B", "C", weight=1.0)
+        ax = pl.plot_network(G, title="t", layout="circular", edge_thickness_attr="weight", save_show_or_return="return")
+        assert ax.get_title() == "t"
+
+
+class TestThreeD:
+    def _ball(self):
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(200, 3))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        return pts
+
+    def test_three_d_plot_mesh_and_points(self):
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+
+        pc = PointCloud(self._ball(), {"val": np.arange(200.0)})
+        fig = pl.three_d_plot(pc, key="val", model_style="points")
+        assert fig.axes[0].collections
+
+        mesh, _, _ = st.tdr.construct_surface(PointCloud(self._ball() * 0.9), smooth=2)
+        fig = pl.three_d_plot(mesh, model_style="surface")
+        assert fig.axes[0].collections
+
+    def test_multi_and_morphometrics(self, tmp_path):
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+
+        rng = np.random.default_rng(0)
+        X = rng.uniform(-1, 1, (150, 3)).astype(np.float32)
+        V = np.cross(np.broadcast_to([0.0, 0.0, 1.0], X.shape), X).astype(np.float32)
+        a = st.AnnData(X=np.ones((150, 3), dtype=np.float32))
+        st.SKM.init_adata_type(a, "UMI")
+        a.obsm["align_spatial"] = X
+        a.obsm["V_mapping"] = V
+        st.tdr.morphofield_sparsevfc(a, spatial_key="align_spatial", V_key="V_mapping", NX=X[:5], M=50, restart_num=1, min_vel_corr=-1)
+        st.tdr.morphofield_curl(a)
+        pc = PointCloud(X)
+        fig = pl.curl(a, pc, model_style="points")
+        assert fig.axes[0].collections
+        out = pl.curl(a, pc, model_style="points", filename=str(tmp_path / "curl.png"))
+        assert (tmp_path / "curl.png").exists()
+
+    def test_missing_key_raises(self):
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+
+        a = st.AnnData(X=np.ones((5, 2), dtype=np.float32))
+        st.SKM.init_adata_type(a, "UMI")
+        with pytest.raises(KeyError):
+            pl.divergence(a, PointCloud(np.zeros((5, 3))))
+
+    def test_pi_heatmap_and_mapping(self):
+        rng = np.random.default_rng(0)
+        a = st.AnnData(X=np.ones((30, 2), dtype=np.float32))
+        b = st.AnnData(X=np.ones((25, 2), dtype=np.float32))
+        for x in (a, b):
+            st.SKM.init_adata_type(x, "UMI")
+        a.obsm["align_spatial"] = rng.uniform(0, 1, (30, 2))
+        b.obsm["align_spatial"] = rng.uniform(0, 1, (25, 2))
+        P = rng.uniform(0, 1, (30, 25))
+        ax = pl.pi_heatmap(P, save_show_or_return="return")
+        assert ax.get_images()
+        fig = pl.pairwise_mapping(adataA=a, adataB=b, pi=P, n_sampling=10)
+        assert len(fig.axes[0].lines) == 10
