@@ -36,6 +36,20 @@ def make_raster(h, w, seed=0):
 
 
 def tpu_pipeline(X, seed=0):
+    """The whole EM+BP scoring + threshold + morphology pipeline as ONE
+    fused device program (spateo_tpu/segmentation/starro.py) — one dispatch
+    in, one bool mask out."""
+    import numpy as _np
+
+    from spateo_tpu.segmentation.starro import starro_em_bp
+
+    _, mask = starro_em_bp(X, k=5, seed=seed, bp_max_iter=50)
+    return _np.asarray(mask)
+
+
+def tpu_pipeline_staged(X, seed=0):
+    """The stage-by-stage path (host round-trip between stages); kept for
+    comparison and used by the correctness cross-check in tests."""
     from spateo_tpu.segmentation.icell import _score_pixels
     from spateo_tpu.segmentation.utils import apply_threshold
     from spateo_tpu.ops.threshold import threshold_otsu

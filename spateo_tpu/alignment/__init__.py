@@ -8,6 +8,7 @@ deformation grids, downsampling and rigid/TPS utilities.
 from .deformation import grid_deformation
 from .methods import (
     Morpho_pairwise,
+    Mesh_correction,
     calc_distance,
     calc_exp_dissimilarity,
     empty_cache,

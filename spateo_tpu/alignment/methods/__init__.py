@@ -11,6 +11,7 @@ from .math import (
     normalize_coords,
     voxel_data,
 )
+from .mesh_correction import Mesh_correction
 from .morpho import Morpho_pairwise, filter_common_genes, get_rep
 from .paste import center_NMF, generalized_procrustes_analysis, paste_center_align, paste_pairwise_align
 from .sampling import sample

@@ -231,6 +231,36 @@ def score_and_mask_pixels(
             bins = np.asarray(SKM.select_layer_data(adata, bins_layer))
     method = method.lower()
     lm.main_info(f"Scoring pixels with {method} method.")
+
+    # fast path: the whole EM+BP scoring + threshold + morphology pipeline as
+    # one fused device program (no per-stage host round-trips). Falls back to
+    # the staged path whenever bins / certain masks / custom thresholds are in
+    # play.
+    if (
+        method == "em+bp"
+        and bins is None
+        and certain_mask is None
+        and threshold is None
+        and not use_knee
+        and not (moran_kwargs or vi_kwargs)
+    ):
+        from .starro import starro_em_bp
+
+        fused_kwargs = {}
+        for src, dst in (("downsample", "downsample"), ("max_iter", "em_max_iter"), ("precision", "em_precision"), ("seed", "seed")):
+            if src in (em_kwargs or {}):
+                fused_kwargs[dst] = em_kwargs[src]
+        for src, dst in (("k", "bp_k"), ("square", "bp_square"), ("p", "bp_p"), ("q", "bp_q"), ("precision", "bp_precision"), ("max_iter", "bp_max_iter")):
+            if src in (bp_kwargs or {}):
+                fused_kwargs[dst] = bp_kwargs[src]
+        if issparse(X):
+            X = X.toarray()
+        scores_d, mask_d = starro_em_bp(np.asarray(X, dtype=float), k=k, mk=mk or k + 2, **fused_kwargs)
+        scores = np.asarray(scores_d)
+        SKM.set_layer_data(adata, scores_layer or SKM.gen_new_layer_key(layer, SKM.SCORES_SUFFIX), scores)
+        SKM.set_layer_data(adata, mask_layer or SKM.gen_new_layer_key(layer, SKM.MASK_SUFFIX), np.asarray(mask_d))
+        return
+
     scores = _score_pixels(X, k, method, moran_kwargs, em_kwargs, vi_kwargs, bp_kwargs, certain_mask, bins)
     scores_layer = scores_layer or SKM.gen_new_layer_key(layer, SKM.SCORES_SUFFIX)
     SKM.set_layer_data(adata, scores_layer, scores)
