@@ -335,3 +335,118 @@ class SpateoAdataKeyManager:
 
 
 SKM = SpateoAdataKeyManager
+
+
+# ---------------------------------------------------------------------------
+# matplotlib theming (parity: reference configuration.py:249-808 —
+# shiftedColorMap, config_spateo_rcParams, set_figure_params, set_pub_style)
+# ---------------------------------------------------------------------------
+
+
+def shiftedColorMap(cmap, start: float = 0, midpoint: float = 0.5, stop: float = 1.0, name: str = "shiftedcmap"):
+    """Re-center a colormap (parity: reference configuration.py:249). Useful
+    for diverging data whose zero is not at the middle of [vmin, vmax]:
+    set midpoint = 1 - vmax / (vmax + abs(vmin))."""
+    import matplotlib as mpl
+    import matplotlib.pyplot as plt
+    import numpy as _np
+
+    try:
+        mpl.cm.ColormapRegistry.unregister(plt.colormaps, name=name)
+    except Exception:
+        pass
+    cdict = {"red": [], "green": [], "blue": [], "alpha": []}
+    reg_index = _np.linspace(start, stop, 257)
+    shift_index = _np.hstack(
+        [_np.linspace(0.0, midpoint, 128, endpoint=False), _np.linspace(midpoint, 1.0, 129, endpoint=True)]
+    )
+    for ri, si in zip(reg_index, shift_index):
+        r, g, b, a = cmap(ri)
+        cdict["red"].append((si, r, r))
+        cdict["green"].append((si, g, g))
+        cdict["blue"].append((si, b, b))
+        cdict["alpha"].append((si, a, a))
+    newcmap = mpl.colors.LinearSegmentedColormap(name, cdict)
+    try:
+        mpl.colormaps.register(cmap=newcmap)
+    except ValueError:
+        pass
+    return newcmap
+
+
+def config_spateo_rcParams(
+    background: str = "white",
+    prop_cycle=None,
+    fontsize: int = 8,
+    color_map=None,
+    frameon=None,
+) -> None:
+    """Set matplotlib rcParams to the framework's ggplot/scanpy-style
+    defaults (parity: reference configuration.py:505)."""
+    import matplotlib as mpl
+    from cycler import cycler
+    from matplotlib import rcParams
+
+    rcParams["patch.linewidth"] = 0.5
+    rcParams["patch.facecolor"] = "348ABD"
+    rcParams["patch.edgecolor"] = "EEEEEE"
+    rcParams["patch.antialiased"] = True
+    rcParams["font.size"] = 10.0
+    rcParams["axes.facecolor"] = "E5E5E5" if background == "white" else background
+    rcParams["axes.edgecolor"] = "white"
+    rcParams["axes.linewidth"] = 1
+    rcParams["axes.grid"] = True
+    rcParams["axes.labelcolor"] = "555555"
+    rcParams["axes.axisbelow"] = True
+    rcParams["xtick.direction"] = "out"
+    rcParams["ytick.direction"] = "out"
+    rcParams["grid.color"] = "white"
+    rcParams["grid.linestyle"] = "-"
+    rcParams["figure.facecolor"] = background
+    rcParams["figure.edgecolor"] = "0.5"
+    rcParams["legend.fancybox"] = True
+    rcParams["legend.fontsize"] = fontsize
+    if prop_cycle is not None:
+        rcParams["axes.prop_cycle"] = cycler(color=list(prop_cycle))
+    if color_map is not None:
+        rcParams["image.cmap"] = color_map if isinstance(color_map, str) else color_map.name
+    if frameon is not None:
+        rcParams["axes.spines.top"] = frameon
+        rcParams["axes.spines.right"] = frameon
+
+
+def set_figure_params(
+    dpi: int = 100,
+    dpi_save: int = 300,
+    frameon: bool = True,
+    fontsize: int = 8,
+    background: str = "white",
+    **kwargs,
+) -> None:
+    """Figure-level defaults (parity: reference configuration.py:637)."""
+    from matplotlib import rcParams
+
+    config_spateo_rcParams(background=background, fontsize=fontsize, frameon=frameon)
+    rcParams["figure.dpi"] = dpi
+    rcParams["savefig.dpi"] = dpi_save
+
+
+def set_pub_style(scaler: float = 1) -> None:
+    """Publication-figure styling (parity: reference configuration.py:720;
+    the cairo-backend switch is dropped — Agg serializes identically)."""
+    import matplotlib as mpl
+
+    set_figure_params(background="white")
+    mpl.rcParams.update(
+        {
+            "font.size": 6 * scaler,
+            "legend.fontsize": 6 * scaler,
+            "legend.handlelength": 0.5 * scaler,
+            "axes.labelsize": 8 * scaler,
+            "axes.titlesize": 8 * scaler,
+            "xtick.labelsize": 8 * scaler,
+            "ytick.labelsize": 8 * scaler,
+            "axes.titlepad": 1 * scaler,
+            "axes.labelpad": 1 * scaler,
+        }
+    )

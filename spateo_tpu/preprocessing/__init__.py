@@ -5,6 +5,7 @@ Capability parity with reference spateo/preprocessing/__init__.py.
 
 from . import filter, image
 from .aggregate import bin_adata
+from . import auxseg
 from .filter import filter_by_coordinates, filter_cells, filter_genes
 from .image import remove_background
 from .normalize import (

@@ -29,6 +29,7 @@ from .label import (
 )
 from .moran import moranI, run_moran, run_moran_and_mask_pixels
 from .qc import generate_random_labels, generate_random_labels_like, select_qc_regions
+from . import simulation_evaluation
 from .simulation import simulate_cells
 from .utils import (
     apply_threshold,

@@ -4,6 +4,9 @@ Capability parity with reference spateo/tools/__init__.py.
 """
 
 from .architype import archetypes, archetypes_genes, find_spatial_archetypes
+from .cluster_lasso import Lasso
+from .live_wire import LiveWireSegmentation, compute_shortest_path, live_wire
+from .roi import ROIAnnotator, img_segmentation
 from .CCI_effects_modeling import (
     MuSIC,
     MuSIC_Interpreter,

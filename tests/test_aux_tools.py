@@ -1,0 +1,125 @@
+"""sample_data, live-wire/lasso/ROI tools, simulation_evaluation, theming
+(reference parity: spateo/sample_data.py, tools/{live_wire,cluster_lasso,
+roi}.py, segmentation/simulation_evaluation/, configuration theming)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import spateo_tpu as st
+
+
+class TestSampleData:
+    def test_synthetic_structure(self):
+        a = st.sample_data.synthetic(n_cells=400, n_genes=30, n_domains=4, seed=1)
+        assert a.n_obs == 400 and a.n_vars == 30
+        assert len(set(np.asarray(a.obs["domain"]))) == 4
+        assert a.obsm["spatial"].shape == (400, 2)
+        assert st.SKM.get_adata_type(a) == "UMI"
+        # markers actually mark: domain_0's markers higher inside than outside
+        dom = np.asarray(a.obs["domain"]) == "domain_0"
+        X = np.asarray(a.X)
+        assert X[dom, :3].mean() > X[~dom, :3].mean() + 1
+
+    def test_unknown_filename_raises(self):
+        with pytest.raises(KeyError, match="unknown sample file"):
+            st.sample_data.mousebrain("nope.h5ad")
+
+
+class TestLiveWire:
+    def test_path_follows_dark_valley(self):
+        img = np.ones((50, 50)) * 0.5
+        img[:, 24:27] = 0.0
+        path = np.asarray(st.tl.compute_shortest_path(img, (2, 25), (47, 25)))
+        assert len(path) >= 46
+        assert np.all(np.abs(path[:, 1] - 25) <= 2)
+
+    def test_requires_image(self):
+        lw = st.tl.LiveWireSegmentation(None)
+        with pytest.raises(AttributeError, match="Load an image"):
+            lw.compute_shortest_path((0, 0), (1, 1))
+
+
+class TestLassoRoi:
+    def test_lasso_select(self):
+        a = st.sample_data.synthetic(n_cells=300, seed=0)
+        L = st.tl.Lasso(a)
+        sub = L.select(np.array([[0.0, 0.0], [40.0, 0.0], [40.0, 40.0], [0.0, 40.0]]))
+        pts = np.asarray(sub.obsm["spatial"])
+        assert sub.n_obs > 0
+        assert (pts <= 40.0 + 1e-6).all()
+        assert st.tl.Lasso.sub_adata is sub
+
+    def test_roi_fill(self):
+        roi = st.tl.ROIAnnotator(np.zeros((40, 40)))
+        roi.add_boundary([(5, 5), (5, 35), (35, 35), (35, 5)])
+        roi.add_boundary([(10, 10), (10, 20), (20, 20), (20, 10)])
+        labels = roi.fill_regions()
+        assert labels.max() == 2  # nested region + annulus
+        assert labels[2, 2] == 0  # outside stays background
+        assert labels[15, 15] > 0
+        masks = roi.region_masks()
+        assert len(masks) == 2
+
+
+class TestSimulationEvaluation:
+    def _real_labels(self):
+        real = np.zeros((80, 80), np.uint16)
+        yy, xx = np.mgrid[0:80, 0:80]
+        for i, (cy, cx, r) in enumerate([(20, 20, 7), (55, 30, 5), (40, 65, 8)]):
+            real[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = i + 1
+        return real
+
+    def test_distributions_and_placement(self):
+        from spateo_tpu.segmentation.simulation_evaluation import (
+            add_sig_to_cell,
+            cell_area_dis,
+            get_cell_pos,
+            get_fb_dis,
+            ltos_ratio_dis,
+        )
+
+        real = self._real_labels()
+        rng = np.random.default_rng(0)
+        img = rng.poisson(1.0, (80, 80))
+        img[real > 0] += rng.poisson(5.0, int((real > 0).sum()))
+
+        area_df = cell_area_dis([real])
+        ltos = ltos_ratio_dis([real])
+        assert (ltos >= 1).all()
+        labels = get_cell_pos(area_df, ltos, cell_num=8, height=100, width=100, seed=1, max_iter=2000, shift_length=25)
+        assert len(np.unique(labels)) - 1 == 8  # all placed without overlap
+
+        fb = get_fb_dis(img, real)
+        sigs = add_sig_to_cell(
+            labels, pd.DataFrame({"prob": fb["cell_sigs"]}), pd.DataFrame({"prob": fb["bg_sigs"]}), 1
+        )
+        assert sigs[labels > 0].mean() > sigs[labels == 0].mean() + 2
+
+    def test_metrics(self):
+        from spateo_tpu.segmentation.simulation_evaluation import cal_ami, cal_f1score, cal_precision
+
+        real = self._real_labels()
+        assert cal_ami(real, real) == pytest.approx(1.0)
+        assert cal_f1score(real, real) == pytest.approx(1.0)
+        assert cal_precision(real, real) == pytest.approx(1.0)
+        # a shifted prediction scores worse
+        assert cal_precision(real, np.roll(real, 5, axis=0)) < 1.0
+
+
+class TestTheming:
+    def test_rcparams_and_shifted_cmap(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from spateo_tpu.configuration import config_spateo_rcParams, set_pub_style, shiftedColorMap
+
+        config_spateo_rcParams(fontsize=9)
+        assert matplotlib.rcParams["axes.grid"] is True
+        set_pub_style(scaler=2)
+        assert matplotlib.rcParams["axes.labelsize"] == 16
+        cm = shiftedColorMap(plt.get_cmap("coolwarm"), midpoint=0.75, name="t_shift")
+        mid = np.asarray(cm(0.75))
+        assert abs(mid[0] - mid[2]) < 0.05  # near-neutral at the new center
