@@ -25,6 +25,9 @@ from .morpho_alignment import (
 from .paste_alignment import paste_align, paste_align_ref
 from .transform import BA_transform, BA_transform_and_assignment, get_P_chunk, paste_transform
 from .utils import (
+    align_preprocess,
+    generate_label_transfer_dict,
+    mapping_center_coords,
     downsampling,
     generate_label_transfer_prior,
     get_labels_based_on_coords,

@@ -235,3 +235,124 @@ def tps_deformation(
     adata.obsm[key_added] = warped
     if not inplace:
         return adata
+
+
+def generate_label_transfer_dict(
+    cat1,
+    cat2,
+    positive_pairs=None,
+    negative_pairs=None,
+    default_positive_value: float = 10.0,
+    default_negative_value: float = 1.0,
+):
+    """Row-normalized label-transfer prior dictionary (parity: reference
+    methods/utils.py:376). Pairs are dicts with 'left'/'right'/'value'."""
+    label_transfer_dict = {c1: {c2: 1.0 for c2 in cat2} for c1 in cat1}
+    if positive_pairs is None and negative_pairs is None:
+        label_transfer_dict = {c1: {c2: default_negative_value for c2 in cat2} for c1 in cat1}
+        common = np.union1d(np.asarray(cat1, dtype=object), np.asarray(cat2, dtype=object))
+        positive_pairs = [{"left": [c], "right": [c], "value": default_positive_value} for c in common]
+    for pairs in (positive_pairs, negative_pairs):
+        if pairs is None:
+            continue
+        for p in pairs:
+            for l in p["left"]:
+                for r in p["right"]:
+                    if r in label_transfer_dict and l in label_transfer_dict[r]:
+                        label_transfer_dict[r][l] = p["value"]
+    out = {}
+    for c1 in cat1:
+        norm = sum(label_transfer_dict[c1][c2] for c2 in cat2)
+        out[c1] = {c2: label_transfer_dict[c1][c2] / (norm + 1e-8) for c2 in cat2}
+    return out
+
+
+def mapping_center_coords(modelA, modelB, center_key: str) -> dict:
+    """Compose two slice->center mappings into a direct A<->B mapping by
+    joining on the shared center index (parity: reference
+    alignment/utils.py:258)."""
+    import pandas as pd
+
+    dA = modelA.uns[center_key]
+    dB = modelB.uns[center_key]
+    mapping_X_cols = [f"mapping_X_{i}" for i in range(np.asarray(dA["mapping_Y"]).shape[1])]
+    raw_X_cols = [f"raw_X_{i}" for i in range(np.asarray(dA["raw_Y"]).shape[1])]
+    mapping_Y_cols = [f"mapping_Y_{i}" for i in range(np.asarray(dB["mapping_Y"]).shape[1])]
+    raw_Y_cols = [f"raw_Y_{i}" for i in range(np.asarray(dB["raw_Y"]).shape[1])]
+
+    X_data = pd.DataFrame(
+        np.concatenate([np.asarray(dA["raw_Y"]), np.asarray(dA["mapping_Y"]), np.asarray(dA["pi_index"])[:, [0]]], axis=1),
+        columns=mapping_X_cols + raw_X_cols + ["mid"],
+    )
+    X_data["pi_value_X"] = np.asarray(dA["pi_value"], np.float64)
+    Y_data = pd.DataFrame(
+        np.concatenate([np.asarray(dB["raw_Y"]), np.asarray(dB["mapping_Y"]), np.asarray(dB["pi_index"])[:, [0]]], axis=1),
+        columns=mapping_Y_cols + raw_Y_cols + ["mid"],
+    )
+    Y_data["pi_value_Y"] = np.asarray(dB["pi_value"], np.float64)
+    merged = pd.merge(Y_data, X_data, on=["mid"], how="inner")
+    merged["pi_value"] = merged["pi_value_X"].values * merged["pi_value_Y"].values
+    return {
+        "raw_X": merged[raw_X_cols].values,
+        "raw_Y": merged[raw_Y_cols].values,
+        "mapping_X": merged[mapping_X_cols].values,
+        "mapping_Y": merged[mapping_Y_cols].values,
+        "pi_value": merged["pi_value"].astype(np.float64).values,
+    }
+
+
+def align_preprocess(
+    samples,
+    rep_layer="X",
+    rep_field="layer",
+    genes=None,
+    spatial_key: str = "spatial",
+    label_transfer_dict=None,
+    normalize_c: bool = False,
+    normalize_g: bool = False,
+    dtype: str = "float64",
+    device: str = "cpu",
+    verbose: bool = True,
+):
+    """Deprecated-API compat shim (parity surface: reference
+    methods/deprecated_utils.py:584). Returns
+    (nx, type_as, exp_matrices, spatial_coords, normalize_scales,
+    normalize_means_list, common_genes) with numpy arrays — the torch/POT
+    backend object is replaced by numpy itself (this framework's compute
+    path is jax; this shim only serves code written against the old API)."""
+    from scipy.sparse import issparse
+
+    from ..preprocessing.filter import filter_genes  # noqa: F401  (parity import)
+
+    common = None
+    for s in samples:
+        names = set(map(str, s.var_names))
+        common = names if common is None else (common & names)
+    common = sorted(common)
+    if genes is not None:
+        common = [g for g in common if str(g) in set(map(str, genes))]
+
+    exp_matrices = []
+    spatial_coords = []
+    for s in samples:
+        idx = [list(map(str, s.var_names)).index(g) for g in common]
+        M = s.X[:, idx]
+        M = np.asarray(M.toarray() if issparse(M) else M, dtype=dtype)
+        exp_matrices.append(M)
+        spatial_coords.append(np.asarray(s.obsm[spatial_key], dtype=dtype))
+
+    normalize_scales = None
+    normalize_means_list = None
+    if normalize_c:
+        means = [c.mean(0) for c in spatial_coords]
+        centered = [c - m for c, m in zip(spatial_coords, means)]
+        scale = np.sqrt(sum((c**2).sum() for c in centered) / sum(len(c) for c in centered))
+        spatial_coords = [c / scale for c in centered]
+        normalize_scales = np.asarray([scale] * len(samples))
+        normalize_means_list = means
+    if normalize_g:
+        exp_matrices = [m / (np.linalg.norm(m, axis=1, keepdims=True) + 1e-12) for m in exp_matrices]
+
+    nx = np  # backend shim: numpy stands in for the POT backend object
+    type_as = np.zeros(1, dtype=dtype)
+    return nx, type_as, exp_matrices, spatial_coords, normalize_scales, normalize_means_list, common

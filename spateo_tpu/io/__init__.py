@@ -10,6 +10,7 @@ from .bgi import read_bgi, read_bgi_agg, read_bgi_as_dataframe
 from .image import add_image_layer, read_image
 from .platforms import (
     read_10x,
+    read_10x_as_anndata,
     read_merfish,
     read_nanostring,
     read_seqfish,

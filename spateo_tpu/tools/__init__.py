@@ -3,7 +3,13 @@
 Capability parity with reference spateo/tools/__init__.py.
 """
 
-from .architype import archetypes, archetypes_genes, find_spatial_archetypes
+from .architype import (
+    archetypes,
+    archetypes_genes,
+    find_spatial_archetypes,
+    find_spatially_related_genes,
+    get_genes_from_spatial_archetype,
+)
 from .cluster_lasso import Lasso
 from .live_wire import LiveWireSegmentation, compute_shortest_path, live_wire
 from .roi import ROIAnnotator, img_segmentation
@@ -13,7 +19,7 @@ from .CCI_effects_modeling import (
     MuSIC_Molecule_Selector,
     define_spateo_argparse,
 )
-from .cci_two_cluster import find_cci_two_group, prepare_cci_cellpair_adata
+from .cci_two_cluster import prepare_cci_df, find_cci_two_group, prepare_cci_cellpair_adata
 from .cell_communication import niches, predict_ligand_activities, predict_target_genes
 from .cluster import (
     CAST,
@@ -45,7 +51,7 @@ from .gene_expression_variance import (
     genewise_variance_decomposition,
 )
 from .glm import glm_degs
-from .labels import Label, expand_labels, match_label_series, match_labels, row_normalize
+from .labels import create_label_class, Label, expand_labels, match_label_series, match_labels, row_normalize
 from .lisa import GM_lag_model, lisa_geo_df, local_moran_i
 from .spatial_correlation import spatial_bv_local_moran, spatial_bv_moran_obs_genes
 from .spatial_degs import cellbin_morani, moran_i

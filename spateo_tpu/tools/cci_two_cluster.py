@@ -200,3 +200,20 @@ def prepare_cci_cellpair_adata(
         adata.obs.loc[groups == str(sender_group), "spec"] = "sender"
         adata.obs.loc[groups == str(receiver_group), "spec"] = "receiver"
     return adata
+
+
+def prepare_cci_df(cci_df: pd.DataFrame, means_col: str, pval_col: str, lr_pair_col: str, sr_pair_col: str):
+    """Split a CCI result table into ligrec-ready 'means' and 'pvalues'
+    DataFrames (interaction-pair rows x 'sender|receiver' columns), the
+    structure `st.pl.ligrec` consumes (parity: reference
+    cci_two_cluster.py:446)."""
+    df = cci_df.copy()
+    split = df[sr_pair_col].str.split("-", expand=True)
+    df["sender"], df["receiver"] = split[0], split[1]
+    df["_col"] = df["sender"] + "|" + df["receiver"]
+    means = df.pivot_table(index=lr_pair_col, columns="_col", values=means_col, aggfunc="mean")
+    pvals = df.pivot_table(index=lr_pair_col, columns="_col", values=pval_col, aggfunc="mean")
+    pvals = pvals.reindex(index=means.index, columns=means.columns)
+    means.index.name = pvals.index.name = None
+    means.columns.name = pvals.columns.name = None
+    return {"means": means, "pvalues": pvals}

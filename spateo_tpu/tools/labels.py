@@ -158,3 +158,19 @@ def interlabel_connections(label: Label, weights_matrix) -> np.ndarray:
     quadratic form)."""
     onehot = label.get_normalized_onehot()
     return np.asarray((onehot @ weights_matrix @ onehot.T).todense() if scipy.sparse.issparse(weights_matrix) else onehot @ weights_matrix @ onehot.T)
+
+
+def create_label_class(adata, cat_key):
+    """Wrap categorical .obs column(s) into Label objects for downstream
+    consensus/matching (parity: reference labels.py:438)."""
+    import pandas as pd
+
+    def one(key):
+        vals = pd.Series(np.asarray(adata.obs[key])).astype(str)
+        cats = {c: i for i, c in enumerate(pd.unique(vals))}
+        dense = np.asarray([cats[v] for v in vals], dtype=np.int32)
+        return Label(dense, str_map={i: c for c, i in cats.items()})
+
+    if isinstance(cat_key, str):
+        return one(cat_key)
+    return [one(k) for k in cat_key]
