@@ -127,6 +127,8 @@ class MuSIC:
     # -- design matrices ----------------------------------------------------
     def _load_db(self):
         sp = self.species
+        if self.cci_dir is None:
+            self.cci_dir = _DB_DIR  # parser default is None; fall back to the shipped databases
         self.lr_db = pd.read_csv(os.path.join(self.cci_dir, f"lr_db_{sp}.csv"), index_col=0)
         try:
             self.grn = pd.read_csv(os.path.join(self.cci_dir, f"{sp}_GRN.csv"), index_col=0)

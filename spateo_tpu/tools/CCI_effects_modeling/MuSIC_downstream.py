@@ -152,10 +152,18 @@ class MuSIC_Interpreter(MuSIC):
         MuSIC_downstream.py:7941)."""
         if not hasattr(self, "X_df"):
             self._set_up_model()
+        if not hasattr(self, "coords"):
+            # interpreter constructed around an externally-fitted model
+            self.coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
+            self.n_samples = self.adata.n_obs
+        if not hasattr(self, "fitted_indices"):
+            self.fitted_indices = np.arange(self.n_samples)
         rng = np.random.default_rng(seed)
         y = np.asarray(self.targets_expr[target].values, dtype=np.float32)
         X = np.asarray(self.X_df.values, dtype=np.float32)
         bw = self.bws.get(target) if getattr(self, "bws", None) else None
+        if bw is None and getattr(self, "bw_fixed", False) and getattr(self, "bw", None):
+            bw = float(self.bw)
         if bw is None:
             bw = self.find_optimal_bw(y, X, verbose=False)
         obs_betas = self.mpi_fit(y, X, bw)
@@ -164,4 +172,555 @@ class MuSIC_Interpreter(MuSIC):
         for p in range(n_permutations):
             null[p] = np.abs(self.mpi_fit(rng.permutation(y), X, bw)).mean(axis=0)
         pv = ((null >= obs_effect[None, :]).sum(axis=0) + 1) / (n_permutations + 1)
-        return pd.DataFrame({"mean_abs_effect": obs_effect, "perm_pvalue": pv}, index=self.feature_names)
+        names = getattr(self, "feature_names", None) or list(self.X_df.columns)
+        return pd.DataFrame({"mean_abs_effect": obs_effect, "perm_pvalue": pv}, index=names)
+
+    # ------------------------------------------------------------------
+    # adata filtering / annotation (parity: MuSIC_downstream.py:316-470)
+    # ------------------------------------------------------------------
+    def filter_adata_spatial(self, instructions: List[str]):
+        """Subset adata by spatial-coordinate predicates like
+        "x < 500" / "y >= 100" (parity: MuSIC_downstream.py filter_adata_spatial)."""
+        coords = np.asarray(self.adata.obsm[self.coords_key], float)
+        mask = np.ones(len(coords), bool)
+        axis_map = {"x": 0, "y": 1, "z": 2}
+        import operator
+
+        ops = {"<=": operator.le, ">=": operator.ge, "<": operator.lt, ">": operator.gt, "==": operator.eq}
+        for ins in instructions:
+            parts = ins.split()
+            ax, op, val = parts[0], parts[1], float(parts[2])
+            mask &= ops[op](coords[:, axis_map[ax]], val)
+        self.adata = self.adata[np.flatnonzero(mask)]
+        self.coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
+        self.n_samples = self.adata.n_obs
+        return self.adata
+
+    def filter_adata_custom(self, cell_ids: List[str]):
+        """Subset adata to the given cell IDs (parity: filter_adata_custom)."""
+        keep = [i for i, n in enumerate(self.adata.obs_names) if str(n) in set(map(str, cell_ids))]
+        self.adata = self.adata[keep]
+        self.coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
+        self.n_samples = self.adata.n_obs
+        return self.adata
+
+    def add_interaction_effect_to_adata(self, targets, interactions, visualize: bool = False):
+        """Write per-cell predicted effects into .obs as
+        f'{interaction}_effect_on_{target}' (parity: MuSIC_downstream.py:316)."""
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        targets = [targets] if isinstance(targets, str) else list(targets)
+        interactions = [interactions] if isinstance(interactions, str) else list(interactions)
+        for t in targets:
+            cdf = self.coeffs[t]
+            for i in interactions:
+                col = i if i in cdf.columns else f"b_{i}"
+                if col not in cdf.columns:
+                    lm.main_warning(f"interaction `{i}` not among the fitted features for `{t}`; skipping")
+                    continue
+                name = col[2:] if col.startswith("b_") else col
+                x = (
+                    np.asarray(self.X_df[name].values, float)[: len(cdf)]
+                    if hasattr(self, "X_df") and name in getattr(self, "X_df", pd.DataFrame()).columns
+                    else np.ones(len(cdf))
+                )
+                eff = np.zeros(self.adata.n_obs)
+                pos = {str(n): k for k, n in enumerate(self.adata.obs_names)}
+                for ci, cell in enumerate(cdf.index):
+                    k = pos.get(str(cell))
+                    if k is not None:
+                        eff[k] = cdf[col].values[ci] * x[ci]
+                self.adata.obs[f"{i}_effect_on_{t}"] = eff
+                if visualize:
+                    from ...plotting.space import space as _space
+
+                    _space(self.adata, color=[f"{i}_effect_on_{t}"], space=self.coords_key, save_show_or_return="return")
+        return self.adata
+
+    def compute_and_visualize_diagnostics(self, type: str = "correlations", save_show_or_return: str = "return"):
+        """Model fit diagnostics per target: Pearson r / RMSE between
+        observed and predicted expression (parity: MuSIC_downstream.py
+        compute_and_visualize_diagnostics)."""
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        if not hasattr(self, "X_df"):
+            self._set_up_model()
+        rows = {}
+        X = np.asarray(self.X_df.values, float)
+        for t, cdf in self.coeffs.items():
+            if t not in self.targets_expr.columns:
+                continue
+            y = np.asarray(self.targets_expr[t].values, float)
+            betas = cdf.values[:, : X.shape[1] + 1]
+            if betas.shape[1] == X.shape[1] + 1:  # intercept first
+                pred = betas[:, 0] + (betas[:, 1:] * X[: len(betas)]).sum(1)
+            else:
+                pred = (betas * X[: len(betas)]).sum(1)
+            if self.distr in ("poisson", "nb"):
+                pred = np.exp(np.clip(pred, -30, 30))
+            yy = y[: len(pred)]
+            r = float(np.corrcoef(yy, pred)[0, 1]) if pred.std() > 0 else 0.0
+            rows[t] = {"pearson_r": r, "rmse": float(np.sqrt(((yy - pred) ** 2).mean()))}
+        df = pd.DataFrame(rows).T
+        if save_show_or_return in ("show", "save", "both", "all"):
+            import matplotlib.pyplot as plt
+
+            _, ax = plt.subplots(figsize=(max(3, 0.4 * len(df)), 3))
+            ax.bar(df.index, df["pearson_r"])
+            ax.set_ylabel("pearson r (obs vs pred)")
+            ax.tick_params(axis="x", rotation=90)
+        return df
+
+    # ------------------------------------------------------------------
+    # 3D effect plots (parity: MuSIC_downstream.py:767-1281; pyvista ->
+    # the framework's mplot3d renderer)
+    # ------------------------------------------------------------------
+    def _coords3d(self):
+        c = np.asarray(self.adata.obsm[self.coords_key], float)
+        if c.shape[1] == 2:
+            c = np.concatenate([c, np.zeros((len(c), 1))], 1)
+        return c[:, :3]
+
+    def plot_interaction_effect_3D(self, target: str, interaction: str, save_path: Optional[str] = None, cell_subset=None, **kwargs):
+        """3D scatter colored by the per-cell effect of `interaction` on
+        `target` (parity: MuSIC_downstream.py:767)."""
+        from ...plotting.three_d_plot import three_d_plot
+        from ...tdr.models.mesh_core import PointCloud
+
+        key = f"{interaction}_effect_on_{target}"
+        if key not in self.adata.obs.columns:
+            self.add_interaction_effect_to_adata(target, interaction)
+        pc = PointCloud(self._coords3d(), {key: np.asarray(self.adata.obs[key], float)})
+        return three_d_plot(pc, key=key, model_style="points", filename=save_path, **kwargs)
+
+    def plot_multiple_interaction_effects_3D(self, effects: List[str], save_path: Optional[str] = None, **kwargs):
+        """One panel per stored effect column (parity: :932)."""
+        from ...plotting.three_d_plot import three_d_multi_plot
+        from ...tdr.models.mesh_core import PointCloud
+
+        coords = self._coords3d()
+        models = [PointCloud(coords, {"effect": np.asarray(self.adata.obs[e], float)}) for e in effects]
+        return three_d_multi_plot(models, key="effect", text=list(effects), model_style="points", filename=save_path, **kwargs)
+
+    def plot_tf_effect_3D(self, target: str, tf: str, **kwargs):
+        """TF-effect 3D plot for downstream (TF) models (parity: :1104)."""
+        return self.plot_interaction_effect_3D(target, tf, **kwargs)
+
+    def visualize_overlap_between_interacting_components_3D(self, target: str, interaction: str, save_path: Optional[str] = None, **kwargs):
+        """Categorical 3D view: cells expressing the ligand, the target,
+        both, or neither (parity: :1281)."""
+        from scipy.sparse import issparse
+
+        from ...plotting.three_d_plot import three_d_plot
+        from ...tdr.models.mesh_core import PointCloud
+
+        lig = interaction.split(":")[0].split("/")[0]
+        names = list(map(str, self.adata.var_names))
+        X = self.adata.X.toarray() if issparse(self.adata.X) else np.asarray(self.adata.X)
+        lig_expr = X[:, names.index(lig)] > 0 if lig in names else np.zeros(self.adata.n_obs, bool)
+        tgt_expr = X[:, names.index(target)] > 0 if target in names else np.zeros(self.adata.n_obs, bool)
+        cat = np.where(lig_expr & tgt_expr, "both", np.where(lig_expr, lig, np.where(tgt_expr, target, "neither")))
+        pc = PointCloud(self._coords3d(), {"overlap": cat})
+        return three_d_plot(pc, key="overlap", model_style="points", filename=save_path, **kwargs)
+
+    # ------------------------------------------------------------------
+    # heatmaps / summaries (parity: MuSIC_downstream.py:1434-5330)
+    # ------------------------------------------------------------------
+    def gene_expression_heatmap(self, genes: Optional[List[str]] = None, group_key: Optional[str] = None, save_show_or_return: str = "return", **kwargs):
+        """Mean expression per group heatmap (parity: :1434)."""
+        from scipy.sparse import issparse
+
+        group_key = group_key or self.group_key
+        genes = genes or list(map(str, self.adata.var_names[: min(20, self.adata.n_vars)]))
+        names = list(map(str, self.adata.var_names))
+        X = self.adata.X.toarray() if issparse(self.adata.X) else np.asarray(self.adata.X)
+        groups = pd.Series(np.asarray(self.adata.obs[group_key])).astype(str)
+        M = pd.DataFrame(
+            {g: [X[(groups == c).values][:, names.index(g)].mean() for c in pd.unique(groups)] for g in genes if g in names},
+            index=pd.unique(groups),
+        )
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(figsize=(max(3, 0.3 * M.shape[1]), max(2, 0.3 * M.shape[0])))
+        im = ax.imshow(M.values, aspect="auto", cmap=kwargs.get("cmap", "magma"))
+        ax.set_xticks(range(M.shape[1])); ax.set_xticklabels(M.columns, rotation=90, fontsize=7)
+        ax.set_yticks(range(M.shape[0])); ax.set_yticklabels(M.index, fontsize=7)
+        plt.colorbar(im, ax=ax, shrink=0.6)
+        return M if save_show_or_return == "return" else ax
+
+    def effect_distribution_heatmap(self, targets=None, interactions=None, save_show_or_return: str = "return", **kwargs):
+        """Targets x interactions mean |effect| heatmap (parity: :1851)."""
+        eff = self.effect_distribution()
+        if targets is not None:
+            eff = eff.loc[[t for t in np.atleast_1d(targets) if t in eff.index]]
+        if interactions is not None:
+            eff = eff[[c for c in np.atleast_1d(interactions) if c in eff.columns]]
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(figsize=(max(3, 0.3 * eff.shape[1]), max(2, 0.3 * eff.shape[0])))
+        im = ax.imshow(eff.values, aspect="auto", cmap=kwargs.get("cmap", "Reds"))
+        ax.set_xticks(range(eff.shape[1])); ax.set_xticklabels(eff.columns, rotation=90, fontsize=7)
+        ax.set_yticks(range(eff.shape[0])); ax.set_yticklabels(eff.index, fontsize=7)
+        plt.colorbar(im, ax=ax, shrink=0.6)
+        return eff if save_show_or_return == "return" else ax
+
+    def effect_distribution_density(self, target: str, interactions=None, save_show_or_return: str = "return", **kwargs):
+        """Per-interaction distribution of per-cell effects on one target
+    (parity: :2068)."""
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        cdf = self.coeffs[target]
+        cols = [c for c in cdf.columns if not c.endswith("intercept")]
+        if interactions is not None:
+            keep = set(np.atleast_1d(interactions))
+            cols = [c for c in cols if c in keep or (c[2:] if c.startswith("b_") else c) in keep]
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(figsize=(6, 3))
+        for c in cols:
+            v = np.asarray(cdf[c].values, float)
+            grid = np.linspace(v.min(), v.max() + 1e-9, 120)
+            h = max(v.std() / 3, 1e-6)
+            dens = np.exp(-((grid[:, None] - v[None, :]) ** 2) / (2 * h**2)).mean(1)
+            ax.plot(grid, dens, label=c)
+        ax.legend(fontsize=6, frameon=False)
+        ax.set_xlabel("effect size"); ax.set_ylabel("density")
+        return ax
+
+    def visualize_effect_specificity(self, target: str, save_show_or_return: str = "return", **kwargs):
+        """Fraction of cells where each interaction's effect is nonzero,
+        vs. its mean magnitude (parity: :2339)."""
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        cdf = self.coeffs[target]
+        frac = (cdf.abs() > 1e-9).mean(axis=0)
+        mag = cdf.abs().mean(axis=0)
+        df = pd.DataFrame({"fraction_nonzero": frac, "mean_abs_effect": mag})
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(figsize=(4, 4))
+        ax.scatter(df["fraction_nonzero"], df["mean_abs_effect"], s=14)
+        for name, row in df.iterrows():
+            ax.annotate(str(name), (row["fraction_nonzero"], row["mean_abs_effect"]), fontsize=6)
+        ax.set_xlabel("fraction of cells with effect"); ax.set_ylabel("mean |effect|")
+        return df if save_show_or_return == "return" else ax
+
+    def visualize_neighborhood(self, target: str, interaction: str, select_examples_criterion: str = "positive", n_anchors: int = 5, radius: Optional[float] = None, save_show_or_return: str = "return"):
+        """Spatial view around the strongest-effect cells (parity: :3561)."""
+        key = f"{interaction}_effect_on_{target}"
+        if key not in self.adata.obs.columns:
+            self.add_interaction_effect_to_adata(target, interaction)
+        eff = np.asarray(self.adata.obs[key], float)
+        order = np.argsort(-eff) if select_examples_criterion == "positive" else np.argsort(eff)
+        anchors = order[:n_anchors]
+        coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
+        if radius is None:
+            d2 = ((coords[:200, None] - coords[None, :200]) ** 2).sum(-1)
+            np.fill_diagonal(d2, np.inf)
+            radius = 5 * float(np.sqrt(np.median(d2.min(1))))
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(figsize=(5, 5))
+        ax.scatter(coords[:, 0], coords[:, 1], s=2, c=eff, cmap="coolwarm", linewidths=0)
+        for a in anchors:
+            circ = plt.Circle(coords[a], radius, fill=False, color="black", lw=1)
+            ax.add_patch(circ)
+        ax.set_aspect("equal")
+        return anchors if save_show_or_return == "return" else ax
+
+    def cell_type_specific_interactions(self, to_plot: str = "mean", group_key: Optional[str] = None, ct_subset=None, target_subset=None, interaction_subset=None, effect_threshold: Optional[float] = None, save_show_or_return: str = "return", **kwargs) -> pd.DataFrame:
+        """Cell type x interaction effect table: mean effect (or percentage
+        of cells with an effect) per cell type, aggregated over targets
+        (parity: :3737)."""
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        group_key = group_key or self.group_key
+        groups = pd.Series(np.asarray(self.adata.obs[group_key])).astype(str)
+        cts = [c for c in pd.unique(groups) if ct_subset is None or c in set(np.atleast_1d(ct_subset))]
+        pos = {str(n): k for k, n in enumerate(self.adata.obs_names)}
+        acc: Dict[str, Dict[str, list]] = {}
+        for t, cdf in self.coeffs.items():
+            if target_subset is not None and t not in set(np.atleast_1d(target_subset)):
+                continue
+            rows = np.asarray([pos.get(str(i), -1) for i in cdf.index])
+            ok = rows >= 0
+            g = groups.values[rows[ok]]
+            for col in cdf.columns:
+                name = col[2:] if col.startswith("b_") else col
+                if name.endswith("intercept"):
+                    continue
+                if interaction_subset is not None and name not in set(np.atleast_1d(interaction_subset)):
+                    continue
+                v = np.asarray(cdf[col].values, float)[ok]
+                if effect_threshold is not None:
+                    v = np.where(np.abs(v) >= effect_threshold, v, 0.0)
+                for ct in cts:
+                    m = g == ct
+                    if not m.any():
+                        continue
+                    val = float(np.abs(v[m]).mean()) if to_plot == "mean" else float((np.abs(v[m]) > 1e-9).mean())
+                    acc.setdefault(name, {}).setdefault(ct, []).append(val)
+        df = pd.DataFrame({name: {ct: np.mean(vals) for ct, vals in d.items()} for name, d in acc.items()}).fillna(0.0)
+        return df
+
+    def cell_type_interaction_fold_change(self, ref_ct: str, query_ct: str, group_key: Optional[str] = None, **kwargs) -> pd.DataFrame:
+        """log2 fold change of interaction effects between two cell types
+        (parity: :4445)."""
+        df = self.cell_type_specific_interactions(group_key=group_key, ct_subset=[ref_ct, query_ct], **kwargs)
+        out = pd.DataFrame({
+            "ref": df.loc[ref_ct] if ref_ct in df.index else 0.0,
+            "query": df.loc[query_ct] if query_ct in df.index else 0.0,
+        })
+        out["log2FC"] = np.log2((out["query"] + 1e-9) / (out["ref"] + 1e-9))
+        return out.sort_values("log2FC", ascending=False)
+
+    def summarize_interaction_effects(self, interactions=None, targets=None, effect_size_threshold: float = 0.0) -> pd.DataFrame:
+        """Interactions x targets mean-effect table (parity: :4993)."""
+        eff = self.effect_distribution().T  # interactions x targets
+        if interactions is not None:
+            eff = eff.loc[[i for i in np.atleast_1d(interactions) if i in eff.index]]
+        if targets is not None:
+            eff = eff[[t for t in np.atleast_1d(targets) if t in eff.columns]]
+        return eff.where(eff >= effect_size_threshold, 0.0)
+
+    def enriched_interactions_barplot(self, targets=None, n_top: int = 10, save_show_or_return: str = "return", **kwargs):
+        """Barplot of the strongest interactions across targets (parity: :4620)."""
+        eff = self.summarize_interaction_effects(targets=targets).mean(axis=1).sort_values(ascending=False).head(n_top)
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(figsize=(4, max(2, 0.3 * len(eff))))
+        ax.barh(eff.index[::-1], eff.values[::-1])
+        ax.set_xlabel("mean |effect|")
+        return eff if save_show_or_return == "return" else ax
+
+    def summarize_tf_effects(self, targets=None, effect_size_threshold: float = 0.0) -> pd.DataFrame:
+        """TF-model variant of summarize_interaction_effects (parity: :5270)."""
+        return self.summarize_interaction_effects(targets=targets, effect_size_threshold=effect_size_threshold)
+
+    def enriched_tfs_barplot(self, targets=None, n_top: int = 10, **kwargs):
+        """TF-model variant of enriched_interactions_barplot (parity: :5127)."""
+        return self.enriched_interactions_barplot(targets=targets, n_top=n_top, **kwargs)
+
+    # ------------------------------------------------------------------
+    # effect potential / directionality (parity: :5336-6020)
+    # ------------------------------------------------------------------
+    def _spatial_weights(self, n_neighbors: int = 10) -> "np.ndarray":
+        from scipy.sparse import csr_matrix
+        from scipy.spatial import cKDTree
+
+        coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
+        tree = cKDTree(coords)
+        d, idx = tree.query(coords, k=min(n_neighbors + 1, len(coords)))
+        d, idx = d[:, 1:], idx[:, 1:]
+        bw = np.median(d[:, -1]) + 1e-12
+        w = np.exp(-((d / bw) ** 2))
+        rows = np.repeat(np.arange(len(coords)), idx.shape[1])
+        return csr_matrix((w.ravel(), (rows, idx.ravel())), shape=(len(coords), len(coords)))
+
+    def get_effect_potential_matrix(self, target: str, interaction: str, spatial_weights=None):
+        """[n, n] sender->receiver effect potential:
+        potential[j, i] = lig_expr[j] * W[i, j] * coeff_i (parity:
+        MuSIC_downstream.py:5336 get_effect_potential's matrix form)."""
+        from scipy.sparse import issparse
+
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        cdf = self.coeffs[target]
+        col = interaction if interaction in cdf.columns else f"b_{interaction}"
+        if col not in cdf.columns:
+            raise KeyError(f"interaction `{interaction}` not among fitted features: {list(cdf.columns)}")
+        W = spatial_weights if spatial_weights is not None else self._spatial_weights()
+        lig = interaction.split(":")[0].split("/")[0]
+        names = list(map(str, self.adata.var_names))
+        X = self.adata.X.toarray() if issparse(self.adata.X) else np.asarray(self.adata.X)
+        lig_expr = X[:, names.index(lig)] if lig in names else np.ones(self.adata.n_obs)
+        beta = np.zeros(self.adata.n_obs)
+        pos = {str(n): k for k, n in enumerate(self.adata.obs_names)}
+        for ci, cell in enumerate(cdf.index):
+            k = pos.get(str(cell))
+            if k is not None:
+                beta[k] = cdf[col].values[ci]
+        # rows = senders j, cols = receivers i: lig[j] * W[i, j] * beta[i]
+        P = W.T.multiply(lig_expr[:, None]).multiply(np.abs(beta)[None, :]).tocsr()
+        sent = np.asarray(P.sum(axis=1)).ravel()
+        received = np.asarray(P.sum(axis=0)).ravel()
+        norm_sent = sent / max(sent.max(), 1e-12)
+        norm_received = received / max(received.max(), 1e-12)
+        return P, norm_sent, norm_received
+
+    def get_pathway_potential(self, pathway: Optional[str] = None, target: Optional[str] = None, spatial_weights_secreted=None, spatial_weights_membrane_bound=None, store_summed_potential: bool = True):
+        """Aggregate effect potential over all fitted interactions whose
+        ligand belongs to `pathway` in the L-R database (parity: :5618)."""
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        if target is None:
+            target = next(iter(self.coeffs))
+        db = self.lr_db
+        members = set(db[db["pathway"] == pathway]["from"].astype(str)) if pathway else set()
+        cdf = self.coeffs[target]
+        W = self._spatial_weights()
+        total = None
+        used = []
+        for col in cdf.columns:
+            name = col[2:] if col.startswith("b_") else col
+            if name.endswith("intercept"):
+                continue
+            lig = name.split(":")[0].split("/")[0]
+            if pathway and lig not in members:
+                continue
+            P, _, _ = self.get_effect_potential_matrix(target, name, spatial_weights=W)
+            total = P if total is None else total + P
+            used.append(name)
+        if total is None:
+            raise ValueError(f"no fitted interactions belong to pathway `{pathway}`")
+        sent = np.asarray(total.sum(axis=1)).ravel()
+        received = np.asarray(total.sum(axis=0)).ravel()
+        if store_summed_potential:
+            self.adata.obs[f"{pathway}_{target}_sent_potential"] = sent
+            self.adata.obs[f"{pathway}_{target}_received_potential"] = received
+        lm.main_info(f"pathway `{pathway}`: aggregated {len(used)} interactions")
+        return total
+
+    def define_effect_vf(self, effect_potential, normalized_effect_potential_sum_sent, normalized_effect_potential_sum_received, sig: str, target: str, max_val: float = 0.05):
+        """Sender/receiver vector fields from the potential matrix: each
+        cell's sender vector points at the weighted centroid of its
+        receivers (parity: :5894). Stored in
+        .obsm['spatial_effect_sender_vf_{sig}_{target}'] (and receiver)."""
+        from scipy.sparse import issparse
+
+        coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
+        P = effect_potential.tocsr() if issparse(effect_potential) else np.asarray(effect_potential)
+        n = coords.shape[0]
+        sender_vf = np.zeros((n, 2))
+        receiver_vf = np.zeros((n, 2))
+        if issparse(effect_potential):
+            Pd = np.asarray(P.todense())
+        else:
+            Pd = P
+        row_sum = Pd.sum(1, keepdims=True)
+        col_sum = Pd.sum(0, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # sender j: toward weighted centroid of receivers
+            cent_r = (Pd @ coords) / np.maximum(row_sum, 1e-12)
+            sender_vf = (cent_r - coords) * normalized_effect_potential_sum_sent[:, None]
+            # receiver i: from weighted centroid of senders
+            cent_s = (Pd.T @ coords) / np.maximum(col_sum.T, 1e-12)
+            receiver_vf = (coords - cent_s) * normalized_effect_potential_sum_received[:, None]
+        norm = np.linalg.norm(sender_vf, axis=1, keepdims=True)
+        span = float(np.ptp(coords, axis=0).max())
+        cap = max_val * span
+        sender_vf = np.where(norm > cap, sender_vf / np.maximum(norm, 1e-12) * cap, sender_vf)
+        norm = np.linalg.norm(receiver_vf, axis=1, keepdims=True)
+        receiver_vf = np.where(norm > cap, receiver_vf / np.maximum(norm, 1e-12) * cap, receiver_vf)
+        self.adata.obsm[f"spatial_effect_sender_vf_{sig}_{target}"] = sender_vf
+        self.adata.obsm[f"spatial_effect_receiver_vf_{sig}_{target}"] = receiver_vf
+        return sender_vf, receiver_vf
+
+    def inferred_effect_direction(self, targets=None, compute_pathway_effect: bool = False):
+        """Compute sender/receiver effect vector fields for every fitted
+        interaction on the given targets (parity: :5758)."""
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        targets = list(self.coeffs) if targets is None else list(np.atleast_1d(targets))
+        W = self._spatial_weights()
+        for t in targets:
+            for col in self.coeffs[t].columns:
+                name = col[2:] if col.startswith("b_") else col
+                if name.endswith("intercept"):
+                    continue
+                P, ns, nr = self.get_effect_potential_matrix(t, name, spatial_weights=W)
+                self.define_effect_vf(P, ns, nr, name, t)
+        return self.adata
+
+    def visualize_effect_vf_3D(self, interaction: str, target: str, save_path: Optional[str] = None, n_sampling: int = 300, **kwargs):
+        """Quiver view of the sender vector field (parity: :6020)."""
+        import matplotlib.pyplot as plt
+
+        vf = np.asarray(self.adata.obsm[f"spatial_effect_sender_vf_{interaction}_{target}"])
+        coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
+        rng = np.random.default_rng(0)
+        idx = rng.choice(len(coords), min(n_sampling, len(coords)), replace=False)
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.scatter(coords[:, 0], coords[:, 1], s=2, color="#cccccc", linewidths=0)
+        ax.quiver(coords[idx, 0], coords[idx, 1], vf[idx, 0], vf[idx, 1], color="tab:red", angles="xy", scale_units="xy", scale=1)
+        ax.set_aspect("equal")
+        if save_path:
+            fig.savefig(save_path, dpi=150, bbox_inches="tight")
+            plt.close(fig)
+            return save_path
+        return ax
+
+    # ------------------------------------------------------------------
+    # CCI DEG detection + summaries (parity: :6607-7941)
+    # ------------------------------------------------------------------
+    def CCI_deg_detection_setup(self, group_key: Optional[str] = None, use_ligands: bool = True, use_receptors: bool = False, use_targets: bool = False, **kwargs):
+        """Stores the per-cell total predicted effect per target as the
+        covariate for DEG detection (parity: :6607)."""
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        self._cci_deg_covariates = {t: cdf.abs().sum(axis=1) for t, cdf in self.coeffs.items()}
+        return self._cci_deg_covariates
+
+    def CCI_deg_detection(self, cci_dir_or_target, *args, **kwargs) -> pd.DataFrame:
+        """DEGs co-varying with interaction effects (parity: :6838); thin
+        front end over sender_receiver_effect_deg_detection."""
+        return self.sender_receiver_effect_deg_detection(cci_dir_or_target, *args, **kwargs)
+
+    @staticmethod
+    def intersection_ratio(df1: pd.DataFrame, df2: pd.DataFrame) -> float:
+        """Jaccard-style overlap of two DEG index sets (parity: :6807)."""
+        s1, s2 = set(map(str, df1.index)), set(map(str, df2.index))
+        return len(s1 & s2) / max(len(s1 | s2), 1)
+
+    def deg_effect_barplot(self, target: str, n_top: int = 15, save_show_or_return: str = "return", **kwargs):
+        """Barplot of the top CCI DEGs for a target (parity: :7474)."""
+        degs = self.sender_receiver_effect_deg_detection(target, n_top=n_top)
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(figsize=(4, max(2, 0.25 * len(degs))))
+        ax.barh(list(map(str, degs.index))[::-1], degs["correlation"].values[::-1])
+        ax.set_xlabel("corr with total effect")
+        return degs if save_show_or_return == "return" else ax
+
+    def deg_effect_heatmap(self, targets=None, n_top: int = 10, save_show_or_return: str = "return", **kwargs):
+        """Targets x DEG correlation heatmap (parity: :7607)."""
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        targets = list(self.coeffs) if targets is None else list(np.atleast_1d(targets))
+        frames = {}
+        for t in targets:
+            try:
+                d = self.sender_receiver_effect_deg_detection(t, n_top=n_top)
+                frames[t] = d["correlation"]
+            except Exception:
+                continue
+        M = pd.DataFrame(frames).fillna(0.0)
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(figsize=(max(2, 0.4 * M.shape[1]), max(2, 0.25 * M.shape[0])))
+        im = ax.imshow(M.values, aspect="auto", cmap="coolwarm", vmin=-abs(M.values).max(), vmax=abs(M.values).max())
+        ax.set_xticks(range(M.shape[1])); ax.set_xticklabels(M.columns, rotation=90, fontsize=7)
+        ax.set_yticks(range(M.shape[0])); ax.set_yticklabels(M.index, fontsize=6)
+        plt.colorbar(im, ax=ax, shrink=0.6)
+        return M if save_show_or_return == "return" else ax
+
+    def top_target_barplot(self, interaction: str, n_top: int = 10, save_show_or_return: str = "return", **kwargs):
+        """Targets most affected by one interaction (parity: :7782)."""
+        eff = self.effect_distribution()
+        col = interaction if interaction in eff.columns else f"b_{interaction}"
+        if col not in eff.columns:
+            raise KeyError(f"interaction `{interaction}` not among fitted features")
+        top = eff[col].sort_values(ascending=False).head(n_top)
+        import matplotlib.pyplot as plt
+
+        _, ax = plt.subplots(figsize=(4, max(2, 0.3 * len(top))))
+        ax.barh(top.index[::-1], top.values[::-1])
+        ax.set_xlabel(f"mean |effect| of {interaction}")
+        return top if save_show_or_return == "return" else ax
+
+    def eval_permutation_test(self, perm_df: pd.DataFrame, alpha: float = 0.05) -> pd.DataFrame:
+        """Summarize a permutation_test result: significant features at
+        `alpha` (parity: :8200)."""
+        out = perm_df.copy()
+        out["significant"] = out["perm_pvalue"] < alpha
+        return out.sort_values("perm_pvalue")

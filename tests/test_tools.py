@@ -259,3 +259,83 @@ class TestMisc:
         st.tl.pca(adata, n_pca_components=10)
         adata2 = st.tl.CAST(adata, basis="X_pca", n_epochs=30)
         assert adata2.obsm["X_cast"].shape[0] == adata.n_obs
+
+
+class TestMuSICDownstreamBreadth:
+    """Extended MuSIC_Interpreter surface (reference MuSIC_downstream.py:316-8200)."""
+
+    @pytest.fixture()
+    def lr_fit(self):
+        import tempfile
+
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC, MuSIC_Interpreter, define_spateo_argparse
+
+        rng = np.random.default_rng(0)
+        n = 300
+        pts = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        genes = ["TGFB1", "TGFBR1", "TGFBR2", "TGT1"]
+        X = rng.poisson(0.3, (n, len(genes))).astype(np.float32)
+        senders = pts[:, 0] < 50
+        X[senders, 0] += rng.poisson(5.0, senders.sum())
+        X[~senders, 1] += rng.poisson(3.0, (~senders).sum())
+        X[~senders, 2] += rng.poisson(3.0, (~senders).sum())
+        near = ~senders & (pts[:, 0] < 65)
+        X[near, 3] += rng.poisson(6.0, near.sum())
+        adata = st.AnnData(
+            X=X,
+            obs=pd.DataFrame({"cell_type": np.where(senders, "sender", "receiver")}, index=[f"c{i}" for i in range(n)]),
+            var=pd.DataFrame(index=genes),
+        )
+        adata.obsm["spatial"] = pts
+        st.SKM.init_adata_type(adata, "UMI")
+        tmp = tempfile.mkdtemp()
+        parser, args_list = define_spateo_argparse(
+            mod_type="lr", group_key="cell_type", distr="gaussian",
+            output_path=f"{tmp}/out.csv", custom_targets=["TGT1"],
+            custom_ligands=["TGFB1"], custom_receptors=["TGFBR1", "TGFBR2"],
+            bw_fixed=True, bw=8.0, fit_intercept=True, species="human",
+        )
+        model = MuSIC(parser, args_list)
+        model.adata = adata
+        model.fit()
+        interp = MuSIC_Interpreter(parser, args_list)
+        interp.adata = adata
+        interp.coeffs = model.coeffs
+        interp.X_df = model.X_df
+        interp.targets_expr = model.targets_expr
+        return interp, adata, senders
+
+    def test_effects_and_direction(self, lr_fit):
+        interp, adata, senders = lr_fit
+        ia = "TGFB1:TGFBR1_TGFBR2"
+        interp.add_interaction_effect_to_adata("TGT1", ia)
+        assert f"{ia}_effect_on_TGT1" in adata.obs.columns
+
+        df_ct = interp.cell_type_specific_interactions()
+        assert df_ct.loc["receiver", ia] > df_ct.loc["sender", ia]
+
+        P, ns, nr = interp.get_effect_potential_matrix("TGT1", ia)
+        assert P.shape == (adata.n_obs, adata.n_obs)
+        svf, rvf = interp.define_effect_vf(P, ns, nr, ia, "TGT1")
+        moving = senders & (np.linalg.norm(svf, axis=1) > 1e-9)
+        assert svf[moving, 0].mean() > 0  # senders point toward receivers
+        assert f"spatial_effect_sender_vf_{ia}_TGT1" in adata.obsm
+
+    def test_summaries_and_diagnostics(self, lr_fit):
+        interp, adata, _ = lr_fit
+        diag = interp.compute_and_visualize_diagnostics()
+        assert diag.loc["TGT1", "pearson_r"] > 0.5
+        eff = interp.summarize_interaction_effects()
+        assert eff.shape[1] == 1
+        top = interp.top_target_barplot("TGFB1:TGFBR1_TGFBR2")
+        assert "TGT1" in top.index
+        degs = interp.sender_receiver_effect_deg_detection("TGT1", n_top=5)
+        assert "TGT1" in degs.index  # target co-varies with its own effect
+        with pytest.raises(KeyError, match="not among fitted features"):
+            interp.get_effect_potential_matrix("TGT1", "FAKE:PAIR")
+
+    def test_filters(self, lr_fit):
+        interp, adata, _ = lr_fit
+        n0 = interp.adata.n_obs
+        interp.filter_adata_spatial(["x < 50"])
+        assert 0 < interp.adata.n_obs < n0
