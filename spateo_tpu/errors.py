@@ -31,3 +31,7 @@ class DigitizationError(SpateoError):
 
 class MeshError(SpateoError):
     """Raised for invalid device-mesh / sharding configuration (TPU-native addition)."""
+
+
+class PlottingError(SpateoError):
+    """Raised for errors during plotting."""

@@ -234,3 +234,36 @@ class TestThreeD:
         assert ax.get_images()
         fig = pl.pairwise_mapping(adataA=a, adataB=b, pi=P, n_sampling=10)
         assert len(fig.axes[0].lines) == 10
+
+
+class TestInteractive:
+    def test_contours_and_select_polygon(self):
+        rng = np.random.default_rng(0)
+        img = rng.poisson(1.0, (40, 50)).astype(np.float32)
+        a = st.AnnData(X=img, obs=pd.DataFrame(index=[str(i) for i in range(40)]), var=pd.DataFrame(index=[str(j) for j in range(50)]))
+        st.SKM.init_adata_type(a, "AGG")
+        bins = np.zeros((40, 50), np.float32)
+        bins[5:15, 5:20] = 1
+        bins[20:35, 25:45] = 2
+        a.layers["X_bins"] = bins
+
+        from spateo_tpu.plotting.interactive import contours, select_polygon
+
+        fig = contours(a, "X_bins")
+        assert fig.axes[0].collections  # one scatter per bin boundary
+
+        sel = select_polygon(a, "X")
+        sel.onselect([(5, 5), (25, 5), (25, 20), (5, 20)])
+        mask = np.asarray(a.layers["X_selection"])
+        assert mask[10, 10] and not mask[35, 45]
+        assert 250 < mask.sum() < 400
+
+    def test_cellbin_select_and_type_guard(self):
+        from spateo_tpu.errors import PlottingError
+        from spateo_tpu.plotting.interactive import cellbin_select, contours
+
+        u = st.sample_data.synthetic(n_cells=300, seed=0)
+        sel, cb = cellbin_select(u, binsize=10, return_all=True)
+        assert st.SKM.get_adata_type(cb) == "AGG"
+        with pytest.raises(PlottingError):
+            contours(u, "X")
