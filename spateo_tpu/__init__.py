@@ -38,6 +38,7 @@ tl = LazyLoader("tl", globals(), "spateo_tpu.tools")
 tdr = LazyLoader("tdr", globals(), "spateo_tpu.tdr")
 svg = LazyLoader("svg", globals(), "spateo_tpu.svg")
 pl = LazyLoader("pl", globals(), "spateo_tpu.plotting")
+profiler = LazyLoader("profiler", globals(), "spateo_tpu.profiler")
 sample_data = LazyLoader("sample_data", globals(), "spateo_tpu.sample_data")
 parallel = LazyLoader("parallel", globals(), "spateo_tpu.parallel")
 ops = LazyLoader("ops", globals(), "spateo_tpu.ops")

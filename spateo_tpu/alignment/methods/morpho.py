@@ -81,6 +81,7 @@ def filter_common_genes(*genes_lists, verbose: bool = True) -> List[str]:
     jax.jit,
     static_argnames=(
         "max_iter",
+        "n_traces",
         "nonrigid_start_iter",
         "probability_type",
         "update_R",
@@ -102,6 +103,7 @@ def _morpho_em(
     samples_s: jnp.ndarray,
     *,
     max_iter: int = 200,
+    n_traces: int = 0,
     nonrigid_start_iter: int = 80,
     probability_type: tuple = ("gauss",),
     update_R: bool = True,
@@ -133,6 +135,10 @@ def _morpho_em(
         XAHat=coordsA,
         Coff=jnp.zeros((K, D), jnp.float32),
         SigmaDiag=jnp.zeros((NA,), jnp.float32),
+        # algorithm trace: evenly spaced XAHat snapshots (reference
+        # morpho_class.py:1043 `_save_iter`); slot it*n_traces//max_iter is
+        # overwritten each iteration, ending at its segment's last state
+        traces=jnp.zeros((max(n_traces, 1), coordsA.shape[0], coordsA.shape[1]), jnp.float32),
         R=jnp.eye(D, dtype=jnp.float32),
         t=jnp.zeros((D,), jnp.float32),
         SigmaInv=jnp.zeros((K, K), jnp.float32),
@@ -254,6 +260,11 @@ def _morpho_em(
 
         RnA = coordsA @ R.T + t
         XAHat = VnA + RnA
+        traces = (
+            jax.lax.dynamic_update_index_in_dim(s["traces"], XAHat, (it * n_traces) // max_iter, 0)
+            if n_traces > 0
+            else s["traces"]
+        )
 
         # ---- sigma2 ----
         sigma2 = jnp.maximum(sigma2_related + (K_NA_sigma2 @ SigmaDiag) / Sp_sigma2, 1e-3)
@@ -278,6 +289,7 @@ def _morpho_em(
             Sp_spatial=Sp_spatial,
             Sp_sigma2=Sp_sigma2,
             nonrigid_flag=nonrigid_flag,
+            traces=traces,
             P=P,
             K_NA=K_NA,
             K_NB=K_NB,
@@ -603,6 +615,7 @@ class Morpho_pairwise:
             jnp.asarray(sigma2_init, jnp.float32),
             jnp.asarray(samples_s, jnp.float32),
             max_iter=self.max_iter,
+            n_traces=10 if self.iter_key_added else 0,
             nonrigid_start_iter=self.nonrigid_start_iter,
             probability_type=tuple(self.probability_type),
             update_R=self.update_R,
@@ -627,6 +640,7 @@ class Morpho_pairwise:
         self.optimal_t = np.asarray(optimal_t)
         self.optimal_RnA = np.asarray(optimal_RnA)
         self.P = np.asarray(s["P"])
+        self.iter_traces = np.asarray(s["traces"]) if self.iter_key_added else None
         self.batch_idx = np.asarray(s["batch_idx"])
         self.sigma2_variance = float(s["sigma2_variance"])
 
@@ -658,6 +672,10 @@ class Morpho_pairwise:
             self.XAHat = self.XAHat * scale_B + mean_B
             self.RnA = self.RnA * scale_B + mean_B
             self.optimal_RnA = self.optimal_RnA * scale_B + mean_B
+            if getattr(self, "iter_traces", None) is not None:
+                self.iter_traces = self.iter_traces * scale_B + mean_B
+        if self.iter_key_added is not None and getattr(self, "iter_traces", None) is not None:
+            self.sampleA.uns[self.iter_key_added] = [t for t in self.iter_traces]
 
         norm_dict = {
             "mean_transformed": self.normalize_means[0],

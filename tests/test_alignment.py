@@ -151,3 +151,32 @@ class TestUtilities:
         out = st.align.grid_deformation(models[1], spatial_key="align_spatial", grid_num=5, grid_density=20)
         assert len(out["grid_lines"]) == 10
         assert out["deformed_lines"][0].shape == (20, 2)
+
+
+class TestIterationTrace:
+    def test_morpho_iter_trace(self):
+        rng = np.random.default_rng(0)
+        n = 200
+        ptsB = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        ptsA = ptsB + np.array([1.5, -0.5], np.float32)
+        X = rng.poisson(2.0, (n, 10)).astype(np.float32)
+
+        def mk(p):
+            a = st.AnnData(
+                X=X.copy(),
+                obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                var=pd.DataFrame(index=[f"g{j}" for j in range(10)]),
+            )
+            a.obsm["spatial"] = p
+            st.SKM.init_adata_type(a, "UMI")
+            return a
+
+        A, B = mk(ptsA), mk(ptsB)
+        aligned, _ = st.align.morpho_align([B, A], iter_key_added="iter_spatial", max_iter=40, verbose=False)
+        frames = aligned[1].uns["iter_spatial"]
+        assert len(frames) == 10
+        assert np.asarray(frames[0]).shape == (n, 2)
+        # later snapshots should be at least as close to the target as early ones
+        e0 = np.abs(np.asarray(frames[0]) - ptsB).mean()
+        e9 = np.abs(np.asarray(frames[-1]) - ptsB).mean()
+        assert e9 <= e0 + 1e-3

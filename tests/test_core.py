@@ -176,3 +176,28 @@ class TestBridge:
         assert raster[1, 2] == 3.0
         assert raster[3, 1] == 4.0
         assert raster.sum() == 10.0
+
+
+class TestProfiler:
+    def test_timer_and_report(self):
+        import spateo_tpu as st
+
+        st.profiler.reset()
+        with st.profiler.timer("unit", log=False):
+            sum(range(1000))
+        rows = st.profiler.report()
+        assert rows and rows[0][0] == "unit" and rows[0][1] == 1
+
+    def test_annotate(self):
+        import jax.numpy as jnp
+
+        import spateo_tpu as st
+
+        st.profiler.reset()
+
+        @st.profiler.annotate("anno")
+        def f(x):
+            return x * 2
+
+        f(jnp.ones(4))
+        assert "anno" in st.profiler.timings()
