@@ -340,9 +340,18 @@ class MuSIC:
     # -- fitting ------------------------------------------------------------
     def mpi_fit(self, y: np.ndarray, X: np.ndarray, bw: float, final: bool = True) -> np.ndarray:
         """Per-cell local fits (name kept for parity with reference
-        MuSIC.py:2940; the actual fan-out is the batched device kernel)."""
+        MuSIC.py:2940). On a single device the fan-out is the batched device
+        kernel; with a multi-device mesh the query-cell axis shards over the
+        'data' axis (the reference's vestigial-MPI design made real)."""
+        import jax
+
         W = self._weights_subset(bw)
-        betas, hats = iwls_batch(y, X, W, distr=self.distr, ridge_lambda=self.ridge_lambda, clip=5.0)
+        if len(jax.devices()) > 1:
+            from .regression_utils import iwls_batch_sharded
+
+            betas, hats = iwls_batch_sharded(y, X, W, distr=self.distr, ridge_lambda=self.ridge_lambda, clip=5.0)
+        else:
+            betas, hats = iwls_batch(y, X, W, distr=self.distr, ridge_lambda=self.ridge_lambda, clip=5.0)
         self._last_hats = hats
         return betas
 

@@ -339,3 +339,25 @@ class TestMuSICDownstreamBreadth:
         n0 = interp.adata.n_obs
         interp.filter_adata_spatial(["x < 50"])
         assert 0 < interp.adata.n_obs < n0
+
+
+class TestShardedIWLS:
+    def test_sharded_matches_unsharded(self):
+        import jax
+
+        from spateo_tpu.tools.CCI_effects_modeling.regression_utils import iwls_batch, iwls_batch_sharded
+
+        assert len(jax.devices()) == 8  # conftest forces the virtual mesh
+        rng = np.random.default_rng(0)
+        n, k = 200, 3
+        X = rng.normal(size=(n, k)).astype(np.float32)
+        y = (X @ np.array([1.0, -2.0, 0.5], np.float32) + 0.01 * rng.normal(size=n)).astype(np.float32)
+        pos = np.linspace(0, 1, n)
+        W = np.exp(-(((pos[:, None] - pos[None, :]) / 0.1) ** 2)).astype(np.float32)
+        b_ref, h_ref = iwls_batch(y, X, W)
+        b_sh, h_sh = iwls_batch_sharded(y, X, W)
+        np.testing.assert_allclose(b_sh, b_ref, atol=1e-5)
+        np.testing.assert_allclose(h_sh, h_ref, atol=1e-6)
+        # q not divisible by 8: padding path
+        b2, _ = iwls_batch_sharded(y, X, W[:37])
+        np.testing.assert_allclose(b2, b_ref[:37], atol=1e-5)
