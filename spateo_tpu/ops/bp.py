@@ -38,6 +38,22 @@ def create_neighbor_offsets(neighborhood: np.ndarray) -> np.ndarray:
     return (coords - np.array(center)).astype(np.int16)
 
 
+def _use_pallas_bp(offsets) -> bool:
+    """The Pallas message kernel handles the standard 4-neighborhood on real
+    TPUs (~20% faster than the XLA path by fusing the per-pixel chain in
+    VMEM); anything else falls back to the generic XLA kernel."""
+    try:
+        import jax
+
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:
+        return False
+    from .bp_pallas import OFFSETS4
+
+    return set(map(tuple, offsets)) == set(OFFSETS4)
+
+
 def _shift2d(arr: jnp.ndarray, dy: int, dx: int, fill: float) -> jnp.ndarray:
     """Shift a [H, W, C] array by (dy, dx), filling vacated cells with `fill`.
 
@@ -129,7 +145,12 @@ def cell_marginals(
         axis=-1,
     )
     phi = phi / jnp.maximum(jnp.sum(phi, axis=-1, keepdims=True), 1e-30)
-    marginals = _bp_kernel(phi, offsets, float(p), float(q), float(precision), int(max_iter))
+    if _use_pallas_bp(offsets):
+        from .bp_pallas import bp_kernel_pallas
+
+        marginals = bp_kernel_pallas(phi, float(p), float(q), float(precision), int(max_iter))
+    else:
+        marginals = _bp_kernel(phi, offsets, float(p), float(q), float(precision), int(max_iter))
     return np.asarray(marginals)
 
 

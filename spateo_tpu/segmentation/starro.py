@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.bp import _bp_kernel, create_neighbor_offsets
+from ..ops.bp import _bp_kernel, _use_pallas_bp, create_neighbor_offsets
 from ..ops.em import _nbn_em_batched, muvar_to_lamtheta, nb_logpmf  # noqa: F401
 from ..ops.image import _conv2d_kernel, _reflect_pad, circle, dilate, erode
 from ..ops.threshold import _otsu_from_values
@@ -39,7 +39,10 @@ from ..ops.threshold import _otsu_from_values
         "n_samples",
         "em_max_iter",
         "bp_max_iter",
+        "bp_p",
+        "bp_q",
         "offsets",
+        "use_pallas_bp",
     ),
 )
 def _starro_em_bp_fused(
@@ -55,6 +58,7 @@ def _starro_em_bp_fused(
     bp_q: float,
     bp_precision: float,
     bp_max_iter: int,
+    use_pallas_bp: bool = False,
 ):
     X = X.astype(jnp.float32)
 
@@ -109,8 +113,14 @@ def _starro_em_bp_fused(
     phi = jnp.stack([bg_cond, cell_cond], axis=-1)
     phi = phi / jnp.maximum(jnp.sum(phi, axis=-1, keepdims=True), 1e-30)
 
-    # 6. loopy BP marginals
-    scores = _bp_kernel(phi, offsets, bp_p, bp_q, bp_precision, bp_max_iter)
+    # 6. loopy BP marginals (Pallas message kernel on TPU, XLA otherwise —
+    # this function is jitted, so the dispatch is baked in per backend)
+    if use_pallas_bp:
+        from ..ops.bp_pallas import bp_kernel_pallas
+
+        scores = bp_kernel_pallas(phi, bp_p, bp_q, bp_precision, bp_max_iter)
+    else:
+        scores = _bp_kernel(phi, offsets, bp_p, bp_q, bp_precision, bp_max_iter)
 
     # 7. Otsu threshold + close/open morphology (apply_threshold semantics)
     sflat = scores.ravel()
@@ -167,5 +177,6 @@ def starro_em_bp(
         float(bp_q),
         float(bp_precision),
         int(bp_max_iter),
+        _use_pallas_bp(offsets),
     )
     return scores, mask

@@ -213,3 +213,29 @@ class TestLabels:
         labels[2:8, 2:8] = 1
         b = lbl_ops.find_boundaries(labels)
         assert b[2, 2] and b[2, 5] and not b[4, 4]
+
+
+class TestPallasBP:
+    def test_pallas_matches_xla(self):
+        """Interpret-mode Pallas BP vs the generic XLA kernel."""
+        import jax.numpy as jnp
+
+        from spateo_tpu.ops.bp import _bp_kernel
+        from spateo_tpu.ops.bp_pallas import OFFSETS4, bp_kernel_pallas
+
+        rng = np.random.default_rng(0)
+        H, W = 40, 72  # non-multiples of the (8, 128) tile: exercises padding
+        cell = rng.uniform(0, 1, (H, W)).astype(np.float32)
+        bg = 1 - cell + rng.uniform(0, 0.2, (H, W)).astype(np.float32)
+        phi = np.stack([bg, cell], -1)
+        phi = phi / phi.sum(-1, keepdims=True)
+        ref = np.asarray(_bp_kernel(jnp.asarray(phi), OFFSETS4, 0.6, 0.4, 1e-6, 25))
+        pal = np.asarray(bp_kernel_pallas(jnp.asarray(phi), 0.6, 0.4, 1e-6, 25, interpret=True))
+        np.testing.assert_allclose(pal, ref, atol=2e-6)
+
+    def test_dispatch_off_on_cpu(self):
+        from spateo_tpu.ops.bp import _use_pallas_bp
+        from spateo_tpu.ops.bp_pallas import OFFSETS4
+
+        assert not _use_pallas_bp(OFFSETS4)  # tests run on CPU
+        assert not _use_pallas_bp(((0, 1), (1, 0)))  # non-standard neighborhood
