@@ -17,6 +17,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _histogram_chunked(idx: jnp.ndarray, nbins: int, chunk: int = 8192) -> jnp.ndarray:
+    """TPU-friendly histogram: scatter-add serializes on colliding bins, so
+    instead scan over chunks doing a [chunk, nbins] compare + column reduce
+    (pure VPU work). Pad slots carry idx=-1 and match no bin."""
+    n = idx.shape[0]
+    pad = (-n) % chunk
+    idx_p = jnp.pad(idx, (0, pad), constant_values=-1).reshape(-1, chunk)
+    bins = jnp.arange(nbins, dtype=idx.dtype)[None, :]
+
+    def body(h, c):
+        return h + jnp.sum((c[:, None] == bins).astype(jnp.float32), axis=0), None
+
+    hist, _ = jax.lax.scan(body, jnp.zeros(nbins, jnp.float32), idx_p)
+    return hist
+
+
 @partial(jax.jit, static_argnames=("nbins",))
 def _otsu_from_values(values: jnp.ndarray, vmin: jnp.ndarray, vmax: jnp.ndarray, nbins: int = 256):
     """Otsu threshold over a flat value array (returns bin-center threshold)."""
@@ -24,7 +40,7 @@ def _otsu_from_values(values: jnp.ndarray, vmin: jnp.ndarray, vmax: jnp.ndarray,
     edges = vmin + span * jnp.arange(nbins + 1) / nbins
     centers = (edges[:-1] + edges[1:]) / 2
     idx = jnp.clip(((values - vmin) / span * nbins).astype(jnp.int32), 0, nbins - 1)
-    hist = jnp.zeros(nbins, jnp.float32).at[idx].add(1.0)
+    hist = _histogram_chunked(idx, nbins)
 
     w0 = jnp.cumsum(hist)
     total = w0[-1]
@@ -52,7 +68,7 @@ def _multiotsu3(values: jnp.ndarray, vmin, vmax, nbins: int = 128):
     edges = vmin + span * jnp.arange(nbins + 1) / nbins
     centers = (edges[:-1] + edges[1:]) / 2
     idx = jnp.clip(((values - vmin) / span * nbins).astype(jnp.int32), 0, nbins - 1)
-    hist = jnp.zeros(nbins, jnp.float32).at[idx].add(1.0)
+    hist = _histogram_chunked(idx, nbins)
     p = hist / jnp.maximum(jnp.sum(hist), 1.0)
     P = jnp.concatenate([jnp.zeros(1), jnp.cumsum(p)])  # P[i] = sum p[:i]
     S = jnp.concatenate([jnp.zeros(1), jnp.cumsum(p * centers)])
