@@ -43,7 +43,7 @@ def tpu_pipeline(X, seed=0):
 
     from spateo_tpu.segmentation.starro import starro_em_bp
 
-    _, mask = starro_em_bp(X, k=5, seed=seed, bp_max_iter=50)
+    _, mask = starro_em_bp(X, k=5, seed=seed, bp_max_iter=50, mask_only=True)
     return _np.asarray(mask)
 
 

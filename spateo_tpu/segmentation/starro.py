@@ -43,6 +43,7 @@ from ..ops.threshold import _otsu_from_values
         "bp_q",
         "offsets",
         "use_pallas_bp",
+        "pack_mask",
     ),
 )
 def _starro_em_bp_fused(
@@ -59,6 +60,7 @@ def _starro_em_bp_fused(
     bp_precision: float,
     bp_max_iter: int,
     use_pallas_bp: bool = False,
+    pack_mask: bool = False,
 ):
     X = X.astype(jnp.float32)
 
@@ -128,6 +130,9 @@ def _starro_em_bp_fused(
     mask = scores >= thr2
     mask = erode(dilate(mask, mk), mk)  # close
     mask = dilate(erode(mask, mk), mk)  # open
+    if pack_mask:
+        # 8x smaller device->host transfer on tunneled TPUs
+        return scores, jnp.packbits(mask.ravel())
     return scores, mask
 
 
@@ -145,14 +150,24 @@ def starro_em_bp(
     bp_precision: float = 1e-6,
     bp_max_iter: int = 100,
     seed: Optional[int] = None,
+    mask_only: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Fused Starro EM+BP scoring + masking: returns (scores, mask).
 
     Drop-in for `_score_pixels(X, k, 'EM+BP')` followed by
     `apply_threshold(scores, k+2, threshold_otsu(scores))`, in one device
-    dispatch.
+    dispatch. `mask_only=True` additionally bit-packs the mask on device
+    (8x smaller pull over a tunneled link) and returns it as a host bool
+    array.
     """
     X = np.asarray(X)
+    # lossless narrow upload: UMI rasters are small non-negative integers
+    if np.issubdtype(X.dtype, np.floating) and X.size and float(np.abs(X).max()) < 32767 and np.all(X == np.round(X)):
+        X_up = X.astype(np.int16)
+    elif np.issubdtype(X.dtype, np.integer) and (X.size == 0 or np.abs(X).max() < 32767):
+        X_up = X.astype(np.int16)
+    else:
+        X_up = X
     mk = mk or k + 2
     n = X.size
     # floor of 1000 samples: the fractional downsample degenerates on small
@@ -165,7 +180,7 @@ def starro_em_bp(
     offsets = tuple(map(tuple, create_neighbor_offsets(neighborhood.astype(bool)).tolist()))
     key = jax.random.PRNGKey(0 if seed is None else seed)
     scores, mask = _starro_em_bp_fused(
-        jnp.asarray(X, jnp.float32),
+        jnp.asarray(X_up),
         key,
         k,
         mk,
@@ -178,5 +193,8 @@ def starro_em_bp(
         float(bp_precision),
         int(bp_max_iter),
         _use_pallas_bp(offsets),
+        bool(mask_only),
     )
+    if mask_only:
+        mask = np.unpackbits(np.asarray(mask))[: X.size].reshape(X.shape).astype(bool)
     return scores, mask
