@@ -155,3 +155,34 @@ class TestRefineAlignment:
         # transformed stain should overlap rna better than before
         after = ((adata.layers["stain"] > 0) & (rna > 0)).sum()
         assert after > before
+
+
+class TestStarroAcceptance:
+    """SURVEY §7 minimum-slice acceptance: the real Stereo-seq fixture tile
+    through the full Starro chain (read -> score/mask -> watershed ->
+    expand -> cells x genes)."""
+
+    def test_fixture_tile_end_to_end(self):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "fixtures", "bgi", "SS200000135TL_D1_bin1_small.gem.gz")
+        adata = st.io.read_bgi_agg(path)
+        assert adata.shape == (299, 300)
+
+        st.cs.score_and_mask_pixels(adata, "X", k=5, method="EM+BP", em_kwargs=dict(seed=2021), bp_kwargs=dict(max_iter=50))
+        mask = np.asarray(adata.layers["X_mask"])
+        assert 0.05 < mask.mean() < 0.5  # plausible tissue coverage
+
+        st.cs.find_peaks_with_erosion(adata, "X")
+        st.cs.watershed(adata, "X")
+        st.cs.expand_labels(adata, "X", distance=2, max_area=400)
+        labels = np.asarray(adata.layers["X_labels_expanded"])
+        n_cells = int(labels.max())
+        assert 20 <= n_cells <= 200
+
+        cells = st.io.read_bgi(path, segmentation_adata=adata, labels_layer="X_labels_expanded")
+        assert cells.n_obs == n_cells
+        from scipy.sparse import issparse
+
+        Xc = cells.X.toarray() if issparse(cells.X) else np.asarray(cells.X)
+        assert np.median(Xc.sum(1)) > 50  # real cells carry real counts
