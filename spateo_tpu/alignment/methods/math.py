@@ -305,3 +305,79 @@ def normalize_coords(
         normalize_scales = np.full(len(coords), normalize_scales.mean())
     coords = [c / s for c, s in zip(coords, normalize_scales)]
     return coords, normalize_scales, normalize_means
+
+
+def factorize_distance(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    metric: str = "euc",
+    label_transfer: Optional[jnp.ndarray] = None,
+    eps: float = 1e-8,
+):
+    """Factor a pairwise distance as `d_ij = a_i + b_j + (A @ B.T)_ij`.
+
+    Every metric in `calc_distance` is a GEMM plus rank-1 row/col terms, so
+    the Morpho EM can evaluate the [NA, B] minibatch distance on the fly
+    (one MXU GEMM per iteration) instead of precomputing and gathering the
+    full [NA, NB] tensor — O((NA+NB)·G) memory instead of O(NA·NB), and
+    ~80 MB/iteration less HBM traffic at 20k cells.
+
+    Returns (a_row [NA], b_col [NB], A_feat [NA, G'], B_feat [NB, G']).
+    """
+    X = jnp.asarray(X, jnp.float32)
+    Y = jnp.asarray(Y, jnp.float32)
+    NA, NB = X.shape[0], Y.shape[0]
+    if metric in ("euc", "euclidean"):
+        return (
+            jnp.sum(X * X, axis=1),
+            jnp.sum(Y * Y, axis=1),
+            -2.0 * X,
+            Y,
+        )
+    if metric == "kl":
+        Xp = X + 0.01
+        Yp = Y + 0.01
+        Xp = Xp / jnp.sum(Xp, axis=1, keepdims=True)
+        Yp = Yp / jnp.sum(Yp, axis=1, keepdims=True)
+        return (
+            jnp.sum(Xp * jnp.log(Xp + eps), axis=1),
+            jnp.zeros(NB, jnp.float32),
+            Xp,
+            -jnp.log(Yp + eps),
+        )
+    if metric == "sym_kl":
+        Xp = X + 0.01
+        Yp = Y + 0.01
+        Xp = Xp / jnp.sum(Xp, axis=1, keepdims=True)
+        Yp = Yp / jnp.sum(Yp, axis=1, keepdims=True)
+        lX = jnp.log(Xp + eps)
+        lY = jnp.log(Yp + eps)
+        A = 0.5 * jnp.concatenate([Xp, lX], axis=1)
+        B = jnp.concatenate([-lY, -Yp], axis=1)
+        return (
+            0.5 * jnp.sum(Xp * lX, axis=1),
+            0.5 * jnp.sum(Yp * lY, axis=1),
+            A,
+            B,
+        )
+    if metric in ("cos", "cosine"):
+        Xn = X / (jnp.linalg.norm(X, axis=1, keepdims=True) + eps)
+        Yn = Y / (jnp.linalg.norm(Y, axis=1, keepdims=True) + eps)
+        return (
+            jnp.full(NA, 0.5, jnp.float32),
+            jnp.full(NB, 0.5, jnp.float32),
+            -Xn,
+            Yn,
+        )
+    if metric == "label":
+        assert label_transfer is not None
+        C1, C2 = label_transfer.shape
+        onehot_x = jax.nn.one_hot(X.astype(jnp.int32).ravel(), C1, dtype=jnp.float32)
+        onehot_y = jax.nn.one_hot(Y.astype(jnp.int32).ravel(), C2, dtype=jnp.float32)
+        return (
+            jnp.zeros(NA, jnp.float32),
+            jnp.zeros(NB, jnp.float32),
+            onehot_x @ label_transfer.astype(jnp.float32),
+            onehot_y,
+        )
+    raise ValueError(f"Unsupported metric {metric}")

@@ -91,7 +91,10 @@ def filter_common_genes(*genes_lists, verbose: bool = True) -> List[str]:
 def _morpho_em(
     coordsA: jnp.ndarray,  # [NA, D] (after coarse init transform)
     coordsB: jnp.ndarray,  # [NB, D]
-    exp_dist_full: jnp.ndarray,  # [L, NA, NB] precomputed expression distances
+    exp_a_rows: Tuple[jnp.ndarray, ...],  # per layer: [NA] row terms
+    exp_b_cols: Tuple[jnp.ndarray, ...],  # per layer: [NB] col terms
+    exp_A_feats: Tuple[jnp.ndarray, ...],  # per layer: [NA, G'_l]
+    exp_B_feats: Tuple[jnp.ndarray, ...],  # per layer: [NB, G'_l]
     U: jnp.ndarray,  # [NA, K]
     GammaSparse: jnp.ndarray,  # [K, K]
     batch_schedule: jnp.ndarray,  # [max_iter, B] int32
@@ -157,7 +160,13 @@ def _morpho_em(
         step_size = jnp.minimum(1.0, SVI_decay / (it + 1.0))
         batch_idx = batch_schedule[it]
         coordsB_batch = coordsB[batch_idx]  # [B, D]
-        exp_dist_batch = jnp.take(exp_dist_full, batch_idx, axis=2)  # [L, NA, B]
+        # expression distances on the fly: d_ij = a_i + b_j + (A @ B_batch.T)_ij
+        # (one small GEMM per layer; replaces gathering a precomputed
+        # [L, NA, NB] tensor -- O(NA*NB) memory and 4*NA*B bytes/iter saved)
+        exp_dist_batch = [
+            a[:, None] + b[batch_idx][None, :] + A @ B[batch_idx].T
+            for a, b, A, B in zip(exp_a_rows, exp_b_cols, exp_A_feats, exp_B_feats)
+        ]
 
         # ---- E-step ----
         model_mul = (s["alpha"] * jnp.exp(-s["SigmaDiag"] / s["sigma2"]))[:, None]
@@ -165,14 +174,14 @@ def _morpho_em(
         P, K_NA_spatial, K_NA_sigma2, sigma2_related = get_P_core(
             Dim=Dim,
             spatial_dist=spatial_dist,
-            exp_dist=[exp_dist_batch[l] for l in range(exp_dist_batch.shape[0])],
+            exp_dist=exp_dist_batch,
             sigma2=s["sigma2"],
             model_mul=model_mul,
             gamma=s["gamma"],
             samples_s=samples_s,
             sigma2_variance=s["sigma2_variance"],
             probability_type=list(probability_type),
-            probability_parameters=[probability_parameters[l] for l in range(exp_dist_batch.shape[0])],
+            probability_parameters=[probability_parameters[l] for l in range(len(exp_dist_batch))],
         )
         Sp = P.sum()
         Sp_spatial_new = K_NA_spatial.sum()
@@ -576,14 +585,19 @@ class Morpho_pairwise:
 
         U = np.asarray(con_K(self.coordsA, self.inducing_variables, self.beta))
 
-        # expression distances precomputed once [L, NA, NB]
-        exp_dist = calc_distance(
-            [jnp.asarray(a) for a in self.exp_layers_A],
-            [jnp.asarray(b) for b in self.exp_layers_B],
-            self.dissimilarity,
-            self.label_transfer,
-        )
-        exp_dist_full = jnp.stack(exp_dist)
+        # expression distances factorized once as a_i + b_j + A @ B.T per
+        # layer; the EM evaluates minibatch distances on the fly (no
+        # [L, NA, NB] tensor)
+        from .math import factorize_distance
+
+        factors = [
+            factorize_distance(jnp.asarray(a), jnp.asarray(b), m, self.label_transfer)
+            for a, b, m in zip(self.exp_layers_A, self.exp_layers_B, self.dissimilarity)
+        ]
+        exp_a_rows = tuple(f[0] for f in factors)
+        exp_b_cols = tuple(f[1] for f in factors)
+        exp_A_feats = tuple(f[2] for f in factors)
+        exp_B_feats = tuple(f[3] for f in factors)
 
         if self.batch_size is None:
             batch_size = min(max(int(self.NB / 10), 1000), self.NB)
@@ -604,7 +618,10 @@ class Morpho_pairwise:
         s, optimal_R, optimal_t, optimal_RnA = _morpho_em(
             jnp.asarray(self.coordsA),
             jnp.asarray(self.coordsB),
-            exp_dist_full.astype(jnp.float32),
+            exp_a_rows,
+            exp_b_cols,
+            exp_A_feats,
+            exp_B_feats,
             jnp.asarray(U, jnp.float32),
             jnp.asarray(self.GammaSparse, jnp.float32),
             jnp.asarray(schedule),
@@ -648,10 +665,14 @@ class Morpho_pairwise:
             # full NA x NB assignment
             model_mul = (self._state["alpha"] * np.exp(-self._state["SigmaDiag"] / self.sigma2))[:, None]
             spatial_dist = euc_dist(jnp.asarray(self.XAHat), jnp.asarray(self.coordsB), squared=True)
+            exp_dist_full_list = [
+                a[:, None] + b[None, :] + A @ B.T
+                for a, b, A, B in zip(exp_a_rows, exp_b_cols, exp_A_feats, exp_B_feats)
+            ]
             P_full, _, _, _ = get_P_core(
                 Dim=float(self.D),
                 spatial_dist=spatial_dist,
-                exp_dist=[exp_dist_full[l] for l in range(exp_dist_full.shape[0])],
+                exp_dist=exp_dist_full_list,
                 sigma2=jnp.asarray(self.sigma2),
                 model_mul=jnp.asarray(model_mul),
                 gamma=jnp.asarray(self.gamma),
