@@ -42,8 +42,11 @@ def _enable_persistent_compilation_cache():
         # service the cached AOT result may target a different host CPU's
         # feature set and silently mis-execute (observed: XLA:CPU AOT loader
         # warning + wrong numerics). Only cache for accelerator backends.
+        # NOTE: check the PRIORITY platform only — on the tunneled TPU the
+        # platform string is "axon,cpu" and a substring test would wrongly
+        # disable caching on the accelerator.
         platforms = str(getattr(jax.config, "jax_platforms", "") or "")
-        if "cpu" in platforms:
+        if platforms.split(",")[0].strip() == "cpu":
             return
         cache_dir = os.environ.get("SPATEO_TPU_COMPILATION_CACHE", os.path.expanduser("~/.cache/spateo_tpu_xla"))
         os.makedirs(cache_dir, exist_ok=True)
