@@ -284,8 +284,10 @@ def init_guess_sigma2(XA: np.ndarray, XB: np.ndarray, subsample: int = 20000) ->
     NA, NB, D = XA.shape[0], XB.shape[0], XA.shape[1]
     sa = rng.choice(NA, subsample, replace=False) if NA > subsample else np.arange(NA)
     sb = rng.choice(NB, subsample, replace=False) if NB > subsample else np.arange(NB)
-    d2 = np.asarray(euc_dist(jnp.asarray(XA[sa]), jnp.asarray(XB[sb]), squared=True)) ** 2
-    return float(d2.sum() / (D * len(sa) * len(sa)))
+    # reduce on device: pulling the [n, n] matrix to host costs GBs of
+    # tunnel transfer at 20k cells; the scalar sum is 4 bytes
+    d2sum = jnp.sum(euc_dist(jnp.asarray(XA[sa]), jnp.asarray(XB[sb]), squared=True) ** 2)
+    return float(d2sum) / (D * len(sa) * len(sa))
 
 
 def normalize_coords(

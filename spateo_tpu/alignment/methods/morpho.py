@@ -644,22 +644,30 @@ class Morpho_pairwise:
             partial_robust_level=self.partial_robust_level,
             nn_init_weight=self.nn_init_weight,
         )
-        self._state = {k: np.asarray(v) for k, v in s.items()}
-        self.sigma2 = float(s["sigma2"]) if self.sigma2_end is None else self.sigma2_end
-        self.gamma = float(s["gamma"])
-        self.R = np.asarray(s["R"])
-        self.t = np.asarray(s["t"])
-        self.Coff = np.asarray(s["Coff"])
-        self.XAHat = np.asarray(s["XAHat"])
-        self.RnA = np.asarray(s["RnA"])
-        self.VnA = np.asarray(s["VnA"])
+        # ONE batched host pull: per-array np.asarray costs a full tunnel
+        # round trip each (~20 pulls = seconds); device_get on the pytree
+        # pipelines them. The two large arrays (P [NA, B], traces) are
+        # excluded unless actually needed.
+        small = {k: v for k, v in s.items() if k not in ("P", "traces")}
+        pulled = jax.device_get((small, s["P"], optimal_R, optimal_t, optimal_RnA,
+                                 s["traces"] if self.iter_key_added else jnp.zeros(())))
+        small_np, P_np, optimal_R, optimal_t, optimal_RnA, traces_np = pulled
+        self._state = small_np
+        self.sigma2 = float(small_np["sigma2"]) if self.sigma2_end is None else self.sigma2_end
+        self.gamma = float(small_np["gamma"])
+        self.R = small_np["R"]
+        self.t = small_np["t"]
+        self.Coff = small_np["Coff"]
+        self.XAHat = small_np["XAHat"]
+        self.RnA = small_np["RnA"]
+        self.VnA = small_np["VnA"]
         self.optimal_R = np.asarray(optimal_R)
         self.optimal_t = np.asarray(optimal_t)
         self.optimal_RnA = np.asarray(optimal_RnA)
-        self.P = np.asarray(s["P"])
-        self.iter_traces = np.asarray(s["traces"]) if self.iter_key_added else None
-        self.batch_idx = np.asarray(s["batch_idx"])
-        self.sigma2_variance = float(s["sigma2_variance"])
+        self.P = np.asarray(P_np)
+        self.iter_traces = np.asarray(traces_np) if self.iter_key_added else None
+        self.batch_idx = small_np["batch_idx"]
+        self.sigma2_variance = float(small_np["sigma2_variance"])
 
         if self.return_mapping:
             # full NA x NB assignment

@@ -54,16 +54,17 @@ def paste_pairwise_align(
     X_A, X_B, common = _pairwise_prep(sampleA, sampleB, genes, layer)
     coordsA = np.asarray(sampleA.obsm[spatial_key], dtype=np.float32)
     coordsB = np.asarray(sampleB.obsm[spatial_key], dtype=np.float32)
-    D_A = np.asarray(euc_dist(jnp.asarray(coordsA), jnp.asarray(coordsA), squared=False))
-    D_B = np.asarray(euc_dist(jnp.asarray(coordsB), jnp.asarray(coordsB), squared=False))
+    # all three [n, n] matrices stay on device (pulling them costs GBs of
+    # tunnel transfer at scale); fgw consumes jnp arrays directly
+    D_A = euc_dist(jnp.asarray(coordsA), jnp.asarray(coordsA), squared=False)
+    D_B = euc_dist(jnp.asarray(coordsB), jnp.asarray(coordsB), squared=False)
     [M] = calc_distance(X_A, X_B, metric=dissimilarity)
-    M = np.asarray(M)
 
     a = np.ones(sampleA.n_obs) / sampleA.n_obs if a_distribution is None else np.asarray(a_distribution)
     b = np.ones(sampleB.n_obs) / sampleB.n_obs if b_distribution is None else np.asarray(b_distribution)
     if norm:
-        D_A = D_A / D_A[D_A > 0].min()
-        D_B = D_B / D_B[D_B > 0].min()
+        D_A = D_A / jnp.min(jnp.where(D_A > 0, D_A, jnp.inf))
+        D_B = D_B / jnp.min(jnp.where(D_B > 0, D_B, jnp.inf))
     pi, obj = fgw(M, D_A, D_B, a, b, alpha=alpha, eps=eps, G_init=G_init, max_iter=numItermax)
     return pi, obj
 
