@@ -649,9 +649,9 @@ class Morpho_pairwise:
         # pipelines them. The two large arrays (P [NA, B], traces) are
         # excluded unless actually needed.
         small = {k: v for k, v in s.items() if k not in ("P", "traces")}
-        pulled = jax.device_get((small, s["P"], optimal_R, optimal_t, optimal_RnA,
+        pulled = jax.device_get((small, optimal_R, optimal_t, optimal_RnA,
                                  s["traces"] if self.iter_key_added else jnp.zeros(())))
-        small_np, P_np, optimal_R, optimal_t, optimal_RnA, traces_np = pulled
+        small_np, optimal_R, optimal_t, optimal_RnA, traces_np = pulled
         self._state = small_np
         self.sigma2 = float(small_np["sigma2"]) if self.sigma2_end is None else self.sigma2_end
         self.gamma = float(small_np["gamma"])
@@ -664,7 +664,9 @@ class Morpho_pairwise:
         self.optimal_R = np.asarray(optimal_R)
         self.optimal_t = np.asarray(optimal_t)
         self.optimal_RnA = np.asarray(optimal_RnA)
-        self.P = np.asarray(P_np)
+        # P stays on device ([NA, B] is 4 GB at 100k cells; consumers that
+        # need numpy call np.asarray, most just feed it back to device math)
+        self.P = s["P"]
         self.iter_traces = np.asarray(traces_np) if self.iter_key_added else None
         self.batch_idx = small_np["batch_idx"]
         self.sigma2_variance = float(small_np["sigma2_variance"])
