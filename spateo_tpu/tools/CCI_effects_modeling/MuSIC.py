@@ -266,7 +266,8 @@ class MuSIC:
         from ..find_neighbors import _kernel_weights_batch
         import jax.numpy as jnp
 
-        W = np.asarray(
+        # stays a device array: iwls_batch slices it on device
+        W = (
             _kernel_weights_batch(
                 jnp.asarray(self.coords[self.fitted_indices], jnp.float32),
                 jnp.asarray(self.coords, jnp.float32),

@@ -242,16 +242,16 @@ def iwls_batch(
 
     Returns (betas [n, k], hat_diag [n]).
     """
-    y = np.asarray(y, np.float32).ravel()
-    X = np.asarray(X, np.float32)
-    W = np.asarray(W, np.float32)
-    n = W.shape[0]
-    betas = np.zeros((n, X.shape[1]), np.float32)
+    # W may arrive as a device array (get_wi_batch keeps it on device);
+    # slicing and casting stay device-side to avoid an [n, n] host round trip
+    y_d = jnp.asarray(np.asarray(y, np.float32).ravel() if not isinstance(y, jnp.ndarray) else y, jnp.float32).ravel()
+    X_d = jnp.asarray(X, jnp.float32)
+    W_d = jnp.asarray(W, jnp.float32)
+    n = W_d.shape[0]
+    betas = np.zeros((n, X_d.shape[1]), np.float32)
     hats = np.zeros(n, np.float32)
-    y_d = jnp.asarray(y)
-    X_d = jnp.asarray(X)
     for s in range(0, n, block):
-        Wb = jnp.asarray(W[s : s + block])
+        Wb = W_d[s : s + block]
         b, h = _iwls_batch_kernel(y_d, X_d, Wb, float(ridge_lambda), float(clip), distr, n_irls_iter)
         # hat indices within the block refer to global rows s..s+B: adjust by
         # passing focal index; here W rows align with X rows offset by s
@@ -340,9 +340,9 @@ def iwls_batch_sharded(
     from ...parallel.mesh import pad_rows, row_sharding
 
     mesh = mesh or config.mesh
-    y = jnp.asarray(np.asarray(y, np.float32).ravel())
-    X = jnp.asarray(np.asarray(X, np.float32))
-    Wd = jnp.asarray(np.asarray(W, np.float32))
+    y = jnp.asarray(y, jnp.float32).ravel()
+    X = jnp.asarray(X, jnp.float32)
+    Wd = jnp.asarray(W, jnp.float32)
     q = Wd.shape[0]
     size = mesh.shape["data"]
     Wp, _ = pad_rows(Wd, size)
