@@ -17,7 +17,7 @@ Nyström M-step :1254, rigid SVD M-step :1300, sigma2 :1410, final Procrustes
   the tensor-parallel E-step described in SURVEY.md §2.12.
 
 Not yet implemented from the reference (documented gaps, tracked for later
-rounds): guidance pairs, label-transfer priors, sparse top-k P mode, geodesic
+rounds): label-transfer priors in the E-step, sparse top-k P mode, geodesic
 kernels.
 """
 
@@ -86,6 +86,7 @@ def filter_common_genes(*genes_lists, verbose: bool = True) -> List[str]:
         "probability_type",
         "update_R",
         "nn_init",
+        "guidance_effect",
     ),
 )
 def _morpho_em(
@@ -101,6 +102,9 @@ def _morpho_em(
     inlier_A: jnp.ndarray,  # [Ni, D]
     inlier_B: jnp.ndarray,  # [Ni, D]
     inlier_P: jnp.ndarray,  # [Ni, 1]
+    X_AI: jnp.ndarray,  # [NI, D] guidance points on the moving slice
+    X_BI: jnp.ndarray,  # [NI, D] guidance targets on the fixed slice
+    U_I: jnp.ndarray,  # [NI, K] kernel of guidance points vs inducing points
     probability_parameters: jnp.ndarray,  # [L]
     sigma2_init: jnp.ndarray,
     samples_s: jnp.ndarray,
@@ -111,6 +115,8 @@ def _morpho_em(
     probability_type: tuple = ("gauss",),
     update_R: bool = True,
     nn_init: bool = True,
+    guidance_effect: str = "none",  # 'none' | 'rigid' | 'nonrigid' | 'both'
+    guidance_weight: float = 1.0,
     gamma_a: float = 1.0,
     gamma_b: float = 1.0,
     kappa: float = 1.0,
@@ -150,6 +156,8 @@ def _morpho_em(
         Sp_spatial=jnp.asarray(0.0, jnp.float32),
         Sp_sigma2=jnp.asarray(0.0, jnp.float32),
         nonrigid_flag=jnp.asarray(False),
+        V_AI=jnp.zeros_like(X_AI),
+        R_AI=X_AI,
         P=jnp.zeros((NA, B), jnp.float32),
         K_NA=jnp.zeros((NA,), jnp.float32),
         K_NB=jnp.zeros((B,), jnp.float32),
@@ -208,6 +216,10 @@ def _morpho_em(
         SigmaInv = step_size * SigmaInv_new + (1 - step_size) * s["SigmaInv"]
         PXB_term = step_size * PXB_term_new + (1 - step_size) * s["PXB_term"]
         UPXB_term = U.T @ PXB_term
+        if guidance_effect in ("nonrigid", "both"):
+            g_coef = s["sigma2"] * guidance_weight * Sp_total / X_BI.shape[0]
+            SigmaInv = SigmaInv + g_coef * (U_I.T @ U_I)
+            UPXB_term = UPXB_term + g_coef * (U_I.T @ (X_BI - s["R_AI"]))
         # regularized linear solves replace pinv. SigmaInv is PD by
         # construction (sigma2*lambdaVF*Gamma + U^T diag(K_NA) U) but can be
         # numerically near-rank-1 when beta is small (the SE kernel saturates),
@@ -223,6 +235,7 @@ def _morpho_em(
         SigmaDiag_new = s["sigma2"] * jnp.maximum(jnp.einsum("ij,ji->i", U, Sigma_UT), 0.0)
 
         use_nr = nonrigid_flag
+        V_AI = jnp.where(use_nr, U_I @ Coff_new, s["V_AI"]) if guidance_effect != "none" else s["V_AI"]
         Coff = jnp.where(use_nr, Coff_new, s["Coff"])
         VnA = jnp.where(use_nr, VnA_new, s["VnA"])
         SigmaDiag = jnp.where(use_nr, SigmaDiag_new, s["SigmaDiag"])
@@ -241,6 +254,14 @@ def _morpho_em(
             mu_XB = mu_XB + nn_coef * (inlier_P.T @ inlier_B)
             mu_XA = mu_XA + nn_coef * (inlier_P.T @ inlier_A)
             mu_X_deno = mu_X_deno + nn_coef * inlier_sum
+        if guidance_effect in ("rigid", "both"):
+            NI = X_BI.shape[0]
+            gr_coef = s["sigma2"] * guidance_weight * Sp_total / NI
+            mu_XB = mu_XB + gr_coef * jnp.mean(X_BI, axis=0)[None, :]
+            mu_XA = mu_XA + gr_coef * jnp.mean(X_AI, axis=0)[None, :]
+            mu_Vn = mu_Vn + gr_coef * jnp.mean(s["V_AI"], axis=0)[None, :]
+            mu_X_deno = mu_X_deno + gr_coef * NI
+            mu_Vn_deno = mu_Vn_deno + gr_coef * NI
         mu_XB = mu_XB / mu_X_deno
         mu_XA = mu_XA / mu_X_deno
         mu_Vn = mu_Vn / mu_Vn_deno
@@ -253,6 +274,11 @@ def _morpho_em(
             inlier_A_hat = inlier_A - mu_XA
             inlier_B_hat = inlier_B - mu_XB
             A_mat = A_mat - nn_coef * ((inlier_A_hat * inlier_P).T @ (-inlier_B_hat)).T
+        if guidance_effect in ("rigid", "both"):
+            X_AI_hat = X_AI - mu_XA
+            X_BI_hat = X_BI - mu_XB
+            V_AI_hat = (V_AI if guidance_effect != "none" else s["V_AI"]) - mu_Vn
+            A_mat = A_mat - gr_coef * (X_AI_hat.T @ (V_AI_hat - X_BI_hat)).T
         R_new = procrustes_rotation(A_mat)
         if update_R:
             R = jnp.where(step_size < 1, step_size * R_new + (1 - step_size) * s["R"], R_new)
@@ -264,10 +290,16 @@ def _morpho_em(
         if nn_init:
             t_numerator = t_numerator + nn_coef * (inlier_P.T @ (inlier_B - inlier_A @ R.T))
             t_deno = t_deno + nn_coef * inlier_sum
+        if guidance_effect in ("rigid", "both"):
+            t_numerator = t_numerator + gr_coef * jnp.sum(X_BI - (V_AI if guidance_effect != "none" else s["V_AI"]) - X_AI @ R.T, axis=0)[None, :]
+            t_deno = t_deno + gr_coef * X_BI.shape[0]
         t_new = (t_numerator / t_deno)[0]
         t = jnp.where(step_size < 1, step_size * t_new + (1 - step_size) * s["t"], t_new)
 
         RnA = coordsA @ R.T + t
+        # guidance points track the rigid transform (the reference compounds
+        # R_AI repeatedly at morpho_class.py:1409 — a bug; transform X_AI)
+        R_AI = X_AI @ R.T + t if guidance_effect != "none" else s["R_AI"]
         XAHat = VnA + RnA
         traces = (
             jax.lax.dynamic_update_index_in_dim(s["traces"], XAHat, (it * n_traces) // max_iter, 0)
@@ -298,6 +330,8 @@ def _morpho_em(
             Sp_spatial=Sp_spatial,
             Sp_sigma2=Sp_sigma2,
             nonrigid_flag=nonrigid_flag,
+            V_AI=V_AI if guidance_effect != "none" else s["V_AI"],
+            R_AI=R_AI,
             traces=traces,
             P=P,
             K_NA=K_NA,
@@ -381,8 +415,6 @@ class Morpho_pairwise:
         update_R: bool = True,
         seed: int = 0,
     ):
-        if guidance_effect not in (False, None):
-            raise NotImplementedError("guidance pairs are not yet supported in the TPU build")
         if sparse_calculation_mode:
             lm.main_warning("sparse_calculation_mode not yet supported; using dense P.")
         self.sampleA = sampleA
@@ -416,6 +448,11 @@ class Morpho_pairwise:
         self.init_field = init_field
         self.nn_init_top_K = nn_init_top_K
         self.nn_init_weight = nn_init_weight
+        self.guidance_pair = guidance_pair
+        if guidance_effect not in (False, None, "rigid", "nonrigid", "both"):
+            raise AlignmentError(f"Invalid guidance_effect {guidance_effect}; use False/'rigid'/'nonrigid'/'both'.")
+        self.guidance_effect = guidance_effect if guidance_effect else "none"
+        self.guidance_weight = guidance_weight
         self.max_iter = max_iter
         self.nonrigid_start_iter = nonrigid_start_iter
         self.SVI_mode = SVI_mode
@@ -585,6 +622,29 @@ class Morpho_pairwise:
 
         U = np.asarray(con_K(self.coordsA, self.inducing_variables, self.beta))
 
+        # guidance pairs: normalize into the EM frame (same stats as the
+        # coords), apply the coarse-init transform that coordsA carries, and
+        # precompute their kernel against the inducing points
+        # (parity: reference morpho_class.py:561 `_guidance_pair_preprocess`
+        # + :860 U_I; the reference's compounding of R_AI at :1409 is fixed
+        # here by always transforming the original X_AI)
+        if self.guidance_effect != "none" and self.guidance_pair is not None:
+            if not isinstance(self.guidance_pair, (list, tuple)) or len(self.guidance_pair) != 2:
+                raise AlignmentError("guidance_pair must be [X_BI, X_AI] arrays.")
+            X_BI = np.asarray(self.guidance_pair[0], np.float32)
+            X_AI = np.asarray(self.guidance_pair[1], np.float32)
+            if self.normalize_c:
+                X_AI = (X_AI - self.normalize_means[0]) / self.normalize_scales[0]
+                X_BI = (X_BI - self.normalize_means[1]) / self.normalize_scales[1]
+            X_AI = X_AI @ np.asarray(self.init_R).T + np.asarray(self.init_t)
+            U_I = np.asarray(con_K(X_AI, self.inducing_variables, self.beta))
+            guidance_effect = self.guidance_effect
+        else:
+            X_AI = np.zeros((1, self.D), np.float32)
+            X_BI = np.zeros((1, self.D), np.float32)
+            U_I = np.zeros((1, self.K), np.float32)
+            guidance_effect = "none"
+
         # expression distances factorized once as a_i + b_j + A @ B.T per
         # layer; the EM evaluates minibatch distances on the fly (no
         # [L, NA, NB] tensor)
@@ -628,6 +688,9 @@ class Morpho_pairwise:
             jnp.asarray(self.inlier_A, jnp.float32),
             jnp.asarray(self.inlier_B, jnp.float32),
             jnp.asarray(self.inlier_P, jnp.float32),
+            jnp.asarray(X_AI, jnp.float32),
+            jnp.asarray(X_BI, jnp.float32),
+            jnp.asarray(U_I, jnp.float32),
             jnp.asarray(probability_parameters),
             jnp.asarray(sigma2_init, jnp.float32),
             jnp.asarray(samples_s, jnp.float32),
@@ -637,6 +700,8 @@ class Morpho_pairwise:
             probability_type=tuple(self.probability_type),
             update_R=self.update_R,
             nn_init=self.nn_init,
+            guidance_effect=guidance_effect,
+            guidance_weight=float(self.guidance_weight),
             gamma_a=self.gamma_a,
             gamma_b=self.gamma_b,
             kappa=self.kappa,

@@ -180,3 +180,53 @@ class TestIterationTrace:
         e0 = np.abs(np.asarray(frames[0]) - ptsB).mean()
         e9 = np.abs(np.asarray(frames[-1]) - ptsB).mean()
         assert e9 <= e0 + 1e-3
+
+
+class TestGuidancePairs:
+    def test_guidance_disambiguates_flip(self):
+        """A symmetric cloud rotated 180° is ambiguous without guidance;
+        15 known correspondences resolve it (reference morpho_class.py
+        guidance_pair/guidance_effect)."""
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+        rng = np.random.default_rng(0)
+        n = 300
+        pts = rng.uniform(-5, 5, (n, 2)).astype(np.float32)
+
+        def mk(p):
+            a = st.AnnData(
+                X=np.ones((n, 3), np.float32),
+                obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                var=pd.DataFrame(index=["g0", "g1", "g2"]),
+            )
+            a.obsm["spatial"] = p
+            st.SKM.init_adata_type(a, "UMI")
+            return a
+
+        A = mk(-pts)  # 180° rotation
+        B = mk(pts)
+        idx = rng.choice(n, 15, replace=False)
+        guidance = [np.asarray(B.obsm["spatial"])[idx], np.asarray(A.obsm["spatial"])[idx]]
+
+        m0 = Morpho_pairwise(sampleA=A, sampleB=B, spatial_key="spatial", key_added="align",
+                             max_iter=60, verbose=False, nn_init=False)
+        m0.run()
+        err_no = float(np.abs(m0.XAHat - pts).mean())
+
+        m1 = Morpho_pairwise(sampleA=A, sampleB=B, spatial_key="spatial", key_added="align",
+                             max_iter=60, verbose=False, nn_init=False,
+                             guidance_pair=guidance, guidance_effect="both", guidance_weight=5.0)
+        m1.run()
+        err_g = float(np.abs(m1.XAHat - pts).mean())
+        assert err_g < 0.1
+        assert err_g < err_no / 10
+
+    def test_invalid_guidance_effect(self):
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+        from spateo_tpu.errors import AlignmentError
+
+        a = st.AnnData(X=np.ones((5, 2), np.float32))
+        st.SKM.init_adata_type(a, "UMI")
+        a.obsm["spatial"] = np.zeros((5, 2))
+        with pytest.raises(AlignmentError, match="guidance_effect"):
+            Morpho_pairwise(sampleA=a, sampleB=a, spatial_key="spatial", key_added="x", guidance_effect="bogus")
