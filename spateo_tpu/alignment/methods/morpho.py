@@ -505,7 +505,42 @@ class Morpho_pairwise:
             get_rep(self.sampleB, rep, rep_f, self.genes if rep_f == "layer" else None)
             for rep, rep_f in zip(self.rep_layer, self.rep_field)
         ]
-        self.label_transfer = None  # label-transfer priors: later round
+
+        # label-transfer prior (reference methods/utils.py:264
+        # check_label_transfer + morpho_class.py:365): an 'obs' rep layer is
+        # a categorical annotation; its pairwise "distance" is the transfer
+        # probability looked up from a [catA, catB] matrix (factorized as a
+        # one-hot GEMM inside the EM). Codes must index the SAME category
+        # order the matrix was built with, so re-encode them here.
+        self.label_transfer = None
+        for i, rep_f in enumerate(self.rep_field):
+            if rep_f != "obs":
+                continue
+            rep = self.rep_layer[i]
+            import pandas as pd
+
+            catA = sorted(map(str, pd.unique(np.asarray(self.sampleA.obs[rep]).astype(str))))
+            catB = sorted(map(str, pd.unique(np.asarray(self.sampleB.obs[rep]).astype(str))))
+            td = self.label_transfer_dict
+            if td is None:
+                from ..utils import generate_label_transfer_dict
+
+                td = generate_label_transfer_dict(catA, catB)
+            lt = np.zeros((len(catA), len(catB)), np.float32)
+            for j, ca in enumerate(catA):
+                for k, cb in enumerate(catB):
+                    lt[j, k] = td[ca][cb]
+            self.label_transfer = lt
+            posA = {c: j for j, c in enumerate(catA)}
+            posB = {c: k for k, c in enumerate(catB)}
+            self.exp_layers_A[i] = np.asarray(
+                [posA[str(v)] for v in np.asarray(self.sampleA.obs[rep]).astype(str)], np.int32
+            )
+            self.exp_layers_B[i] = np.asarray(
+                [posB[str(v)] for v in np.asarray(self.sampleB.obs[rep]).astype(str)], np.int32
+            )
+            self.dissimilarity[i] = "label"
+            self.probability_type[i] = "prob"
 
         self.coordsA = np.asarray(self.sampleA.obsm[self.spatial_key], dtype=np.float32)
         self.coordsB = np.asarray(self.sampleB.obsm[self.spatial_key], dtype=np.float32)

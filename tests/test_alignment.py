@@ -230,3 +230,47 @@ class TestGuidancePairs:
         a.obsm["spatial"] = np.zeros((5, 2))
         with pytest.raises(AlignmentError, match="guidance_effect"):
             Morpho_pairwise(sampleA=a, sampleB=a, spatial_key="spatial", key_added="x", guidance_effect="bogus")
+
+
+class TestLabelTransferPrior:
+    def test_label_prior_shifts_assignment_mass(self):
+        """An 'obs' rep layer becomes a label-transfer prior in the E-step
+        (reference methods/utils.py:264 + morpho_class.py:365): with it,
+        assignment mass concentrates on same-type pairs."""
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+        rng = np.random.default_rng(0)
+        n = 300
+        pts = rng.uniform(-5, 5, (n, 2)).astype(np.float32)
+        ct = rng.choice(["T1", "T2"], n)
+
+        def mk(p):
+            a = st.AnnData(
+                X=np.ones((n, 3), np.float32),
+                obs=pd.DataFrame({"ct": ct}, index=[f"c{i}" for i in range(n)]),
+                var=pd.DataFrame(index=["g0", "g1", "g2"]),
+            )
+            a.obsm["spatial"] = p
+            st.SKM.init_adata_type(a, "UMI")
+            return a
+
+        A = mk(pts + 0.3 * rng.normal(size=(n, 2)).astype(np.float32))
+        B = mk(pts)
+
+        def same_type_mass(m):
+            P = np.asarray(m.P)
+            bidx = np.asarray(m.batch_idx)
+            same = ct[:, None] == ct[bidx][None, :]
+            return float(P[same].sum() / max(P.sum(), 1e-12))
+
+        m0 = Morpho_pairwise(sampleA=A, sampleB=B, spatial_key="spatial", key_added="align",
+                             max_iter=40, verbose=False, nn_init=False)
+        m0.run()
+        m1 = Morpho_pairwise(sampleA=A, sampleB=B, spatial_key="spatial", key_added="align",
+                             rep_layer=["X", "ct"], rep_field=["layer", "obs"],
+                             dissimilarity=["kl", "label"], probability_type=["gauss", "prob"],
+                             max_iter=40, verbose=False, nn_init=False)
+        m1.run()
+        assert m1.label_transfer is not None
+        assert m1.label_transfer[0, 0] > m1.label_transfer[0, 1]  # same-label favored
+        assert same_type_mass(m1) > same_type_mass(m0) + 0.2
