@@ -16,9 +16,10 @@ Nyström M-step :1254, rigid SVD M-step :1300, sigma2 :1410, final Procrustes
   axis-0 sums in `get_P_core` compile to psum collectives over ICI, giving
   the tensor-parallel E-step described in SURVEY.md §2.12.
 
-Not yet implemented from the reference (documented gaps, tracked for later
-rounds): label-transfer priors in the E-step, sparse top-k P mode, geodesic
-kernels.
+Not yet implemented from the reference (documented gap, tracked for later
+rounds): sparse top-k P mode (dense minibatch P is used instead; the
+factorized on-the-fly distances already remove the O(NA*NB) memory that
+motivated it).
 """
 
 from __future__ import annotations
@@ -393,6 +394,7 @@ class Morpho_pairwise:
         beta: float = 0.01,
         K: int = 15,
         kernel_type: str = "euc",
+        graph_knn: int = 10,
         sigma2_init_scale: float = 0.1,
         sigma2_end: Optional[float] = None,
         gamma_a: float = 1.0,
@@ -462,6 +464,7 @@ class Morpho_pairwise:
         self.beta = beta
         self.K = K
         self.kernel_type = kernel_type
+        self.graph_knn = graph_knn
         self.sigma2_init_scale = sigma2_init_scale
         self.sigma2_end = sigma2_end
         self.gamma_a = gamma_a
@@ -564,9 +567,34 @@ class Morpho_pairwise:
             pick = np.arange(unique_coords.shape[0])
         idx = unique_idx[pick]
         self.inducing_variables = self.coordsA[idx, :]
-        if self.kernel_type != "euc":
-            raise NotImplementedError(f"Kernel type '{self.kernel_type}' is not implemented (use 'euc').")
-        self.GammaSparse = np.asarray(con_K(self.inducing_variables, self.inducing_variables, self.beta))
+        if self.kernel_type == "euc":
+            self.GammaSparse = np.asarray(con_K(self.inducing_variables, self.inducing_variables, self.beta))
+            self._U_precomputed = None
+        elif self.kernel_type == "geodist":
+            # geodesic deformation kernel (reference morpho_class.py:865 +
+            # methods/utils.py:1190 con_K_graph): distances over the KNN
+            # graph of the moving slice, Dijkstra from the inducing points
+            # (scipy's multi-source dijkstra replaces the reference's
+            # networkx per-source Python loop), K = exp(-beta d_geo^2).
+            from scipy.sparse import csr_matrix
+            from scipy.sparse.csgraph import dijkstra
+            from scipy.spatial import cKDTree
+
+            nA = self.coordsA.shape[0]
+            k = min(self.graph_knn + 1, nA)
+            tree = cKDTree(self.coordsA)
+            dists, nbrs = tree.query(self.coordsA, k=k)
+            rows = np.repeat(np.arange(nA), k - 1)
+            cols = nbrs[:, 1:].ravel()
+            vals = dists[:, 1:].ravel()
+            graph = csr_matrix((vals, (rows, cols)), shape=(nA, nA))
+            D = dijkstra(graph, directed=False, indices=idx)  # [K, NA]
+            D = np.where(np.isfinite(D), D, 1e5).T.astype(np.float32)  # [NA, K]
+            U = np.exp(-self.beta * D**2)
+            self._U_precomputed = U
+            self.GammaSparse = U[idx, :]
+        else:
+            raise NotImplementedError(f"Kernel type '{self.kernel_type}' is not implemented (use 'euc' or 'geodist').")
         self.K = self.inducing_variables.shape[0]
 
     def _init_probability_parameters(self, subsample: int = 20000):
@@ -655,7 +683,11 @@ class Morpho_pairwise:
             float(np.prod(self.coordsB.max(0) - self.coordsB.min(0))),
         )
 
-        U = np.asarray(con_K(self.coordsA, self.inducing_variables, self.beta))
+        U = (
+            self._U_precomputed
+            if getattr(self, "_U_precomputed", None) is not None
+            else np.asarray(con_K(self.coordsA, self.inducing_variables, self.beta))
+        )
 
         # guidance pairs: normalize into the EM frame (same stats as the
         # coords), apply the coarse-init transform that coordsA carries, and

@@ -274,3 +274,43 @@ class TestLabelTransferPrior:
         assert m1.label_transfer is not None
         assert m1.label_transfer[0, 0] > m1.label_transfer[0, 1]  # same-label favored
         assert same_type_mass(m1) > same_type_mass(m0) + 0.2
+
+
+class TestGeodesicKernel:
+    def test_geodist_kernel_aligns(self):
+        """kernel_type='geodist' builds the deformation kernel from KNN-graph
+        geodesics (reference morpho_class.py:865 + con_K_graph)."""
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+        rng = np.random.default_rng(0)
+        n = 300
+        th = rng.uniform(0.2, 2 * np.pi - 0.2, n)
+        r = 5 + rng.normal(0, 0.2, n)
+        pts = np.stack([r * np.cos(th), r * np.sin(th)], 1).astype(np.float32)
+        X = rng.poisson(2.0, (n, 10)).astype(np.float32)
+
+        def mk(p):
+            a = st.AnnData(X=X.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                           var=pd.DataFrame(index=[f"g{j}" for j in range(10)]))
+            a.obsm["spatial"] = p
+            st.SKM.init_adata_type(a, "UMI")
+            return a
+
+        A = mk(pts + np.array([0.5, -0.3], np.float32))
+        B = mk(pts)
+        m = Morpho_pairwise(sampleA=A, sampleB=B, spatial_key="spatial", key_added="align",
+                            max_iter=40, verbose=False, kernel_type="geodist", beta=0.5)
+        m.run()
+        assert m._U_precomputed is not None
+        assert m._U_precomputed.shape == (n, m.K)
+        assert float(np.abs(m.XAHat - pts).mean()) < 0.2
+
+    def test_unknown_kernel_raises(self):
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+        a = st.AnnData(X=np.ones((30, 3), np.float32))
+        st.SKM.init_adata_type(a, "UMI")
+        a.obsm["spatial"] = np.random.default_rng(0).normal(size=(30, 2)).astype(np.float32)
+        with pytest.raises(NotImplementedError, match="warp9"):
+            Morpho_pairwise(sampleA=a, sampleB=a, spatial_key="spatial", key_added="x",
+                            kernel_type="warp9", verbose=False).run()
