@@ -85,3 +85,44 @@ def sample(X: np.ndarray, n: int, method: str = "random", seed: int = 0) -> np.n
     if method in ("lhs", "LHS"):
         return lhs_sample(X, n, seed)
     raise ValueError(f"Unknown sampling method {method}")
+
+
+def sample_by_kmeans(X: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
+    """Reference-named alias of kmeans_sample (methods/sampling.py)."""
+    return kmeans_sample(X, n, seed)
+
+
+def sample_by_velocity(X: np.ndarray, V: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
+    """Velocity-magnitude-weighted sampling (parity: reference
+    methods/sampling.py sample_by_velocity)."""
+    rng = np.random.default_rng(seed)
+    mag = np.linalg.norm(np.asarray(V), axis=1) + 1e-12
+    p = mag / mag.sum()
+    return rng.choice(len(X), min(n, len(X)), replace=False, p=p)
+
+
+def trn(X: np.ndarray, n: int, seed: int = 0, **kwargs) -> np.ndarray:
+    """Reference-named alias of trn_sample (topology-representing network)."""
+    return trn_sample(X, n, seed, **kwargs)
+
+
+def lhsclassic(X: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
+    """Reference-named alias of lhs_sample (latin hypercube)."""
+    return lhs_sample(X, n, seed)
+
+
+class TRNET:
+    """Topology-representing network (parity surface: reference
+    methods/sampling.py:62 TRNET — the SOM training runs through
+    trn_sample)."""
+
+    def __init__(self, n_nodes: int, X: np.ndarray, seed: int = 0):
+        self.n_nodes = n_nodes
+        self.X = np.asarray(X)
+        self.seed = seed
+        self.W: np.ndarray = None
+
+    def run(self, n_epochs: int = 3) -> np.ndarray:
+        idx = trn_sample(self.X, self.n_nodes, self.seed, n_epochs=n_epochs)
+        self.W = self.X[idx]
+        return self.W

@@ -291,3 +291,22 @@ def read_bgi(
     SKM.set_uns_spatial_attribute(adata, SKM.UNS_SPATIAL_SCALE_KEY, scale)
     SKM.set_uns_spatial_attribute(adata, SKM.UNS_SPATIAL_SCALE_UNIT_KEY, scale_unit)
     return adata
+
+
+def dataframe_to_filled_labels(df: pd.DataFrame, column: str, shape: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """BGI dataframe with a cell-label column -> filled labels raster
+    (parity: reference io/bgi.py:134)."""
+    shape = shape or (int(df["x"].max()) + 1, int(df["y"].max()) + 1)
+    labels = np.zeros(shape, dtype=int)
+    sub = df[df[column] > 0].drop_duplicates(subset=[column, "x", "y"])
+    labels[sub["x"].to_numpy(int), sub["y"].to_numpy(int)] = sub[column].to_numpy(int)
+    # fill each label's bounding region via convex fill per label
+    from scipy import ndimage
+
+    out = labels.copy()
+    for lab in np.unique(labels):
+        if lab <= 0:
+            continue
+        m = ndimage.binary_fill_holes(labels == lab)
+        out[m] = lab
+    return out

@@ -198,3 +198,10 @@ def get_coords_labels(labels: np.ndarray) -> pd.DataFrame:
     data = labels[nz]
     values = np.vstack((x, y, data)).T
     return pd.DataFrame(values, columns=["x", "y", "label"])
+
+
+def contour_to_geo(contour) -> np.ndarray:
+    """Contour -> geometry object (parity: reference io/utils.py:62;
+    shapely is unavailable, so the vertex array itself is the geometry —
+    every consumer in this framework renders vertex arrays directly)."""
+    return np.asarray(contour, dtype=float).reshape(-1, 2)

@@ -401,3 +401,33 @@ def select_hvf_seurat(
     adata.var["hvf_mean"] = mean
     adata.var["hvf_dispersion"] = dispersion
     return hv
+
+
+def select_hvf_seurat_single(
+    X,
+    n_top: int = 2000,
+    min_disp: float = 0.5,
+    max_disp: float = np.inf,
+    min_mean: float = 0.0125,
+    max_mean: float = 3.0,
+    n_bins: int = 20,
+) -> np.ndarray:
+    """Single-matrix Seurat HVF selection with mean/dispersion cutoffs
+    (parity: reference normalize.py:646 select_hvf_seurat_single). Returns a
+    boolean highly-variable mask."""
+    mean, var = calc_mean_and_var(X, axis=0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dispersion = np.where(mean > 0, var / mean, 0.0)
+    df_bins = np.digitize(mean, np.histogram(mean, bins=n_bins)[1][:-1])
+    z = np.zeros_like(dispersion)
+    for b in np.unique(df_bins):
+        m = df_bins == b
+        mu, sd = dispersion[m].mean(), dispersion[m].std()
+        z[m] = (dispersion[m] - mu) / (sd if sd > 0 else 1.0)
+    ok = (mean >= min_mean) & (mean <= max_mean) & (z >= min_disp) & (z <= max_disp)
+    if n_top is not None and ok.sum() > n_top:
+        order = np.argsort(-np.where(ok, z, -np.inf))
+        keep = np.zeros(len(mean), bool)
+        keep[order[:n_top]] = True
+        return keep
+    return ok

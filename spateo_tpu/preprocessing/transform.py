@@ -135,3 +135,45 @@ def scale_anndata(
     else:
         adata.X = out
     return adata if copy else None
+
+
+def sparse_mean_var_minor_axis(data, indices, major_len: int, minor_len: int, dtype=np.float64):
+    """Mean/variance over the minor (indexed) axis of a CSR-like buffer
+    (parity: reference preprocessing/_fast_utils numba kernel, vectorized)."""
+    means = np.zeros(minor_len, dtype)
+    sq = np.zeros(minor_len, dtype)
+    np.add.at(means, indices, data)
+    np.add.at(sq, indices, np.asarray(data, dtype) ** 2)
+    means /= major_len
+    var = sq / major_len - means**2
+    var *= major_len / max(major_len - 1, 1)
+    return means, var
+
+
+def sparse_mean_var_major_axis(data, indptr, major_len: int, minor_len: int, dtype=np.float64):
+    """Mean/variance over the major (indptr) axis (parity: reference
+    _fast_utils kernel)."""
+    counts = np.diff(indptr)
+    sums = np.add.reduceat(np.asarray(data, dtype), indptr[:-1]) * (counts > 0)
+    sq = np.add.reduceat(np.asarray(data, dtype) ** 2, indptr[:-1]) * (counts > 0)
+    means = sums / minor_len
+    var = sq / minor_len - means**2
+    var *= minor_len / max(minor_len - 1, 1)
+    return means, var
+
+
+def sparse_mean_variance_axis(mtx, axis: int):
+    """scanpy-compatible sparse mean/variance along an axis (parity:
+    reference _fast_utils sparse_mean_variance_axis)."""
+    from scipy.sparse import csc_matrix, csr_matrix
+
+    if isinstance(mtx, csr_matrix):
+        if axis == 0:
+            return sparse_mean_var_minor_axis(mtx.data, mtx.indices, mtx.shape[0], mtx.shape[1])
+        return sparse_mean_var_major_axis(mtx.data, mtx.indptr, mtx.shape[0], mtx.shape[1])
+    if isinstance(mtx, csc_matrix):
+        if axis == 0:
+            return sparse_mean_var_major_axis(mtx.data, mtx.indptr, mtx.shape[1], mtx.shape[0])
+        return sparse_mean_var_minor_axis(mtx.data, mtx.indices, mtx.shape[1], mtx.shape[0])
+    M = np.asarray(mtx, float)
+    return M.mean(axis=axis), M.var(axis=axis, ddof=1)

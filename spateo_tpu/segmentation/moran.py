@@ -95,3 +95,62 @@ def run_moran_and_mask_pixels(
     m = np.asarray(mclose_mopen(m, mk))
     out = mask_layer or SKM.gen_new_layer_key(layer, SKM.MASK_SUFFIX)
     SKM.set_layer_data(adata, out, m)
+
+
+def binary_morani_result(
+    c: np.ndarray,
+    p: np.ndarray,
+    pvalue_cutoff: Optional[float] = None,
+    method: str = "edge-watershed",
+    c_cutoff: Optional[float] = None,
+    tissue_mask: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Cell mask from per-pixel Moran's I scores `c` and p-values `p`
+    (parity: reference moran.py:129). Two significance modes: Otsu on the
+    p-value histogram, or Sobel-edge watershed into fore/background; the
+    final mask also requires the (0-255 scaled) Moran score to clear an Otsu
+    threshold."""
+    c = np.asarray(c, float)
+    p = np.asarray(p, float)
+    if pvalue_cutoff is None:
+        if method == "otsu":
+            p8 = (p * 255).astype(np.uint8)
+            p2 = p8[tissue_mask > 0] if isinstance(tissue_mask, np.ndarray) else p8.ravel()
+            pvalue_cutoff = threshold_otsu(p2.astype(np.float32))
+            p_cell_mask = p8 <= pvalue_cutoff
+        elif method == "edge-watershed":
+            from ..ops.labels import _watershed_kernel, connected_components
+
+            # sobel gradient magnitude of the p-value surface
+            kx = np.array([[1, 0, -1], [2, 0, -2], [1, 0, -1]], np.float32) / 8
+            import jax.numpy as _jnp
+
+            gx = np.asarray(_conv2d_kernel(_reflect_pad(_jnp.asarray(p, _jnp.float32), 1), _jnp.asarray(kx), 3, 3, "VALID"))
+            gy = np.asarray(_conv2d_kernel(_reflect_pad(_jnp.asarray(p, _jnp.float32), 1), _jnp.asarray(kx.T), 3, 3, "VALID"))
+            edges = np.sqrt(gx**2 + gy**2)
+            markers = np.zeros_like(p, np.int32)
+            markers[p > 0.95] = 2  # background
+            markers[p < 1e-5] = 1  # foreground
+            ws = np.asarray(
+                _watershed_kernel(
+                    _jnp.asarray(edges, _jnp.float32),
+                    _jnp.asarray(markers),
+                    _jnp.ones_like(_jnp.asarray(p), bool),
+                )
+            )
+            p_cell_mask = ws == 1
+        else:
+            raise ValueError(f"unknown method {method}; use 'otsu' or 'edge-watershed'")
+    else:
+        p_cell_mask = p <= pvalue_cutoff
+
+    if c_cutoff is None:
+        c8 = ((c - c.min()) / max(c.max() - c.min(), 1e-12) * 255).astype(np.uint8)
+        sel = p_cell_mask & (tissue_mask > 0) if isinstance(tissue_mask, np.ndarray) else p_cell_mask
+        vals = c8[sel]
+        c_cutoff = threshold_otsu(vals.astype(np.float32)) if vals.size else 0.0
+        c = c8
+    mask = p_cell_mask & (c >= c_cutoff)
+    if isinstance(tissue_mask, np.ndarray):
+        mask &= tissue_mask > 0
+    return mask.astype(bool)

@@ -176,3 +176,20 @@ def simulate_cell_and_sig(
     pd.DataFrame({"geneID": "Malat1", "x": x, "y": y, "MIDCounts": sigs[sigs > 0]}).to_csv(out_file, sep="\t", index=False)
     np.save(os.path.join(prefix, f"seed{seed}.labels.npy"), labels)
     return labels, sigs
+
+
+def get_axes_from_area_and_ctoa(areas: np.ndarray, ctoas: np.ndarray, seed: int) -> List[Tuple[int, int]]:
+    """Ellipse axes from area + circumference/area ratio
+    (parity: reference allocate_cell.py:124): with S = pi a b and
+    R = C/S, x = R S, y = S/pi -> long = sqrt(y - pi y/2 + x/4),
+    short = y/long."""
+    areas = np.asarray(areas, float)
+    ctoas = np.asarray(ctoas, float)
+    while len(areas) > len(ctoas):
+        ctoas = np.tile(ctoas, 2)
+    ctoas = ctoas[: len(areas)]
+    x = ctoas * areas
+    y = areas / np.pi
+    longs = np.sqrt(np.maximum(y - np.pi * y / 2 + x / 4, 1.0))
+    shorts = np.maximum(y / longs, 1.0)
+    return list(zip(longs.astype(np.uint16), shorts.astype(np.uint16)))

@@ -279,3 +279,11 @@ def multipletests_bh(pvals: np.ndarray) -> np.ndarray:
     out = np.empty(n)
     out[order] = np.clip(ranked, 0, 1)
     return out
+
+
+def loess_reg(x: np.ndarray, y: np.ndarray, frac: float = 0.5):
+    """Reference-named loess front end (reference svg/utils.py loess_reg):
+    returns the smoothed y on the sorted x grid."""
+    order = np.argsort(np.asarray(x, float))
+    xs, ys, _ = loess_1d(np.asarray(x, float)[order], np.asarray(y, float)[order], frac=frac)
+    return xs, ys

@@ -15,4 +15,17 @@ from .interpolations import (
 )
 from .models import *  # noqa: F401,F403
 from .morphometrics import *  # noqa: F401,F403
-from .widgets import clip_models, interactive_pick, pick_models, slice_models
+from .widgets import (
+    clip_models,
+    interactive_box_clip,
+    interactive_pick,
+    interactive_rectangle_clip,
+    interactive_slice,
+    overlap_mesh_pick,
+    overlap_pc_pick,
+    overlap_pick,
+    pick_models,
+    slice_models,
+    three_d_pick,
+    three_d_slice,
+)

@@ -130,3 +130,31 @@ def gp_interpolation(
     interp_adata.obsm[spatial_key] = target_points
     interp_adata.uns["__type"] = "UMI"
     return interp_adata
+
+
+class Imputation_GPR:
+    """GP-regression imputation class (parity surface: reference
+    interpolation_gp.py:24 Imputation_GPR / gpytorch SVGP — realized by the
+    collapsed-bound SGPR trainer in this module)."""
+
+    def __init__(self, source_adata, target_points=None, keys=None, spatial_key: str = "spatial", layer: str = "X", **kwargs):
+        self.source_adata = source_adata
+        self.target_points = target_points
+        self.keys = keys
+        self.spatial_key = spatial_key
+        self.layer = layer
+        self.kwargs = kwargs
+
+    def train(self, method: str = "SVGP", **kwargs):
+        return self  # training happens lazily inside inference (jitted SGPR)
+
+    def inference(self, target_points=None):
+        tp = target_points if target_points is not None else self.target_points
+        return gp_interpolation(
+            source_adata=self.source_adata,
+            target_points=tp,
+            keys=self.keys,
+            spatial_key=self.spatial_key,
+            layer=self.layer,
+            **self.kwargs,
+        )

@@ -8,12 +8,28 @@ from .models_backbone import (
     map_points_to_backbone,
     update_backbone,
 )
+from .utilities import (
+    add_model_labels,
+    center_to_zero,
+    collect_models,
+    multiblock2model,
+    read_model,
+    rotate_model,
+    save_model,
+    scale_model,
+    split_model,
+    translate_model,
+)
 from .models_individual import construct_cells, construct_pc, construct_surface, voxelize_mesh, voxelize_pc
 from .models_migration import (
+    construct_align_lines,
     construct_arrow,
     construct_arrows,
+    construct_axis_line,
     construct_field,
+    construct_field_plain,
     construct_field_streams,
+    generate_edges,
     construct_genesis,
     construct_genesis_X,
     construct_line,

@@ -106,3 +106,36 @@ def PrinCurve(X: np.ndarray, NumNodes: int = 50, epochs: int = 500, lr: float = 
     nodes = smooth[idx]
     edges = np.stack([np.arange(len(nodes) - 1), np.arange(1, len(nodes))], axis=1)
     return nodes, edges
+
+
+def SimplePPT_method(X, NumNodes: int = 50, **kwargs):
+    """Reference-named alias (backbone_methods.py SimplePPT_method)."""
+    return SimplePPT_tree(X, NumNodes=NumNodes, **kwargs)
+
+
+def ElPiGraph_method(X, NumNodes: int = 50, **kwargs):
+    """Reference-named alias (backbone_methods.py ElPiGraph_method)."""
+    return ElPiGraph_tree(X, NumNodes=NumNodes, **kwargs)
+
+
+def PrinCurve_method(X, NumNodes: int = 50, **kwargs):
+    """Reference-named alias (backbone_methods.py PrinCurve_method)."""
+    return PrinCurve(X, NumNodes=NumNodes, **kwargs)
+
+
+def NLPCA(X, NumNodes: int = 50, **kwargs):
+    """Nonlinear-PCA principal curve (parity surface: reference
+    backbone_methods.py NLPCA — realized by the SIREN-free principal-curve
+    fit in PrinCurve)."""
+    return PrinCurve(X, NumNodes=NumNodes, **kwargs)
+
+
+def orth_dist(X, nodes) -> float:
+    """Mean squared distance of each point to its nearest backbone node
+    (parity: reference backbone_methods.py orth_dist)."""
+    import numpy as _np
+
+    X = _np.asarray(X, float)
+    nodes = _np.asarray(nodes, float)
+    d2 = ((X[:, None, :] - nodes[None, :, :]) ** 2).sum(-1)
+    return float(d2.min(axis=1).mean())

@@ -80,3 +80,20 @@ def update_backbone(
             backbone.edges = np.vectorize(remap.get)(backbone.edges[keep])
     backbone[key_added] = np.arange(backbone.n_points)
     return backbone
+
+
+def sort_nodes_of_curve(nodes: np.ndarray, started_node: np.ndarray) -> np.ndarray:
+    """Order curve nodes by nearest-neighbor chaining from a start node
+    (parity: reference backbone_utils.py sort_nodes_of_curve)."""
+    nodes = np.asarray(nodes, float)
+    start = int(np.argmin(((nodes - np.asarray(started_node, float)) ** 2).sum(1)))
+    remaining = list(range(len(nodes)))
+    order = [start]
+    remaining.remove(start)
+    while remaining:
+        last = nodes[order[-1]]
+        d = ((nodes[remaining] - last) ** 2).sum(1)
+        nxt = remaining[int(np.argmin(d))]
+        order.append(nxt)
+        remaining.remove(nxt)
+    return nodes[order]

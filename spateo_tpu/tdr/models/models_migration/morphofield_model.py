@@ -88,3 +88,16 @@ def construct_field_streams(
     model_out = LineModel(all_pts, np.concatenate(lines))
     model_out.point_data["label"] = np.full(len(all_pts), label)
     return model_out, None
+
+
+def construct_field_plain(
+    model,
+    vf_key: str = "VecFld_morpho",
+    key_added: str = "v_data",
+    label: str = "field_plain",
+    **kwargs,
+):
+    """Plain (unscaled) vector-field arrow model (parity: reference
+    morphofield_model.py construct_field_plain — construct_field without
+    magnitude scaling)."""
+    return construct_field(model, vf_key=vf_key, key_added=key_added, label=label, factor=1.0, **kwargs)

@@ -74,3 +74,45 @@ def construct_arrows(
     model = LineModel(np.concatenate(all_pts), np.concatenate(all_lines))
     model[key_added] = np.asarray(vmag)
     return model, None
+
+
+def generate_edges(points1: np.ndarray, points2: np.ndarray):
+    """Pairwise connecting segments between two matched point sets
+    (parity: reference models_migration/line_model.py generate_edges)."""
+    points1 = np.asarray(points1, float)
+    points2 = np.asarray(points2, float)
+    assert points1.shape == points2.shape
+    n = len(points1)
+    pts = np.concatenate([points1, points2], axis=0)
+    edges = np.stack([np.arange(n), np.arange(n) + n], axis=1)
+    return pts, edges
+
+
+def construct_align_lines(
+    model1_points: np.ndarray,
+    model2_points: np.ndarray,
+    key_added: str = "check_alignment",
+    label: str = "align_mapping",
+    **kwargs,
+) -> LineModel:
+    """Mapping lines between two aligned models (parity: reference
+    line_model.py construct_align_lines)."""
+    pts, edges = generate_edges(model1_points, model2_points)
+    m = LineModel(pts, edges)
+    m.point_data[key_added] = np.asarray([label] * len(pts))
+    return m
+
+
+def construct_axis_line(
+    axis_points: np.ndarray,
+    key_added: str = "axis",
+    label: str = "axis_line",
+    **kwargs,
+) -> LineModel:
+    """Polyline through ordered axis points (parity: reference
+    line_model.py construct_axis_line)."""
+    axis_points = np.asarray(axis_points, float)
+    edges = np.stack([np.arange(len(axis_points) - 1), np.arange(1, len(axis_points))], axis=1)
+    m = LineModel(axis_points, edges)
+    m.point_data[key_added] = np.asarray([label] * len(axis_points))
+    return m

@@ -60,3 +60,121 @@ def interactive_pick(model: PointCloud, key: str = "groups", predicate: Optional
         return model.copy()
     keep = np.asarray(predicate(model.points), dtype=bool)
     return _subset(model, keep)
+
+
+# -- reference-named front ends (reference tdr/widgets/{clip,pick,slice}.py;
+# pyvista interactive widgets are replaced by programmatic predicates plus
+# the matplotlib lasso/polygon selectors in st.pl.interactive) ------------
+
+
+def three_d_pick(model, key: str = "groups", picked_groups=None):
+    """Pick submodels by group value (parity: reference widgets/pick.py
+    three_d_pick)."""
+    groups = np.asarray(model.point_data[key]).astype(str)
+    wanted = set(map(str, np.atleast_1d(picked_groups))) if picked_groups is not None else set(groups)
+    return [_subset(model, groups == g) for g in sorted(wanted)]
+
+
+def overlap_pick(model1, model2, radius: float = 0.5):
+    """Points of model1 overlapping model2 within `radius`
+    (parity: widgets/pick.py overlap_pick)."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(np.asarray(model2.points))
+    d, _ = tree.query(np.asarray(model1.points))
+    return _subset(model1, d <= radius)
+
+
+overlap_pc_pick = overlap_pick
+overlap_mesh_pick = overlap_pick
+
+
+def three_d_slice(model, method: str = "axis", n_slices: int = 10, axis: str = "x", center=None):
+    """Slice a model into bands along an axis or around a center
+    (parity: reference widgets/slice.py three_d_slice)."""
+    pts = np.asarray(model.points, float)
+    ax = {"x": 0, "y": 1, "z": 2}[axis]
+    if method == "axis":
+        edges = np.linspace(pts[:, ax].min(), pts[:, ax].max() + 1e-9, n_slices + 1)
+        return [_subset(model, (pts[:, ax] >= lo) & (pts[:, ax] < hi)) for lo, hi in zip(edges[:-1], edges[1:])]
+    if method == "orthogonal":
+        c = np.asarray(center, float) if center is not None else pts.mean(0)
+        out = []
+        for a in range(min(pts.shape[1], 3)):
+            half_w = np.ptp(pts[:, a]) / max(n_slices, 1) / 2
+            out.append(_subset(model, np.abs(pts[:, a] - c[a]) <= half_w))
+        return out
+    raise ValueError(f"unknown method {method}; use 'axis' or 'orthogonal'")
+
+
+def interactive_slice(model, key: str = "groups", method: str = "axis", axis: str = "x"):
+    """Programmatic stand-in for the pyvista slicing widget
+    (parity surface: widgets/slice.py interactive_slice)."""
+    return three_d_slice(model, method=method, axis=axis)
+
+
+def interactive_rectangle_clip(model, key: str = "groups", bounds=None):
+    """Clip by an axis-aligned rectangle/box (parity surface:
+    widgets/clip.py interactive_rectangle_clip). `bounds` is
+    (xmin, xmax, ymin, ymax[, zmin, zmax])."""
+    pts = np.asarray(model.points, float)
+    if bounds is None:
+        return [model.copy()]
+    b = np.asarray(bounds, float)
+    keep = (pts[:, 0] >= b[0]) & (pts[:, 0] <= b[1]) & (pts[:, 1] >= b[2]) & (pts[:, 1] <= b[3])
+    if len(b) >= 6 and pts.shape[1] >= 3:
+        keep &= (pts[:, 2] >= b[4]) & (pts[:, 2] <= b[5])
+    return [_subset(model, keep)]
+
+
+interactive_box_clip = interactive_rectangle_clip
+
+
+# plane/line geometry helpers (parity: reference widgets/slice.py)
+
+
+def euclidean_distance(instance1, instance2, dimension: int = 3) -> float:
+    """Plain euclidean distance (parity: widgets/slice.py)."""
+    a = np.asarray(instance1, float)[:dimension]
+    b = np.asarray(instance2, float)[:dimension]
+    return float(np.sqrt(((a - b) ** 2).sum()))
+
+
+def find_plane_equation(point1, point2, point3):
+    """Plane (A, B, C, D) through three points with Ax+By+Cz+D=0
+    (parity: widgets/slice.py find_plane_equation)."""
+    p1, p2, p3 = (np.asarray(p, float) for p in (point1, point2, point3))
+    n = np.cross(p2 - p1, p3 - p1)
+    D = -float(n @ p1)
+    return np.asarray([n[0], n[1], n[2], D])
+
+
+def find_model_outline_planes(model) -> dict:
+    """Axis-aligned bounding planes of a model
+    (parity: widgets/slice.py find_model_outline_planes)."""
+    pts = np.asarray(model.points, float)
+    mins, maxs = pts.min(0), pts.max(0)
+    return {ax: (float(mins[i]), float(maxs[i])) for i, ax in enumerate("xyz"[: pts.shape[1]])}
+
+
+def find_intersection(model, vec, center, plane):
+    """Intersection of the line center + t*vec with the plane
+    (A, B, C, D) (parity: widgets/slice.py find_intersection)."""
+    vec = np.asarray(vec, float)
+    center = np.asarray(center, float)
+    A, B, C, D = np.asarray(plane, float)
+    n = np.asarray([A, B, C])
+    denom = float(n @ vec)
+    if abs(denom) < 1e-12:
+        return None
+    t = -(float(n @ center) + D) / denom
+    return center + t * vec
+
+
+def create_line(point1, point2, n_points: int = 100) -> np.ndarray:
+    """Evenly spaced points on a segment (parity: widgets/slice.py
+    create_line)."""
+    p1 = np.asarray(point1, float)
+    p2 = np.asarray(point2, float)
+    t = np.linspace(0, 1, n_points)[:, None]
+    return p1[None, :] * (1 - t) + p2[None, :] * t

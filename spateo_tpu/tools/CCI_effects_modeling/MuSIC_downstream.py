@@ -724,3 +724,30 @@ class MuSIC_Interpreter(MuSIC):
         out = perm_df.copy()
         out["significant"] = out["perm_pvalue"] < alpha
         return out.sort_values("perm_pvalue")
+
+
+def replace_col_with_collagens(col: str) -> str:
+    """Collapse individual collagen gene names to the 'Collagens' family
+    label in a feature name (parity: reference MuSIC_downstream.py
+    replace_col_with_collagens)."""
+    parts = col.split(":")
+    out = []
+    for p in parts:
+        subs = p.split("/")
+        subs = ["Collagens" if s.upper().startswith("COL") else s for s in subs]
+        dedup = list(dict.fromkeys(subs))
+        out.append("/".join(dedup))
+    return ":".join(out)
+
+
+def replace_hla_with_hlas(col: str) -> str:
+    """Collapse individual HLA gene names to the 'HLAs' family label
+    (parity: reference MuSIC_downstream.py replace_hla_with_hlas)."""
+    parts = col.split(":")
+    out = []
+    for p in parts:
+        subs = p.split("/")
+        subs = ["HLAs" if s.upper().startswith("HLA") else s for s in subs]
+        dedup = list(dict.fromkeys(subs))
+        out.append("/".join(dedup))
+    return ":".join(out)

@@ -242,3 +242,62 @@ class Binomial(Distribution):
     def log_likelihood(self, endog, mu):
         mu = np.clip(mu, EPS, 1 - EPS)
         return float(np.sum(endog * np.log(mu) + (1 - endog) * np.log(1 - mu)))
+
+
+# -- reference-named aliases / extra links (reference distributions.py
+# exposes capitalized Link classes and Power/sqrt/inverse_power variants) ---
+
+
+class Power(Link):
+    """Power link g(mu) = mu**power (parity: reference distributions.py
+    Power)."""
+
+    def __init__(self, power: float = 1.0):
+        self.power = power
+
+    def __call__(self, mu):
+        return np.power(np.asarray(mu, float), self.power)
+
+    def inverse(self, z):
+        return np.power(np.asarray(z, float), 1.0 / self.power)
+
+    def deriv(self, mu):
+        return self.power * np.power(np.asarray(mu, float), self.power - 1)
+
+    def inverse_deriv(self, z):
+        return np.power(np.asarray(z, float), (1.0 / self.power) - 1) / self.power
+
+
+class sqrt(Power):
+    """Square-root link (parity: reference distributions.py sqrt)."""
+
+    def __init__(self):
+        super().__init__(power=0.5)
+
+
+class inverse_power(Power):
+    """Reciprocal link (parity: reference distributions.py inverse_power)."""
+
+    def __init__(self):
+        super().__init__(power=-1.0)
+
+
+# capitalized aliases the reference also exports
+Log = log
+Logit = logit
+Binomial_Variance = binary_var
+Negative_Binomial_Variance = nb_var
+
+
+class Power_Variance(VarianceFunction):
+    """V(mu) = mu**power (parity: reference distributions.py
+    Power_Variance)."""
+
+    def __init__(self, power: float = 1.0):
+        self.power = power
+
+    def __call__(self, mu):
+        return np.power(np.abs(np.asarray(mu, float)), self.power)
+
+    def deriv(self, mu):
+        return self.power * np.power(np.abs(np.asarray(mu, float)), self.power - 1)

@@ -356,3 +356,151 @@ def iwls_batch_sharded(
     Wp = jax.device_put(Wp, rows)
     betas, hats = _iwls_batch_kernel(y, X, Wp, float(ridge_lambda), float(clip), distr, n_irls_iter)
     return np.asarray(betas)[:q], np.asarray(hats)[:q]
+
+
+# -- reference-named numeric helpers (reference regression_utils.py) --------
+
+
+def softplus(z: np.ndarray) -> np.ndarray:
+    """Numerically-stable log(1+e^z) (parity: regression_utils.py softplus)."""
+    z = np.asarray(z, float)
+    return np.where(z > 30, z, np.log1p(np.exp(np.clip(z, -30, 30))))
+
+
+def mse(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    return float(np.mean((np.asarray(y_true) - np.asarray(y_pred)) ** 2))
+
+
+def mae(y_true: np.ndarray, y_pred: np.ndarray) -> float:
+    return float(np.mean(np.abs(np.asarray(y_true) - np.asarray(y_pred))))
+
+
+def logistic_objective(threshold: float, proba: np.ndarray, y_true: np.ndarray) -> float:
+    """Negative F1 of thresholded probabilities (parity:
+    regression_utils.py logistic_objective, used for threshold search)."""
+    pred = (np.asarray(proba) >= threshold).astype(int)
+    yt = np.asarray(y_true).astype(int)
+    tp = int((pred & yt).sum())
+    prec = tp / max(pred.sum(), 1)
+    rec = tp / max(yt.sum(), 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+    return -f1
+
+
+def golden_section_search(func, a: float, b: float, tol: float = 1e-5, min_or_max: str = "min") -> float:
+    """Scalar golden-section optimizer (parity: regression_utils.py
+    golden_section_search)."""
+    gr = (np.sqrt(5) + 1) / 2
+    sign = 1.0 if min_or_max == "min" else -1.0
+    c = b - (b - a) / gr
+    d = a + (b - a) / gr
+    while abs(b - a) > tol:
+        if sign * func(c) < sign * func(d):
+            b = d
+        else:
+            a = c
+        c = b - (b - a) / gr
+        d = a + (b - a) / gr
+    return (a + b) / 2
+
+
+def library_scaling_factors(offset: Optional[np.ndarray] = None, counts: Optional[np.ndarray] = None, distr: str = "gaussian") -> np.ndarray:
+    """Per-cell library-size factors (parity: regression_utils.py
+    library_scaling_factors)."""
+    if offset is not None:
+        return np.asarray(offset, float)
+    totals = np.asarray(counts).sum(axis=1).astype(float).ravel()
+    return totals / max(np.median(totals), 1e-12)
+
+
+def get_fisher_inverse(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Inverse Fisher information of a linear model (parity:
+    regression_utils.py get_fisher_inverse)."""
+    x = np.asarray(x, float)
+    y = np.asarray(y, float)
+    resid_var = max(float(np.var(y)), 1e-12)
+    return np.linalg.pinv(x.T @ x) * resid_var
+
+
+def multicollinearity_check(X, thresh: float = 5.0, logger=None):
+    """Drop columns with VIF above `thresh` (parity: regression_utils.py
+    multicollinearity_check)."""
+    import pandas as pd
+
+    df = X.copy() if isinstance(X, pd.DataFrame) else pd.DataFrame(np.asarray(X, float))
+    while df.shape[1] > 1:
+        M = df.values.astype(float)
+        vifs = []
+        for j in range(M.shape[1]):
+            others = np.delete(M, j, axis=1)
+            beta, *_ = np.linalg.lstsq(others, M[:, j], rcond=None)
+            resid = M[:, j] - others @ beta
+            r2 = 1 - resid.var() / max(M[:, j].var(), 1e-12)
+            vifs.append(1 / max(1 - r2, 1e-12))
+        worst = int(np.argmax(vifs))
+        if vifs[worst] <= thresh:
+            break
+        df = df.drop(columns=df.columns[worst])
+    return df
+
+
+def assign_significance(pvals, alpha: float = 0.05):
+    """Map p-values to star annotations (parity: regression_utils.py
+    assign_significance)."""
+    p = np.asarray(pvals, float)
+    out = np.full(p.shape, "ns", dtype=object)
+    out[p < 0.05] = "*"
+    out[p < 0.01] = "**"
+    out[p < 0.001] = "***"
+    return out
+
+
+def permutation_testing(
+    data: np.ndarray,
+    n_permutations: int = 10000,
+    n_jobs: int = 1,
+    subset_rows=None,
+    subset_cols=None,
+) -> float:
+    """Permutation p-value for the mean of a subset vs the population
+    (parity: regression_utils.py permutation_testing)."""
+    rng = np.random.default_rng(0)
+    data = np.asarray(data, float)
+    full = data.ravel()
+    sub = data[subset_rows][:, subset_cols].ravel() if (subset_rows is not None and subset_cols is not None) else full
+    obs = sub.mean()
+    k = len(sub)
+    null = np.asarray([rng.choice(full, k, replace=False).mean() for _ in range(n_permutations)])
+    return float(((null >= obs).sum() + 1) / (n_permutations + 1))
+
+
+def sparse_add_pseudocount(mtx, pseudocount: float = 1.0):
+    """Add a pseudocount to the stored values of a sparse matrix
+    (parity: regression_utils.py sparse_add_pseudocount)."""
+    out = mtx.copy()
+    out.data = out.data + pseudocount
+    return out
+
+
+def sparse_element_by_element(a, b):
+    """Elementwise product of sparse matrices (parity:
+    regression_utils.py sparse_element_by_element)."""
+    return a.multiply(b)
+
+
+def sparse_minmax_scale(mtx):
+    """Column min-max scaling of a sparse matrix (parity:
+    regression_utils.py sparse_minmax_scale)."""
+    from scipy.sparse import csr_matrix
+
+    M = mtx.toarray() if hasattr(mtx, "toarray") else np.asarray(mtx, float)
+    mn, mx = M.min(0, keepdims=True), M.max(0, keepdims=True)
+    return csr_matrix((M - mn) / np.maximum(mx - mn, 1e-12))
+
+
+def weighted_binary_crossentropy(y_true: np.ndarray, y_pred: np.ndarray, weight_0: float = 1.0, weight_1: float = 1.0) -> float:
+    """Class-weighted BCE (parity: regression_utils.py
+    weighted_binary_crossentropy)."""
+    yt = np.asarray(y_true, float)
+    yp = np.clip(np.asarray(y_pred, float), 1e-7, 1 - 1e-7)
+    return float(-(weight_1 * yt * np.log(yp) + weight_0 * (1 - yt) * np.log(1 - yp)).mean())

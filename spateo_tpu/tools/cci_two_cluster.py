@@ -217,3 +217,26 @@ def prepare_cci_df(cci_df: pd.DataFrame, means_col: str, pval_col: str, lr_pair_
     means.index.name = pvals.index.name = None
     means.columns.name = pvals.columns.name = None
     return {"means": means, "pvalues": pvals}
+
+
+def calculate_group_pair_lr_pair(adata, group, group_pairs, cols, lr_network) -> pd.DataFrame:
+    """Mean (ligand_in_sender + receptor_in_receiver)/2 per L-R pair and
+    group pair (parity: reference cci_two_cluster.py:417)."""
+    from scipy.sparse import issparse
+
+    names = list(map(str, adata.var_names))
+    X = adata.X.toarray() if issparse(adata.X) else np.asarray(adata.X, dtype=float)
+    lig_idx = [names.index(str(g)) for g in lr_network["from"]]
+    rec_idx = [names.index(str(g)) for g in lr_network["to"]]
+    groups = np.asarray(adata.obs[group]).astype(str)
+
+    dfl = pd.DataFrame(index=lr_network["lr_pair"], columns=cols, dtype=float)
+    dfr = pd.DataFrame(index=lr_network["lr_pair"], columns=cols, dtype=float)
+    for g in cols:
+        m = groups == str(g)
+        dfl[g] = X[m][:, lig_idx].mean(axis=0) if m.any() else 0.0
+        dfr[g] = X[m][:, rec_idx].mean(axis=0) if m.any() else 0.0
+    df = pd.DataFrame(index=lr_network["lr_pair"], columns=pd.Index(group_pairs, tupleize_cols=False), dtype=float)
+    for gp in group_pairs:
+        df[gp] = (dfl[gp[0]].values + dfr[gp[1]].values) / 2
+    return df

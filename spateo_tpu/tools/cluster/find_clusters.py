@@ -156,3 +156,56 @@ def CAST(
     from ...external.cast import cast_mark
 
     return cast_mark(adata, sample_key=sample_key, basis=basis, layer=layer, **kwargs)
+
+
+def kmeans_clustering(
+    adata: AnnData,
+    n_clusters: int = 10,
+    use_rep: str = "X_pca",
+    key_added: str = "kmeans",
+    random_state: int = 0,
+    copy: bool = False,
+):
+    """K-means over a representation (parity: reference
+    find_clusters.py kmeans_clustering)."""
+    from sklearn.cluster import KMeans
+
+    adata_work = adata.copy() if copy else adata
+    X = np.asarray(adata_work.obsm[use_rep]) if use_rep in adata_work.obsm else (
+        adata_work.X.toarray() if hasattr(adata_work.X, "toarray") else np.asarray(adata_work.X)
+    )
+    labels = KMeans(n_clusters=n_clusters, random_state=random_state, n_init=10).fit_predict(X)
+    adata_work.obs[key_added] = labels.astype(str)
+    return adata_work if copy else None
+
+
+def spagcn_vanilla(
+    adata: AnnData,
+    spatial_key: str = "spatial",
+    key_added: str = "spagcn_pred",
+    n_pca_components: Optional[int] = None,
+    e_neigh: int = 10,
+    resolution: float = 0.4,
+    n_clusters: Optional[int] = None,
+    refine_shape: str = "hexagon",
+    p: float = 0.5,
+    seed: int = 100,
+    numIterMaxSpa: int = 2000,
+    copy: bool = False,
+):
+    """SpaGCN without torch_geometric (parity surface: reference
+    cluster_spagcn.py:18 spagcn_vanilla — same GCN-autoencoder + spatially
+    weighted adjacency design, realized by the framework's jax GCN in
+    `spagcn_pyg` with a vanilla dense adjacency)."""
+    out = spagcn_pyg(
+        adata,
+        n_clusters=n_clusters if n_clusters is not None else 7,
+        p=p,
+        refine_shape=refine_shape,
+        seed=seed,
+        copy=copy,
+    )
+    target = out if copy else adata
+    if key_added != "spagcn_pred" and "spagcn_pred" in target.obs.columns:
+        target.obs[key_added] = target.obs["spagcn_pred"]
+    return out

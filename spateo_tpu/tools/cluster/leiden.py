@@ -86,3 +86,16 @@ def calculate_leiden_partition(
         for comp in nx.connected_components(sub):
             refined.append(comp)
     return _partition_to_labels(refined, G.number_of_nodes())
+
+
+def adj_to_igraph(adj):
+    """Adjacency matrix -> graph object (parity: reference
+    cluster/leiden.py adj_to_igraph; igraph is not available in this build,
+    so the equivalent networkx graph is returned — the partitioners here
+    consume it directly)."""
+    import networkx as nx
+    from scipy.sparse import issparse
+
+    if issparse(adj):
+        return nx.from_scipy_sparse_array(adj)
+    return nx.from_numpy_array(np.asarray(adj))

@@ -140,7 +140,10 @@ def perform_dimensionality_reduction(
 
             emb = umap.UMAP(n_components=n_components, n_neighbors=n_neighbors, **kwargs).fit_transform(X)
         except ImportError:
-            raise ImportError("UMAP requires the optional `umap-learn` package (`pip install umap-learn`).")
+            # native implementation (jax SGD layout) — umap-learn not needed
+            _, _, _, emb = umap_conn_indices_dist_embedding(
+                X, n_neighbors=n_neighbors, n_components=n_components, **kwargs
+            )
     elif reduction_method in ("tsne", "t-sne"):
         from sklearn.manifold import TSNE
 
@@ -161,3 +164,144 @@ def find_optimal_pca_components(X, method=None, max_components: int = 50, **kwar
     d = np.diff(cum)
     knee = int(np.argmax(d < (d[0] * 0.05))) + 1 if (d < d[0] * 0.05).any() else len(cum)
     return max(knee, 2)
+
+
+# ---------------------------------------------------------------------------
+# Native UMAP (reference dimensionality_reduction.py umap_conn_indices_dist_
+# embedding delegates to umap-learn; that package is not available here, so
+# the algorithm itself is implemented: smooth-kNN fuzzy simplicial set ->
+# spectral init -> jitted SGD cross-entropy layout on device)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_knn(dists: np.ndarray, k: int, n_iter: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+    """UMAP's per-point bandwidth calibration: find sigma_i so that
+    sum_j exp(-(d_ij - rho_i)/sigma_i) = log2(k)."""
+    rho = dists[:, 0].copy()
+    target = np.log2(k)
+    lo = np.zeros(len(dists))
+    hi = np.full(len(dists), np.inf)
+    sigma = np.ones(len(dists))
+    for _ in range(n_iter):
+        val = np.exp(-np.maximum(dists - rho[:, None], 0) / sigma[:, None]).sum(1)
+        too_high = val > target
+        hi = np.where(too_high, sigma, hi)
+        lo = np.where(too_high, lo, sigma)
+        sigma = np.where(np.isinf(hi), sigma * 2, (lo + hi) / 2)
+    return sigma, rho
+
+
+def umap_conn_indices_dist_embedding(
+    X: np.ndarray,
+    n_neighbors: int = 30,
+    n_components: int = 2,
+    min_dist: float = 0.1,
+    spread: float = 1.0,
+    max_iter: Optional[int] = None,
+    alpha: float = 1.0,
+    random_state: int = 0,
+    return_mapper: bool = False,
+    **kwargs,
+):
+    """UMAP graph + embedding (parity surface: reference
+    dimensionality_reduction.py umap_conn_indices_dist_embedding).
+
+    Returns (graph, knn_indices, knn_dists, embedding): the fuzzy simplicial
+    set as a csr matrix, the kNN structure, and the [n, n_components] layout.
+    """
+    import jax
+    import jax.numpy as jnp
+    from scipy.optimize import curve_fit
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.linalg import eigsh
+    from scipy.spatial import cKDTree
+
+    X = np.asarray(X, np.float32)
+    n = X.shape[0]
+    k = min(n_neighbors, n - 1)
+    tree = cKDTree(X)
+    knn_dists, knn_indices = tree.query(X, k=k + 1)
+    knn_dists, knn_indices = knn_dists[:, 1:], knn_indices[:, 1:]
+
+    sigma, rho = _smooth_knn(knn_dists, k)
+    w = np.exp(-np.maximum(knn_dists - rho[:, None], 0) / np.maximum(sigma[:, None], 1e-12))
+    rows = np.repeat(np.arange(n), k)
+    G = coo_matrix((w.ravel(), (rows, knn_indices.ravel())), shape=(n, n)).tocsr()
+    # fuzzy union: G + G^T - G .* G^T
+    graph = G + G.T - G.multiply(G.T)
+
+    # a/b curve fit for the low-dim kernel 1/(1 + a d^{2b})
+    xs = np.linspace(0, spread * 3, 300)
+    ys = np.where(xs < min_dist, 1.0, np.exp(-(xs - min_dist) / spread))
+    (a_fit, b_fit), _ = curve_fit(lambda x, a, b: 1.0 / (1.0 + a * x ** (2 * b)), xs, ys, p0=[1.0, 1.0], maxfev=5000)
+
+    # spectral init from the normalized graph laplacian
+    deg = np.asarray(graph.sum(1)).ravel()
+    Dinv = coo_matrix((1.0 / np.sqrt(np.maximum(deg, 1e-12)), (np.arange(n), np.arange(n))), shape=(n, n)).tocsr()
+    L = Dinv @ graph @ Dinv
+    try:
+        vals, vecs = eigsh(L, k=n_components + 1, which="LA")
+        init = vecs[:, :-1][:, ::-1]
+    except Exception:
+        init = np.random.default_rng(random_state).normal(scale=1e-2, size=(n, n_components))
+    init = (init - init.mean(0)) / (init.std(0) + 1e-9) * 10.0
+
+    # SGD layout: attract along graph edges, repel negative samples
+    coo = graph.tocoo()
+    heads = jnp.asarray(coo.row)
+    tails = jnp.asarray(coo.col)
+    weights = jnp.asarray(coo.data, jnp.float32)
+    n_epochs = max_iter or (500 if n <= 10000 else 200)
+    key = jax.random.PRNGKey(random_state)
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("n_epochs",))
+    def layout(emb, key, n_epochs):
+        a, b = jnp.float32(a_fit), jnp.float32(b_fit)
+
+        def epoch(carry, i):
+            emb, key = carry
+            lr = alpha * (1.0 - i / n_epochs)
+            d2 = jnp.sum((emb[heads] - emb[tails]) ** 2, axis=1) + 1e-9
+            # attractive gradient of log(1/(1+a d^{2b}))
+            grad_coef = (-2.0 * a * b * d2 ** (b - 1.0)) / (1.0 + a * d2**b)
+            ga = jnp.clip(grad_coef[:, None] * (emb[heads] - emb[tails]), -4, 4) * weights[:, None]
+            emb = emb.at[heads].add(lr * ga)
+            emb = emb.at[tails].add(-lr * ga)
+            # repulsive: one random negative per edge
+            key, sub = jax.random.split(key)
+            negs = jax.random.randint(sub, heads.shape, 0, emb.shape[0])
+            d2n = jnp.sum((emb[heads] - emb[negs]) ** 2, axis=1) + 1e-9
+            rep_coef = (2.0 * b) / ((0.001 + d2n) * (1.0 + a * d2n**b))
+            gr = jnp.clip(rep_coef[:, None] * (emb[heads] - emb[negs]), -4, 4)
+            emb = emb.at[heads].add(lr * gr)
+            return (emb, key), None
+
+        (emb, _), _ = jax.lax.scan(epoch, (emb, key), jnp.arange(n_epochs))
+        return emb
+
+    emb = np.asarray(layout(jnp.asarray(init, jnp.float32), key, int(n_epochs)))
+    if return_mapper:
+        return graph, knn_indices, knn_dists, emb, None
+    return graph, knn_indices, knn_dists, emb
+
+
+def find_optimal_n_umap_components(X, max_components: int = 10, **kwargs) -> int:
+    """Pick the UMAP dimensionality at the knee of neighborhood preservation
+    (parity surface: reference find_optimal_n_umap_components)."""
+    from scipy.spatial import cKDTree
+
+    X = np.asarray(X, np.float32)
+    k = min(15, len(X) - 1)
+    true_nbrs = cKDTree(X).query(X, k=k + 1)[1][:, 1:]
+    scores = []
+    dims = list(range(2, max_components + 1, 2))
+    for d in dims:
+        _, _, _, emb = umap_conn_indices_dist_embedding(X, n_components=d, max_iter=150, **kwargs)
+        emb_nbrs = cKDTree(emb).query(emb, k=k + 1)[1][:, 1:]
+        overlap = np.mean([len(set(a) & set(b)) / k for a, b in zip(true_nbrs, emb_nbrs)])
+        scores.append(overlap)
+    gains = np.diff([0] + scores)
+    best = int(np.argmax(gains < 0.01)) if (gains < 0.01).any() else len(dims) - 1
+    return dims[best]

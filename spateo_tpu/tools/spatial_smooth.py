@@ -107,3 +107,20 @@ def smooth_process_column(i: int, X, W, threshold: float = 0.25):
     col = X[:, i]
     out = W @ col
     return csr_matrix(out)
+
+
+def sample_from_eligible_neighbors(adj, expr: np.ndarray, n_samples: int = 1, seed: int = 0) -> np.ndarray:
+    """For each cell, draw expression from a random adjacent cell
+    (parity: reference spatial_smooth.py sample_from_eligible_neighbors)."""
+    from scipy.sparse import issparse
+
+    rng = np.random.default_rng(seed)
+    A = adj.tocsr() if issparse(adj) else None
+    expr = np.asarray(expr)
+    out = expr.copy().astype(float)
+    n = expr.shape[0]
+    for i in range(n):
+        nbrs = A.indices[A.indptr[i]:A.indptr[i+1]] if A is not None else np.flatnonzero(np.asarray(adj)[i])
+        if len(nbrs):
+            out[i] = expr[rng.choice(nbrs)]
+    return out

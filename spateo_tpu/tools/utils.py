@@ -1,0 +1,204 @@
+"""Shared tool helpers (capability parity: reference spateo/tools/utils.py:18-
+onwards — rescaling, mappers, moments, affine transforms, hull tests,
+polarity/new-coordinate helpers)."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+import scipy.sparse as sp
+from scipy.sparse import diags, issparse
+
+
+def rescaling(mat, new_shape) -> np.ndarray:
+    """Rescale a spatial-domain matrix to `new_shape` by block aggregation /
+    repetition (parity: reference tools/utils.py:18)."""
+    mat = mat.toarray() if issparse(mat) else np.asarray(mat)
+    out = np.zeros(tuple(new_shape), dtype=mat.dtype)
+    fy = mat.shape[0] / new_shape[0]
+    fx = mat.shape[1] / new_shape[1]
+    ys = (np.arange(new_shape[0]) * fy).astype(int)
+    xs = (np.arange(new_shape[1]) * fx).astype(int)
+    out = mat[np.clip(ys, 0, mat.shape[0] - 1)][:, np.clip(xs, 0, mat.shape[1] - 1)]
+    return out
+
+
+def get_mapper(smoothed: bool = True) -> dict:
+    """Layer-name mapper (parity: reference tools/utils.py:36)."""
+    return {
+        "X_spliced": "M_s" if smoothed else "X_spliced",
+        "X_unspliced": "M_u" if smoothed else "X_unspliced",
+        "X_new": "M_n" if smoothed else "X_new",
+        "X_old": "M_o" if smoothed else "X_old",
+        "X_total": "M_t" if smoothed else "X_total",
+    }
+
+
+def update_dict(dict1: dict, dict2: dict) -> dict:
+    """Update dict1's existing keys from dict2 (parity: utils.py:53)."""
+    dict1.update((k, dict2[k]) for k in dict1.keys() & dict2.keys())
+    return dict1
+
+
+def flatten(arr) -> np.ndarray:
+    """Flatten Series / sparse / ndarray uniformly (parity: utils.py:59)."""
+    if isinstance(arr, pd.Series):
+        return arr.values.flatten()
+    if sp.issparse(arr):
+        return arr.toarray().flatten()
+    return np.asarray(arr).flatten()
+
+
+def compute_corr_ci(
+    r: float,
+    n: int,
+    confidence: float = 95,
+    decimals: int = 2,
+    alternative: str = "two-sided",
+):
+    """Fisher-z parametric CI for a correlation coefficient
+    (parity: utils.py:69). Returns (lo, hi)."""
+    from scipy import stats
+
+    z = np.arctanh(np.clip(r, -0.999999, 0.999999))
+    se = 1.0 / np.sqrt(max(n - 3, 1))
+    if alternative == "two-sided":
+        crit = stats.norm.ppf(1 - (1 - confidence / 100) / 2)
+        lo, hi = z - crit * se, z + crit * se
+    elif alternative == "greater":
+        crit = stats.norm.ppf(confidence / 100)
+        lo, hi = z - crit * se, np.inf
+    else:
+        crit = stats.norm.ppf(confidence / 100)
+        lo, hi = -np.inf, z + crit * se
+    return np.round(np.tanh(lo), decimals), np.round(np.tanh(hi), decimals)
+
+
+def calc_1nd_moment(X, W, normalize_W: bool = True):
+    """First spatial moment W @ X with optional row normalization
+    (parity: utils.py:115)."""
+    if normalize_W:
+        d = np.asarray(W.sum(1)).flatten() if issparse(W) else np.sum(W, 1).flatten()
+        Wn = diags(1 / np.maximum(d, 1e-12)) @ W if issparse(W) else np.diag(1 / np.maximum(d, 1e-12)) @ W
+        return Wn @ X, Wn
+    return W @ X
+
+
+def affine_transform(X, A, b) -> np.ndarray:
+    """(A @ X^T)^T + b (parity: utils.py:127)."""
+    return (np.asarray(A) @ np.asarray(X).T).T + np.asarray(b)
+
+
+def gen_rotation_2d(degree: float) -> np.ndarray:
+    """2D rotation matrix from degrees (parity: utils.py:134)."""
+    rad = np.deg2rad(degree)
+    return np.array([[np.cos(rad), -np.sin(rad)], [np.sin(rad), np.cos(rad)]])
+
+
+def compute_smallest_distance(
+    coords: np.ndarray, leaf_size: int = 40, sample_num: Optional[int] = None, use_unique_coords: bool = True
+) -> float:
+    """Median nearest-neighbor distance of a (sub)sample
+    (parity: utils.py:145)."""
+    from scipy.spatial import cKDTree
+
+    coords = np.asarray(coords)
+    if use_unique_coords:
+        coords = np.unique(coords, axis=0)
+    if sample_num and sample_num < len(coords):
+        coords = coords[np.random.default_rng(0).choice(len(coords), sample_num, replace=False)]
+    tree = cKDTree(coords, leafsize=leaf_size)
+    d, _ = tree.query(coords, k=2)
+    return float(np.median(d[:, 1]))
+
+
+def in_hull(p: np.ndarray, hull) -> np.ndarray:
+    """Boolean mask of points inside a convex hull (parity: utils.py:204)."""
+    from scipy.spatial import Delaunay
+
+    if not isinstance(hull, Delaunay):
+        hull = Delaunay(np.asarray(hull))
+    return hull.find_simplex(np.asarray(p)) >= 0
+
+
+def create_new_coordinate(adata, spatial_key: str = "spatial", centerline_points: Optional[np.ndarray] = None):
+    """Project cells onto a centerline to get a (along, across) coordinate
+    system (parity surface: reference utils.py create_new_coordinate). Adds
+    .obs['new_x'] (arc-length position) and .obs['new_y'] (signed offset)."""
+    coords = np.asarray(adata.obsm[spatial_key], float)[:, :2]
+    if centerline_points is None:
+        # principal axis as the default centerline
+        c = coords - coords.mean(0)
+        _, _, Vt = np.linalg.svd(c, full_matrices=False)
+        axis = Vt[0]
+        along = c @ axis
+        across = c @ Vt[1]
+    else:
+        line = np.asarray(centerline_points, float)
+        seg = np.diff(line, axis=0)
+        seg_len = np.linalg.norm(seg, axis=1)
+        cum = np.concatenate([[0], np.cumsum(seg_len)])
+        best_d = np.full(len(coords), np.inf)
+        along = np.zeros(len(coords))
+        across = np.zeros(len(coords))
+        for i, (p0, s, L) in enumerate(zip(line[:-1], seg, seg_len)):
+            t = np.clip(((coords - p0) @ s) / max(L**2, 1e-12), 0, 1)
+            proj = p0 + t[:, None] * s
+            d = np.linalg.norm(coords - proj, axis=1)
+            normal = np.array([-s[1], s[0]]) / max(L, 1e-12)
+            sgn = np.sign((coords - proj) @ normal)
+            m = d < best_d
+            best_d[m] = d[m]
+            along[m] = cum[i] + t[m] * L
+            across[m] = (sgn * d)[m]
+    adata.obs["new_x"] = along
+    adata.obs["new_y"] = across
+    return adata
+
+
+def filter_adata_spatial(adata, spatial_key: str, coords_range: List[Tuple[float, float]]):
+    """Subset by per-axis coordinate ranges (parity: reference
+    tools/utils.py filter_adata_spatial)."""
+    coords = np.asarray(adata.obsm[spatial_key], float)
+    mask = np.ones(len(coords), bool)
+    for ax, (lo, hi) in enumerate(coords_range):
+        mask &= (coords[:, ax] >= lo) & (coords[:, ax] <= hi)
+    return adata[np.flatnonzero(mask)]
+
+
+def parse_instruction(instruction: str, axis_map: Optional[dict] = None) -> str:
+    """Natural-language filter -> pandas query string (parity: reference
+    tools/utils.py:227): "x less than 950 and z less than or equal to 350"
+    -> "(x < 950) & (z <= 350)"."""
+    s = instruction
+    if axis_map:
+        for alias, col in axis_map.items():
+            s = s.replace(alias, col)
+    replacements = [
+        (" less than or equal to ", " <= "),
+        (" greater than or equal to ", " >= "),
+        (" less than ", " < "),
+        (" greater than ", " > "),
+        (" equal to ", " == "),
+        (" not equal to ", " != "),
+    ]
+    for a, b in replacements:
+        s = s.replace(a, b)
+    parts = [p.strip() for p in s.split(" and ")]
+    out = " & ".join(f"({p})" for p in parts)
+    out = out.replace("not (", "~(")
+    return out
+
+
+def polyhull(x: np.ndarray, y: np.ndarray, z: np.ndarray):
+    """Convex-hull surface of 3D points (parity: reference
+    tools/utils.py:184; pyvista PolyData replaced by the framework Mesh)."""
+    from scipy.spatial import ConvexHull
+
+    from ..tdr.models.mesh_core import Mesh
+
+    pts = np.stack([np.asarray(x, float).ravel(), np.asarray(y, float).ravel(), np.asarray(z, float).ravel()], 1)
+    hull = ConvexHull(pts)
+    return Mesh(pts, hull.simplices)
