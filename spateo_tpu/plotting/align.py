@@ -297,3 +297,36 @@ def optimization_animation(
     anim.save(filename, writer=animation.PillowWriter(fps=fps))
     plt.close(fig)
     return filename
+
+
+# -- homography helpers (parity: reference static/align.py:1608-1631) -------
+
+
+def get_min_max(x):
+    """(min, max) of an array (parity: align.py:1616)."""
+    x = np.asarray(x, float)
+    return float(x.min()), float(x.max())
+
+
+def transform_by_min_max(x, _min, _max, interval: float = 0.1):
+    """Scale values into [interval, 1-interval] given min/max
+    (parity: align.py:1608)."""
+    x = np.asarray(x, float)
+    return (x - _min) / max(_max - _min, 1e-12) * (1 - 2 * interval) + interval
+
+
+def get_H(h: float = 0.5, w: float = 0.2) -> np.ndarray:
+    """Shear homography used for pseudo-3D stacked-slice plots
+    (parity: align.py:1631)."""
+    return np.array([[1.0, w, 0.0], [0.0, h, 0.0], [0.0, 0.0, 1.0]])
+
+
+def transform_H(x, H, z_shift: float = 0.0) -> np.ndarray:
+    """Apply a homography to 2D points, with an optional vertical shift
+    (parity: align.py:1623)."""
+    x = np.asarray(x, float)[:, :2]
+    ones = np.ones((len(x), 1))
+    xh = np.concatenate([x, ones], axis=1) @ np.asarray(H, float).T
+    out = xh[:, :2] / np.maximum(xh[:, [2]], 1e-12)
+    out[:, 1] += z_shift
+    return out

@@ -255,3 +255,18 @@ def dotplot(
 
     dp.make_figure(ax=ax)
     return save_return_show_fig_utils(save_show_or_return, True, None, "dotplot", save_kwargs, 1, dp.fig, dp.ax)
+
+
+def make_grid_spec(ax_or_figsize, nrows: int, ncols: int, wspace=None, hspace=None, width_ratios=None, height_ratios=None):
+    """Figure/axes -> GridSpec helper (parity: reference dotplot.py:209)."""
+    import matplotlib.pyplot as plt
+    from matplotlib import gridspec
+
+    kw = dict(wspace=wspace, hspace=hspace, width_ratios=width_ratios, height_ratios=height_ratios)
+    if isinstance(ax_or_figsize, tuple):
+        fig = plt.figure(figsize=ax_or_figsize)
+        return fig, gridspec.GridSpec(nrows, ncols, **kw)
+    ax = ax_or_figsize
+    ax.axis("off")
+    ax.set_frame_on(False)
+    return ax.figure, ax.get_subplotspec().subgridspec(nrows, ncols, **kw)

@@ -144,3 +144,16 @@ def color_label(
     ax.set_xticks([])
     ax.set_yticks([])
     return save_return_show_fig_utils(save_show_or_return, False, None, "color_label", save_kwargs, 1, fig, ax)
+
+
+def create_polygon_object_nanostring(polygon_df: pd.DataFrame):
+    """NanoString polygon table -> per-cell vertex arrays
+    (parity: reference static/geo.py:195; shapely objects replaced by
+    vertex arrays keyed by cellID)."""
+    out = {}
+    cid_col = "cellID" if "cellID" in polygon_df.columns else polygon_df.columns[0]
+    xcol = "x_local_px" if "x_local_px" in polygon_df.columns else "x"
+    ycol = "y_local_px" if "y_local_px" in polygon_df.columns else "y"
+    for cid, sub in polygon_df.groupby(cid_col):
+        out[str(cid)] = sub[[xcol, ycol]].to_numpy(float)
+    return out

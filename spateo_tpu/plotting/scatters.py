@@ -227,3 +227,9 @@ def plot_vectors(
         scale = kwargs.pop("scale", quiver_autoscaler(X, V))
         ax.quiver(X[:, 0], X[:, 1], V[:, 0], V[:, 1], color=color, scale=scale, angles="xy", **kwargs)
     return ax
+
+
+def position(adata, color: str = "cluster", basis: str = "position", **kwargs):
+    """Scatter on the 'position' basis (parity: reference
+    static/position.py:10)."""
+    return scatters(adata, basis=basis, color=color, **kwargs)

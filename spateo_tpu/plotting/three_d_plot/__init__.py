@@ -4,13 +4,19 @@ rendering replaced by matplotlib mplot3d over the tdr model classes)."""
 
 from .three_dims_plots import (
     merge_animations,
+    plot_expression_3D,
+    plot_multiple_genes_3D,
+    quick_plot_3D_celltypes,
     three_d_animate,
     three_d_multi_plot,
     three_d_plot,
+    visualize_3D_increasing_direction_gradient,
+    wrap_to_plotter,
 )
 from .morphometrics_plots import (
     acceleration,
     curl,
+    feature,
     curvature,
     divergence,
     jacobian,

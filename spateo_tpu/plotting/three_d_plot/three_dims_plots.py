@@ -179,3 +179,60 @@ def merge_animations(
         raise ValueError("no frames found to merge")
     frames[0].save(filename, save_all=True, append_images=frames[1:], duration=duration, loop=0)
     return filename
+
+
+def wrap_to_plotter(ax, model, key=None, **kwargs):
+    """Draw a model onto an existing 3D axes (parity surface: reference
+    three_dims_plots.py wrap_to_plotter)."""
+    from .three_dims_plotter import add_model
+
+    return add_model(ax, model, key=key, **kwargs)
+
+
+def _adata_pointcloud(adata, spatial_key: str = "spatial", values=None, key: str = "val"):
+    from ...tdr.models.mesh_core import PointCloud
+
+    pts = np.asarray(adata.obsm[spatial_key], float)
+    if pts.shape[1] == 2:
+        pts = np.concatenate([pts, np.zeros((len(pts), 1))], 1)
+    pd_data = {key: np.asarray(values)} if values is not None else {}
+    return PointCloud(pts[:, :3], pd_data)
+
+
+def plot_expression_3D(adata, gene: str, spatial_key: str = "spatial", filename=None, **kwargs):
+    """3D scatter colored by one gene's expression (parity: reference
+    three_dims_plots.py plot_expression_3D)."""
+    from scipy.sparse import issparse
+
+    names = list(map(str, adata.var_names))
+    X = adata.X.toarray() if issparse(adata.X) else np.asarray(adata.X)
+    vals = X[:, names.index(str(gene))]
+    pc = _adata_pointcloud(adata, spatial_key, vals, key=str(gene))
+    return three_d_plot(pc, key=str(gene), model_style="points", filename=filename, **kwargs)
+
+
+def plot_multiple_genes_3D(adata, genes, spatial_key: str = "spatial", filename=None, **kwargs):
+    """One 3D panel per gene (parity: reference plot_multiple_genes_3D)."""
+    from scipy.sparse import issparse
+
+    names = list(map(str, adata.var_names))
+    X = adata.X.toarray() if issparse(adata.X) else np.asarray(adata.X)
+    models = [_adata_pointcloud(adata, spatial_key, X[:, names.index(str(g))], key="expr") for g in genes]
+    return three_d_multi_plot(models, key="expr", text=[str(g) for g in genes], model_style="points", filename=filename, **kwargs)
+
+
+def quick_plot_3D_celltypes(adata, group_key: str = "cell_type", spatial_key: str = "spatial", filename=None, **kwargs):
+    """Categorical 3D cell-type scatter (parity: reference
+    quick_plot_3D_celltypes)."""
+    pc = _adata_pointcloud(adata, spatial_key, np.asarray(adata.obs[group_key]).astype(str), key=group_key)
+    return three_d_plot(pc, key=group_key, model_style="points", filename=filename, **kwargs)
+
+
+def visualize_3D_increasing_direction_gradient(adata, axis: str = "z", spatial_key: str = "spatial", filename=None, **kwargs):
+    """Positional-gradient coloring along an axis (parity: reference
+    visualize_3D_increasing_direction_gradient)."""
+    pts = np.asarray(adata.obsm[spatial_key], float)
+    ax_idx = {"x": 0, "y": 1, "z": 2}[axis]
+    vals = pts[:, ax_idx] if pts.shape[1] > ax_idx else pts[:, -1]
+    pc = _adata_pointcloud(adata, spatial_key, vals, key=f"{axis}_gradient")
+    return three_d_plot(pc, key=f"{axis}_gradient", model_style="points", filename=filename, **kwargs)

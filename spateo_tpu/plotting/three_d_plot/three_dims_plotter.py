@@ -149,3 +149,54 @@ def output_plotter(fig, filename: Optional[str] = None, jupyter: bool = False, d
         plt.close(fig)
         return filename
     return fig
+
+
+# -- reference-named plotter helpers (three_dims_plotter.py) -----------------
+
+
+def add_outline(plotter_or_ax, model, outline_width: float = 5.0, outline_color: str = "black", **kwargs):
+    """Reference-named front end of add_model_outline."""
+    return add_model_outline(plotter_or_ax, model, color=outline_color, linewidth=outline_width / 5)
+
+
+def add_text(ax, text: str, font_size: int = 12, font_color: str = "black", text_loc: str = "upper_left", **kwargs):
+    """Overlay text on a 3D axes (parity: three_dims_plotter.py add_text)."""
+    locs = {"upper_left": (0.02, 0.95), "upper_right": (0.75, 0.95), "lower_left": (0.02, 0.02), "lower_right": (0.75, 0.02)}
+    x, y = locs.get(text_loc, (0.02, 0.95))
+    ax.text2D(x, y, text, transform=ax.transAxes, fontsize=font_size, color=font_color)
+    return ax
+
+
+def add_str_legend(ax, labels, colors=None, title: str = "", **kwargs):
+    """Categorical legend from explicit label/color lists
+    (parity: three_dims_plotter.py add_str_legend)."""
+    import matplotlib.pyplot as plt
+
+    colors = colors or [DEFAULT_PALETTE[i % len(DEFAULT_PALETTE)] for i in range(len(labels))]
+    handles = [plt.Line2D([], [], marker="o", ls="", color=c, label=str(l)) for l, c in zip(labels, colors)]
+    ax.legend(handles=handles, title=title or None, fontsize=7, markerscale=1.5, frameon=False,
+              loc="center left", bbox_to_anchor=(1.05, 0.5))
+    return ax
+
+
+def add_num_legend(ax, mappable=None, title: str = "", **kwargs):
+    """Colorbar legend (parity: three_dims_plotter.py add_num_legend)."""
+    import matplotlib.pyplot as plt
+
+    if mappable is None:
+        for c in ax.collections:
+            if getattr(c, "get_array", lambda: None)() is not None:
+                mappable = c
+                break
+    if mappable is not None:
+        cb = plt.colorbar(mappable, ax=ax, shrink=0.6)
+        if title:
+            cb.set_label(title)
+    return ax
+
+
+def save_plotter(fig, filename: str, dpi: int = 150):
+    """Persist a rendered figure (parity: three_dims_plotter.py
+    save_plotter)."""
+    fig.savefig(filename, dpi=dpi, bbox_inches="tight")
+    return filename

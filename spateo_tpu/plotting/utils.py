@@ -328,3 +328,127 @@ def arrowed_spines(ax: Axes, basis: str = "", background: str = "white"):
         ax.text(xmin, ymin - dy * 0.15, f"{basis}_1", fontsize=8, color=fc)
         ax.text(xmin - dx * 0.12, ymin, f"{basis}_2", fontsize=8, color=fc, rotation=90)
     return ax
+
+
+# -- small reference-named helpers (reference plotting/static/utils.py) -----
+
+
+def is_list_of_lists(list_of_lists) -> bool:
+    """(parity: utils.py:58)"""
+    return isinstance(list_of_lists, (list, tuple)) and all(isinstance(x, (list, tuple)) for x in list_of_lists)
+
+
+def default_quiver_args(arrow_size, arrow_len=None):
+    """Quiver kwargs from an arrow-size scalar (parity: utils.py:1146)."""
+    if isinstance(arrow_size, (list, tuple)) and len(arrow_size) == 3:
+        head_w, head_l, ax_l = arrow_size
+    elif isinstance(arrow_size, (int, float)):
+        head_w, head_l, ax_l = 10 * arrow_size, 12 * arrow_size, 8 * arrow_size
+    else:
+        head_w, head_l, ax_l = 10, 12, 8
+    scale = 1 / arrow_len if arrow_len is not None else 1 / head_w
+    return head_w, head_l, ax_l, scale
+
+
+def minimal_xticks(start, end):
+    """Two-tick x axis (parity: utils.py:904)."""
+    import matplotlib.pyplot as plt
+
+    end_ = np.around(end, -int(np.log10(max(abs(end), 1e-12))) + 1)
+    xlims = np.array([start, end_ if end_ > end else end])
+    plt.xticks(xlims)
+
+
+def minimal_yticks(start, end):
+    """Two-tick y axis (parity: utils.py:914)."""
+    import matplotlib.pyplot as plt
+
+    end_ = np.around(end, -int(np.log10(max(abs(end), 1e-12))) + 1)
+    ylims = np.array([start, end_ if end_ > end else end])
+    plt.yticks(ylims)
+
+
+def scatter_with_colorbar(fig, ax, x, y, c, cmap, **kwargs):
+    """Scatter + attached colorbar (parity: utils.py:935)."""
+    from mpl_toolkits.axes_grid1 import make_axes_locatable
+
+    g = ax.scatter(x, y, c=c, cmap=cmap, **kwargs)
+    divider = make_axes_locatable(ax)
+    cax = divider.append_axes("right", size="5%", pad=0.05)
+    fig.colorbar(g, cax=cax, orientation="vertical")
+    return fig, ax
+
+
+def scatter_with_legend(fig, ax, df, font_color, x, y, c, cmap, legend, **kwargs):
+    """Categorical scatter with on-data or side legend (parity:
+    utils.py:947)."""
+    import pandas as pd
+
+    cats = pd.unique(np.asarray(c).astype(str))
+    colors = resolve_cmap(cmap if isinstance(cmap, str) else None, "tab20")
+    for i, cat in enumerate(cats):
+        m = np.asarray(c).astype(str) == cat
+        ax.scatter(np.asarray(x)[m], np.asarray(y)[m], color=colors(i / max(len(cats) - 1, 1)), label=cat, **kwargs)
+    if legend == "on data":
+        for cat in cats:
+            m = np.asarray(c).astype(str) == cat
+            ax.text(np.asarray(x)[m].mean(), np.asarray(y)[m].mean(), cat, color=font_color, ha="center", weight="bold")
+    elif legend:
+        ax.legend(loc="center left", bbox_to_anchor=(1, 0.5), frameon=False, fontsize=7)
+    return fig, ax
+
+
+def set_arrow_alpha(ax=None, alpha: float = 1.0):
+    """Set quiver alpha (parity: utils.py:1177)."""
+    import matplotlib.pyplot as plt
+    from matplotlib.quiver import Quiver
+
+    ax = ax or plt.gca()
+    for child in ax.get_children():
+        if isinstance(child, Quiver):
+            child.set_alpha(alpha)
+    return ax
+
+
+def set_stream_line_alpha(s=None, alpha: float = 1.0):
+    """Set streamline alpha (parity: utils.py:1190)."""
+    if s is not None:
+        s.lines.set_alpha(alpha)
+        if hasattr(s, "arrows"):
+            try:
+                s.arrows.set_alpha(alpha)
+            except Exception:
+                pass
+    return s
+
+
+def alpha_shape(x, y, alpha):
+    """Concave hull (parity: utils.py:1280 — delegates to io.bbs)."""
+    from ..io.bbs import alpha_shape as _alpha
+
+    return _alpha(x, y, alpha=alpha)
+
+
+def plot_polygon(polygon, margin: float = 1, fc: str = "#999999", ec: str = "#000000", fill: bool = True, ax=None, **kwargs):
+    """Draw a polygon (parity: utils.py:1351 — delegates to pl.polygon)."""
+    from .bbs import polygon as _poly
+
+    return _poly(polygon, margin=margin, fc=fc, ec=ec, fill=fill, ax=ax, save_show_or_return="return", **kwargs)
+
+
+class Loess:
+    """Loess smoother class (parity: utils.py:1386; wraps the svg layer's
+    tricube local regression)."""
+
+    def __init__(self, xx, yy, degree: int = 1):
+        self.xx = np.asarray(xx, float)
+        self.yy = np.asarray(yy, float)
+        self.degree = degree
+
+    def estimate(self, x, window: int = 10, use_matrix: bool = False, degree: int = 1):
+        from ..svg.utils import loess_1d
+
+        frac = min(max(window / max(len(self.xx), 1), 0.05), 1.0)
+        _, smooth, _ = loess_1d(self.xx, self.yy, frac=frac, degree=degree)
+        idx = int(np.argmin(np.abs(self.xx - x)))
+        return smooth[idx]
