@@ -383,3 +383,134 @@ def factorize_distance(
             onehot_y,
         )
     raise ValueError(f"Unsupported metric {metric}")
+
+
+def estep_reduced(
+    Dim: float,
+    XAHat: jnp.ndarray,  # [NA, D]
+    coordsA: jnp.ndarray,  # [NA, D] (original, for the M1 cross term)
+    coordsB_batch: jnp.ndarray,  # [B, D]
+    exp_a_rows,  # tuple of [NA]
+    exp_b_batch,  # tuple of [B]
+    exp_A_feats,  # tuple of [NA, G_l]
+    exp_B_batch,  # tuple of [B, G_l]
+    sigma2: jnp.ndarray,
+    model_mul_vec: jnp.ndarray,  # [NA]
+    gamma: jnp.ndarray,
+    samples_s: jnp.ndarray,
+    sigma2_variance: jnp.ndarray,
+    probability_type,
+    probability_parameters,
+    n_chunks: int = 8,
+    eps: float = 1e-8,
+):
+    """Flash-style E-step: every consumer of the [NA, B] assignment matrix
+    is a reduction, so P is never materialized (SURVEY §7 'hard part' —
+    the online-normalized E-step). Two chunked passes over the NA axis:
+    pass 1 accumulates the three column normalizers, pass 2 recomputes the
+    probabilities per chunk and reduces them into
+    (K_NA, K_NB, Sp, K_NA_spatial, Sp_spatial, K_NA_sigma2, Sp_sigma2,
+    sigma2_related, PXB = P @ coordsB_batch, M1 = coordsA^T P coordsB_batch).
+
+    Equivalent math to `get_P_core` + the P-sums in the EM body; HBM
+    traffic drops from ~10 [NA, B] materializations to ~2 transient
+    chunk-local ones."""
+    NA, D = XAHat.shape
+    B = coordsB_batch.shape[0]
+    C = -(-NA // n_chunks)  # chunk rows
+    pad = C * n_chunks - NA
+
+    def pad_rows(x, fill=0.0):
+        if pad == 0:
+            return x
+        cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    # padded rows sit far away (huge spatial distance -> prob 0) and carry
+    # zero model_mul, so they contribute to nothing
+    XA_p = pad_rows(XAHat, 1e6).reshape(n_chunks, C, D)
+    cA_p = pad_rows(coordsA, 0.0).reshape(n_chunks, C, D)
+    mm_p = pad_rows(model_mul_vec, 0.0).reshape(n_chunks, C)
+    a_p = tuple(pad_rows(a, 0.0).reshape(n_chunks, C) for a in exp_a_rows)
+    A_p = tuple(pad_rows(A, 0.0).reshape(n_chunks, C, -1) for A in exp_A_feats)
+
+    b2 = jnp.sum(coordsB_batch * coordsB_batch, axis=1)[None, :]  # [1, B]
+
+    def chunk_probs(xa, aa, AA, mm):
+        # spatial squared distance for this chunk [C, B]
+        d = jnp.maximum(jnp.sum(xa * xa, 1)[:, None] + b2 - 2.0 * xa @ coordsB_batch.T, 0.0)
+        prob_v = jnp.exp(-d / (2 * sigma2 / sigma2_variance))  # variance-scaled
+        prob_s = jnp.exp(-d / (2 * sigma2))
+        full = prob_s
+        for l in range(len(aa)):
+            e_d = aa[l][:, None] + exp_b_batch[l][None, :] + AA[l] @ exp_B_batch[l].T
+            full = full * calc_probability(e_d, probability_type[l], probability_parameters[l])
+        return d, prob_v, prob_s * mm[:, None], full * mm[:, None], prob_v * mm[:, None]
+
+    # ---- pass 1: column normalizers ----
+    def pass1(carry, inp):
+        c1_raw, c1m, c2, c3 = carry
+        xa, ca, mm, aa, AA = inp
+        _, prob_v, prob_s_m, full_m, prob_v_m = chunk_probs(xa, aa, AA, mm)
+        return (
+            c1_raw + prob_v.sum(0),
+            c1m + prob_v_m.sum(0),
+            c2 + prob_s_m.sum(0),
+            c3 + full_m.sum(0),
+        ), None
+
+    zeros_b = jnp.zeros(B, jnp.float32)
+    (c1_raw, c1m, c2, c3), _ = jax.lax.scan(
+        pass1, (zeros_b, zeros_b, zeros_b, zeros_b), (XA_p, cA_p, mm_p, a_p, A_p)
+    )
+
+    outlier_s = samples_s * NA
+    spatial_outlier = jnp.power(2 * jnp.pi * sigma2, Dim / 2) * (1 - gamma) / (gamma * outlier_s)
+    spatial_inlier = 1 - spatial_outlier / (spatial_outlier + c1_raw)  # [B]
+    denom1 = spatial_outlier + c1m  # [B]
+    denom2 = c2 + eps
+    denom3 = c3 + eps
+
+    # ---- pass 2: reductions ----
+    def pass2(carry, inp):
+        (K_NA, K_NA_sp, K_NA_s2, K_NB, Sp, sig_rel, PXB, M1, idx) = carry
+        xa, ca, mm, aa, AA = inp
+        d, prob_v, prob_s_m, full_m, prob_v_m = chunk_probs(xa, aa, AA, mm)
+        P1 = prob_v_m / denom1[None, :]
+        P2 = spatial_inlier[None, :] * prob_s_m / denom2[None, :]
+        P3 = spatial_inlier[None, :] * full_m / denom3[None, :]
+        K_NA = jax.lax.dynamic_update_slice(K_NA, P3.sum(1), (idx * C,))
+        K_NA_sp = jax.lax.dynamic_update_slice(K_NA_sp, P1.sum(1), (idx * C,))
+        K_NA_s2 = jax.lax.dynamic_update_slice(K_NA_s2, P2.sum(1), (idx * C,))
+        K_NB = K_NB + P3.sum(0)
+        Sp = Sp + P3.sum()
+        sig_rel = sig_rel + (P2 * d).sum()
+        PXB = jax.lax.dynamic_update_slice(PXB, P3 @ coordsB_batch, (idx * C, 0))
+        M1 = M1 + ca.T @ (P3 @ coordsB_batch)
+        return (K_NA, K_NA_sp, K_NA_s2, K_NB, Sp, sig_rel, PXB, M1, idx + 1), None
+
+    NAp = C * n_chunks
+    init = (
+        jnp.zeros(NAp, jnp.float32),
+        jnp.zeros(NAp, jnp.float32),
+        jnp.zeros(NAp, jnp.float32),
+        zeros_b,
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.zeros((NAp, D), jnp.float32),
+        jnp.zeros((D, D), jnp.float32),
+        0,
+    )
+    (K_NA, K_NA_sp, K_NA_s2, K_NB, Sp, sig_rel, PXB, M1, _), _ = jax.lax.scan(
+        pass2, init, (XA_p, cA_p, mm_p, a_p, A_p)
+    )
+    return dict(
+        K_NA=K_NA[:NA],
+        K_NA_spatial=K_NA_sp[:NA],
+        K_NA_sigma2=K_NA_s2[:NA],
+        K_NB=K_NB,
+        Sp=Sp,
+        sigma2_related=sig_rel,
+        PXB=PXB[:NA],
+        M1=M1,
+    )

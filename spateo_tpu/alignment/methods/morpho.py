@@ -38,6 +38,7 @@ from ...errors import AlignmentError
 from ...logging import logger_manager as lm
 from .math import (
     calc_distance,
+    estep_reduced,
     con_K,
     euc_dist,
     get_P_core,
@@ -88,6 +89,7 @@ def filter_common_genes(*genes_lists, verbose: bool = True) -> List[str]:
         "update_R",
         "nn_init",
         "guidance_effect",
+        "estep_chunks",
     ),
 )
 def _morpho_em(
@@ -118,6 +120,7 @@ def _morpho_em(
     nn_init: bool = True,
     guidance_effect: str = "none",  # 'none' | 'rigid' | 'nonrigid' | 'both'
     guidance_weight: float = 1.0,
+    estep_chunks: int = 8,
     gamma_a: float = 1.0,
     gamma_b: float = 1.0,
     kappa: float = 1.0,
@@ -159,7 +162,8 @@ def _morpho_em(
         nonrigid_flag=jnp.asarray(False),
         V_AI=jnp.zeros_like(X_AI),
         R_AI=X_AI,
-        P=jnp.zeros((NA, B), jnp.float32),
+        M1=jnp.zeros((D, D), jnp.float32),
+        Sp_raw=jnp.asarray(0.0, jnp.float32),
         K_NA=jnp.zeros((NA,), jnp.float32),
         K_NB=jnp.zeros((B,), jnp.float32),
         batch_idx=batch_schedule[0],
@@ -169,34 +173,36 @@ def _morpho_em(
         step_size = jnp.minimum(1.0, SVI_decay / (it + 1.0))
         batch_idx = batch_schedule[it]
         coordsB_batch = coordsB[batch_idx]  # [B, D]
-        # expression distances on the fly: d_ij = a_i + b_j + (A @ B_batch.T)_ij
-        # (one small GEMM per layer; replaces gathering a precomputed
-        # [L, NA, NB] tensor -- O(NA*NB) memory and 4*NA*B bytes/iter saved)
-        exp_dist_batch = [
-            a[:, None] + b[batch_idx][None, :] + A @ B[batch_idx].T
-            for a, b, A, B in zip(exp_a_rows, exp_b_cols, exp_A_feats, exp_B_feats)
-        ]
-
-        # ---- E-step ----
-        model_mul = (s["alpha"] * jnp.exp(-s["SigmaDiag"] / s["sigma2"]))[:, None]
-        spatial_dist = euc_dist(s["XAHat"], coordsB_batch, squared=True)
-        P, K_NA_spatial, K_NA_sigma2, sigma2_related = get_P_core(
-            Dim=Dim,
-            spatial_dist=spatial_dist,
-            exp_dist=exp_dist_batch,
-            sigma2=s["sigma2"],
-            model_mul=model_mul,
-            gamma=s["gamma"],
-            samples_s=samples_s,
-            sigma2_variance=s["sigma2_variance"],
-            probability_type=list(probability_type),
-            probability_parameters=[probability_parameters[l] for l in range(len(exp_dist_batch))],
+        # ---- E-step (flash-style: the [NA, B] assignment matrix is never
+        # materialized; every consumer is a reduction computed chunk-wise,
+        # see math.estep_reduced) ----
+        model_mul_vec = s["alpha"] * jnp.exp(-s["SigmaDiag"] / s["sigma2"])
+        red = estep_reduced(
+            Dim,
+            s["XAHat"],
+            coordsA,
+            coordsB_batch,
+            tuple(a for a in exp_a_rows),
+            tuple(b[batch_idx] for b in exp_b_cols),
+            tuple(A for A in exp_A_feats),
+            tuple(Bf[batch_idx] for Bf in exp_B_feats),
+            s["sigma2"],
+            model_mul_vec,
+            s["gamma"],
+            samples_s,
+            s["sigma2_variance"],
+            list(probability_type),
+            [probability_parameters[l] for l in range(len(exp_a_rows))],
+            n_chunks=estep_chunks,
         )
-        Sp = P.sum()
+        K_NA_spatial = red["K_NA_spatial"]
+        K_NA_sigma2 = red["K_NA_sigma2"]
+        sigma2_related = red["sigma2_related"]
+        Sp = red["Sp"]
         Sp_spatial_new = K_NA_spatial.sum()
         Sp_sigma2_new = K_NA_sigma2.sum()
-        K_NA = P.sum(axis=1)
-        K_NB = P.sum(axis=0)
+        K_NA = red["K_NA"]
+        K_NB = red["K_NB"]
         Sp_spatial = step_size * Sp_spatial_new + (1 - step_size) * s["Sp_spatial"]
         Sp_total = step_size * Sp + (1 - step_size) * s["Sp"]
         Sp_sigma2 = step_size * Sp_sigma2_new + (1 - step_size) * s["Sp_sigma2"]
@@ -213,7 +219,7 @@ def _morpho_em(
         # ---- non-rigid M-step (gated) ----
         nonrigid_flag = s["nonrigid_flag"] | (it > nonrigid_start_iter)
         SigmaInv_new = s["sigma2"] * lambdaVF * GammaSparse + U.T @ (U * K_NA[:, None])
-        PXB_term_new = P @ coordsB_batch - s["RnA"] * K_NA[:, None]
+        PXB_term_new = red["PXB"] - s["RnA"] * K_NA[:, None]
         SigmaInv = step_size * SigmaInv_new + (1 - step_size) * s["SigmaInv"]
         PXB_term = step_size * PXB_term_new + (1 - step_size) * s["PXB_term"]
         UPXB_term = U.T @ PXB_term
@@ -269,8 +275,17 @@ def _morpho_em(
 
         XA_hat = coordsA - mu_XA
         VnA_hat = VnA - mu_Vn
-        XB_hat = coordsB_batch - mu_XB
-        A_mat = -(XA_hat.T @ (VnA_hat * K_NA[:, None]) - (XA_hat.T @ P) @ XB_hat).T
+        # XA_hat^T P XB_hat expanded through the E-step reductions
+        # (M1 = coordsA^T P coordsB_batch):
+        cA_KNA = K_NA @ coordsA  # [D]
+        cB_KNB = K_NB @ coordsB_batch  # [D]
+        cross = (
+            red["M1"]
+            - jnp.outer(cA_KNA, mu_XB[0])
+            - jnp.outer(mu_XA[0], cB_KNB)
+            + Sp * jnp.outer(mu_XA[0], mu_XB[0])
+        )
+        A_mat = -(XA_hat.T @ (VnA_hat * K_NA[:, None]) - cross).T
         if nn_init:
             inlier_A_hat = inlier_A - mu_XA
             inlier_B_hat = inlier_B - mu_XB
@@ -334,7 +349,8 @@ def _morpho_em(
             V_AI=V_AI if guidance_effect != "none" else s["V_AI"],
             R_AI=R_AI,
             traces=traces,
-            P=P,
+            M1=red["M1"],
+            Sp_raw=Sp,
             K_NA=K_NA,
             K_NB=K_NB,
             batch_idx=batch_idx,
@@ -342,13 +358,18 @@ def _morpho_em(
 
     s = jax.lax.fori_loop(0, max_iter, body, state)
 
-    # final optimal Procrustes on the last batch (reference :1437)
+    # final optimal Procrustes on the last batch (reference :1437),
+    # decomposed through the stored reductions (no P matrix):
+    # (P XnBBar)^T XnABar = M1^T - (K_NB cB) muA^T - muB (K_NA cA)^T + Sp muB muA^T
     coordsB_last = coordsB[s["batch_idx"]]
     mu_XnA = (s["K_NA"] @ coordsA) / s["Sp"]
     mu_XnB = (s["K_NB"] @ coordsB_last) / s["Sp"]
-    XnABar = coordsA - mu_XnA
-    XnBBar = coordsB_last - mu_XnB
-    A_opt = (s["P"] @ XnBBar).T @ XnABar
+    A_opt = (
+        s["M1"].T
+        - jnp.outer(s["K_NB"] @ coordsB_last, mu_XnA)
+        - jnp.outer(mu_XnB, s["K_NA"] @ coordsA)
+        + s["Sp_raw"] * jnp.outer(mu_XnB, mu_XnA)
+    )
     optimal_R = procrustes_rotation(A_opt)
     optimal_t = mu_XnB - mu_XnA @ optimal_R.T
     optimal_RnA = coordsA @ optimal_R.T + optimal_t
@@ -769,6 +790,9 @@ class Morpho_pairwise:
             nn_init=self.nn_init,
             guidance_effect=guidance_effect,
             guidance_weight=float(self.guidance_weight),
+            # ~4 [chunk, B] f32 temporaries live per E-step chunk: size the
+            # chunks so that stays under ~1 GB
+            estep_chunks=max(8, int(np.ceil(self.NA * batch_size * 16 / 1e9))),
             gamma_a=self.gamma_a,
             gamma_b=self.gamma_b,
             kappa=self.kappa,
@@ -796,12 +820,18 @@ class Morpho_pairwise:
         self.optimal_R = np.asarray(optimal_R)
         self.optimal_t = np.asarray(optimal_t)
         self.optimal_RnA = np.asarray(optimal_RnA)
-        # P stays on device ([NA, B] is 4 GB at 100k cells; consumers that
-        # need numpy call np.asarray, most just feed it back to device math)
-        self.P = s["P"]
         self.iter_traces = np.asarray(traces_np) if self.iter_key_added else None
         self.batch_idx = small_np["batch_idx"]
         self.sigma2_variance = float(small_np["sigma2_variance"])
+        # P is no longer produced inside the EM (the flash-style E-step only
+        # computes reductions); stash what's needed to reconstruct the
+        # final-batch assignment lazily on first access
+        self._P_cache = None
+        self._P_explicit = None
+        self._norm_XAHat = np.asarray(small_np["XAHat"]).copy()  # pre-denormalization frame
+        self._norm_coordsB = np.asarray(self.coordsB).copy()
+        self._exp_factors = list(zip(exp_a_rows, exp_b_cols, exp_A_feats, exp_B_feats))
+        self._samples_s = float(samples_s)
 
         if self.return_mapping:
             # full NA x NB assignment
@@ -827,6 +857,65 @@ class Morpho_pairwise:
 
         self._wrap_output()
         return self.P
+
+    @property
+    def P(self):
+        """Final-batch soft assignment [NA, B], reconstructed on demand from
+        the converged parameters (the fused EM never materializes it)."""
+        if getattr(self, "_P_explicit", None) is not None:
+            return self._P_explicit
+        if getattr(self, "_P_cache", None) is None:
+            self._P_cache = self._compute_final_P()
+        return self._P_cache
+
+    @P.setter
+    def P(self, value):
+        self._P_explicit = value
+
+    def _compute_final_P(self):
+        batch_idx = jnp.asarray(np.asarray(self.batch_idx))
+        model_mul = (self._state["alpha"] * np.exp(-self._state["SigmaDiag"] / max(self.sigma2, 1e-12)))[:, None]
+
+        # one fused program: eager evaluation would materialize every
+        # [NA, B] intermediate separately (~20 GB at 100k x 10k)
+        @partial(jax.jit, static_argnames=())
+        def rebuild(XAHat_n, coordsB, bidx, mm, sigma2, gamma, samples_s, s2v, a_rows, b_cols, A_feats, B_feats, pparams):
+            coordsB_batch = coordsB[bidx]
+            exp_dist_batch = [
+                a[:, None] + b[bidx][None, :] + A @ Bf[bidx].T
+                for a, b, A, Bf in zip(a_rows, b_cols, A_feats, B_feats)
+            ]
+            spatial_dist = euc_dist(XAHat_n, coordsB_batch, squared=True)
+            P, _, _, _ = get_P_core(
+                Dim=float(self.D),
+                spatial_dist=spatial_dist,
+                exp_dist=exp_dist_batch,
+                sigma2=sigma2,
+                model_mul=mm,
+                gamma=gamma,
+                samples_s=samples_s,
+                sigma2_variance=s2v,
+                probability_type=list(self.probability_type),
+                probability_parameters=list(pparams),
+            )
+            return P
+
+        a_rows = tuple(jnp.asarray(f[0]) for f in self._exp_factors)
+        b_cols = tuple(jnp.asarray(f[1]) for f in self._exp_factors)
+        A_feats = tuple(jnp.asarray(f[2]) for f in self._exp_factors)
+        B_feats = tuple(jnp.asarray(f[3]) for f in self._exp_factors)
+        return rebuild(
+            jnp.asarray(self._norm_XAHat, jnp.float32),
+            jnp.asarray(self._norm_coordsB, jnp.float32),
+            batch_idx,
+            jnp.asarray(model_mul, jnp.float32),
+            jnp.asarray(self.sigma2, jnp.float32),
+            jnp.asarray(self.gamma, jnp.float32),
+            jnp.asarray(self._samples_s, jnp.float32),
+            jnp.asarray(self.sigma2_variance, jnp.float32),
+            a_rows, b_cols, A_feats, B_feats,
+            tuple(jnp.asarray(p if p is not None else 0.0) for p in self.probability_parameters),
+        )
 
     def _wrap_output(self):
         # denormalize
