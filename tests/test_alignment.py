@@ -314,3 +314,72 @@ class TestGeodesicKernel:
         with pytest.raises(NotImplementedError, match="warp9"):
             Morpho_pairwise(sampleA=a, sampleB=a, spatial_key="spatial", key_added="x",
                             kernel_type="warp9", verbose=False).run()
+
+
+class TestFlashEstep:
+    def test_estep_reduced_matches_get_P_core(self):
+        """The P-free reduced E-step must reproduce every reduction of the
+        dense get_P_core path."""
+        from spateo_tpu.alignment.methods.math import (
+            estep_reduced,
+            euc_dist,
+            factorize_distance,
+            get_P_core,
+        )
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(0)
+        NA, B, D, G = 157, 60, 2, 8
+        XAHat = jnp.asarray(rng.normal(size=(NA, D)).astype(np.float32))
+        coordsA = jnp.asarray(rng.normal(size=(NA, D)).astype(np.float32))
+        coordsB = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+        a, b, A, Bf = factorize_distance(
+            rng.poisson(2.0, (NA, G)).astype(np.float32), rng.poisson(2.0, (B, G)).astype(np.float32), "kl"
+        )
+        mm = jnp.asarray(rng.uniform(0.5, 1, NA).astype(np.float32))
+        args = dict(sigma2=jnp.asarray(0.4), gamma=jnp.asarray(0.7), samples_s=jnp.asarray(3.0),
+                    sigma2_variance=jnp.asarray(1.5))
+        exp_dist = [jnp.asarray(np.asarray(a)[:, None] + np.asarray(b)[None, :] + np.asarray(A) @ np.asarray(Bf).T)]
+        P, K_sp, K_s2, s_rel = get_P_core(
+            Dim=float(D), spatial_dist=euc_dist(XAHat, coordsB, squared=True), exp_dist=exp_dist,
+            model_mul=mm[:, None], probability_type=["gauss"], probability_parameters=[jnp.asarray(0.3)], **args,
+        )
+        out = estep_reduced(
+            float(D), XAHat, coordsA, coordsB, (a,), (b,), (A,), (Bf,),
+            args["sigma2"], mm, args["gamma"], args["samples_s"], args["sigma2_variance"],
+            ["gauss"], [jnp.asarray(0.3)], n_chunks=5,
+        )
+        np.testing.assert_allclose(np.asarray(out["K_NA"]), np.asarray(P.sum(1)), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["K_NB"]), np.asarray(P.sum(0)), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(float(out["Sp"]), float(P.sum()), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(out["K_NA_spatial"]), np.asarray(K_sp), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["K_NA_sigma2"]), np.asarray(K_s2), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(float(out["sigma2_related"]), float(s_rel), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(out["PXB"]), np.asarray(P @ coordsB), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["M1"]), np.asarray(coordsA.T @ P @ coordsB), rtol=2e-4, atol=1e-5)
+
+    def test_lazy_P_reconstruction(self):
+        """Morpho_pairwise.P is reconstructed on demand and normalizes per
+        column like the in-loop assignment."""
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+        rng = np.random.default_rng(0)
+        n = 150
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        X = rng.poisson(2.0, (n, 10)).astype(np.float32)
+
+        def mk(p):
+            a = st.AnnData(X=X.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                           var=pd.DataFrame(index=[f"g{j}" for j in range(10)]))
+            a.obsm["spatial"] = p
+            st.SKM.init_adata_type(a, "UMI")
+            return a
+
+        m = Morpho_pairwise(sampleA=mk(pts + 0.5), sampleB=mk(pts), spatial_key="spatial",
+                            key_added="align", max_iter=30, verbose=False)
+        P = m.run()
+        P = np.asarray(P)
+        assert P.shape[0] == n
+        colsums = P.sum(0)
+        assert (colsums <= 1.0 + 1e-4).all()  # outlier model: column mass <= 1
+        assert colsums.mean() > 0.3  # most mass assigned (aligned slices)
