@@ -128,3 +128,86 @@ class TestNormalizeGolden:
         ref = np.asarray(ref_n.calcNormFactors(counts.copy(), method=method))
         mine = np.asarray(my_n.calcNormFactors(counts.copy(), method=method))
         np.testing.assert_allclose(mine, ref, rtol=1e-2)
+
+
+class TestIOGolden:
+    """Pin the Stereo-seq readers against reference spateo/io/bgi.py on a
+    synthetic GEM tile: rasters and binned count matrices must be EXACT."""
+
+    @pytest.fixture(scope="class")
+    def gem_path(self, tmp_path_factory):
+        import gzip
+
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "geneID": rng.choice([f"g{i}" for i in range(20)], n),
+                "x": rng.integers(0, 50, n),
+                "y": rng.integers(0, 40, n),
+                "MIDCounts": rng.integers(1, 5, n),
+            }
+        )
+        path = tmp_path_factory.mktemp("gem") / "tile.gem.gz"
+        with gzip.open(path, "wt") as f:
+            df.to_csv(f, sep="\t", index=False)
+        return str(path)
+
+    @staticmethod
+    def _dense(X):
+        return np.asarray(X.todense() if hasattr(X, "todense") else X)
+
+    @pytest.mark.parametrize("binsize", [1, 5])
+    def test_read_bgi_agg_exact(self, gem_path, binsize):
+        ref_io = _need("spateo.io.bgi")
+        import spateo_tpu as st
+
+        ref = ref_io.read_bgi_agg(gem_path, binsize=binsize)
+        mine = st.io.read_bgi_agg(gem_path, binsize=binsize)
+        assert ref.shape == mine.shape
+        assert np.array_equal(self._dense(ref.X), self._dense(mine.X))
+
+    def test_read_bgi_binned_exact(self, gem_path):
+        import pandas as pd
+
+        ref_io = _need("spateo.io.bgi")
+        import spateo_tpu as st
+
+        ref = ref_io.read_bgi(gem_path, binsize=10)
+        mine = st.io.read_bgi(gem_path, binsize=10)
+        rdf = pd.DataFrame(self._dense(ref.X), index=list(ref.obs_names), columns=list(ref.var_names))
+        mdf = pd.DataFrame(self._dense(mine.X), index=list(mine.obs_names), columns=list(mine.var_names))
+        assert set(rdf.index) == set(mdf.index)
+        assert set(rdf.columns) == set(mdf.columns)
+        assert np.array_equal(rdf.values, mdf.loc[rdf.index, rdf.columns].values)
+
+
+class TestDigitizationGolden:
+    def test_domain_heat_eqn_solver_matches_reference(self):
+        """The digitization Laplace solver: our fused device stencil vs the
+        reference's host Jacobi loop (reference digitization/utils.py:464)."""
+        import cv2
+
+        ref_du = _need("spateo.digitization.utils")
+        from spateo_tpu.digitization.utils import domain_heat_eqn_solver
+
+        H, W = 40, 50
+        field = np.zeros((H, W))
+        mask = np.zeros((H, W))
+        mask[5:35, 5:45] = 1
+        border = mask - cv2.erode(mask, np.ones((3, 3)))
+        ys = np.arange(5, 35)
+        min_line = np.stack([np.full_like(ys, 5), ys], axis=1)
+        max_line = np.stack([np.full_like(ys, 44), ys], axis=1)
+        xs = np.arange(5, 45)
+        edge_a = np.stack([xs, np.full_like(xs, 5)], axis=1)
+        edge_b = np.stack([xs, np.full_like(xs, 34)], axis=1)
+
+        args = (min_line, max_line, edge_a, edge_b, border, mask)
+        ref = ref_du.domain_heat_eqn_solver(field.copy(), *args, max_err=1e-10, max_itr=1e5)
+        mine = domain_heat_eqn_solver(field.copy(), *args, max_err=1e-10, max_itr=1e5)
+        m = mask.astype(bool)
+        # heat values live on [1, 100]; converged fields agree to ~1e-3
+        assert float(np.max(np.abs(np.asarray(mine) - ref)[m])) < 1e-2
