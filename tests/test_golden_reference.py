@@ -211,3 +211,70 @@ class TestDigitizationGolden:
         m = mask.astype(bool)
         # heat values live on [1, 100]; converged fields agree to ~1e-3
         assert float(np.max(np.abs(np.asarray(mine) - ref)[m])) < 1e-2
+
+
+class TestMorphoGolden:
+    """Flagship golden test: run the reference's FULL torch Morpho_pairwise
+    EM (reference alignment/methods/morpho_class.py, via its vendored POT
+    backend) next to our JAX flash-E-step EM on an identical rotated pair and
+    pin the results against each other and the ground truth."""
+
+    def test_full_em_matches_reference(self):
+        import pandas as pd
+
+        rm = _need("spateo.alignment.methods.morpho_class")
+        import spateo_tpu.core as core
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise as MyMorpho
+
+        rng = np.random.default_rng(0)
+        n = 300
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        X = rng.poisson(2.0, (n, 12)).astype(np.float32)
+        theta = 0.3
+        R = np.array(
+            [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]],
+            dtype=np.float32,
+        )
+        ptsA = pts @ R.T + np.array([1.5, -0.8], dtype=np.float32)
+
+        def mk(p):
+            a = core.AnnData(
+                X=X.copy(),
+                obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                var=pd.DataFrame(index=[f"g{j}" for j in range(12)]),
+            )
+            a.obsm["spatial"] = p.copy()
+            a.uns["__type"] = "UMI"
+            return a
+
+        ref = rm.Morpho_pairwise(
+            sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial",
+            key_added="align", max_iter=100, verbose=False, device="cpu",
+        )
+        refP = np.asarray(ref.run())
+        mine = MyMorpho(
+            sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial",
+            key_added="align", max_iter=100, verbose=False,
+        )
+        myP = np.asarray(mine.run())
+
+        # both recover the ground-truth transform (domain is 10x10)
+        ref_rmse = float(np.sqrt(np.mean((np.asarray(ref.XAHat) - pts) ** 2)))
+        my_rmse = float(np.sqrt(np.mean((np.asarray(mine.XAHat) - pts) ** 2)))
+        assert ref_rmse < 2e-2
+        assert my_rmse < 2e-2
+        # transformed coordinates agree with each other
+        xa_diff = float(np.sqrt(np.mean((np.asarray(ref.XAHat) - np.asarray(mine.XAHat)) ** 2)))
+        assert xa_diff < 2e-2
+
+        # P columns come back in each model's SVI batch order (reference
+        # morpho_class.py:895 rolls batch_perm); un-permute both before
+        # comparing. Assignments must agree exactly, values to <5%.
+        refP_orig = np.zeros_like(refP)
+        refP_orig[:, np.asarray(ref.batch_idx)] = refP
+        myP_orig = np.zeros_like(myP)
+        myP_orig[:, np.asarray(mine.batch_idx)] = myP
+        ident = np.arange(n)
+        assert np.array_equal(refP_orig.argmax(1), ident)
+        assert np.array_equal(myP_orig.argmax(1), ident)
+        assert float(np.max(np.abs(refP_orig - myP_orig))) < 5e-2
