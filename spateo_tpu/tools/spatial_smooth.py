@@ -22,8 +22,8 @@ def compute_jaccard_similarity_matrix(data, chunk_size: int = 1000, min_jaccard:
     union = sizes[:, None] + sizes[None, :] - inter
     with np.errstate(divide="ignore", invalid="ignore"):
         J = np.where(union > 0, inter / union, 0.0)
+    # the reference keeps the self-similarity diagonal (spatial_smooth.py:240)
     J[J < min_jaccard] = 0
-    np.fill_diagonal(J, 0)
     return J
 
 
@@ -83,7 +83,11 @@ def smooth(
         W = W.multiply(same)
     if gene_expr_subset is not None:
         J = compute_jaccard_similarity_matrix(gene_expr_subset, min_jaccard=min_jaccard or 0.0)
-        W = W.multiply(csr_matrix((J > 0).astype(float)))
+        # keep only edges at or above the median nonzero Jaccard score
+        # (parity: spatial_smooth.py:121-131)
+        nz = J[J != 0]
+        jaccard_threshold = float(np.percentile(nz, 50)) if nz.size else 0.0
+        W = W.multiply(csr_matrix((J >= jaccard_threshold).astype(float)))
     if manual_mask is not None:
         W = W.multiply(csr_matrix(np.asarray(manual_mask, dtype=float)))
     if n_subsample is not None:

@@ -36,6 +36,8 @@ _FAKE_TOPS = {
     "seaborn_image", "pymeshfix", "tensorflow", "SimpleITK", "csbdeep",
     "adjustText", "gpytorch", "stardist", "cellpose", "nptyping", "trimesh",
     "pacmap", "pygam", "scanpy", "squidpy", "dask", "pyro", "biotite",
+    "descartes", "harmonypy", "loess", "POT", "spreg", "vtk", "pyacvd",
+    "meshio", "tetgen", "mpl_point_clicker", "typing_extensions_ext",
 }
 
 

@@ -278,3 +278,46 @@ class TestMorphoGolden:
         assert np.array_equal(refP_orig.argmax(1), ident)
         assert np.array_equal(myP_orig.argmax(1), ident)
         assert float(np.max(np.abs(refP_orig - myP_orig))) < 5e-2
+
+
+class TestMiscGolden:
+    """Smaller exact-parity pins across io/benchmark/smoothing."""
+
+    def test_bin_indices_and_centroids_exact(self):
+        ref_u = _need("spateo.io.utils")
+        import spateo_tpu.io.utils as my_u
+
+        rng = np.random.default_rng(3)
+        coords = rng.integers(0, 100, 500)
+        assert np.array_equal(
+            np.asarray(ref_u.bin_indices(coords, 0, 7)),
+            np.asarray(my_u.bin_indices(coords, 0, 7)),
+        )
+        assert np.allclose(
+            np.asarray(ref_u.centroids(np.arange(10), 0, 7)),
+            np.asarray(my_u.centroids(np.arange(10), 0, 7)),
+        )
+
+    def test_benchmark_iou_and_ap_exact(self):
+        ref_b = _need("spateo.segmentation.benchmark")
+        import spateo_tpu.segmentation.benchmark as my_b
+
+        rng = np.random.default_rng(3)
+        X = rng.integers(0, 4, (40, 40))
+        Y = rng.integers(0, 4, (40, 40))
+        ref_iou = np.asarray(ref_b.iou(X, Y).todense())
+        my_iou = my_b.iou(X, Y)
+        my_iou = np.asarray(my_iou.todense() if hasattr(my_iou, "todense") else my_iou)
+        assert np.allclose(ref_iou, my_iou)
+        assert np.isclose(ref_b.average_precision(X, Y), my_b.average_precision(X, Y))
+
+    def test_jaccard_similarity_matrix_exact(self):
+        ref_s = _need("spateo.tools.spatial_smooth")
+        import spateo_tpu.tools.spatial_smooth as my_s
+
+        rng = np.random.default_rng(3)
+        J = (rng.random((30, 30)) > 0.8).astype(float)
+        assert np.allclose(
+            np.asarray(ref_s.compute_jaccard_similarity_matrix(J)),
+            np.asarray(my_s.compute_jaccard_similarity_matrix(J)),
+        )
