@@ -26,7 +26,7 @@ def euc_dist(X: jnp.ndarray, Y: jnp.ndarray, squared: bool = True) -> jnp.ndarra
     ||x||^2 + ||y||^2 - 2 x.y (one MXU GEMM for the cross term)."""
     x2 = jnp.sum(X * X, axis=1)[:, None]
     y2 = jnp.sum(Y * Y, axis=1)[None, :]
-    cross = X @ Y.T
+    cross = jnp.matmul(X, Y.T, precision="highest")
     d2 = jnp.maximum(x2 + y2 - 2.0 * cross, 0.0)
     return d2 if squared else jnp.sqrt(d2)
 
@@ -42,14 +42,14 @@ def kl_dist(X: jnp.ndarray, Y: jnp.ndarray, probabilistic: bool = True, eps: flo
     log_X = jnp.log(X + eps)
     log_Y = jnp.log(Y + eps)
     entropy = jnp.sum(X * log_X, axis=1)[:, None]
-    cross = X @ log_Y.T
+    cross = jnp.matmul(X, log_Y.T, precision="highest")
     return entropy - cross
 
 
 def cosine_dist(X: jnp.ndarray, Y: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     Xn = X / (jnp.linalg.norm(X, axis=1, keepdims=True) + eps)
     Yn = Y / (jnp.linalg.norm(Y, axis=1, keepdims=True) + eps)
-    return 1.0 - Xn @ Yn.T
+    return 0.5 - 0.5 * jnp.matmul(Xn, Yn.T, precision="highest")
 
 
 def label_dist(X_labels: jnp.ndarray, Y_labels: jnp.ndarray, label_transfer: jnp.ndarray) -> jnp.ndarray:
@@ -365,10 +365,11 @@ def factorize_distance(
     if metric in ("cos", "cosine"):
         Xn = X / (jnp.linalg.norm(X, axis=1, keepdims=True) + eps)
         Yn = Y / (jnp.linalg.norm(Y, axis=1, keepdims=True) + eps)
+        # d = 0.5 - 0.5 * sim (reference methods/utils.py:741)
         return (
-            jnp.full(NA, 0.5, jnp.float32),
-            jnp.full(NB, 0.5, jnp.float32),
-            -Xn,
+            jnp.full(NA, 0.25, jnp.float32),
+            jnp.full(NB, 0.25, jnp.float32),
+            -0.5 * Xn,
             Yn,
         )
     if metric == "label":
@@ -438,12 +439,14 @@ def estep_reduced(
 
     def chunk_probs(xa, aa, AA, mm):
         # spatial squared distance for this chunk [C, B]
-        d = jnp.maximum(jnp.sum(xa * xa, 1)[:, None] + b2 - 2.0 * xa @ coordsB_batch.T, 0.0)
+        d = jnp.maximum(
+            jnp.sum(xa * xa, 1)[:, None] + b2 - 2.0 * jnp.matmul(xa, coordsB_batch.T, precision="highest"), 0.0
+        )
         prob_v = jnp.exp(-d / (2 * sigma2 / sigma2_variance))  # variance-scaled
         prob_s = jnp.exp(-d / (2 * sigma2))
         full = prob_s
         for l in range(len(aa)):
-            e_d = aa[l][:, None] + exp_b_batch[l][None, :] + AA[l] @ exp_B_batch[l].T
+            e_d = aa[l][:, None] + exp_b_batch[l][None, :] + jnp.matmul(AA[l], exp_B_batch[l].T, precision="highest")
             full = full * calc_probability(e_d, probability_type[l], probability_parameters[l])
         return d, prob_v, prob_s * mm[:, None], full * mm[:, None], prob_v * mm[:, None]
 
@@ -485,8 +488,8 @@ def estep_reduced(
         K_NB = K_NB + P3.sum(0)
         Sp = Sp + P3.sum()
         sig_rel = sig_rel + (P2 * d).sum()
-        PXB = jax.lax.dynamic_update_slice(PXB, P3 @ coordsB_batch, (idx * C, 0))
-        M1 = M1 + ca.T @ (P3 @ coordsB_batch)
+        PXB = jax.lax.dynamic_update_slice(PXB, jnp.matmul(P3, coordsB_batch, precision="highest"), (idx * C, 0))
+        M1 = M1 + jnp.matmul(ca.T, jnp.matmul(P3, coordsB_batch, precision="highest"), precision="highest")
         return (K_NA, K_NA_sp, K_NA_s2, K_NB, Sp, sig_rel, PXB, M1, idx + 1), None
 
     NAp = C * n_chunks
