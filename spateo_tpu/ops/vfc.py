@@ -26,7 +26,7 @@ def con_K(x: jnp.ndarray, y: jnp.ndarray, beta: float) -> jnp.ndarray:
     d2 = (
         jnp.sum(x * x, 1)[:, None]
         + jnp.sum(y * y, 1)[None, :]
-        - 2.0 * x @ y.T
+        - 2.0 * jnp.matmul(x, y.T, precision="highest")
     )
     return jnp.exp(-beta * jnp.maximum(d2, 0.0))
 

@@ -20,7 +20,7 @@ from .utils import get_X_Y_grid
 
 
 def _rbf(x, y, lengthscale):
-    d2 = jnp.sum(x**2, 1)[:, None] + jnp.sum(y**2, 1)[None, :] - 2 * x @ y.T
+    d2 = jnp.sum(x**2, 1)[:, None] + jnp.sum(y**2, 1)[None, :] - 2 * jnp.matmul(x, y.T, precision="highest")
     return jnp.exp(-0.5 * jnp.maximum(d2, 0) / lengthscale**2)
 
 

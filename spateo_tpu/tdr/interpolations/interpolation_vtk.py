@@ -23,7 +23,7 @@ def _interp_block(query, source, values, radius, kernel: str = "shepard", sharpn
     d2 = (
         jnp.sum(query**2, 1)[:, None]
         + jnp.sum(source**2, 1)[None, :]
-        - 2 * query @ source.T
+        - 2 * jnp.matmul(query, source.T, precision="highest")
     )
     d2 = jnp.maximum(d2, 0.0)
     if kernel == "shepard":

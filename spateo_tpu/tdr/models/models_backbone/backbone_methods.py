@@ -36,7 +36,7 @@ def _ppt_em(X: jnp.ndarray, nodes0: jnp.ndarray, L: jnp.ndarray, sigma: float, l
 
     def body(i, nodes):
         d2 = (
-            jnp.sum(X**2, 1)[:, None] + jnp.sum(nodes**2, 1)[None, :] - 2 * X @ nodes.T
+            jnp.sum(X**2, 1)[:, None] + jnp.sum(nodes**2, 1)[None, :] - 2 * jnp.matmul(X, nodes.T, precision="highest")
         )
         R = jax.nn.softmax(-d2 / sigma, axis=1)  # [N, K]
         w = R.sum(0)  # [K]

@@ -88,7 +88,7 @@ def _kernel_weights_batch(
     Returns [Q, N] weights; the per-sample `Kernel` semantics of the
     reference (find_neighbors.py:392) applied batched.
     """
-    d2 = jnp.sum(query**2, 1)[:, None] + jnp.sum(coords**2, 1)[None, :] - 2 * query @ coords.T
+    d2 = jnp.sum(query**2, 1)[:, None] + jnp.sum(coords**2, 1)[None, :] - 2 * jnp.matmul(query, coords.T, precision="highest")
     dist = jnp.sqrt(jnp.maximum(d2, 0.0))
     if fixed:
         bandwidth = bw  # scalar

@@ -321,3 +321,33 @@ class TestMiscGolden:
             np.asarray(ref_s.compute_jaccard_similarity_matrix(J)),
             np.asarray(my_s.compute_jaccard_similarity_matrix(J)),
         )
+
+
+class TestDistanceGolden:
+    """Pin every calc_distance metric (and its GEMM factorization) against
+    the reference's vendored-POT backend (methods/utils.py:866)."""
+
+    @pytest.mark.parametrize("metric", ["kl", "sym_kl", "euc", "square_euc", "cos"])
+    def test_calc_distance_matches_reference(self, metric):
+        ref_u = _need("spateo.alignment.methods.utils")
+        import jax.numpy as jnp
+
+        import spateo_tpu.alignment.methods.math as mm
+
+        nx, type_as = ref_u.check_backend(device="cpu", dtype="float32", verbose=False)
+        rng = np.random.default_rng(2)
+        X = rng.poisson(3.0, (40, 15)).astype(np.float32) + 0.1
+        Y = rng.poisson(3.0, (25, 15)).astype(np.float32) + 0.1
+        d_ref = nx.to_numpy(
+            ref_u.calc_distance(nx.from_numpy(X, type_as=type_as), nx.from_numpy(Y, type_as=type_as), metric=metric)[0]
+        )
+        d_my = np.asarray(mm.calc_distance(X, Y, metric=metric)[0])
+        np.testing.assert_allclose(d_my, d_ref, rtol=1e-3, atol=1e-5)
+        if metric in ("kl", "sym_kl", "euc", "cos"):
+            a, b, A, B = mm.factorize_distance(X, Y, metric)
+            d_f = (
+                np.asarray(a)[:, None]
+                + np.asarray(b)[None, :]
+                + np.asarray(jnp.matmul(jnp.asarray(A), jnp.asarray(B).T, precision="highest"))
+            )
+            np.testing.assert_allclose(d_f, d_ref, rtol=1e-3, atol=1e-5)
