@@ -156,6 +156,7 @@ def _label_connected_components(
     small = (areas <= area_threshold) & ~seeded
     small[0] = False
     to_erode_ids = np.where((areas > area_threshold) & ~seeded)[0]
+    to_erode_ids = to_erode_ids[to_erode_ids != 0]  # label 0 is background, never erode-split it
 
     saved = np.zeros(X.shape, dtype=int)
     saved_i = (int(seed_labels.max()) + 1) if seed_labels is not None else 1

@@ -97,6 +97,22 @@ class TestEndToEnd:
         assert adata.layers["X_labels"].max() >= 2
         assert (adata.layers["X_labels"] > 0).any()
 
+    def test_label_connected_components_all_large(self):
+        # regression: when every foreground component exceeds area_threshold,
+        # the background label (0) must not be swept into the erode-split set
+        # (it merged all blobs into one label)
+        yy, xx = np.mgrid[:256, :256]
+        mask = np.zeros((256, 256), bool)
+        for cy, cx in [(60, 60), (180, 80), (120, 200)]:
+            mask |= ((yy - cy) ** 2 + (xx - cx) ** 2) < 400
+        adata = st.AnnData(X=mask.astype(float))
+        st.SKM.init_adata_type(adata, "AGG")
+        st.cs.label_connected_components(adata, "X", area_threshold=500)
+        labels = np.asarray(adata.layers["X_labels"])
+        assert labels.max() >= 3
+        # each blob keeps a distinct label
+        assert len(np.unique(labels[mask])) >= 3
+
 
 class TestDensity:
     def test_segment_densities(self):
