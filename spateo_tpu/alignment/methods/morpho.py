@@ -79,6 +79,23 @@ def filter_common_genes(*genes_lists, verbose: bool = True) -> List[str]:
 # ---------------------------------------------------------------------------
 # The jitted EM core
 # ---------------------------------------------------------------------------
+def _estep_chunks(NA: int, batch_size: int, hbm_fraction: float = 0.25) -> int:
+    """Number of NA-axis chunks for the flash E-step, sized to the device.
+
+    ~4 [chunk, B] f32 temporaries live per chunk; budget them against a
+    fraction of the accelerator's reported HBM (falls back to 16 GB — a v5e
+    chip — when the backend doesn't report memory stats).
+    """
+    hbm = 16e9
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        hbm = float(stats.get("bytes_limit", hbm)) or hbm
+    except Exception:
+        pass
+    budget = hbm_fraction * hbm
+    return max(1, int(np.ceil(NA * batch_size * 4 * 4 / budget)))
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -90,6 +107,7 @@ def filter_common_genes(*genes_lists, verbose: bool = True) -> List[str]:
         "nn_init",
         "guidance_effect",
         "estep_chunks",
+        "svi_mode",
     ),
 )
 def _morpho_em(
@@ -128,6 +146,7 @@ def _morpho_em(
     partial_robust_level: float = 10.0,
     nn_init_weight: float = 1.0,
     SVI_decay: float = 10.0,
+    svi_mode: bool = True,
 ):
     NA, D = coordsA.shape
     K = U.shape[1]
@@ -170,7 +189,10 @@ def _morpho_em(
     )
 
     def body(it, s):
-        step_size = jnp.minimum(1.0, SVI_decay / (it + 1.0))
+        # SVI stochastic-approximation mixing only applies to minibatch mode;
+        # full-batch runs take unmixed updates (reference morpho_class.py
+        # performs plain updates when SVI_mode=False)
+        step_size = jnp.minimum(1.0, SVI_decay / (it + 1.0)) if svi_mode else jnp.asarray(1.0, jnp.float32)
         batch_idx = batch_schedule[it]
         coordsB_batch = coordsB[batch_idx]  # [B, D]
         # ---- E-step (flash-style: the [NA, B] assignment matrix is never
@@ -791,14 +813,15 @@ class Morpho_pairwise:
             guidance_effect=guidance_effect,
             guidance_weight=float(self.guidance_weight),
             # ~4 [chunk, B] f32 temporaries live per E-step chunk: size the
-            # chunks so that stays under ~1 GB
-            estep_chunks=max(8, int(np.ceil(self.NA * batch_size * 16 / 1e9))),
+            # chunks so they fit a fraction of the device's actual HBM
+            estep_chunks=_estep_chunks(self.NA, batch_size),
             gamma_a=self.gamma_a,
             gamma_b=self.gamma_b,
             kappa=self.kappa,
             lambdaVF=self.lambdaVF,
             partial_robust_level=self.partial_robust_level,
             nn_init_weight=self.nn_init_weight,
+            svi_mode=bool(self.SVI_mode),
         )
         # ONE batched host pull: per-array np.asarray costs a full tunnel
         # round trip each (~20 pulls = seconds); device_get on the pytree

@@ -279,6 +279,56 @@ class TestMorphoGolden:
         assert np.array_equal(myP_orig.argmax(1), ident)
         assert float(np.max(np.abs(refP_orig - myP_orig))) < 5e-2
 
+    def test_full_em_non_svi_matches_reference(self):
+        """Full-batch (SVI_mode=False) parity: updates must be unmixed (no
+        stochastic-approximation step-size blending), matching the reference's
+        plain full-batch EM."""
+        import pandas as pd
+
+        rm = _need("spateo.alignment.methods.morpho_class")
+        import spateo_tpu.core as core
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise as MyMorpho
+
+        rng = np.random.default_rng(1)
+        n = 200
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        X = rng.poisson(2.0, (n, 10)).astype(np.float32)
+        theta = 0.25
+        R = np.array(
+            [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]],
+            dtype=np.float32,
+        )
+        ptsA = pts @ R.T + np.array([1.0, -0.5], dtype=np.float32)
+
+        def mk(p):
+            a = core.AnnData(
+                X=X.copy(),
+                obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                var=pd.DataFrame(index=[f"g{j}" for j in range(10)]),
+            )
+            a.obsm["spatial"] = p.copy()
+            a.uns["__type"] = "UMI"
+            return a
+
+        ref = rm.Morpho_pairwise(
+            sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial",
+            key_added="align", max_iter=80, verbose=False, device="cpu",
+            SVI_mode=False,
+        )
+        ref.run()
+        mine = MyMorpho(
+            sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial",
+            key_added="align", max_iter=80, verbose=False, SVI_mode=False,
+        )
+        mine.run()
+
+        ref_rmse = float(np.sqrt(np.mean((np.asarray(ref.XAHat) - pts) ** 2)))
+        my_rmse = float(np.sqrt(np.mean((np.asarray(mine.XAHat) - pts) ** 2)))
+        assert ref_rmse < 2e-2
+        assert my_rmse < 2e-2
+        xa_diff = float(np.sqrt(np.mean((np.asarray(ref.XAHat) - np.asarray(mine.XAHat)) ** 2)))
+        assert xa_diff < 2e-2
+
 
 class TestMiscGolden:
     """Smaller exact-parity pins across io/benchmark/smoothing."""
