@@ -1,18 +1,34 @@
-"""Benchmark: Starro segmentation throughput (Mpixels/sec) on the real chip.
+"""Benchmark: both driver metrics on the real chip.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line. The primary metric is Starro segmentation throughput
+(Mpixels/sec, driver metric #1); the Morpho non-rigid alignment throughput
+(slice-pairs/min, driver metric #2) rides along under "extra_metrics" so one
+parseable line carries both:
 
-Workload (BASELINE.json config #1): NB-mixture EM scoring + belief propagation
-+ Otsu mask + morphology on a synthetic Stereo-seq-like UMI raster — the full
-`_score_pixels(method="EM+BP")` + threshold path, measured steady-state
-(after one warmup for XLA compilation).
+  {"metric": "starro_segmentation_throughput", "value": N, "unit": ...,
+   "vs_baseline": N,
+   "extra_metrics": [{"metric": "morpho_alignment_throughput", "value": N,
+                      "unit": "slice-pairs/min", "vs_baseline": N}]}
 
-vs_baseline: ratio against a single-threaded vectorized NumPy/SciPy
+Workload #1 (BASELINE.json config #1): NB-mixture EM scoring + belief
+propagation + Otsu mask + morphology on a synthetic Stereo-seq-like UMI
+raster — the full `_score_pixels(method="EM+BP")` + threshold path, measured
+steady-state (after one warmup for XLA compilation).
+vs_baseline #1: ratio against a single-threaded vectorized NumPy/SciPy
 implementation of the same math measured in-process on a smaller tile and
-scaled by pixel count. This is the closest runnable stand-in for the
-reference CPU path (the reference's EM is vectorized NumPy, em.py:83; its BP
-is the OpenMP C++ `fbgbp` extension which is not installable here — the NumPy
-BP mimic below is the same message-passing math).
+scaled by pixel count (the reference's EM is vectorized NumPy, em.py:83; its
+BP is the OpenMP C++ `fbgbp` extension which is not installable here — the
+NumPy BP mimic below is the same message-passing math).
+
+Workload #2 (BASELINE.json config #3): full Morpho EM non-rigid pairwise
+alignment of two synthetic 20,000-cell slices, 50 genes, default settings
+(max_iter=200, SVI batch 2,000), steady-state after one compile warmup.
+vs_baseline #2: the ACTUAL reference implementation
+(/root/reference spateo.alignment.methods.morpho_class, NumPy/torch-CPU
+backend, imported through tests/_reference_harness) timed on a 2,000-cell
+pair with identical settings, scaled to the full workload by the per-iteration
+E-step cost NA*batch (20000*2000 / 2000*1000 = 20x). Falls back to that run's
+frozen measurement (25.4 s, 2026-08-16) if the reference tree is unavailable.
 """
 
 import json
@@ -150,6 +166,91 @@ def numpy_baseline_pipeline(X, seed=0):
     return marg > 0.5
 
 
+def _make_slice_pair(n, g=50, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+    X = rng.poisson(2.0, (n, g)).astype(np.float32)
+    th = 0.3
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32)
+    ptsA = pts @ R.T + np.array([1.5, -0.8], np.float32)
+    return pts, ptsA, X
+
+
+def _mk_adata(core, p, X):
+    import pandas as pd
+
+    a = core.AnnData(
+        X=X.copy(),
+        obs=pd.DataFrame(index=[f"c{i}" for i in range(len(p))]),
+        var=pd.DataFrame(index=[f"g{j}" for j in range(X.shape[1])]),
+    )
+    a.obsm["spatial"] = p.copy()
+    a.uns["__type"] = "UMI"
+    return a
+
+
+def alignment_bench():
+    """Morpho non-rigid alignment throughput (slice-pairs/min) + vs_baseline."""
+    import jax
+
+    import spateo_tpu.core as core
+    from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+    N_FULL, B_FULL = 20000, 2000  # SVI batch = min(max(NB/10, 1000), NB)
+    N_SMALL, B_SMALL = 2000, 1000
+
+    def run_pair(n, seed):
+        pts, ptsA, X = _make_slice_pair(n, seed=seed)
+        m = Morpho_pairwise(
+            sampleA=_mk_adata(core, ptsA, X), sampleB=_mk_adata(core, pts, X),
+            spatial_key="spatial", key_added="align", max_iter=200, verbose=False,
+        )
+        m.run()
+        jax.effects_barrier()
+        np.asarray(m.XAHat)  # force a host pull: block_until_ready is a no-op on axon
+
+    run_pair(N_FULL, seed=1)  # warmup: XLA compile at the full shape
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        run_pair(N_FULL, seed=2 + i)
+        times.append(time.perf_counter() - t0)
+    tpu_time = min(times)
+    pairs_per_min = 60.0 / tpu_time
+
+    # reference CPU baseline: the actual reference solver on a smaller pair,
+    # scaled by the dominant per-iteration E-step cost (NA * batch)
+    ref_time_small = 25.4  # frozen fallback, measured 2026-08-16 on this host
+    try:
+        import sys
+
+        sys.path.insert(0, "tests")
+        import _reference_harness as rh
+
+        rm = rh.reference_module("spateo.alignment.methods.morpho_class")
+        if rm is not None:
+            pts, ptsA, X = _make_slice_pair(N_SMALL, seed=1)
+            t0 = time.perf_counter()
+            ref = rm.Morpho_pairwise(
+                sampleA=_mk_adata(core, ptsA, X), sampleB=_mk_adata(core, pts, X),
+                spatial_key="spatial", key_added="align", max_iter=200,
+                verbose=False, device="cpu",
+            )
+            ref.run()
+            ref_time_small = time.perf_counter() - t0
+    except Exception:
+        pass
+    ref_time_full = ref_time_small * (N_FULL * B_FULL) / (N_SMALL * B_SMALL)
+    ref_pairs_per_min = 60.0 / ref_time_full
+
+    return {
+        "metric": "morpho_alignment_throughput",
+        "value": round(pairs_per_min, 3),
+        "unit": "slice-pairs/min",
+        "vs_baseline": round(pairs_per_min / ref_pairs_per_min, 2),
+    }
+
+
 def main():
     H = W = 1024
     X = make_raster(H, W)
@@ -179,6 +280,11 @@ def main():
     cpu_time_small = time.perf_counter() - t0
     cpu_mpix_s = (hb * wb) / cpu_time_small / 1e6
 
+    try:
+        extra = [alignment_bench()]
+    except Exception:
+        extra = []
+
     print(
         json.dumps(
             {
@@ -186,6 +292,7 @@ def main():
                 "value": round(mpix_s, 3),
                 "unit": "Mpixels/sec",
                 "vs_baseline": round(mpix_s / cpu_mpix_s, 2),
+                "extra_metrics": extra,
             }
         )
     )
