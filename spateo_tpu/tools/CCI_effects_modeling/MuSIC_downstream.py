@@ -30,11 +30,33 @@ class MuSIC_Interpreter(MuSIC):
 
     # -- loading fitted results --------------------------------------------
     def load_coeffs(self, output_dir: Optional[str] = None) -> Dict[str, pd.DataFrame]:
+        """Load fitted per-target coefficients. Understands both the
+        reference-format files `{output_stem}_{target}.csv` written by
+        `MuSIC.save_results` (reference MuSIC.py:3709 — columns
+        index,residual|prediction,influence,b_*,se_*) and plain
+        `{target}.csv` coefficient tables."""
+        coeffs: Dict[str, pd.DataFrame] = {}
+        parent_dir = os.path.dirname(self.output_path) or "."
+        stem = os.path.splitext(os.path.basename(self.output_path))[0]
+        if output_dir is None and os.path.isdir(parent_dir):
+            for f in sorted(os.listdir(parent_dir)):
+                if f.startswith(stem + "_") and f.endswith(".csv") and "predictions" not in f:
+                    target = f[len(stem) + 1 : -4]
+                    df = pd.read_csv(os.path.join(parent_dir, f))
+                    b_cols = [c for c in df.columns if c.startswith("b_")]
+                    if not b_cols:
+                        continue
+                    if "index" in df.columns and hasattr(self, "sample_names"):
+                        df.index = [str(self.sample_names[int(i)]) for i in df["index"].values]
+                    coeffs[target] = df[b_cols]
         out_dir = output_dir or os.path.splitext(self.output_path)[0]
-        coeffs = {}
-        for f in sorted(os.listdir(out_dir)):
-            if f.endswith(".csv"):
-                coeffs[os.path.splitext(f)[0]] = pd.read_csv(os.path.join(out_dir, f), index_col=0)
+        if os.path.isdir(out_dir):
+            for f in sorted(os.listdir(out_dir)):
+                if f.endswith(".csv") and os.path.splitext(f)[0] not in coeffs:
+                    df = pd.read_csv(os.path.join(out_dir, f), index_col=0)
+                    b_cols = [c for c in df.columns if c.startswith("b_")]
+                    if b_cols:
+                        coeffs[os.path.splitext(f)[0]] = df[b_cols]
         self.coeffs = coeffs
         return coeffs
 
@@ -83,40 +105,198 @@ class MuSIC_Interpreter(MuSIC):
         receptor: Optional[str] = None,
         sender_cell_type: Optional[str] = None,
         receiver_cell_type: Optional[str] = None,
-        spatial_weights=None,
+        spatial_weights_membrane_bound=None,
+        spatial_weights_secreted=None,
+        spatial_weights_niche=None,
+        store_summed_potential: bool = True,
     ):
-        """Effect potential per cell: predicted contribution of a feature to a
-        target, spatially localized (parity surface: MuSIC_downstream.py:5336).
+        """Sender->receiver signaling effect potential through the spatial
+        weight matrices (parity: reference MuSIC_downstream.py:5336):
 
-        Returns (effect_potential [n], normalized_potential [n])."""
+        - ligand/lr models: sent potential = W (secreted or membrane-bound,
+          chosen from the L:R database `type` of the ligand) scaled rowwise
+          by non-lagged ligand expression, columnwise by receptor expression
+          (lr only), the per-receiver coefficient and the target-expression
+          indicator;
+        - niche models: W_niche scaled by sender-cell-type membership (and
+          optionally receiver-cell-type membership) and the per-receiver
+          coefficient.
+
+        Returns (effect_potential [n, n] sparse,
+        normalized_effect_potential_sum_sender [n],
+        normalized_effect_potential_sum_receiver [n])."""
+        import scipy.sparse
+
+        if self.mod_type == "receptor":
+            raise ValueError("Sent potential is not defined for receptor models.")
         if not getattr(self, "coeffs", None):
             self.load_coeffs()
         if target is None:
-            target = next(iter(self.coeffs))
-        cdf = self.coeffs[target]
-        # choose the feature column
-        feat = None
-        for col in cdf.columns:
-            name = col[2:] if col.startswith("b_") else col
-            if ligand and receptor and f"{ligand}" in name and f"{receptor}" in name:
-                feat = col
-                break
-            if ligand and ligand == name:
-                feat = col
-                break
-            if receptor and receptor == name:
-                feat = col
-                break
-        if feat is None:
-            feat = cdf.columns[1] if len(cdf.columns) > 1 else cdf.columns[0]
-        name = feat[2:] if feat.startswith("b_") else feat
-        if hasattr(self, "X_df") and name in self.X_df.columns:
-            x = np.asarray(self.X_df[name].values)[: len(cdf)]
+            target = getattr(self, "target_for_downstream", None) or next(iter(self.coeffs))
+        if ligand is None:
+            ligand = getattr(self, "ligand_for_downstream", None)
+            if ligand is None and self.mod_type in ("ligand", "lr"):
+                raise ValueError("Must provide ligand for ligand models.")
+        if receptor is None:
+            receptor = getattr(self, "receptor_for_downstream", None)
+            if receptor is None and self.mod_type == "lr":
+                raise ValueError("Must provide receptor for lr models.")
+        if sender_cell_type is None:
+            sender_cell_type = getattr(self, "sender_ct_for_downstream", None)
+            if sender_cell_type is None and self.mod_type == "niche":
+                raise ValueError("Must provide sender cell type for niche models.")
+        if receiver_cell_type is None:
+            receiver_cell_type = getattr(self, "receiver_ct_for_downstream", None)
+
+        n = self.adata.n_obs
+        coeffs = self.coeffs[target].copy()
+        coeffs[coeffs.abs() < 1e-2] = 0
+        if hasattr(self, "targets_expr") and target in self.targets_expr.columns:
+            target_expr = np.asarray(self.targets_expr[target].values).reshape(1, -1)
         else:
-            x = np.ones(len(cdf))
-        effect = np.asarray(cdf[feat].values) * x
-        norm = (effect - effect.min()) / max(effect.max() - effect.min(), 1e-12)
-        return effect, norm
+            from scipy.sparse import issparse as _iss
+
+            names = list(map(str, self.adata.var_names))
+            col = self.adata.X[:, names.index(target)] if target in names else np.ones((n, 1))
+            target_expr = (col.toarray() if _iss(col) else np.asarray(col)).reshape(1, -1)
+        target_indicator = np.where(target_expr != 0, 1, 0)
+
+        def _coeff_column(label):
+            col = label if label in coeffs.columns else f"b_{label}"
+            if col not in coeffs.columns:
+                raise KeyError(f"feature `{label}` not among fitted features: {list(coeffs.columns)}")
+            vals = np.zeros(n)
+            pos = {str(nm): k for k, nm in enumerate(self.adata.obs_names)}
+            for ci, cell in enumerate(coeffs.index):
+                k = pos.get(str(cell))
+                if k is not None:
+                    vals[k] = coeffs[col].values[ci]
+            return vals.reshape(1, -1)
+
+        if self.mod_type in ("ligand", "lr"):
+            if spatial_weights_membrane_bound is None:
+                spatial_weights_membrane_bound = self._load_or_compute_weights("membrane_bound")
+            if spatial_weights_secreted is None:
+                spatial_weights_secreted = self._load_or_compute_weights("secreted")
+            # membrane-bound or secreted, per the database type of the ligand
+            if not hasattr(self, "lr_db") or self.lr_db is None:
+                self._load_db()
+            matching = self.lr_db[self.lr_db["from"].isin(str(ligand).split("/"))]
+            secreted = (
+                matching["type"].str.contains("Secreted Signaling").any()
+                or matching["type"].str.contains("ECM-Receptor").any()
+            )
+            W = spatial_weights_secreted if secreted else spatial_weights_membrane_bound
+            W = scipy.sparse.csr_matrix(W)
+            lig_parts = str(ligand).split("/")
+            if hasattr(self, "ligands_expr_nonlag") and all(p in self.ligands_expr_nonlag.columns for p in lig_parts):
+                lig_expr = self.ligands_expr_nonlag[lig_parts].mean(axis=1).values.reshape(-1, 1)
+            else:
+                from scipy.sparse import issparse as _iss
+
+                names = list(map(str, self.adata.var_names))
+                cols = [names.index(p) for p in lig_parts if p in names]
+                sub = self.adata.X[:, cols] if cols else np.ones((n, 1))
+                sub = sub.toarray() if _iss(sub) else np.asarray(sub)
+                lig_expr = sub.mean(axis=1).reshape(-1, 1)
+            sent_potential = W.multiply(lig_expr)
+            if self.mod_type == "lr":
+                if hasattr(self, "receptors_expr") and receptor in self.receptors_expr.columns:
+                    rec_expr = self.receptors_expr[receptor].values.reshape(1, -1)
+                else:
+                    from scipy.sparse import issparse as _iss
+
+                    names = list(map(str, self.adata.var_names))
+                    parts = [p for p in str(receptor).split("_") if p in names]
+                    if parts:
+                        sub = self.adata.X[:, [names.index(p) for p in parts]]
+                        sub = sub.toarray() if _iss(sub) else np.asarray(sub)
+                        rec_expr = np.prod(sub, axis=1).reshape(1, -1) ** (1.0 / len(parts))
+                    else:
+                        rec_expr = np.ones((1, n))
+                sent_potential = sent_potential.multiply(rec_expr)
+            label = f"{ligand}" if self.mod_type == "ligand" else f"{ligand}:{receptor}"
+            coeff = _coeff_column(label)
+            effect_sign = np.where(coeff > 0, 1, -1)
+            effect_potential = scipy.sparse.csr_matrix(sent_potential.multiply(coeff).multiply(target_indicator))
+        elif self.mod_type == "niche":
+            if spatial_weights_niche is None:
+                spatial_weights_niche = self._load_or_compute_weights("niche")
+            W = scipy.sparse.csr_matrix(spatial_weights_niche)
+            if not hasattr(self, "cell_categories"):
+                groups = pd.Series(np.asarray(self.adata.obs[self.group_key]).astype(str), index=self.adata.obs_names)
+                self.cell_categories = pd.get_dummies(groups, dtype=float)
+            sender_vec = self.cell_categories[sender_cell_type].values.reshape(-1, 1)
+            sent_potential = W.multiply(sender_vec)
+            if receiver_cell_type is not None:
+                recv_vec = self.cell_categories[receiver_cell_type].values.reshape(1, -1)
+                sent_potential = sent_potential.multiply(recv_vec)
+            try:
+                coeff = _coeff_column(f"Proxim{sender_cell_type}")
+            except KeyError:
+                coeff = _coeff_column(sender_cell_type)
+            effect_sign = np.where(coeff > 0, 1, -1)
+            effect_potential = scipy.sparse.csr_matrix(sent_potential.multiply(coeff).multiply(target_indicator))
+        else:
+            raise ValueError(f"Effect potential undefined for mod_type {self.mod_type}")
+
+        def _norm_signed(v):
+            sign = np.where(v > 0, 1, -1)
+            a = np.abs(v)
+            rng = a.max() - a.min()
+            return ((a - a.min()) / max(rng, 1e-12)) * sign
+
+        sum_sender = np.asarray(effect_potential.sum(axis=1)).reshape(-1)
+        sum_receiver = np.asarray(effect_potential.sum(axis=0)).reshape(-1)
+        norm_sender = _norm_signed(sum_sender)
+        norm_receiver = _norm_signed(sum_receiver)
+
+        if store_summed_potential:
+            if self.mod_type == "niche":
+                tag = f"{sender_cell_type}" + (f"_to_{receiver_cell_type}" if receiver_cell_type else "")
+                self.adata.obs[f"norm_sum_sent_effect_potential_{tag}_for_{target}"] = norm_sender
+                self.adata.obs[f"norm_sum_received_effect_potential_from_{tag}_for_{target}"] = norm_receiver
+            elif self.mod_type == "ligand":
+                lig_tag = replace_hla_with_hlas(replace_col_with_collagens(str(ligand))) if "/" in str(ligand) else ligand
+                self.adata.obs[f"norm_sum_sent_effect_potential_{lig_tag}_for_{target}"] = norm_sender
+                self.adata.obs[f"norm_sum_received_effect_potential_from_{lig_tag}_for_{target}"] = norm_receiver
+            else:
+                lig_tag = replace_hla_with_hlas(replace_col_with_collagens(str(ligand))) if "/" in str(ligand) else ligand
+                self.adata.obs[
+                    f"norm_sum_sent_effect_potential_{lig_tag}_for_{target}_via_{receptor}"
+                ] = norm_sender
+                self.adata.obs[
+                    f"norm_sum_received_effect_potential_from_{lig_tag}_for_{target}_via_{receptor}"
+                ] = norm_receiver
+            self.adata.obs["effect_sign"] = effect_sign.reshape(-1)
+        return effect_potential, norm_sender, norm_receiver
+
+    def _load_or_compute_weights(self, which: str):
+        """Load the saved spatial-weight matrix of the given signaling type,
+        or recompute it with the model's bandwidth settings (reference
+        MuSIC_downstream.py:5414-5436)."""
+        import scipy.sparse as sp
+
+        attr = f"spatial_weights_{which}"
+        if getattr(self, attr, None) is not None:
+            return getattr(self, attr)
+        path = os.path.join(os.path.splitext(self.output_path)[0], "spatial_weights", f"spatial_weights_{which}.npz")
+        if os.path.exists(path):
+            W = sp.load_npz(path)
+            if W.shape[0] == self.adata.n_obs:
+                setattr(self, attr, W)
+                return W
+        if not hasattr(self, "coords"):
+            self.coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
+            self.n_samples = self.adata.n_obs
+        if which == "membrane_bound":
+            W = self._compute_all_wi(self.n_neighbors_membrane_bound, bw_fixed=False, exclude_self=True)
+        elif which == "secreted":
+            W = self._compute_all_wi(self.n_neighbors_secreted, bw_fixed=False, exclude_self=True)
+        else:
+            W = self._compute_all_wi(self.n_neighbors_secreted, bw_fixed=False, exclude_self=True, kernel="uniform")
+        setattr(self, attr, W)
+        return W
 
     def sender_receiver_effect_deg_detection(
         self, target: str, significance_threshold: float = 0.05, n_top: int = 25
@@ -156,21 +336,33 @@ class MuSIC_Interpreter(MuSIC):
             # interpreter constructed around an externally-fitted model
             self.coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
             self.n_samples = self.adata.n_obs
-        if not hasattr(self, "fitted_indices"):
-            self.fitted_indices = np.arange(self.n_samples)
+        if not hasattr(self, "x_chunk"):
+            self.x_chunk = np.arange(self.n_samples)
         rng = np.random.default_rng(seed)
         y = np.asarray(self.targets_expr[target].values, dtype=np.float32)
         X = np.asarray(self.X_df.values, dtype=np.float32)
         bw = self.bws.get(target) if getattr(self, "bws", None) else None
-        if bw is None and getattr(self, "bw_fixed", False) and getattr(self, "bw", None):
+        if bw is None and getattr(self, "bw", None):
             bw = float(self.bw)
         if bw is None:
-            bw = self.find_optimal_bw(y, X, verbose=False)
-        obs_betas = self.mpi_fit(y, X, bw)
-        obs_effect = np.abs(obs_betas).mean(axis=0)
-        null = np.zeros((n_permutations, X.shape[1]), np.float32)
-        for p in range(n_permutations):
-            null[p] = np.abs(self.mpi_fit(rng.permutation(y), X, bw)).mean(axis=0)
+            self._set_search_range()
+            bw = self.find_optimal_bw(
+                self.minbw, self.maxbw, lambda b: self.mpi_fit(y, X, y_label=target, bw=b, final=False)
+            )
+        import tempfile
+
+        saved_out = self.output_path
+        with tempfile.TemporaryDirectory() as tmp:
+            # permutation fits write throwaway CSVs
+            self.output_path = os.path.join(tmp, "perm.csv")
+            obs_betas = self.mpi_fit(y, X, y_label=target, bw=bw, final=True)
+            obs_effect = np.abs(obs_betas).mean(axis=0)
+            null = np.zeros((n_permutations, X.shape[1]), np.float32)
+            for p in range(n_permutations):
+                null[p] = np.abs(
+                    self.mpi_fit(rng.permutation(y), X, y_label=target, bw=bw, final=True)
+                ).mean(axis=0)
+            self.output_path = saved_out
         pv = ((null >= obs_effect[None, :]).sum(axis=0) + 1) / (n_permutations + 1)
         names = getattr(self, "feature_names", None) or list(self.X_df.columns)
         return pd.DataFrame({"mean_abs_effect": obs_effect, "perm_pvalue": pv}, index=names)

@@ -228,6 +228,127 @@ def _iwls_batch_kernel(
     return betas, hats
 
 
+@partial(jax.jit, static_argnames=("distr", "n_irls_iter"))
+def _iwls_batch_full_kernel(
+    y: jnp.ndarray,  # [n]
+    X: jnp.ndarray,  # [n, k]
+    W: jnp.ndarray,  # [q, n] spatial weights of each query location
+    focal: jnp.ndarray,  # [q] global row index of each query's focal sample
+    ridge_lambda: float,
+    clip: float,
+    distr: str = "gaussian",
+    n_irls_iter: int = 25,
+):
+    """Local GLM fits with the full per-location diagnostics the reference's
+    `local_fit` returns (reference MuSIC.py:2665): coefficients, leverage of
+    the focal sample (hat), the diagonal of the inverse covariance / Fisher
+    matrix (for standard errors), and the focal prediction.
+
+    Returns (betas [q, k], hat [q], inv_diag [q, k], pred [q]).
+    """
+    n, k = X.shape
+    eye = jnp.eye(k) * ridge_lambda
+
+    if distr == "gaussian":
+
+        def solve_one(w, f):
+            Xw = X * w[:, None]
+            xtx = Xw.T @ X + eye
+            inv_cov = jnp.linalg.inv(xtx)
+            pseudo = inv_cov @ Xw.T  # [k, n]
+            beta = jnp.clip(pseudo @ y, -clip, clip)
+            xi = X[f]
+            hat = xi @ pseudo[:, f]
+            pred = xi @ beta
+            return beta, hat, jnp.diag(inv_cov), pred
+
+        return jax.vmap(solve_one)(W, focal)
+
+    if distr == "poisson":
+
+        def var_fn(mu):
+            return jnp.maximum(mu, 1e-8)
+
+    else:  # nb with dispersion 1
+
+        def var_fn(mu):
+            mu = jnp.maximum(mu, 1e-8)
+            return mu + mu**2
+
+    def inv_link(eta):
+        return jnp.exp(jnp.clip(eta, -30, 30))
+
+    def fit_one(w, f):
+        mu0 = (y + jnp.mean(y)) / 2.0
+        eta0 = jnp.log(jnp.maximum(mu0, 1e-8))
+        beta0 = jnp.zeros(k)
+
+        def body(c, _):
+            beta, eta, mu = c
+            g_deriv = 1.0 / jnp.maximum(mu, 1e-8)
+            z = eta + (y - mu) * g_deriv
+            w_irls = 1.0 / (var_fn(mu) * g_deriv**2 + 1e-12)
+            wt = w_irls * w
+            Xw = X * wt[:, None]
+            xtx = Xw.T @ X + eye
+            beta_new = jnp.clip(jnp.linalg.solve(xtx, Xw.T @ z), -clip, clip)
+            eta_new = X @ beta_new
+            mu_new = inv_link(eta_new)
+            return (beta_new, eta_new, mu_new), None
+
+        (beta, eta, mu), _ = jax.lax.scan(body, (beta0, eta0, mu0), None, length=n_irls_iter)
+        g_deriv = 1.0 / jnp.maximum(mu, 1e-8)
+        w_irls = 1.0 / (var_fn(mu) * g_deriv**2 + 1e-12)
+        wt = w_irls * w
+        Xw = X * wt[:, None]
+        xtx = Xw.T @ X + eye
+        fisher_inv = jnp.linalg.inv(xtx)
+        xi = X[f]
+        hat = (xi @ (fisher_inv @ xi)) * wt[f]
+        pred = mu[f]
+        return beta, hat, jnp.diag(fisher_inv), pred
+
+    return jax.vmap(fit_one)(W, focal)
+
+
+def iwls_batch_full(
+    y: np.ndarray,
+    X: np.ndarray,
+    W: np.ndarray,
+    focal: Optional[np.ndarray] = None,
+    distr: str = "gaussian",
+    ridge_lambda: float = 0.0,
+    clip: float = 5.0,
+    n_irls_iter: int = 25,
+    block: int = 1024,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """All-locations GWR/GLM fits with full diagnostics, blocked on device.
+
+    `focal[q]` is the global row of the q-th query in y/X (defaults to
+    0..q-1, the identity used when every cell is a query).
+    Returns (betas [q, k], hat [q], inv_diag [q, k], pred [q]).
+    """
+    y_d = jnp.asarray(y, jnp.float32).ravel()
+    X_d = jnp.asarray(X, jnp.float32)
+    W_d = jnp.asarray(W, jnp.float32)
+    q = W_d.shape[0]
+    k = X_d.shape[1]
+    focal = np.arange(q, dtype=np.int32) if focal is None else np.asarray(focal, np.int32)
+    betas = np.zeros((q, k), np.float32)
+    hats = np.zeros(q, np.float32)
+    inv_diag = np.zeros((q, k), np.float32)
+    preds = np.zeros(q, np.float32)
+    for s in range(0, q, block):
+        Wb = W_d[s : s + block]
+        fb = jnp.asarray(focal[s : s + Wb.shape[0]])
+        b, h, d, p = _iwls_batch_full_kernel(y_d, X_d, Wb, fb, float(ridge_lambda), float(clip), distr, n_irls_iter)
+        betas[s : s + Wb.shape[0]] = np.asarray(b)
+        hats[s : s + Wb.shape[0]] = np.asarray(h)
+        inv_diag[s : s + Wb.shape[0]] = np.asarray(d)
+        preds[s : s + Wb.shape[0]] = np.asarray(p)
+    return betas, hats, inv_diag, preds
+
+
 def iwls_batch(
     y: np.ndarray,
     X: np.ndarray,

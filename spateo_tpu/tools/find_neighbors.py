@@ -82,14 +82,22 @@ def _kernel_weights_batch(
     normalize: bool = False,
     threshold: float = 1e-5,
     eps: float = 1.0000001,
+    self_idx: Optional[jnp.ndarray] = None,  # [Q] global column of each query's self
 ) -> jnp.ndarray:
     """Kernel weights for a block of query samples — one fused kernel.
 
     Returns [Q, N] weights; the per-sample `Kernel` semantics of the
     reference (find_neighbors.py:392) applied batched.
+
+    `self_idx` pins each query's own column to an EXACT zero distance: the
+    matmul-form distance leaves a tiny positive residual at x == y in
+    float32, which would make `exclude_self`'s zero-distance detection miss
+    the diagonal.
     """
     d2 = jnp.sum(query**2, 1)[:, None] + jnp.sum(coords**2, 1)[None, :] - 2 * jnp.matmul(query, coords.T, precision="highest")
     dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    if self_idx is not None:
+        dist = jnp.where(self_idx[:, None] == jnp.arange(coords.shape[0])[None, :], 0.0, dist)
     if fixed:
         bandwidth = bw  # scalar
         bw_dist = dist / bandwidth
@@ -119,6 +127,81 @@ def _kernel_weights_batch(
         raise ValueError(f"Unsupported kernel function {function}")
     # the reference truncates every kernel outside the bandwidth
     # (find_neighbors.py:505: `self.kernel[bw_dist > 1] = 0`)
+    k_val = jnp.where(x > 1, 0.0, k_val)
+    k_val = jnp.where(k_val < threshold, 0.0, k_val)
+    if normalize:
+        nnz = jnp.sum(k_val > 0, axis=1, keepdims=True)
+        k_val = k_val / jnp.maximum(nnz, 1)
+    return k_val
+
+
+@partial(jax.jit, static_argnames=("function", "fixed", "exclude_self", "normalize"))
+def _conditioned_kernel_weights_batch(
+    query: jnp.ndarray,  # [Q, D] query positions (spatial or expression space)
+    coords: jnp.ndarray,  # [N, D] all positions (same space)
+    bw: jnp.ndarray,  # scalar (fixed) or int neighbor count (adaptive)
+    ct_query: jnp.ndarray,  # [Q] int cell-type codes of the queries
+    ct_all: jnp.ndarray,  # [N] int cell-type codes of all samples
+    cond_ct: jnp.ndarray,  # [Q] bool: restrict this query to same-cell-type neighbors
+    cov_all: Optional[jnp.ndarray] = None,  # [N] bool: samples "of interest" (cov mask)
+    cond_cov: Optional[jnp.ndarray] = None,  # [Q] bool: apply the cov mask for this query
+    function: str = "bisquare",
+    fixed: bool = True,
+    exclude_self: bool = False,
+    normalize: bool = False,
+    threshold: float = 1e-5,
+    eps: float = 1.0000001,
+    self_idx: Optional[jnp.ndarray] = None,  # [Q] global column of each query's self
+) -> jnp.ndarray:
+    """Batched kernel weights with the reference's hurdle-style conditioning
+    (reference find_neighbors.py:481-490): per query, distances to samples of
+    a different cell type (when `cond_ct`) or failing the cov condition (when
+    `cond_cov`) are pushed to that query's max distance BEFORE the kernel is
+    applied — the bandwidth itself comes from the unconditioned distances,
+    exactly as the reference computes it.
+
+    This turns MuSIC's per-cell `get_wi(i, cov=..., ct=...)` loop
+    (reference MuSIC.py:2744) into one fused [Q, N] kernel.
+
+    `self_idx` pins each query's own column to an exact zero distance (see
+    `_kernel_weights_batch`).
+    """
+    d2 = jnp.sum(query**2, 1)[:, None] + jnp.sum(coords**2, 1)[None, :] - 2 * jnp.matmul(
+        query, coords.T, precision="highest"
+    )
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+    if self_idx is not None:
+        dist = jnp.where(self_idx[:, None] == jnp.arange(coords.shape[0])[None, :], 0.0, dist)
+    if fixed:
+        bandwidth = bw
+    else:
+        k = bw.astype(jnp.int32)
+        offset = jnp.where(exclude_self, 1, 0)
+        sorted_d = jnp.sort(dist, axis=1)
+        bandwidth = jnp.take_along_axis(sorted_d, (k + offset)[None, None].repeat(dist.shape[0], 0), axis=1) * eps
+    max_d = jnp.max(dist, axis=1, keepdims=True)
+    mask = cond_ct[:, None] & (ct_all[None, :] != ct_query[:, None])
+    dist = jnp.where(mask, max_d, dist)
+    if cov_all is not None and cond_cov is not None:
+        dist = jnp.where(cond_cov[:, None] & (~cov_all[None, :]), max_d, dist)
+    bw_dist = dist / bandwidth
+    if exclude_self:
+        bw_dist = jnp.where(bw_dist == 0.0, jnp.max(bw_dist, axis=1, keepdims=True), bw_dist)
+    x = bw_dist
+    if function == "triangular":
+        k_val = 1 - x
+    elif function == "uniform":
+        k_val = jnp.ones_like(x) * 0.5
+    elif function == "quadratic":
+        k_val = (3.0 / 4) * (1 - x**2)
+    elif function == "bisquare":
+        k_val = (1 - x**2) ** 2
+    elif function == "gaussian":
+        k_val = jnp.exp(-0.5 * x**2)
+    elif function == "exponential":
+        k_val = jnp.exp(-x)
+    else:
+        raise ValueError(f"Unsupported kernel function {function}")
     k_val = jnp.where(x > 1, 0.0, k_val)
     k_val = jnp.where(k_val < threshold, 0.0, k_val)
     if normalize:
@@ -258,6 +341,7 @@ def get_wi_batch(
             fixed=fixed_bw,
             exclude_self=exclude_self,
             normalize=normalize_weights,
+            self_idx=jnp.arange(s, s + q.shape[0], dtype=jnp.int32),
         )
         out[s : s + q.shape[0]] = np.asarray(W)
     return out
