@@ -404,6 +404,7 @@ def estep_reduced(
     probability_parameters,
     n_chunks: int = 8,
     eps: float = 1e-8,
+    sparse_top_k: int = 0,
 ):
     """Flash-style E-step: every consumer of the [NA, B] assignment matrix
     is a reduction, so P is never materialized (SURVEY §7 'hard part' —
@@ -415,7 +416,18 @@ def estep_reduced(
 
     Equivalent math to `get_P_core` + the P-sums in the EM body; HBM
     traffic drops from ~10 [NA, B] materializations to ~2 transient
-    chunk-local ones."""
+    chunk-local ones.
+
+    `sparse_top_k > 0` enables the reference's sparse calculation mode
+    (reference morpho_class.py:139-140, methods/utils.py:1369
+    `_dense_to_sparse(axis=0, topk)`): the assignment matrix P is
+    sparsified to the top-k entries of each COLUMN before the M-step
+    reductions. The column normalizers and the sigma2 statistics come from
+    the dense P (the reference sparsifies after `get_P_core` returns), and
+    because the final P shares its per-column denominator with its
+    numerator, the top-k threshold is computed on the numerator via a
+    streaming per-column running-top-k pass — P itself is still never
+    materialized."""
     NA, D = XAHat.shape
     B = coordsB_batch.shape[0]
     C = -(-NA // n_chunks)  # chunk rows
@@ -474,6 +486,26 @@ def estep_reduced(
     denom2 = c2 + eps
     denom3 = c3 + eps
 
+    # ---- pass 1.5 (sparse mode): per-column top-k threshold on P's
+    # numerator (denominator is a positive per-column scalar, so ranking by
+    # the numerator ranks P itself) ----
+    k_sparse = min(int(sparse_top_k), NA) if sparse_top_k and sparse_top_k > 0 else 0
+    if k_sparse and k_sparse < NA:
+
+        def passk(carry, inp):
+            topk = carry  # [B, k] running top values per column
+            xa, ca, mm, aa, AA = inp
+            _, _, _, full_m, _ = chunk_probs(xa, aa, AA, mm)
+            cand = jnp.concatenate([topk, full_m.T], axis=1)  # [B, k + C]
+            topk_new, _ = jax.lax.top_k(cand, k_sparse)
+            return topk_new, None
+
+        topk0 = jnp.full((B, k_sparse), -jnp.inf, jnp.float32)
+        topk_vals, _ = jax.lax.scan(passk, topk0, (XA_p, cA_p, mm_p, a_p, A_p))
+        col_tau = topk_vals[:, -1]  # [B] k-th largest numerator per column
+    else:
+        col_tau = None
+
     # ---- pass 2: reductions ----
     def pass2(carry, inp):
         (K_NA, K_NA_sp, K_NA_s2, K_NB, Sp, sig_rel, PXB, M1, idx) = carry
@@ -482,6 +514,8 @@ def estep_reduced(
         P1 = prob_v_m / denom1[None, :]
         P2 = spatial_inlier[None, :] * prob_s_m / denom2[None, :]
         P3 = spatial_inlier[None, :] * full_m / denom3[None, :]
+        if col_tau is not None:
+            P3 = jnp.where(full_m >= col_tau[None, :], P3, 0.0)
         K_NA = jax.lax.dynamic_update_slice(K_NA, P3.sum(1), (idx * C,))
         K_NA_sp = jax.lax.dynamic_update_slice(K_NA_sp, P1.sum(1), (idx * C,))
         K_NA_s2 = jax.lax.dynamic_update_slice(K_NA_s2, P2.sum(1), (idx * C,))

@@ -15,11 +15,12 @@ Nyström M-step :1254, rigid SVD M-step :1300, sigma2 :1410, final Procrustes
   When `coordsA`/`exp_A` rows are sharded over the mesh ('data' axis), the
   axis-0 sums in `get_P_core` compile to psum collectives over ICI, giving
   the tensor-parallel E-step described in SURVEY.md §2.12.
-
-Not yet implemented from the reference (documented gap, tracked for later
-rounds): sparse top-k P mode (dense minibatch P is used instead; the
-factorized on-the-fly distances already remove the O(NA*NB) memory that
-motivated it).
+- Sparse calculation mode (reference morpho_class.py:139-140 +
+  methods/utils.py:1369 `_dense_to_sparse`) keeps only the top-k entries of
+  each P column in the M-step reductions — implemented as a streaming
+  per-column threshold inside the flash E-step (`math.estep_reduced`
+  pass 1.5), so P still never materializes; the exposed `P` becomes a scipy
+  CSR top-k matrix as in the reference.
 """
 
 from __future__ import annotations
@@ -108,6 +109,7 @@ def _estep_chunks(NA: int, batch_size: int, hbm_fraction: float = 0.25) -> int:
         "guidance_effect",
         "estep_chunks",
         "svi_mode",
+        "sparse_top_k",
     ),
 )
 def _morpho_em(
@@ -147,6 +149,7 @@ def _morpho_em(
     nn_init_weight: float = 1.0,
     SVI_decay: float = 10.0,
     svi_mode: bool = True,
+    sparse_top_k: int = 0,
 ):
     NA, D = coordsA.shape
     K = U.shape[1]
@@ -216,6 +219,7 @@ def _morpho_em(
             list(probability_type),
             [probability_parameters[l] for l in range(len(exp_a_rows))],
             n_chunks=estep_chunks,
+            sparse_top_k=sparse_top_k,
         )
         K_NA_spatial = red["K_NA_spatial"]
         K_NA_sigma2 = red["K_NA_sigma2"]
@@ -460,8 +464,14 @@ class Morpho_pairwise:
         update_R: bool = True,
         seed: int = 0,
     ):
-        if sparse_calculation_mode:
-            lm.main_warning("sparse_calculation_mode not yet supported; using dense P.")
+        self.sparse_calculation_mode = bool(sparse_calculation_mode)
+        self.sparse_top_k = int(sparse_top_k)
+        if self.sparse_calculation_mode:
+            # reference disables the precomputed dense expression-distance
+            # matrix in sparse mode (morpho_class.py:439-440); the flash
+            # E-step never materializes it either way, but keep the flag
+            # consistent for parity of the recorded settings
+            pre_compute_dist = False
         self.sampleA = sampleA
         self.sampleB = sampleB
         self.rep_layer = [rep_layer] if isinstance(rep_layer, str) else list(rep_layer)
@@ -822,6 +832,7 @@ class Morpho_pairwise:
             partial_robust_level=self.partial_robust_level,
             nn_init_weight=self.nn_init_weight,
             svi_mode=bool(self.SVI_mode),
+            sparse_top_k=self.sparse_top_k if self.sparse_calculation_mode else 0,
         )
         # ONE batched host pull: per-array np.asarray costs a full tunnel
         # round trip each (~20 pulls = seconds); device_get on the pytree
@@ -876,7 +887,7 @@ class Morpho_pairwise:
                 probability_type=self.probability_type,
                 probability_parameters=[jnp.asarray(p) for p in probability_parameters],
             )
-            self.P = np.asarray(P_full)
+            self.P = self._maybe_sparsify_P(np.asarray(P_full))
 
         self._wrap_output()
         return self.P
@@ -884,12 +895,29 @@ class Morpho_pairwise:
     @property
     def P(self):
         """Final-batch soft assignment [NA, B], reconstructed on demand from
-        the converged parameters (the fused EM never materializes it)."""
+        the converged parameters (the fused EM never materializes it). In
+        sparse calculation mode the result is a scipy CSR matrix holding
+        only the top-k entries of each column (reference
+        morpho_class.py:1493 returns a scipy sparse P)."""
         if getattr(self, "_P_explicit", None) is not None:
             return self._P_explicit
         if getattr(self, "_P_cache", None) is None:
-            self._P_cache = self._compute_final_P()
+            self._P_cache = self._maybe_sparsify_P(np.asarray(self._compute_final_P()))
         return self._P_cache
+
+    def _maybe_sparsify_P(self, P: np.ndarray):
+        """Column top-k sparsification of an assignment matrix in sparse
+        calculation mode (reference methods/utils.py:1369 `_dense_to_sparse`
+        with axis=0/topk; scipy output per morpho_class.py:1493)."""
+        if not self.sparse_calculation_mode or self.sparse_top_k >= P.shape[0]:
+            return P
+        from scipy.sparse import csr_matrix
+
+        k = int(self.sparse_top_k)
+        rows = np.argpartition(-P, k - 1, axis=0)[:k]  # [k, B]
+        cols = np.repeat(np.arange(P.shape[1])[None, :], k, axis=0)
+        vals = P[rows, cols]
+        return csr_matrix((vals.ravel(), (rows.ravel(), cols.ravel())), shape=P.shape)
 
     @P.setter
     def P(self, value):

@@ -358,6 +358,96 @@ class TestFlashEstep:
         np.testing.assert_allclose(np.asarray(out["PXB"]), np.asarray(P @ coordsB), rtol=2e-4, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out["M1"]), np.asarray(coordsA.T @ P @ coordsB), rtol=2e-4, atol=1e-5)
 
+    def test_estep_reduced_sparse_topk_matches_dense_sparsification(self):
+        """Sparse calculation mode: the streamed per-column top-k threshold
+        must reproduce exactly what the reference does — compute dense P,
+        keep the top-k entries per column (reference methods/utils.py:1369
+        `_dense_to_sparse(axis=0, topk)`), then reduce."""
+        from spateo_tpu.alignment.methods.math import (
+            estep_reduced,
+            euc_dist,
+            factorize_distance,
+            get_P_core,
+        )
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(4)
+        NA, B, D, G, k = 157, 60, 2, 8, 12
+        XAHat = jnp.asarray(rng.normal(size=(NA, D)).astype(np.float32))
+        coordsA = jnp.asarray(rng.normal(size=(NA, D)).astype(np.float32))
+        coordsB = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+        a, b, A, Bf = factorize_distance(
+            rng.poisson(2.0, (NA, G)).astype(np.float32), rng.poisson(2.0, (B, G)).astype(np.float32), "kl"
+        )
+        mm = jnp.asarray(rng.uniform(0.5, 1, NA).astype(np.float32))
+        args = dict(sigma2=jnp.asarray(0.4), gamma=jnp.asarray(0.7), samples_s=jnp.asarray(3.0),
+                    sigma2_variance=jnp.asarray(1.5))
+        exp_dist = [jnp.asarray(np.asarray(a)[:, None] + np.asarray(b)[None, :] + np.asarray(A) @ np.asarray(Bf).T)]
+        P, K_sp, K_s2, s_rel = get_P_core(
+            Dim=float(D), spatial_dist=euc_dist(XAHat, coordsB, squared=True), exp_dist=exp_dist,
+            model_mul=mm[:, None], probability_type=["gauss"], probability_parameters=[jnp.asarray(0.3)], **args,
+        )
+        # reference-style sparsification: top-k per column of dense P
+        Pd = np.asarray(P)
+        P_sparse = np.zeros_like(Pd)
+        for j in range(B):
+            top = np.argsort(-Pd[:, j])[:k]
+            P_sparse[top, j] = Pd[top, j]
+        out = estep_reduced(
+            float(D), XAHat, coordsA, coordsB, (a,), (b,), (A,), (Bf,),
+            args["sigma2"], mm, args["gamma"], args["samples_s"], args["sigma2_variance"],
+            ["gauss"], [jnp.asarray(0.3)], n_chunks=5, sparse_top_k=k,
+        )
+        np.testing.assert_allclose(np.asarray(out["K_NA"]), P_sparse.sum(1), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["K_NB"]), P_sparse.sum(0), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(float(out["Sp"]), float(P_sparse.sum()), rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(out["PXB"]), P_sparse @ np.asarray(coordsB), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(out["M1"]), np.asarray(coordsA).T @ P_sparse @ np.asarray(coordsB), rtol=2e-4, atol=1e-5
+        )
+        # the dense-P statistics are NOT sparsified (reference sparsifies
+        # only P, after get_P_core computed these from dense intermediates)
+        np.testing.assert_allclose(np.asarray(out["K_NA_spatial"]), np.asarray(K_sp), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["K_NA_sigma2"]), np.asarray(K_s2), rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(float(out["sigma2_related"]), float(s_rel), rtol=2e-4)
+
+    def test_sparse_mode_end_to_end(self):
+        """Morpho with sparse_calculation_mode aligns a partial-overlap pair
+        and exposes a scipy CSR P with <= top_k entries per column."""
+        from scipy.sparse import issparse
+
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+        rng = np.random.default_rng(2)
+        n = 220
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        X = rng.poisson(2.0, (n, 12)).astype(np.float32)
+
+        def mk(p, sl):
+            a = st.AnnData(X=X[sl].copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(len(p))]),
+                           var=pd.DataFrame(index=[f"g{j}" for j in range(12)]))
+            a.obsm["spatial"] = p
+            st.SKM.init_adata_type(a, "UMI")
+            return a
+
+        # partial overlap: A = cells with x < 7 shifted, B = cells with x > 3
+        selA = pts[:, 0] < 7
+        selB = pts[:, 0] > 3
+        A = mk(pts[selA] + np.array([0.4, -0.3], np.float32), selA)
+        Bee = mk(pts[selB], selB)
+        m = Morpho_pairwise(sampleA=A, sampleB=Bee, spatial_key="spatial", key_added="align",
+                            max_iter=60, verbose=False, sparse_calculation_mode=True, sparse_top_k=16,
+                            partial_robust_level=25)
+        m.run()
+        P = m.P
+        assert issparse(P)
+        nnz_per_col = np.diff(P.tocsc().indptr)
+        assert nnz_per_col.max() <= 16
+        # overlap cells end up near their true positions
+        overlap_in_A = pts[selA][:, 0] > 3
+        err = np.abs(m.XAHat[overlap_in_A] - pts[selA][overlap_in_A]).mean()
+        assert err < 0.5, f"overlap alignment error {err}"
+
     def test_lazy_P_reconstruction(self):
         """Morpho_pairwise.P is reconstructed on demand and normalizes per
         column like the in-loop assignment."""
