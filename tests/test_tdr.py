@@ -145,6 +145,61 @@ class TestModels:
         # the helix arclength is ~ 2pi * sqrt(1 + (1/3)^2) ~ 6.6
         assert 4.0 < length < 10.0
 
+    def test_elpigraph_tree_branches(self):
+        """Real ElPiGraph (elastic principal graph): on a Y-shaped cloud the
+        tree topology must produce a branching node (degree >= 3) and a
+        different result from SimplePPT — the round-1 alias is gone."""
+        from spateo_tpu.tdr.models.models_backbone.backbone_methods import ElPiGraph_tree, SimplePPT_tree
+
+        rng = np.random.default_rng(0)
+        t = np.linspace(0, 1, 150)
+        trunk = np.c_[np.zeros_like(t), t, np.zeros_like(t)]
+        left = np.c_[-t, 1 + t, np.zeros_like(t)]
+        right = np.c_[t, 1 + t, np.zeros_like(t)]
+        pts = np.vstack([trunk, left, right]) + rng.normal(0, 0.02, (450, 3))
+        nodes, edges = ElPiGraph_tree(pts, NumNodes=20, topology="tree", Lambda=0.01, Mu=0.1)
+        assert len(nodes) == 20
+        deg = np.bincount(np.asarray(edges).ravel(), minlength=len(nodes))
+        assert deg.max() >= 3, "no branching node found on a Y-shaped cloud"
+        # tree is connected: n_edges == n_nodes - 1
+        assert len(edges) == len(nodes) - 1
+        # nodes approximate the data (small orthogonal error)
+        d2 = ((pts[:, None, :] - nodes[None, :, :]) ** 2).sum(-1).min(1)
+        assert float(np.sqrt(d2).mean()) < 0.15
+        nodes_ppt, _ = SimplePPT_tree(pts, NumNodes=20)
+        assert not np.allclose(np.sort(nodes.ravel()), np.sort(nodes_ppt.ravel()), atol=1e-3)
+
+    def test_elpigraph_curve_topology(self):
+        from spateo_tpu.tdr.models.models_backbone.backbone_methods import ElPiGraph_tree
+
+        rng = np.random.default_rng(1)
+        t = np.linspace(0, 2 * np.pi, 300)
+        pts = np.c_[np.cos(t), np.sin(t)] * (1 + rng.normal(0, 0.02, (300, 1)))
+        nodes, edges = ElPiGraph_tree(pts[:, :2], NumNodes=12, topology="curve")
+        deg = np.bincount(np.asarray(edges).ravel(), minlength=len(nodes))
+        assert deg.max() <= 2, "curve topology must stay a path"
+
+    def test_nlpca_learns_nonlinear_curve(self):
+        """The NLPCA autoencoder must beat linear PCA reconstruction on a
+        curved manifold (reference backbone_methods.py:40)."""
+        from spateo_tpu.tdr.models.models_backbone.backbone_methods import NLPCA, PrinCurve
+
+        rng = np.random.default_rng(0)
+        t = np.linspace(0, np.pi, 400)
+        pts = np.c_[np.cos(t), np.sin(t), 0.3 * t] + rng.normal(0, 0.02, (400, 3))
+        shifted = pts - pts.min(0)
+        solver = NLPCA().fit(shifted, epochs=800, nodes=25, lr=0.01)
+        _, sorted_pts = solver.project(shifted)
+        nl_err = float(((solver.fit_points - shifted) ** 2).sum(1).mean())
+        # linear PCA rank-1 reconstruction error
+        c = shifted - shifted.mean(0)
+        U, S, Vt = np.linalg.svd(c, full_matrices=False)
+        lin = np.outer(U[:, 0] * S[0], Vt[0]) + shifted.mean(0)
+        lin_err = float(((lin - shifted) ** 2).sum(1).mean())
+        assert nl_err < 0.5 * lin_err, f"NLPCA {nl_err} not better than PCA {lin_err}"
+        nodes, edges = PrinCurve(pts, NumNodes=15, epochs=400)
+        assert len(nodes) <= 15 and len(edges) == len(nodes) - 1
+
     def test_shape_similarity_self(self, sphere_points):
         sim_self = st.tdr.pairwise_shape_similarity(sphere_points, sphere_points + 0.01)
         rng = np.random.default_rng(3)
