@@ -641,8 +641,17 @@ class Morpho_pairwise:
             cols = nbrs[:, 1:].ravel()
             vals = dists[:, 1:].ravel()
             graph = csr_matrix((vals, (rows, cols)), shape=(nA, nA))
-            D = dijkstra(graph, directed=False, indices=idx)  # [K, NA]
+            D, preds = dijkstra(graph, directed=False, indices=idx, return_predecessors=True)  # [K, NA]
+            # first hop from each source point toward each inducing point:
+            # the predecessor of i on the path from inducing k IS the next
+            # node i steps to (used by the GP morphofield's geodesic kernel
+            # to extend distances to new query points)
+            first_node = preds.T.astype(np.int64)  # [NA, K]; -9999 = unreachable
+            first_node[idx, np.arange(len(idx))] = idx  # the inducing point itself
+            first_node[first_node < 0] = -1
+            self._geodesic_first_node = first_node
             D = np.where(np.isfinite(D), D, 1e5).T.astype(np.float32)  # [NA, K]
+            self._geodesic_distance = D
             U = np.exp(-self.beta * D**2)
             self._U_precomputed = U
             self.GammaSparse = U[idx, :]
@@ -1009,3 +1018,16 @@ class Morpho_pairwise:
             "norm_dict": norm_dict,
             "kernel_type": self.kernel_type,
         }
+        if self.kernel_type == "geodist":
+            # everything the GP morphofield needs to evaluate the geodesic
+            # kernel at NEW query points (tdr/.../gaussian_process.py
+            # `_con_K_geodist`): the normalized source coords, the geodesic
+            # distance of every source point to each inducing point, and the
+            # first hop on the path toward each inducing point (-1 when in a
+            # different graph component)
+            self.vecfld["kernel_dict"] = {
+                "dist": "geodist",
+                "X": np.asarray(self.coordsA),
+                "first_node_idx": self._geodesic_first_node,
+                "kernel_graph_distance": self._geodesic_distance,
+            }

@@ -200,6 +200,51 @@ class TestModels:
         nodes, edges = PrinCurve(pts, NumNodes=15, epochs=400)
         assert len(nodes) <= 15 and len(edges) == len(nodes) - 1
 
+    def test_geodesic_gp_morphofield(self):
+        """Geodesic-kernel GP vector field on a curved manifold (VERDICT #7:
+        the reference raises NotImplementedError at
+        gaussian_process.py:111; here the geodist kernel_dict saved by
+        Morpho drives `_con_K_geodist` end-to-end)."""
+        import pandas as pd
+
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+        from spateo_tpu.tdr.morphometrics.morphofield.gaussian_process import _con_K_geodist, morphofield_gp
+
+        rng = np.random.default_rng(0)
+        n = 200
+        t = np.linspace(0, 3 * np.pi, n)
+        pts = np.c_[np.cos(t) * (1 + 0.1 * t), np.sin(t) * (1 + 0.1 * t)].astype(np.float32)
+        pts += rng.normal(0, 0.01, pts.shape).astype(np.float32)
+        X = rng.poisson(2.0, (n, 10)).astype(np.float32)
+
+        def mk(p):
+            a = st.AnnData(X=X.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                           var=pd.DataFrame(index=[f"g{j}" for j in range(10)]))
+            a.obsm["spatial"] = p
+            st.SKM.init_adata_type(a, "UMI")
+            return a
+
+        A = mk(pts + np.array([0.3, -0.2], np.float32))
+        B = mk(pts)
+        m = Morpho_pairwise(sampleA=A, sampleB=B, spatial_key="spatial", key_added="align_spatial",
+                            vecfld_key_added="VecFld_morpho", max_iter=40, verbose=False,
+                            kernel_type="geodist", beta=0.5)
+        m.run()
+        vf = m.vecfld
+        assert "kernel_dict" in vf and vf["kernel_type"] == "geodist"
+        kd = vf["kernel_dict"]
+        # at the source points themselves the extended kernel must equal the
+        # stored geodesic kernel exp(-beta d^2)
+        K_src = _con_K_geodist(kd["X"][:20], kd, vf["beta"])
+        expected = np.exp(-vf["beta"] * np.asarray(kd["kernel_graph_distance"][:20]) ** 2)
+        np.testing.assert_allclose(K_src, expected, rtol=1e-4, atol=1e-5)
+        # full AnnData-level API
+        A.obsm["align_spatial"] = m.XAHat
+        A.uns["VecFld_morpho"] = vf
+        morphofield_gp(A, spatial_key="align_spatial", vf_key="VecFld_morpho", grid_num=[8, 8])
+        V = np.asarray(A.obsm["V_align_spatial"])
+        assert np.all(np.isfinite(V)) and np.abs(V).max() > 0
+
     def test_shape_similarity_self(self, sphere_points):
         sim_self = st.tdr.pairwise_shape_similarity(sphere_points, sphere_points + 0.01)
         rng = np.random.default_rng(3)
