@@ -212,10 +212,44 @@ def cal_wass_dis_batch(
     return out
 
 
-def cal_wass_dis(M, a, b=[], numItermax: int = 1000000, eps: Optional[float] = None) -> float:
+def cal_wass_dis(M, a, b=[], numItermax: int = 1000000, eps: Optional[float] = None, n_iter: int = 200) -> float:
     """Single OT distance (parity signature: svg/utils.py:279; entropic)."""
     a = np.asarray(a, np.float32)
-    return float(cal_wass_dis_batch(M, a[None, :], b=np.asarray(b) if len(b) else None, eps=eps)[0])
+    return float(cal_wass_dis_batch(M, a[None, :], b=np.asarray(b) if len(b) else None, eps=eps, n_iter=n_iter)[0])
+
+
+def cal_wass_dis_exact(M: np.ndarray, a, b=[]) -> float:
+    """EXACT earth-mover's distance via linear programming — the validation
+    fallback for the device Sinkhorn scores (reference svg/utils.py:279
+    calls POT's `ot.emd2` network simplex; scipy's HiGHS dual simplex plays
+    the same role here). Intended for small problems (N up to a few
+    hundred bins) — use `cal_wass_dis` / `cal_wass_dis_batch` for the
+    production path."""
+    from scipy.optimize import linprog
+    from scipy.sparse import coo_matrix
+
+    M = np.asarray(M, float)
+    n, m = M.shape
+    a = np.asarray(a, float).ravel() if len(np.atleast_1d(a)) else np.full(n, 1.0 / n)
+    b = np.asarray(b, float).ravel() if len(np.atleast_1d(b)) else np.full(m, 1.0 / m)
+    a = a / a.sum()
+    b = b / b.sum()
+    # variables T[i, j] flattened; row sums = a, col sums = b (last col
+    # constraint dropped: it is implied by the others)
+    rows_i = np.repeat(np.arange(n), m)
+    cols_j = np.tile(np.arange(m), n)
+    var = np.arange(n * m)
+    A_rows = coo_matrix((np.ones(n * m), (rows_i, var)), shape=(n, n * m))
+    keep = cols_j < m - 1
+    A_cols = coo_matrix((np.ones(keep.sum()), (cols_j[keep], var[keep])), shape=(m - 1, n * m))
+    from scipy.sparse import vstack
+
+    A_eq = vstack([A_rows, A_cols]).tocsr()
+    b_eq = np.concatenate([a, b[:-1]])
+    res = linprog(M.ravel(), A_eq=A_eq, b_eq=b_eq, bounds=(0, None), method="highs")
+    if not res.success:
+        raise RuntimeError(f"exact EMD LP failed: {res.message}")
+    return float(res.fun)
 
 
 def cal_rank_p(genes, ws, w_df: pd.DataFrame, bin_num: int = 100):
