@@ -170,10 +170,12 @@ def _morpho_em(
         XAHat=coordsA,
         Coff=jnp.zeros((K, D), jnp.float32),
         SigmaDiag=jnp.zeros((NA,), jnp.float32),
-        # algorithm trace: evenly spaced XAHat snapshots (reference
-        # morpho_class.py:1043 `_save_iter`); slot it*n_traces//max_iter is
-        # overwritten each iteration, ending at its segment's last state
+        # algorithm trace (reference morpho_class.py:1043 `_save_iter`):
+        # with n_traces == max_iter this is the reference's full
+        # per-iteration record of XAHat and sigma2; smaller n_traces gives
+        # evenly spaced snapshots (slot it*n_traces//max_iter)
         traces=jnp.zeros((max(n_traces, 1), coordsA.shape[0], coordsA.shape[1]), jnp.float32),
+        sigma2_traces=jnp.zeros((max(n_traces, 1),), jnp.float32),
         R=jnp.eye(D, dtype=jnp.float32),
         t=jnp.zeros((D,), jnp.float32),
         SigmaInv=jnp.zeros((K, K), jnp.float32),
@@ -343,16 +345,24 @@ def _morpho_em(
         # R_AI repeatedly at morpho_class.py:1409 — a bug; transform X_AI)
         R_AI = X_AI @ R.T + t if guidance_effect != "none" else s["R_AI"]
         XAHat = VnA + RnA
-        traces = (
-            jax.lax.dynamic_update_index_in_dim(s["traces"], XAHat, (it * n_traces) // max_iter, 0)
-            if n_traces > 0
-            else s["traces"]
-        )
 
         # ---- sigma2 ----
         sigma2 = jnp.maximum(sigma2_related + (K_NA_sigma2 @ SigmaDiag) / Sp_sigma2, 1e-3)
         sigma2 = jnp.where(it < 100, jnp.maximum(sigma2, 1e-2), sigma2)
         sigma2_variance = jnp.minimum(s["sigma2_variance"] * sigma2_variance_decrease, sigma2_variance_end)
+
+        # per-iteration trace saved AFTER the updates, like the reference's
+        # end-of-iteration _save_iter (morpho_class.py:281-282)
+        traces = (
+            jax.lax.dynamic_update_index_in_dim(s["traces"], XAHat, (it * n_traces) // max_iter, 0)
+            if n_traces > 0
+            else s["traces"]
+        )
+        sigma2_traces = (
+            jax.lax.dynamic_update_index_in_dim(s["sigma2_traces"], sigma2, (it * n_traces) // max_iter, 0)
+            if n_traces > 0
+            else s["sigma2_traces"]
+        )
 
         return dict(
             gamma=gamma,
@@ -375,6 +385,7 @@ def _morpho_em(
             V_AI=V_AI if guidance_effect != "none" else s["V_AI"],
             R_AI=R_AI,
             traces=traces,
+            sigma2_traces=sigma2_traces,
             M1=red["M1"],
             Sp_raw=Sp,
             K_NA=K_NA,
@@ -824,7 +835,10 @@ class Morpho_pairwise:
             jnp.asarray(sigma2_init, jnp.float32),
             jnp.asarray(samples_s, jnp.float32),
             max_iter=self.max_iter,
-            n_traces=10 if self.iter_key_added else 0,
+            # full per-iteration record, like the reference's _save_iter
+            # (morpho_class.py:1043); [max_iter, NA, D] — opt-in via
+            # iter_key_added because of the memory footprint
+            n_traces=self.max_iter if self.iter_key_added else 0,
             nonrigid_start_iter=self.nonrigid_start_iter,
             probability_type=tuple(self.probability_type),
             update_R=self.update_R,
@@ -851,6 +865,7 @@ class Morpho_pairwise:
         pulled = jax.device_get((small, optimal_R, optimal_t, optimal_RnA,
                                  s["traces"] if self.iter_key_added else jnp.zeros(())))
         small_np, optimal_R, optimal_t, optimal_RnA, traces_np = pulled
+        self.iter_sigma2 = np.asarray(small_np["sigma2_traces"]) if self.iter_key_added else None
         self._state = small_np
         self.sigma2 = float(small_np["sigma2"]) if self.sigma2_end is None else self.sigma2_end
         self.gamma = float(small_np["gamma"])
@@ -987,7 +1002,13 @@ class Morpho_pairwise:
             if getattr(self, "iter_traces", None) is not None:
                 self.iter_traces = self.iter_traces * scale_B + mean_B
         if self.iter_key_added is not None and getattr(self, "iter_traces", None) is not None:
-            self.sampleA.uns[self.iter_key_added] = [t for t in self.iter_traces]
+            # reference shape (morpho_class.py:1043 `_save_iter` filling
+            # `iter_added`): {key_added: {it: XAHat_it}, "sigma2": {it: s2}}
+            self.iter_added = {
+                self.key_added: {i: np.asarray(t) for i, t in enumerate(self.iter_traces)},
+                "sigma2": {i: np.asarray(v) for i, v in enumerate(self.iter_sigma2)},
+            }
+            self.sampleA.uns[self.iter_key_added] = self.iter_added
 
         norm_dict = {
             "mean_transformed": self.normalize_means[0],

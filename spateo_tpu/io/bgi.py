@@ -241,25 +241,28 @@ def read_bgi(
             label_coords["x"] += x_min
             label_coords["y"] += y_min
         if seg_binsize > 1:
+            # each segmentation bin covers a seg_binsize x seg_binsize pixel
+            # block: vectorized cross-join of every label row with every
+            # (di, dj) offset inside its block
             lm.main_warning("Binning was used for segmentation.")
-            coords_dfs = []
-            for i in range(seg_binsize):
-                for j in range(seg_binsize):
-                    coords = label_coords.copy()
-                    coords["x"] += i
-                    coords["y"] += j
-                    coords_dfs.append(coords)
-            label_coords = pd.concat(coords_dfs, ignore_index=True)
+            di, dj = np.meshgrid(np.arange(seg_binsize), np.arange(seg_binsize), indexing="ij")
+            offsets = np.c_[di.ravel(), dj.ravel()]
+            k = len(offsets)
+            expanded = label_coords.loc[label_coords.index.repeat(k)].reset_index(drop=True)
+            expanded["x"] += np.tile(offsets[:, 0], len(label_coords))
+            expanded["y"] += np.tile(offsets[:, 1], len(label_coords))
+            label_coords = expanded
         data = pd.merge(data, label_coords, on=["x", "y"], how="inner")
         if add_props:
             props = get_label_props(np.asarray(labels))
 
-    uniq_cell = sorted(data["label"].unique())
+    # integer-coded (cell, gene) indices for the COO aggregation
+    cell_codes = pd.Categorical(data["label"], categories=sorted(data["label"].unique()))
+    gene_codes = pd.Categorical(data["geneID"], categories=uniq_gene)
+    uniq_cell = list(cell_codes.categories)
     shape = (len(uniq_cell), len(uniq_gene))
-    cell_dict = dict(zip(uniq_cell, range(len(uniq_cell))))
-    gene_dict = dict(zip(uniq_gene, range(len(uniq_gene))))
-    x_ind = data["label"].map(cell_dict).astype(int).values
-    y_ind = data["geneID"].map(gene_dict).astype(int).values
+    x_ind = np.asarray(cell_codes.codes, dtype=int)
+    y_ind = np.asarray(gene_codes.codes, dtype=int)
 
     X = csr_matrix((data["total"].values, (x_ind, y_ind)), shape=shape)
     layers = {}

@@ -13,6 +13,19 @@ import numpy as np
 from ..utils import resolve_cmap, save_return_show_fig_utils
 
 
+def _iter_frames(iter_added) -> List[np.ndarray]:
+    """Normalize a Morpho iteration trace into an ordered list of [N, 2]
+    frames. Accepts the reference iter_added dict ({key: {it: coords},
+    "sigma2": {it: s2}}, morpho_class.py:1043) or a plain sequence."""
+    if isinstance(iter_added, dict):
+        coord_keys = [k for k in iter_added if k != "sigma2"]
+        inner = iter_added[coord_keys[0]]
+        frames = [np.asarray(inner[i], dtype=float)[:, :2] for i in sorted(inner)]
+    else:
+        frames = [np.asarray(f, dtype=float)[:, :2] for f in iter_added]
+    return frames
+
+
 def pi_heatmap(
     pi: np.ndarray,
     model1_name: str = "model1",
@@ -110,11 +123,12 @@ def pairwise_iteration(
     **kwargs,
 ):
     """Animate the moving slice's positions over EM iterations stored in
-    `.uns[iter_key_added]` (a list of [N, D] snapshots)
+    `.uns[iter_key_added]` (the reference iter_added dict
+    {key: {it: coords}, "sigma2": {it: s2}}, or a plain list of snapshots)
     (parity: reference pairwise_align_plots.py:540)."""
     from matplotlib import animation
 
-    frames = [np.asarray(f, dtype=float)[:, :2] for f in adataA.uns[iter_key_added]]
+    frames = _iter_frames(adataA.uns[iter_key_added])
     fixed = np.asarray(adataB.obsm[spatial_key], dtype=float)[:, :2]
     fig, ax = plt.subplots(figsize=(5, 5))
     allp = np.concatenate([fixed] + frames)
@@ -149,7 +163,10 @@ def pairwise_iteration_panel(
 ):
     """Grid of EM-iteration snapshots (parity: reference
     pairwise_align_plots.py:813)."""
-    frames = [np.asarray(f, dtype=float)[:, :2] for f in adataA.uns[iter_key_added]]
+    frames = _iter_frames(adataA.uns[iter_key_added])
+    if len(frames) > ncols * ncols:  # subsample a panel-sized selection
+        idx = np.linspace(0, len(frames) - 1, ncols * ncols).astype(int)
+        frames = [frames[i] for i in idx]
     fixed = np.asarray(adataB.obsm[spatial_key], dtype=float)[:, :2]
     n = len(frames)
     ncols = min(ncols, n)

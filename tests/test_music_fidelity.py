@@ -345,6 +345,54 @@ class TestSubsample:
             assert np.all(tc[np.asarray(idx)] >= med)
 
 
+class TestMoleculeSelector:
+    def test_find_targets(self, lr_adata):
+        """Upstream selector (reference MuSIC_upstream.py:95): receptors
+        from the database, cognate ligands, targets from
+        interaction-predicted cells minus housekeeping + receptors."""
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC_Molecule_Selector, define_spateo_argparse
+
+        adata = lr_adata.copy()
+        # add a housekeeping gene that must be excluded
+        import pandas as pd
+
+        X = np.c_[np.asarray(adata.X), np.random.default_rng(0).poisson(5.0, (adata.n_obs, 1))]
+        adata2 = st.AnnData(
+            X=X.astype(np.float32), obs=adata.obs.copy(),
+            var=pd.DataFrame(index=list(adata.var_names) + ["GAPDH"]),
+        )
+        adata2.obsm["spatial"] = adata.obsm["spatial"]
+        st.SKM.init_adata_type(adata2, "UMI")
+        with tempfile.TemporaryDirectory() as tmp:
+            parser, args_list = define_spateo_argparse(
+                mod_type="lr", species="human", output_path=f"{tmp}/out.csv",
+                target_expr_threshold=0.05, bw_fixed=True, bw=10.0,
+            )
+            sel = MuSIC_Molecule_Selector(parser, args_list, adata=adata2)
+            out = sel.find_targets()
+            assert set(out["role"]) == {"target", "ligand", "receptor"}
+            assert "TGFB1" in sel.ligands
+            assert any("TGFBR" in r for r in sel.receptors)
+            # housekeeping + receptors excluded from targets
+            assert "GAPDH" not in sel.targets
+            assert not set(sel.targets) & set(sel.receptors)
+            assert "TGT1" in sel.targets
+            # selections persisted
+            assert os.path.exists(f"{tmp}/out/ligands.txt")
+            assert os.path.exists(f"{tmp}/out/targets.txt")
+
+    def test_rejects_unsupported_mod_type(self, lr_adata):
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC_Molecule_Selector, define_spateo_argparse
+
+        with tempfile.TemporaryDirectory() as tmp:
+            parser, args_list = define_spateo_argparse(
+                mod_type="niche", species="human", output_path=f"{tmp}/out.csv",
+            )
+            sel = MuSIC_Molecule_Selector(parser, args_list, adata=lr_adata.copy())
+            with pytest.raises(ValueError, match="receptor"):
+                sel.find_targets()
+
+
 class TestEffectPotential:
     def test_spatial_weights_change_output(self, lr_adata):
         """The defining property flagged in round 1: passing different

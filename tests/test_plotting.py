@@ -267,3 +267,32 @@ class TestInteractive:
         assert st.SKM.get_adata_type(cb) == "AGG"
         with pytest.raises(PlottingError):
             contours(u, "X")
+
+
+class TestPairwiseIterationRender:
+    def test_full_iteration_trace_renders(self, tmp_path):
+        """The full per-iteration Morpho trace (reference iter_added dict)
+        drives the pairwise_iteration animation and panel."""
+        rng = np.random.default_rng(0)
+        n = 80
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        X = rng.poisson(2.0, (n, 8)).astype(np.float32)
+
+        def mk(p):
+            a = st.AnnData(X=X.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                           var=pd.DataFrame(index=[f"g{j}" for j in range(8)]))
+            a.obsm["spatial"] = p
+            st.SKM.init_adata_type(a, "UMI")
+            return a
+
+        A, B = mk(pts + 0.3), mk(pts)
+        aligned, _ = st.align.morpho_align([B, A], iter_key_added="iter_spatial", max_iter=12, verbose=False)
+        from spateo_tpu.plotting.three_d_plot.pairwise_align_plots import (
+            pairwise_iteration,
+            pairwise_iteration_panel,
+        )
+
+        gif = pairwise_iteration(aligned[1], aligned[0], filename=str(tmp_path / "it.gif"), fps=5)
+        assert (tmp_path / "it.gif").exists()
+        fig = pairwise_iteration_panel(aligned[1], aligned[0], ncols=3)
+        assert fig is not None

@@ -149,6 +149,66 @@ class TestVI:
         bg, cell = conditionals(X, res)
         assert bg.shape == X.shape and cell.shape == X.shape
 
+    def test_conditionals_match_pyro_parametrization(self):
+        """Pin the NB/ZINB pmfs of `NegativeBinomialMixture.conditionals` to
+        the pyro parametrization the reference uses (vi.py:151:
+        NegativeBinomial(total_count, logits) with mean = count * exp(l),
+        gated by sigmoid(gate_logits); components sorted by mean, weights
+        through a categorical softmax). Independent scipy computation."""
+        from scipy.stats import nbinom
+
+        from spateo_tpu.segmentation.vi import NegativeBinomialMixture
+
+        x = np.arange(0, 30).astype(float)
+        params = {
+            "w": np.array([0.3, -0.2]),
+            "counts": np.array([4.0, 9.0]),
+            "logits": np.array([0.5, -0.25]),
+        }
+        conds = NegativeBinomialMixture.conditionals(params, x)
+        for i_sorted, i in enumerate(np.argsort(params["counts"] * np.exp(params["logits"]))):
+            p_succ = 1 / (1 + np.exp(-params["logits"][i]))  # pyro success prob
+            ref = nbinom.pmf(x, params["counts"][i], 1 - p_succ)
+            np.testing.assert_allclose(conds[i_sorted], ref, rtol=1e-4, atol=1e-7)
+        # weighted variant multiplies by softmax(w)
+        conds_w = NegativeBinomialMixture.conditionals(params, x, use_weights=True)
+        weights = np.exp(params["w"]) / np.exp(params["w"]).sum()
+        order = np.argsort(params["counts"] * np.exp(params["logits"]))
+        for i_sorted, i in enumerate(order):
+            np.testing.assert_allclose(conds_w[i_sorted], conds[i_sorted] * weights[i], rtol=1e-5)
+        # ZINB: gate shifts mass to zero
+        zparams = dict(params, z=np.array([1.0, -10.0]))
+        zconds = NegativeBinomialMixture.conditionals(zparams, x)
+        gate = 1 / (1 + np.exp(-1.0))
+        comp0 = int(np.argsort((1 - np.array([gate, 0.0])) * params["counts"] * np.exp(params["logits"]))[0])
+        # the gated component's zero bin gains ~gate extra probability
+        p_succ0 = 1 / (1 + np.exp(-params["logits"][0]))
+        base0 = nbinom.pmf(0, params["counts"][0], 1 - p_succ0)
+        if comp0 == 0:
+            np.testing.assert_allclose(zconds[0][0], gate + (1 - gate) * base0, rtol=1e-4)
+
+    def test_vi_recovers_generating_mixture(self):
+        """Fit quality on data generated from a known NB mixture: component
+        means recovered within 15% and posterior classification accurate."""
+        from spateo_tpu.segmentation.vi import NegativeBinomialMixture
+
+        rng = np.random.default_rng(0)
+        # components: mean 2 (n=4, p=1/3 -> mean n(1-p)/p = 8?) use explicit draws
+        x0 = rng.negative_binomial(4, 0.7, 4000)   # mean ~ 1.71
+        x1 = rng.negative_binomial(30, 0.45, 2000)  # mean ~ 36.7
+        x = np.concatenate([x0, x1]).astype(float)
+        m = NegativeBinomialMixture(x, n=2, seed=0, w=[0.66, 0.34], mu=[2.0, 30.0], var=[5.0, 80.0])
+        m.train(n_epochs=800)
+        params = m.get_params()
+        means = np.sort(params["counts"] * np.exp(params["logits"]))
+        np.testing.assert_allclose(means[0], x0.mean(), rtol=0.15)
+        np.testing.assert_allclose(means[1], x1.mean(), rtol=0.15)
+        bg, cell = NegativeBinomialMixture.conditionals(params, x, use_weights=True)
+        pred_cell = cell > bg
+        truth = np.concatenate([np.zeros(4000, bool), np.ones(2000, bool)])
+        acc = (pred_cell == truth).mean()
+        assert acc > 0.95, f"classification accuracy {acc}"
+
 
 class TestRefineAlignment:
     def test_rigid_refines_shift(self):
