@@ -845,18 +845,135 @@ class MuSIC_Interpreter(MuSIC):
     # ------------------------------------------------------------------
     # CCI DEG detection + summaries (parity: :6607-7941)
     # ------------------------------------------------------------------
-    def CCI_deg_detection_setup(self, group_key: Optional[str] = None, use_ligands: bool = True, use_receptors: bool = False, use_targets: bool = False, **kwargs):
-        """Stores the per-cell total predicted effect per target as the
-        covariate for DEG detection (parity: :6607)."""
-        if not getattr(self, "coeffs", None):
-            self.load_coeffs()
-        self._cci_deg_covariates = {t: cdf.abs().sum(axis=1) for t, cdf in self.coeffs.items()}
-        return self._cci_deg_covariates
+    def CCI_deg_detection_setup(
+        self,
+        group_key: Optional[str] = None,
+        custom_tfs: Optional[List[str]] = None,
+        sender_receiver_or_target_degs: str = "sender",
+        use_ligands: bool = True,
+        use_receptors: bool = False,
+        use_targets: bool = False,
+        **kwargs,
+    ):
+        """Build the downstream GLM design for CCI DEG detection (parity:
+        reference MuSIC_downstream.py:6607): the dependent variables are the
+        model's ligands (sender), receptors (receiver) or targets, and the
+        regulators are the measured transcription factors (receptor-TF and
+        TF-TF databases, expression-thresholded). Stores
+        `self._cci_deg_design` (TF expression design) and
+        `self._cci_deg_targets` (molecule expression to explain)."""
+        from scipy.sparse import issparse
 
-    def CCI_deg_detection(self, cci_dir_or_target, *args, **kwargs) -> pd.DataFrame:
-        """DEGs co-varying with interaction effects (parity: :6838); thin
-        front end over sender_receiver_effect_deg_detection."""
-        return self.sender_receiver_effect_deg_detection(cci_dir_or_target, *args, **kwargs)
+        if not hasattr(self, "lr_db") or self.lr_db is None:
+            self._load_db()
+        names = list(map(str, self.adata.var_names))
+        X = self.adata.X.toarray() if issparse(self.adata.X) else np.asarray(self.adata.X, dtype=float)
+        expr = pd.DataFrame(X, index=self.adata.obs_names, columns=names)
+
+        # regulators: TFs from the receptor-TF / TF-TF databases (custom
+        # additions always kept), expressed above the model threshold
+        tf_pool = set()
+        if getattr(self, "r_tf_db", None) is not None:
+            tf_pool |= set(map(str, self.r_tf_db["tf"]))
+        if getattr(self, "tf_target_db", None) is not None:
+            tf_pool |= set(map(str, self.tf_target_db["TF"]))
+        tfs = [t for t in sorted(tf_pool) if t in names]
+        if tfs:
+            pct = (expr[tfs] > 0).mean(axis=0)
+            thr = getattr(self, "target_expr_threshold", 0.05)
+            tfs = [t for t in tfs if pct[t] > thr]
+        if custom_tfs:
+            tfs = sorted(set(tfs) | {t for t in custom_tfs if t in names})
+        if not tfs:
+            raise ValueError("No measured transcription factors found for the downstream design.")
+
+        # dependent molecules
+        if use_ligands and (hasattr(self, "ligands_expr_nonlag") or self.custom_ligands):
+            pool = list(self.ligands_expr_nonlag.columns) if hasattr(self, "ligands_expr_nonlag") else list(self.custom_ligands)
+            mols = [m for m in pool if m in names]
+        elif use_receptors and (hasattr(self, "receptors_expr") or self.custom_receptors):
+            pool = list(self.receptors_expr.columns) if hasattr(self, "receptors_expr") else list(self.custom_receptors)
+            mols = [m for m in pool if m in names]
+        elif use_targets and (hasattr(self, "targets_expr") or self.custom_targets):
+            pool = list(self.targets_expr.columns) if hasattr(self, "targets_expr") else list(self.custom_targets)
+            mols = [m for m in pool if m in names]
+        else:
+            # fall back to fitted-model targets
+            if not getattr(self, "coeffs", None):
+                self.load_coeffs()
+            mols = [t for t in self.coeffs if t in names]
+        if not mols:
+            raise ValueError("No dependent molecules for CCI DEG detection.")
+        # a dependent molecule must not regress on itself (some ligands are
+        # also annotated as regulators in the TF databases)
+        tfs = [t for t in tfs if t not in set(mols)]
+        if not tfs:
+            raise ValueError("No measured transcription factors left after excluding the dependent molecules.")
+        self._cci_deg_design = expr[tfs]
+        self._cci_deg_targets = expr[mols]
+        lm.main_info(f"CCI DEG design: {len(tfs)} TFs explaining {len(mols)} molecules.")
+        return self._cci_deg_design, self._cci_deg_targets
+
+    def CCI_deg_detection(
+        self,
+        target: Optional[str] = None,
+        distr: str = "poisson",
+        bw: Optional[float] = None,
+        significance_threshold: float = 0.05,
+        n_top: int = 25,
+        **kwargs,
+    ) -> pd.DataFrame:
+        """Spatially-weighted GLM of molecule expression on TF expression —
+        the reference's downstream-model DEG detection (reference
+        MuSIC_downstream.py:6838 fits a secondary 'downstream' MuSIC; here
+        the same regression runs through the batched IWLS kernel with
+        bisquare spatial weights and Wald tests on the coefficients).
+
+        Returns the per-TF mean coefficient, standard error, Wald p/q
+        values for the chosen dependent molecule, sorted by |coefficient|.
+        """
+        from .regression_utils import iwls_batch_full
+        from ..find_neighbors import get_wi_batch
+
+        if not hasattr(self, "_cci_deg_design"):
+            self.CCI_deg_detection_setup(**kwargs)
+        y_df = self._cci_deg_targets
+        if target is None:
+            target = y_df.columns[0]
+        if target not in y_df.columns:
+            raise KeyError(f"`{target}` not among the downstream molecules: {list(y_df.columns)}")
+        if not hasattr(self, "coords"):
+            self.coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
+            self.n_samples = self.adata.n_obs
+        n = self.n_samples
+        Xtf = np.asarray(self._cci_deg_design.values, float)
+        Xd = np.c_[np.ones(n), np.log1p(Xtf)]
+        y = np.asarray(y_df[target].values, float)
+        # reference downstream bandwidth default: 0.5% of n, adaptive (:3511)
+        bw = bw if bw is not None else max(int(0.005 * n), 10)
+        W = get_wi_batch(self.coords, bw, fixed_bw=False, exclude_self=False, kernel="bisquare")
+        betas, hats, inv_diag, preds = iwls_batch_full(
+            y, Xd, W, distr=distr if distr in ("gaussian", "poisson", "nb") else "poisson",
+            ridge_lambda=getattr(self, "ridge_lambda", 0.3) or 0.3, clip=float(np.percentile(np.log(np.abs(y) + 1e-6), 99.7)) if distr != "gaussian" else float(np.percentile(y, 99.7)),
+        )
+        se = np.sqrt(np.maximum(inv_diag, 1e-12))
+        mean_beta = betas[:, 1:].mean(axis=0)
+        mean_se = se[:, 1:].mean(axis=0) / np.sqrt(max(n, 1))
+        pv = wald_test(mean_beta, np.maximum(mean_se, 1e-8))
+        qv = multitesting_correction(pv)
+        out = pd.DataFrame(
+            {
+                "coefficient": mean_beta,
+                "se": mean_se,
+                "pvalue": pv,
+                "qvalue": qv,
+                "significant": qv < significance_threshold,
+            },
+            index=list(self._cci_deg_design.columns),
+        )
+        out = out.reindex(out["coefficient"].abs().sort_values(ascending=False).index)
+        self._cci_deg_results = out
+        return out.head(n_top)
 
     @staticmethod
     def intersection_ratio(df1: pd.DataFrame, df2: pd.DataFrame) -> float:

@@ -345,6 +345,42 @@ class TestSubsample:
             assert np.all(tc[np.asarray(idx)] >= med)
 
 
+class TestCCIDegGLM:
+    def test_glm_deg_detection_finds_driving_tf(self):
+        """GLM-based CCI DEG detection (reference MuSIC_downstream.py:6838):
+        a TF that drives the ligand's expression gets a large significant
+        coefficient; an unrelated TF does not."""
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC_Interpreter, define_spateo_argparse
+
+        rng = np.random.default_rng(5)
+        n = 400
+        pts = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        # STAT3 / JUN are real TFs present in the human receptor-TF database
+        tf_on = rng.poisson(3.0, n).astype(float)
+        tf_off = rng.poisson(3.0, n).astype(float)
+        lig = rng.poisson(np.exp(0.45 * np.log1p(tf_on)), n).astype(float)  # driven by STAT3
+        genes = ["TGFB1", "STAT3", "JUN"]
+        X = np.c_[lig, tf_on, tf_off].astype(np.float32)
+        adata = st.AnnData(X=X, obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                           var=pd.DataFrame(index=genes))
+        adata.obsm["spatial"] = pts
+        st.SKM.init_adata_type(adata, "UMI")
+        with tempfile.TemporaryDirectory() as tmp:
+            parser, args_list = define_spateo_argparse(
+                mod_type="ligand", species="human", output_path=f"{tmp}/out.csv",
+                custom_ligands=["TGFB1"], custom_targets=["TGFB1"],
+            )
+            interp = MuSIC_Interpreter(parser, args_list)
+            interp.adata = adata
+            interp.load_and_process()
+            design, targets = interp.CCI_deg_detection_setup(use_ligands=True, custom_tfs=["STAT3", "JUN"])
+            assert "STAT3" in design.columns and "JUN" in design.columns
+            res = interp.CCI_deg_detection("TGFB1", distr="poisson")
+            assert res.loc["STAT3", "coefficient"] > 0.1
+            assert abs(res.loc["STAT3", "coefficient"]) > 3 * abs(res.loc["JUN", "coefficient"])
+            assert bool(res.loc["STAT3", "significant"])
+
+
 class TestMoleculeSelector:
     def test_find_targets(self, lr_adata):
         """Upstream selector (reference MuSIC_upstream.py:95): receptors
