@@ -261,10 +261,10 @@ def main():
     tpu_pipeline(X, seed=1)
     jax.effects_barrier()
 
-    # best of 3: the tunneled TPU adds ~±15% per-dispatch RTT jitter, so a
+    # best of 5: the tunneled TPU adds ~±30% per-dispatch RTT jitter, so a
     # single sample under-reports steady-state throughput
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         mask = tpu_pipeline(X)
         jax.effects_barrier()

@@ -1,14 +1,24 @@
 """Model editing widgets (capability parity: reference spateo/tdr/widgets/ —
-interactive pyvista clip/pick/slice). Headless-first: the same operations
-exposed as array-predicate functions; interactive picking is a documented
-non-goal without a display server."""
+interactive pyvista clip/pick/slice). Two tiers:
 
-from .ops import (
-    clip_models,
-    interactive_box_clip,
+- `ops` — the same operations as pure array-predicate functions;
+- `interactive` — live matplotlib widget loops (RectangleSelector clip,
+  LassoSelector pick, Slider slicer) whose callbacks are also drivable
+  programmatically, replacing the reference's pyvista event loop
+  (clip.py:62, pick.py:14, slice.py:124).
+"""
+
+from .interactive import (
+    InteractiveLassoPick,
+    InteractiveRectangleClip,
+    InteractiveSlicer,
     interactive_pick,
     interactive_rectangle_clip,
     interactive_slice,
+)
+from .ops import (
+    clip_models,
+    interactive_box_clip,
     overlap_mesh_pick,
     overlap_pc_pick,
     overlap_pick,

@@ -304,3 +304,62 @@ class TestInterpolation:
         truth = np.sin(4 * target[:, 0])
         err = np.abs(np.asarray(out.X)[:, 0] - truth).mean()
         assert err < 0.35
+
+
+class TestInteractiveWidgets:
+    """Live clip/pick/slice rendering loops (reference tdr/widgets/
+    {clip,pick,slice}.py pyvista callbacks -> matplotlib widget loops,
+    driven programmatically here)."""
+
+    @pytest.fixture()
+    def pc(self):
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1, 1, (400, 3))
+        return PointCloud(pts, {"val": pts[:, 0]})
+
+    def test_rectangle_clip_loop(self, pc):
+        from spateo_tpu.tdr.widgets import InteractiveRectangleClip, interactive_rectangle_clip
+
+        w = InteractiveRectangleClip(pc, key="val", plane="xy")
+        sub = w.onselect_extents(0.0, 1.0, -1.0, 1.0)
+        assert 0 < sub.n_points < pc.n_points
+        assert np.all(np.asarray(sub.points)[:, 0] >= 0)
+        assert len(w.picked_models) == 1
+        # headless front-end
+        sub2 = interactive_rectangle_clip(pc, bounds=(0.0, 1.0, -1.0, 1.0))
+        assert sub2.n_points == sub.n_points
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
+
+    def test_lasso_pick_loop(self, pc):
+        from spateo_tpu.tdr.widgets import InteractiveLassoPick, interactive_pick
+
+        w = InteractiveLassoPick(pc, plane="xy")
+        poly = [(-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5)]
+        sub = w.onselect(poly)
+        pts = np.asarray(sub.points)
+        assert 0 < sub.n_points < pc.n_points
+        assert np.all(np.abs(pts[:, :2]) <= 0.5 + 1e-9)
+        sub2 = interactive_pick(pc, polygon=poly)
+        assert sub2.n_points == sub.n_points
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
+
+    def test_slider_slice_loop(self, pc):
+        from spateo_tpu.tdr.widgets import InteractiveSlicer, interactive_slice
+
+        w = InteractiveSlicer(pc, axis="z", thickness=0.4)
+        s0 = w.set_position(0.0)
+        assert np.all(np.abs(np.asarray(s0.points)[:, 2]) <= 0.2 + 1e-9)
+        s1 = w.set_position(0.8)
+        assert np.asarray(s1.points)[:, 2].min() > 0.5
+        # the slider callback drives the same path as the public API
+        s2 = interactive_slice(pc, axis="z", position=0.0, thickness=0.4)
+        assert s2.n_points == s0.n_points
+        import matplotlib.pyplot as plt
+
+        plt.close("all")
