@@ -47,8 +47,15 @@ def paste_pairwise_align(
     dtype: str = "float32",
     device: str = "tpu",
     verbose: bool = True,
+    method: str = "entropic",
 ) -> Tuple[np.ndarray, Optional[float]]:
-    """Optimal FGW alignment of two slices (parity: reference paste.py:26)."""
+    """Optimal FGW alignment of two slices (parity: reference paste.py:26).
+
+    `method='entropic'` (default) runs the device mirror-descent Sinkhorn
+    solver; `method='exact'` runs conditional-gradient FGW with exact LP
+    subproblems — the same solver family as the POT
+    `ot.gromov.fused_gromov_wasserstein` the reference calls (intended for
+    small pairs / validation)."""
     import jax.numpy as jnp
 
     X_A, X_B, common = _pairwise_prep(sampleA, sampleB, genes, layer)
@@ -65,7 +72,14 @@ def paste_pairwise_align(
     if norm:
         D_A = D_A / jnp.min(jnp.where(D_A > 0, D_A, jnp.inf))
         D_B = D_B / jnp.min(jnp.where(D_B > 0, D_B, jnp.inf))
-    pi, obj = fgw(M, D_A, D_B, a, b, alpha=alpha, eps=eps, G_init=G_init, max_iter=numItermax)
+    if method == "exact":
+        from ...ops.ot import fgw_exact
+
+        pi, obj = fgw_exact(
+            np.asarray(M), np.asarray(D_A), np.asarray(D_B), a, b, alpha=alpha, G_init=G_init, max_iter=numItermax
+        )
+    else:
+        pi, obj = fgw(M, D_A, D_B, a, b, alpha=alpha, eps=eps, G_init=G_init, max_iter=numItermax)
     return pi, obj
 
 

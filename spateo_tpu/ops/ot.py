@@ -119,6 +119,94 @@ def fgw_entropic(
     return T, obj
 
 
+def emd_exact(a: np.ndarray, b: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """EXACT optimal transport plan via linear programming (scipy HiGHS) —
+    the role POT's network simplex `ot.emd` plays in the reference.
+    Intended for small problems; returns the [n, m] plan."""
+    from scipy.optimize import linprog
+    from scipy.sparse import coo_matrix, vstack
+
+    M = np.asarray(M, float)
+    n, m = M.shape
+    a = np.asarray(a, float).ravel()
+    b = np.asarray(b, float).ravel()
+    a = a / a.sum()
+    b = b / b.sum()
+    rows_i = np.repeat(np.arange(n), m)
+    cols_j = np.tile(np.arange(m), n)
+    var = np.arange(n * m)
+    A_rows = coo_matrix((np.ones(n * m), (rows_i, var)), shape=(n, n * m))
+    keep = cols_j < m - 1  # last column constraint is implied
+    A_cols = coo_matrix((np.ones(int(keep.sum())), (cols_j[keep], var[keep])), shape=(m - 1, n * m))
+    A_eq = vstack([A_rows, A_cols]).tocsr()
+    b_eq = np.concatenate([a, b[:-1]])
+    res = linprog(M.ravel(), A_eq=A_eq, b_eq=b_eq, bounds=(0, None), method="highs")
+    if not res.success:
+        raise RuntimeError(f"exact EMD LP failed: {res.message}")
+    return res.x.reshape(n, m)
+
+
+def fgw_exact(
+    M: np.ndarray,
+    C1: np.ndarray,
+    C2: np.ndarray,
+    a: Optional[np.ndarray] = None,
+    b: Optional[np.ndarray] = None,
+    alpha: float = 0.1,
+    G_init: Optional[np.ndarray] = None,
+    max_iter: int = 100,
+    tol: float = 1e-9,
+) -> Tuple[np.ndarray, float]:
+    """Exact fused Gromov-Wasserstein by conditional gradient (Frank-Wolfe)
+    with EXACT EMD linear subproblems — the same solver family as POT's
+    `ot.gromov.fused_gromov_wasserstein` that the reference's
+    `paste_pairwise_align` calls (reference methods/paste.py:26). The
+    gradient/line-search follow the square-loss decomposition of
+    Peyre et al. 2016; each linearized subproblem is solved with the HiGHS
+    LP (`emd_exact`). Device GEMMs compute the quadratic terms; the LP
+    stays on host. For small slice pairs (n up to a few hundred) this is
+    the validation-exact path; `fgw` is the production entropic path."""
+    M = np.asarray(M, float)
+    C1 = np.asarray(C1, float)
+    C2 = np.asarray(C2, float)
+    n, m = M.shape
+    a = np.ones(n) / n if a is None else np.asarray(a, float)
+    b = np.ones(m) / m if b is None else np.asarray(b, float)
+    constC = np.asarray(_gw_const(jnp.asarray(C1), jnp.asarray(C2), jnp.asarray(a), jnp.asarray(b)))
+    T = np.outer(a, b) if G_init is None else np.asarray(G_init, float)
+
+    def tens_of(T):
+        return constC - 2.0 * (C1 @ T @ C2.T)
+
+    def obj_of(T, tens):
+        return (1 - alpha) * float((M * T).sum()) + alpha * float((tens * T).sum())
+
+    tens = tens_of(T)
+    f_val = obj_of(T, tens)
+    for _ in range(max_iter):
+        grad = (1 - alpha) * M + 2.0 * alpha * tens
+        T_fw = emd_exact(a, b, grad)
+        delta = T_fw - T
+        # exact line search of the quadratic objective along delta
+        dot = C1 @ delta @ C2.T
+        a_coef = -2.0 * alpha * float((dot * delta).sum())
+        b_coef = float(((1 - alpha) * M * delta).sum()) + 2.0 * alpha * float((tens * delta).sum())
+        if a_coef > 0:
+            t = np.clip(-b_coef / (2 * a_coef), 0.0, 1.0)
+        else:
+            t = 1.0 if (a_coef + b_coef) < 0 else 0.0
+        if t <= 0:
+            break
+        T = T + t * delta
+        tens = tens_of(T)
+        f_new = obj_of(T, tens)
+        if abs(f_val - f_new) < tol:
+            f_val = f_new
+            break
+        f_val = f_new
+    return T, f_val
+
+
 def fgw(
     M: np.ndarray,
     C1: np.ndarray,

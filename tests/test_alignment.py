@@ -111,6 +111,35 @@ class TestPaste:
         diag_mass = np.trace(pi)
         assert diag_mass > 0.2, f"diagonal mass {diag_mass:.3f}"
 
+    def test_paste_exact_fgw(self):
+        """Exact Frank-Wolfe FGW with LP subproblems (the POT solver family
+        of reference paste.py:26): beats-or-matches the entropic objective
+        and keeps exact marginals."""
+        A, B, _ = make_slice_pair(n=80, seed=11)
+        pi_e, obj_e = st.align.paste_pairwise_align(A, B, alpha=0.1, numItermax=100, verbose=False)
+        pi_x, obj_x = st.align.paste_pairwise_align(
+            A, B, alpha=0.1, numItermax=50, verbose=False, method="exact"
+        )
+        n = A.n_obs
+        np.testing.assert_allclose(pi_x.sum(1), np.ones(n) / n, atol=1e-8)
+        np.testing.assert_allclose(pi_x.sum(0), np.ones(n) / n, atol=1e-8)
+        # the exact FW solution is at least as good as the entropic one
+        assert obj_x <= obj_e + 1e-6, f"exact {obj_x} vs entropic {obj_e}"
+        assert np.trace(pi_x) > 0.3  # true correspondences dominate
+
+    def test_exact_emd_plan_matches_cost(self):
+        from spateo_tpu.ops.ot import emd_exact
+        from spateo_tpu.svg.utils import cal_wass_dis_exact
+
+        rng = np.random.default_rng(0)
+        Mx = rng.uniform(0, 1, (30, 25))
+        a = rng.dirichlet(np.ones(30))
+        b = rng.dirichlet(np.ones(25))
+        T = emd_exact(a, b, Mx)
+        np.testing.assert_allclose(T.sum(1), a, atol=1e-9)
+        np.testing.assert_allclose(T.sum(0), b, atol=1e-9)
+        np.testing.assert_allclose(float((T * Mx).sum()), cal_wass_dis_exact(Mx, a, b), rtol=1e-8)
+
     def test_paste_center_align(self):
         """NMF + iterative-center alignment (reference methods/paste.py:164
         `paste_center_align`; VERDICT weak #7 wanted it exercised)."""
