@@ -177,16 +177,23 @@ def get_P_core(
 
 
 @partial(jax.jit, static_argnames=("max_iter",))
-def _inlier_from_NN_kernel(train_x, train_y, distance, max_iter: int = 100):
+def _inlier_from_NN_kernel(train_x, train_y, distance, mask, n_valid, max_iter: int = 100):
     """Robust rigid fit from noisy NN matches (parity: methods/utils.py:1220),
-    as one jitted fori_loop."""
+    as one jitted fori_loop.
+
+    `mask` [N, 1] marks valid rows and `n_valid` their count: callers pad
+    the row count to a fixed bucket (copies of row 0, which leave the
+    max/extent statistics unchanged) so that varying NN-pair counts across
+    datasets reuse ONE compiled program instead of recompiling per slice
+    pair. Masked rows contribute exact zeros to every reduction, so real
+    rows get bit-identical results to the unpadded kernel."""
     N, D = train_x.shape
     alpha0 = 1.0
     distance = jnp.maximum(0.0, distance)
     normalize = jnp.max(distance) / (jnp.log(10.0) * 2.0)
     distance = distance / normalize
-    weight0 = jnp.exp(-distance * alpha0)
-    sigma2_0 = jnp.sum((train_x - train_y) ** 2) / (D * N)
+    weight0 = jnp.exp(-distance * alpha0) * mask
+    sigma2_0 = jnp.sum(((train_x - train_y) ** 2) * mask) / (D * n_valid)
     a = jnp.maximum(
         jnp.prod(jnp.max(train_x, axis=0) - jnp.min(train_x, axis=0)),
         jnp.prod(jnp.max(train_y, axis=0) - jnp.min(train_y, axis=0)),
@@ -221,11 +228,11 @@ def _inlier_from_NN_kernel(train_x, train_y, distance, max_iter: int = 100):
         )
         P = term1 / (term1 + outlier_part)
         Sp = jnp.sum(P)
-        gamma = jnp.clip(Sp / N, 0.01, 0.99)
-        P = jnp.maximum(P, 1e-6)
+        gamma = jnp.clip(Sp / n_valid, 0.01, 0.99)
+        P = jnp.maximum(P, 1e-6) * mask
         sigma2 = jnp.sum((y_hat - train_y) ** 2 * P) / (D * Sp)
         alpha = jnp.where(it > 20, s["alpha"] * alpha_decrease, s["alpha"])
-        weight = jnp.where(it > 20, jnp.exp(-distance * alpha), s["weight"])
+        weight = jnp.where(it > 20, jnp.exp(-distance * alpha) * mask, s["weight"])
         weight = jnp.where(it > 20, weight / jnp.max(weight), weight)
         return dict(P=P, R=R, t=t, y_hat=y_hat, sigma2=sigma2, gamma=gamma, alpha=alpha, weight=weight, Sp=Sp)
 
@@ -234,17 +241,37 @@ def _inlier_from_NN_kernel(train_x, train_y, distance, max_iter: int = 100):
     fix_sigma2, fix_gamma = 1e-2, 0.1
     term1 = jnp.exp(-jnp.sum((train_y - s["y_hat"]) ** 2, 1, keepdims=True) / (2 * fix_sigma2)) * s["weight"]
     outlier_part = jnp.max(s["weight"]) * (1 - fix_gamma) * jnp.power(2 * jnp.pi * fix_sigma2, D / 2) / (fix_gamma * a)
-    P = term1 / (term1 + outlier_part)
-    gamma = jnp.clip(jnp.sum(P) / N, 0.01, 0.99)
+    P = term1 / (term1 + outlier_part) * mask
+    gamma = jnp.clip(jnp.sum(P) / n_valid, 0.01, 0.99)
     return P, s["R"], s["t"], weight0, s["sigma2"], gamma
 
 
+def pad_rows_bucket(arr: np.ndarray, mult: int = 1024) -> np.ndarray:
+    """Pad the row count up to a multiple of `mult` with copies of row 0 —
+    shape-bucketing so data-dependent sizes (voxel occupancy, NN pair
+    counts) hit one jit-compiled program instead of recompiling per pair."""
+    arr = np.asarray(arr)
+    n = arr.shape[0]
+    target = ((n + mult - 1) // mult) * mult
+    if target == n or n == 0:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[:1], target - n, axis=0)], axis=0)
+
+
 def inlier_from_NN(train_x, train_y, distance) -> Tuple[np.ndarray, ...]:
-    """Host-facing wrapper returning numpy (parity signature with reference)."""
+    """Host-facing wrapper returning numpy (parity signature with reference).
+    Rows are padded to a 2048-multiple bucket (masked inside the kernel) so
+    every slice pair of similar scale reuses one compiled program."""
+    n = np.asarray(train_x).shape[0]
+    tx = pad_rows_bucket(np.asarray(train_x, np.float32), 2048)
+    ty = pad_rows_bucket(np.asarray(train_y, np.float32), 2048)
+    dd = pad_rows_bucket(np.asarray(distance, np.float32), 2048)
+    mask = np.zeros((tx.shape[0], 1), np.float32)
+    mask[:n] = 1.0
     P, R, t, w, sigma2, gamma = _inlier_from_NN_kernel(
-        jnp.asarray(train_x, jnp.float32), jnp.asarray(train_y, jnp.float32), jnp.asarray(distance, jnp.float32)
+        jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(dd), jnp.asarray(mask), jnp.asarray(float(n))
     )
-    return np.asarray(P), np.asarray(R), np.asarray(t), np.asarray(w), float(sigma2), float(gamma)
+    return np.asarray(P)[:n], np.asarray(R), np.asarray(t), np.asarray(w)[:n], float(sigma2), float(gamma)
 
 
 def voxel_data(

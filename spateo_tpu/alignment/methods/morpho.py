@@ -80,6 +80,36 @@ def filter_common_genes(*genes_lists, verbose: bool = True) -> List[str]:
 # ---------------------------------------------------------------------------
 # The jitted EM core
 # ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("Dim", "probability_type"))
+def _rebuild_P(
+    XAHat_n, coordsB, bidx, mm, sigma2, gamma, samples_s, s2v, a_rows, b_cols, A_feats, B_feats, pparams,
+    *, Dim: float, probability_type: tuple,
+):
+    """Lazy reconstruction of the final-batch assignment matrix as one
+    fused program (eager evaluation would materialize every [NA, B]
+    intermediate separately — ~20 GB at 100k x 10k). Module-level jit so
+    the compilation is shared across Morpho instances of the same shape."""
+    coordsB_batch = coordsB[bidx]
+    exp_dist_batch = [
+        a[:, None] + b[bidx][None, :] + A @ Bf[bidx].T
+        for a, b, A, Bf in zip(a_rows, b_cols, A_feats, B_feats)
+    ]
+    spatial_dist = euc_dist(XAHat_n, coordsB_batch, squared=True)
+    P, _, _, _ = get_P_core(
+        Dim=Dim,
+        spatial_dist=spatial_dist,
+        exp_dist=exp_dist_batch,
+        sigma2=sigma2,
+        model_mul=mm,
+        gamma=gamma,
+        samples_s=samples_s,
+        sigma2_variance=s2v,
+        probability_type=list(probability_type),
+        probability_parameters=list(pparams),
+    )
+    return P
+
+
 def _estep_chunks(NA: int, batch_size: int, hbm_fraction: float = 0.25) -> int:
     """Number of NA-axis chunks for the flash E-step, sized to the device.
 
@@ -700,10 +730,16 @@ class Morpho_pairwise:
         coordsA, X_A = voxel_data(coordsA, X_A, voxel_num=max(min(int(N / 20), 1000), 100))
         coordsB, X_B = voxel_data(coordsB, X_B, voxel_num=max(min(int(M / 20), 1000), 100))
 
-        [exp_dist] = calc_distance(
-            X_A.astype(np.float32), X_B.astype(np.float32), metric="kl" if self.init_field == "layer" else "euc"
-        )
-        exp_dist = np.asarray(exp_dist)
+        # voxel occupancy is data-dependent: bucket the row counts (pad with
+        # row-0 copies, slice the result back) so fresh slice pairs reuse the
+        # compiled distance kernel instead of recompiling per occupancy count
+        from .math import pad_rows_bucket
+
+        n1, n2 = X_A.shape[0], X_B.shape[0]
+        X_A_p = pad_rows_bucket(X_A.astype(np.float32), 256)
+        X_B_p = pad_rows_bucket(X_B.astype(np.float32), 256)
+        [exp_dist] = calc_distance(X_A_p, X_B_p, metric="kl" if self.init_field == "layer" else "euc")
+        exp_dist = np.asarray(exp_dist)[:n1, :n2]
         top_K = min(top_K, exp_dist.shape[0] - 1, exp_dist.shape[1] - 1)
         # mutual top-K matching pairs (host argpartition on the voxelized set)
         item2 = np.argpartition(exp_dist, top_K, axis=0)[:top_K, :].T
@@ -926,7 +962,13 @@ class Morpho_pairwise:
         if getattr(self, "_P_explicit", None) is not None:
             return self._P_explicit
         if getattr(self, "_P_cache", None) is None:
-            self._P_cache = self._maybe_sparsify_P(np.asarray(self._compute_final_P()))
+            P_dev = self._compute_final_P()
+            if self.sparse_calculation_mode:
+                self._P_cache = self._maybe_sparsify_P(np.asarray(P_dev))
+            else:
+                # stays a DEVICE array: the [NA, B] pull costs ~100s of MB of
+                # tunnel transfer; consumers that want host data np.asarray it
+                self._P_cache = P_dev
         return self._P_cache
 
     def _maybe_sparsify_P(self, P: np.ndarray):
@@ -950,36 +992,11 @@ class Morpho_pairwise:
     def _compute_final_P(self):
         batch_idx = jnp.asarray(np.asarray(self.batch_idx))
         model_mul = (self._state["alpha"] * np.exp(-self._state["SigmaDiag"] / max(self.sigma2, 1e-12)))[:, None]
-
-        # one fused program: eager evaluation would materialize every
-        # [NA, B] intermediate separately (~20 GB at 100k x 10k)
-        @partial(jax.jit, static_argnames=())
-        def rebuild(XAHat_n, coordsB, bidx, mm, sigma2, gamma, samples_s, s2v, a_rows, b_cols, A_feats, B_feats, pparams):
-            coordsB_batch = coordsB[bidx]
-            exp_dist_batch = [
-                a[:, None] + b[bidx][None, :] + A @ Bf[bidx].T
-                for a, b, A, Bf in zip(a_rows, b_cols, A_feats, B_feats)
-            ]
-            spatial_dist = euc_dist(XAHat_n, coordsB_batch, squared=True)
-            P, _, _, _ = get_P_core(
-                Dim=float(self.D),
-                spatial_dist=spatial_dist,
-                exp_dist=exp_dist_batch,
-                sigma2=sigma2,
-                model_mul=mm,
-                gamma=gamma,
-                samples_s=samples_s,
-                sigma2_variance=s2v,
-                probability_type=list(self.probability_type),
-                probability_parameters=list(pparams),
-            )
-            return P
-
         a_rows = tuple(jnp.asarray(f[0]) for f in self._exp_factors)
         b_cols = tuple(jnp.asarray(f[1]) for f in self._exp_factors)
         A_feats = tuple(jnp.asarray(f[2]) for f in self._exp_factors)
         B_feats = tuple(jnp.asarray(f[3]) for f in self._exp_factors)
-        return rebuild(
+        return _rebuild_P(
             jnp.asarray(self._norm_XAHat, jnp.float32),
             jnp.asarray(self._norm_coordsB, jnp.float32),
             batch_idx,
@@ -990,6 +1007,8 @@ class Morpho_pairwise:
             jnp.asarray(self.sigma2_variance, jnp.float32),
             a_rows, b_cols, A_feats, B_feats,
             tuple(jnp.asarray(p if p is not None else 0.0) for p in self.probability_parameters),
+            Dim=float(self.D),
+            probability_type=tuple(self.probability_type),
         )
 
     def _wrap_output(self):
