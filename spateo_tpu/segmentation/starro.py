@@ -198,3 +198,74 @@ def starro_em_bp(
     if mask_only:
         mask = np.unpackbits(np.asarray(mask))[: X.size].reshape(X.shape).astype(bool)
     return scores, mask
+
+
+def starro_em_bp_sharded(
+    X: np.ndarray,
+    mesh=None,
+    mesh_axis: str = "data",
+    **kwargs,
+):
+    """Multi-chip Starro: the raster's ROWS shard over the mesh's data axis
+    (SURVEY §2.12 — data parallelism over pixel tiles). The same fused
+    program runs under GSPMD: the k-circle convolution and the BP message
+    shifts become halo exchanges (collective-permute over ICI), the EM /
+    Otsu reductions become psums, and the Gumbel top-k downsample runs as a
+    cross-shard top-k. The Pallas BP kernel is bypassed in favor of the
+    XLA path so the partitioner can slice it.
+
+    Semantics are identical to `starro_em_bp` (same trace, sharded
+    layout). Returns (scores, mask) as host arrays.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..configuration import config
+
+    if mesh is None:
+        from ..parallel.mesh import create_mesh
+
+        mesh = getattr(config, "mesh", None) or create_mesh(axis_names=(mesh_axis,))
+    X = np.asarray(X)
+    kwargs.setdefault("mask_only", False)
+    # reuse starro_em_bp's preprocessing by inlining its narrow-upload +
+    # static-arg logic but device_put the raster with row sharding first
+    if np.issubdtype(X.dtype, np.floating) and X.size and float(np.abs(X).max()) < 32767 and np.all(X == np.round(X)):
+        X_up = X.astype(np.int16)
+    elif np.issubdtype(X.dtype, np.integer) and (X.size == 0 or np.abs(X).max() < 32767):
+        X_up = X.astype(np.int16)
+    else:
+        X_up = X
+    k = kwargs.pop("k", 5)
+    mk = kwargs.pop("mk", None) or k + 2
+    downsample = kwargs.pop("downsample", 0.001)
+    n = X.size
+    n_samples = max(int(n * downsample), 1000) if downsample <= 1 else int(downsample)
+    n_samples = min(n_samples, n)
+    bp_k = kwargs.pop("bp_k", 3)
+    bp_square = kwargs.pop("bp_square", False)
+    neighborhood = np.ones((bp_k, bp_k)) if bp_square else circle(bp_k)
+    offsets = tuple(map(tuple, create_neighbor_offsets(neighborhood.astype(bool)).tolist()))
+    seed = kwargs.pop("seed", None)
+    key = jax.random.PRNGKey(0 if seed is None else seed)
+    mask_only = kwargs.pop("mask_only", False)
+
+    spec = P(*([mesh_axis] + [None] * (X_up.ndim - 1)))
+    X_dev = jax.device_put(jnp.asarray(X_up), NamedSharding(mesh, spec))
+    with mesh:
+        scores, mask = _starro_em_bp_fused(
+            X_dev,
+            key,
+            k,
+            mk,
+            n_samples,
+            kwargs.pop("em_max_iter", 2000),
+            float(kwargs.pop("em_precision", 1e-6)),
+            offsets,
+            float(kwargs.pop("bp_p", 0.6)),
+            float(kwargs.pop("bp_q", 0.4)),
+            float(kwargs.pop("bp_precision", 1e-6)),
+            int(kwargs.pop("bp_max_iter", 100)),
+            False,  # Pallas BP bypassed: the XLA path is GSPMD-partitionable
+            False,
+        )
+    return np.asarray(scores), np.asarray(mask)

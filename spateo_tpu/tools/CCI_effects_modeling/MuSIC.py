@@ -1052,7 +1052,15 @@ class MuSIC:
         chunk = np.asarray(self.x_chunk, int)
         distr = "gaussian" if (self.distr == "gaussian" or fit_predictor) else self.distr
 
-        W = self._conditioned_weights(y, bw, chunk)
+        # per-target subsample chunks all have different lengths: bucket the
+        # query count (pad with repeats of the first query, slice results
+        # back) so every target reuses one compiled weights + IWLS program
+        q_true = len(chunk)
+        bucket = 256
+        q_pad = ((q_true + bucket - 1) // bucket) * bucket
+        chunk_p = np.concatenate([chunk, np.full(q_pad - q_true, chunk[0], int)]) if q_pad > q_true else chunk
+
+        W = self._conditioned_weights(y, bw, chunk_p)
         if mask_indices is not None and len(mask_indices):
             W = np.asarray(W)
             W[:, np.asarray(mask_indices, int)] = 0.0
@@ -1064,11 +1072,12 @@ class MuSIC:
             y,
             Xfit,
             W,
-            focal=chunk,
+            focal=chunk_p,
             distr=distr,
             ridge_lambda=self.ridge_lambda,
             clip=clip,
         )
+        betas, hats, inv_diag, preds = betas[:q_true], hats[:q_true], inv_diag[:q_true], preds[:q_true]
         true = y[chunk]
 
         if final:

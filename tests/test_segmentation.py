@@ -262,3 +262,21 @@ class TestStarroAcceptance:
 
         Xc = cells.X.toarray() if issparse(cells.X) else np.asarray(cells.X)
         assert np.median(Xc.sum(1)) > 50  # real cells carry real counts
+
+
+class TestShardedStarro:
+    def test_sharded_matches_unsharded(self):
+        """Multi-chip Starro (raster rows sharded over the mesh 'data'
+        axis): GSPMD-partitioned execution reproduces the single-device
+        fused program exactly."""
+        from spateo_tpu.parallel.mesh import create_mesh
+        from spateo_tpu.segmentation.starro import starro_em_bp, starro_em_bp_sharded
+
+        rng = np.random.default_rng(0)
+        X = rng.negative_binomial(1, 0.5, (128, 96)).astype(np.float32)
+        X[40:70, 30:60] += rng.negative_binomial(8, 0.35, (30, 30)).astype(np.float32)
+        s1, m1 = starro_em_bp(X, k=3, seed=0, bp_max_iter=20)
+        mesh = create_mesh(axis_names=("data",))
+        s2, m2 = starro_em_bp_sharded(X, mesh=mesh, k=3, seed=0, bp_max_iter=20)
+        np.testing.assert_allclose(np.asarray(s1), s2, atol=1e-5)
+        assert (np.asarray(m1) == m2).all()
