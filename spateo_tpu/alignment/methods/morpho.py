@@ -504,6 +504,7 @@ class Morpho_pairwise:
         return_mapping: bool = False,
         update_R: bool = True,
         seed: int = 0,
+        mesh=None,
     ):
         self.sparse_calculation_mode = bool(sparse_calculation_mode)
         self.sparse_top_k = int(sparse_top_k)
@@ -573,6 +574,9 @@ class Morpho_pairwise:
         self.return_mapping = return_mapping
         self.update_R = update_R
         self.seed = seed
+        # optional jax.sharding.Mesh: shards the moving slice's NA axis over
+        # the mesh's first axis inside the EM (multi-chip tensor parallelism)
+        self.mesh = mesh
         self.rng = np.random.default_rng(seed)
 
         self._align_preprocess()
@@ -851,12 +855,28 @@ class Morpho_pairwise:
             [p if p is not None else 0.0 for p in self.probability_parameters], dtype=np.float32
         )
 
+        # multi-chip: shard the NA axis of the moving slice over the mesh's
+        # 'data' axis — the axis-0 reductions inside the flash E-step
+        # compile to psums over ICI (tensor-parallel E-step, SURVEY §2.12);
+        # everything else replicates
+        coordsA_dev = jnp.asarray(self.coordsA)
+        exp_a_rows_dev, exp_A_feats_dev = exp_a_rows, exp_A_feats
+        if self.mesh is not None and np.prod(list(self.mesh.shape.values())) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = list(self.mesh.axis_names)[0]
+            rows = NamedSharding(self.mesh, P(axis, None))
+            vec = NamedSharding(self.mesh, P(axis))
+            coordsA_dev = jax.device_put(coordsA_dev, rows)
+            exp_a_rows_dev = tuple(jax.device_put(jnp.asarray(a), vec) for a in exp_a_rows)
+            exp_A_feats_dev = tuple(jax.device_put(jnp.asarray(A), rows) for A in exp_A_feats)
+
         s, optimal_R, optimal_t, optimal_RnA = _morpho_em(
-            jnp.asarray(self.coordsA),
+            coordsA_dev,
             jnp.asarray(self.coordsB),
-            exp_a_rows,
+            exp_a_rows_dev,
             exp_b_cols,
-            exp_A_feats,
+            exp_A_feats_dev,
             exp_B_feats,
             jnp.asarray(U, jnp.float32),
             jnp.asarray(self.GammaSparse, jnp.float32),

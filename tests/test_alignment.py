@@ -111,6 +111,30 @@ class TestPaste:
         diag_mass = np.trace(pi)
         assert diag_mass > 0.2, f"diagonal mass {diag_mass:.3f}"
 
+    def test_morpho_align_mesh_option(self):
+        """User-facing multi-chip alignment: `mesh=` shards the moving
+        slice's NA axis inside the EM; results match single-device."""
+        from spateo_tpu.parallel.mesh import create_mesh
+
+        rng = np.random.default_rng(0)
+        n = 256
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        X = rng.poisson(2.0, (n, 10)).astype(np.float32)
+
+        def mk(p):
+            a = st.AnnData(X=X.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                           var=pd.DataFrame(index=[f"g{j}" for j in range(10)]))
+            a.obsm["spatial"] = p
+            st.SKM.init_adata_type(a, "UMI")
+            return a
+
+        mesh = create_mesh(axis_names=("data",))
+        m1, _ = st.align.morpho_align([mk(pts), mk(pts + 0.4)], max_iter=40, verbose=False)
+        m2, _ = st.align.morpho_align([mk(pts), mk(pts + 0.4)], max_iter=40, verbose=False, mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(m1[1].obsm["align_spatial"]), np.asarray(m2[1].obsm["align_spatial"]), atol=1e-4
+        )
+
     def test_paste_exact_fgw(self):
         """Exact Frank-Wolfe FGW with LP subproblems (the POT solver family
         of reference paste.py:26): beats-or-matches the entropic objective
