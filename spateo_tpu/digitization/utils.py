@@ -281,3 +281,32 @@ def digitize_general(
     )
     lm.main_info(f"Total iteration: {itr} (L2 err {err:.2e})")
     return v
+
+
+# reference-named aliases for the *_old API surface (reference
+# utils_old.py:283 add_ep_boundary, :303 add_gp_boundary, :347 calc_op_field
+# — same math as the current-named functions / the fused heat solver)
+add_ep_boundary = add_eh_boundary
+add_gp_boundary = add_gh_boundary
+
+
+def calc_op_field(
+    op_field,
+    min_line,
+    max_line,
+    edge_line_a,
+    edge_line_b,
+    field_border,
+    field_mask,
+    max_err: float = 1e-5,
+    max_itr: float = 1e5,
+    lp: float = 1,
+    hp: float = 100,
+):
+    """Weight field for given boundary weights (parity: reference
+    utils_old.py:347) — identical to `domain_heat_eqn_solver` under the old
+    parameter names, running the fused device stencil."""
+    return domain_heat_eqn_solver(
+        op_field, min_line, max_line, edge_line_a, edge_line_b, field_border, field_mask,
+        max_err=max_err, max_itr=max_itr, lh=lp, hh=hp,
+    )

@@ -5,6 +5,7 @@ Stereo-seq, MERFISH, NanoString CosMx, seqFISH, Seq-Scope, Slide-seq, STARmap,
 10x Visium, plus binning and hull utilities).
 """
 
+from . import image_utils, nanostring, slideseq, tenx
 from .bbs import alpha_shape, get_concave_hull
 from .bgi import read_bgi, read_bgi_agg, read_bgi_as_dataframe
 from .image import add_image_layer, read_image

@@ -41,4 +41,7 @@ from .three_d_plot import (
     three_d_plot,
     torsion,
 )
+from . import colorlabel, interactive
+from . import static  # noqa: F401
+from .interactive import cellbin_select, contours, select_polygon
 from .utils import dendrogram, map2color, save_fig, save_return_show_fig_utils

@@ -14,7 +14,14 @@ from .interpolations import (
     vtk_interpolation,
 )
 from .models import *  # noqa: F401,F403
+from .models.models_backbone.backbone_methods import (
+    ElPiGraph_method,
+    NLPCA,
+    PrinCurve_method,
+    SimplePPT_method,
+)
 from .morphometrics import *  # noqa: F401,F403
+from .widgets import clip, pick, slice, utils  # noqa: F401
 from .widgets import (
     clip_models,
     interactive_box_clip,

@@ -13,6 +13,9 @@ from .architype import (
 from .cluster_lasso import Lasso
 from .live_wire import LiveWireSegmentation, compute_shortest_path, live_wire
 from .roi import ROIAnnotator, img_segmentation
+from . import cci_fdr
+from .CCI_effects_modeling import MuSIC_downstream, MuSIC_upstream, SWR, distributions, regression_utils
+from .cluster import cluster_spagcn, find_clusters, leiden, spagcn_utils
 from .CCI_effects_modeling import (
     MuSIC,
     MuSIC_Interpreter,
@@ -25,12 +28,17 @@ from .cluster import (
     CAST,
     calculate_leiden_partition,
     calculate_louvain_partition,
+    compute_pca_components,
+    ecp_silhouette,
     integrate,
+    kmeans_clustering,
     mclust_py,
     pca_spateo,
     pearson_residuals,
+    pySTAGATE,
     scc,
     spagcn_pyg,
+    spagcn_vanilla,
     spatial_adj,
 )
 from .cluster.find_clusters import smooth as smooth_labels

@@ -141,3 +141,63 @@ class TestBorderline:
         # borderline should be near x=20
         ys_b, xs_b = np.nonzero(img)
         assert abs(np.median(ys_b) - 20) < 5
+
+
+class TestBoundaryOldAPI:
+    """The boundary-centric workflow of the reference's *_old API surface
+    (boundary_old.py identify_boundary/boundary_gridding,
+    utils_old.py add_ep_boundary/add_gp_boundary/calc_op_field)."""
+
+    def _two_region_adata(self):
+        xs, ys = np.meshgrid(np.arange(2, 58), np.arange(2, 58))
+        coords = np.c_[xs.ravel(), ys.ravel()].astype(float)
+        clusters = np.where(coords[:, 0] < 30, "A", "B")
+        adata = st.AnnData(X=np.ones((len(coords), 3)))
+        adata.obsm["spatial"] = coords
+        adata.obs["cl"] = clusters
+        st.SKM.init_adata_type(adata, "UMI")
+        return adata
+
+    def test_identify_boundary(self):
+        adata = self._two_region_adata()
+        img = st.dd.identify_boundary(adata, "cl", ["A"], ["B"], bin_size=1, k_size=4, min_area=4)
+        assert img.sum() > 0
+        assert "boundary_line" in adata.obs
+        assert (np.asarray(adata.obs["boundary_line"]) == "Boundary Line").sum() > 0
+        # the boundary hugs the A/B interface at x ~ 30
+        ys_b, xs_b = np.nonzero(img)
+        assert abs(np.median(ys_b) - 30) < 6
+
+    def test_boundary_gridding(self):
+        adata = self._two_region_adata()
+        img = st.dd.identify_boundary(adata, "cl", ["A"], ["B"], bin_size=1, k_size=4, min_area=4)
+        from spateo_tpu.digitization.utils import order_borderline
+
+        line = order_borderline(img)
+        if len(line) < 8:
+            import pytest
+
+            pytest.skip("boundary too short on this synthetic raster")
+        segs = st.dd.boundary_gridding(adata, img, line, n_layer=2, n_column=5, layer_width=5, init=True)
+        assert len(segs) >= 3
+        # layer/column labels written for some cells
+        assert (np.asarray(adata.obs["layer_label"]) != 0).any()
+
+    def test_calc_op_field_alias(self):
+        # calc_op_field == domain_heat_eqn_solver with old parameter names
+        field = np.zeros((40, 40), np.float32)
+        border = np.zeros((40, 40), np.float32)
+        mask = np.zeros((40, 40), np.float32)
+        mask[5:35, 5:35] = 1
+        min_line = [(x, 5) for x in range(5, 35)]
+        max_line = [(x, 34) for x in range(5, 35)]
+        edge_a = [(5, y) for y in range(5, 35)]
+        edge_b = [(34, y) for y in range(5, 35)]
+        for ln in (min_line, max_line, edge_a, edge_b):
+            for x, y in ln:
+                border[y, x] = 1
+        out = st.dd.calc_op_field(field, min_line, max_line, edge_a, edge_b, border, mask, max_itr=2e4, lp=1, hp=100)
+        inner = out[10:30, 10:30]
+        assert inner.min() >= 0 and inner.max() <= 100
+        # monotone gradient from the lp to the hp side
+        assert out[30, 20] > out[8, 20]

@@ -363,3 +363,20 @@ class TestShardedIWLS:
         # q not divisible by 8: padding path
         b2, _ = iwls_batch_sharded(y, X, W[:37])
         np.testing.assert_allclose(b2, b_ref[:37], atol=1e-5)
+
+
+class TestPySTAGATE:
+    def test_train_predict_psm(self, spatial_adata):
+        """pySTAGATE wrapper surface (reference tools/cluster/_stagate.py:10):
+        train -> predicted (STAGATE rep + non-negative ReX) -> cal_pSM."""
+        adata = spatial_adata.copy()
+        model = st.tl.pySTAGATE(adata, num_batch_x=1, num_batch_y=1, rad_cutoff=2.0,
+                                num_epoch=40, hidden_dims=[32, 8])
+        model.train()
+        model.predicted()
+        assert adata.obsm["STAGATE"].shape == (adata.n_obs, 8)
+        rex = np.asarray(adata.layers["STAGATE_ReX"])
+        assert rex.shape == (adata.n_obs, adata.n_vars) and (rex >= 0).all()
+        psm = model.cal_pSM(n_neighbors=10)
+        assert len(psm) == adata.n_obs and np.isfinite(psm).all()
+        assert 0 <= psm.min() and psm.max() <= 1
