@@ -37,3 +37,9 @@ from .models_migration import (
     construct_trajectory,
     construct_trajectory_X,
 )
+from .models_backbone.backbone_methods import (
+    ElPiGraph_method,
+    NLPCA,
+    PrinCurve_method,
+    SimplePPT_method,
+)
