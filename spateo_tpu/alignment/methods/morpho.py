@@ -735,25 +735,28 @@ class Morpho_pairwise:
         coordsB, X_B = voxel_data(coordsB, X_B, voxel_num=max(min(int(M / 20), 1000), 100))
 
         # voxel occupancy is data-dependent: bucket the row counts (pad with
-        # row-0 copies, slice the result back) so fresh slice pairs reuse the
-        # compiled distance kernel instead of recompiling per occupancy count
-        from .math import pad_rows_bucket
+        # row-0 copies) so fresh slice pairs reuse the compiled distance
+        # kernel instead of recompiling per occupancy count.  The mutual
+        # top-K matching runs ON DEVICE (`mutual_topk_distance`) — only the
+        # [n, K] index/value arrays cross the host boundary, never the full
+        # [n1, n2] distance matrix.
+        from .math import mutual_topk_distance, pad_rows_bucket
 
         n1, n2 = X_A.shape[0], X_B.shape[0]
         X_A_p = pad_rows_bucket(X_A.astype(np.float32), 256)
         X_B_p = pad_rows_bucket(X_B.astype(np.float32), 256)
-        [exp_dist] = calc_distance(X_A_p, X_B_p, metric="kl" if self.init_field == "layer" else "euc")
-        exp_dist = np.asarray(exp_dist)[:n1, :n2]
-        top_K = min(top_K, exp_dist.shape[0] - 1, exp_dist.shape[1] - 1)
-        # mutual top-K matching pairs (host argpartition on the voxelized set)
-        item2 = np.argpartition(exp_dist, top_K, axis=0)[:top_K, :].T
-        item1 = np.repeat(np.arange(exp_dist.shape[1])[:, None], top_K, axis=1)
-        NN1 = np.dstack((item1, item2)).reshape((-1, 2))
-        distance1 = exp_dist.T[NN1[:, 0], NN1[:, 1]]
-        item1 = np.argpartition(exp_dist, top_K, axis=1)[:, :top_K]
-        item2 = np.repeat(np.arange(exp_dist.shape[0])[:, None], top_K, axis=1)
-        NN2 = np.dstack((item1, item2)).reshape((-1, 2))
-        distance2 = exp_dist.T[NN2[:, 0], NN2[:, 1]]
+        top_K = min(top_K, n1 - 1, n2 - 1)
+        row_vals, row_idx, col_vals, col_idx = mutual_topk_distance(
+            X_A_p, X_B_p, n1, n2, metric="kl" if self.init_field == "layer" else "euc", top_k=top_K
+        )
+        row_vals, row_idx = np.asarray(row_vals)[:n1], np.asarray(row_idx)[:n1]
+        col_vals, col_idx = np.asarray(col_vals)[:n2], np.asarray(col_idx)[:n2]
+        # NN1: for each B voxel j its top-K nearest A rows; NN2: for each A
+        # row i its top-K nearest B columns — pairs stored (B index, A index)
+        NN1 = np.stack([np.repeat(np.arange(n2), top_K), col_idx.ravel()], axis=1)
+        distance1 = col_vals.ravel()
+        NN2 = np.stack([row_idx.ravel(), np.repeat(np.arange(n1), top_K)], axis=1)
+        distance2 = row_vals.ravel()
         NN = np.vstack((NN1, NN2))
         distance = np.r_[distance1, distance2]
 
@@ -772,6 +775,17 @@ class Morpho_pairwise:
         self.inlier_A = train_x[inlier_set, :]
         self.inlier_B = train_y[inlier_set, :]
         self.inlier_P = P[inlier_set, :]
+        # Pad the inlier rows to a shape bucket: the count is data-dependent
+        # (mutual-KNN inliers vary per pair), and every downstream use is
+        # weighted by inlier_P, so P=0 padding rows are exactly neutral.
+        # Without this, every slice pair recompiles the fused EM program.
+        Ni = len(self.inlier_P)
+        bucket = max(256, 1 << int(np.ceil(np.log2(max(Ni, 1)))))
+        if Ni < bucket:
+            pad = bucket - Ni
+            self.inlier_A = np.concatenate([self.inlier_A, np.zeros((pad, self.D), self.inlier_A.dtype)], 0)
+            self.inlier_B = np.concatenate([self.inlier_B, np.zeros((pad, self.D), self.inlier_B.dtype)], 0)
+            self.inlier_P = np.concatenate([self.inlier_P, np.zeros((pad, 1), self.inlier_P.dtype)], 0)
         self.init_R, self.init_t = R, t
         if self.init_transform:
             self.inlier_A = self.inlier_A @ R.T + t
