@@ -12,8 +12,9 @@ Public surface mirrors the reference:
     st.io / st.pp / st.cs / st.align / st.dd / st.tl / st.tdr / st.svg / st.pl
 """
 
-from ._lazy_loader import LazyLoader
+from ._lazy_loader import LazyAttribute, LazyLoader
 from .configuration import SKM, config
+from .get_version import get_version
 from .errors import (
     AlignmentError,
     ConfigurationError,
@@ -26,7 +27,21 @@ from .errors import (
 from .logging import logger_manager
 from .core.anndata import AnnData, concat, read_h5ad
 
-__version__ = "0.1.0"
+# anndata-style top-level readers (parity: reference spateo/__init__.py:29
+# `from .data_io import *`)
+from .data_io import (
+    read,
+    read_csv,
+    read_excel,
+    read_hdf,
+    read_loom,
+    read_mtx,
+    read_text,
+    read_umi_tools,
+    read_zarr,
+)
+
+__version__ = get_version(__file__)
 
 # Lazily-loaded public subpackages (parity: reference spateo/__init__.py:10-30)
 io = LazyLoader("io", globals(), "spateo_tpu.io")
