@@ -1,5 +1,12 @@
 """Distribution layer: device meshes, shardings, collectives (TPU-native)."""
 
+from .distributed import (
+    global_mesh,
+    initialize_distributed,
+    is_distributed,
+    make_global_array,
+    process_allgather,
+)
 from .mesh import (
     create_mesh,
     device_count,

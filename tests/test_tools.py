@@ -1,5 +1,6 @@
 """Tools layer tests: neighbors, clustering, DEGs, lisa, CCI, MuSIC."""
 
+import jax
 import numpy as np
 import pandas as pd
 import pytest
@@ -380,3 +381,29 @@ class TestPySTAGATE:
         psm = model.cal_pSM(n_neighbors=10)
         assert len(psm) == adata.n_obs and np.isfinite(psm).all()
         assert 0 <= psm.min() and psm.max() <= 1
+
+
+class TestDistributedHelpers:
+    def test_single_host_path(self):
+        """Multi-host bootstrap helpers degrade gracefully single-host
+        (parity target: SURVEY §5.8 — a first-class distribution layer the
+        reference lacks entirely)."""
+        import spateo_tpu as st
+
+        st.parallel.initialize_distributed()  # single host: no-op
+        assert st.parallel.is_distributed() is False
+        mesh = st.parallel.global_mesh(("data",))
+        assert mesh.devices.size == jax.device_count()
+        x = np.arange(2 * mesh.devices.size * 3, dtype=np.float32).reshape(-1, 3)
+        g = st.parallel.make_global_array(x, mesh)
+        assert g.shape == x.shape
+        np.testing.assert_allclose(np.asarray(g), x)
+        ag = st.parallel.process_allgather(np.array([1.5]))
+        assert ag.shape == (1, 1)
+
+    def test_global_mesh_shape_validation(self):
+        import spateo_tpu as st
+        from spateo_tpu.errors import MeshError
+
+        with pytest.raises(MeshError):
+            st.parallel.global_mesh(("data", "model"), shape=(3, 5))
