@@ -80,15 +80,34 @@ def _panel_scatter(
     ax.set_title(title, fontsize=10)
 
 
+def _neighbor_smooth(pts: np.ndarray, v: np.ndarray, iterations: int) -> np.ndarray:
+    """KNN mean smoothing of a per-cell value over the embedding
+    (reference scatters.py `smooth` option)."""
+    from scipy.spatial import cKDTree
+
+    k = min(8, len(pts))
+    _, idx = cKDTree(pts).query(pts, k=k)
+    out = np.asarray(v, dtype=float)
+    for _ in range(max(int(iterations), 1)):
+        out = out[idx].mean(axis=1)
+    return out
+
+
 def scatters(
     adata,
     basis: Union[str, list] = "umap",
     x: int = 0,
     y: int = 1,
+    z: int = 2,
     color: Union[str, list] = "ntr",
     layer: Union[str, list] = "X",
+    labels: Optional[list] = None,
+    values: Optional[list] = None,
+    highlights: Optional[list] = None,
     cmap: Optional[str] = None,
     color_key: Union[dict, list, None] = None,
+    color_key_cmap: Optional[str] = None,
+    theme: Optional[str] = None,
     background: Optional[str] = None,
     ncols: int = 4,
     pointsize: Optional[float] = None,
@@ -103,13 +122,29 @@ def scatters(
     marker: Optional[str] = None,
     aspect: str = "auto",
     despline: bool = True,
+    despline_sides: Optional[List[str]] = None,
     deaxis: bool = True,
+    show_arrowed_spines: bool = False,
     alpha: float = 0.8,
     stack_colors: bool = False,
     stack_colors_threshold: float = 0.001,
     stack_colors_title: str = "stacked colors",
     stack_colors_legend_size: int = 2,
     stack_colors_cmaps: Optional[List[str]] = None,
+    smooth: Union[bool, int] = False,
+    frontier: bool = False,
+    contour: bool = False,
+    ccmap: Optional[str] = None,
+    calpha: float = 0.4,
+    projection: str = "2d",
+    affine_transform_degree: Optional[float] = None,
+    affine_transform_A: Optional[np.ndarray] = None,
+    affine_transform_b: Optional[np.ndarray] = None,
+    V: Optional[np.ndarray] = None,
+    X_grid: Optional[np.ndarray] = None,
+    vf_plot_method: str = "cell",
+    vf_kwargs: Optional[Dict] = None,
+    return_all: bool = False,
     vmin=None,
     vmax=None,
     **kwargs,
@@ -117,11 +152,37 @@ def scatters(
     """Multi-panel scatter over an embedding (parity surface:
     reference scatters.py:51). One panel per (color, basis) combination;
     categorical obs columns get a discrete palette + optional on-data
-    labels; genes/numeric columns get a colormap + colorbar."""
+    labels; genes/numeric columns get a colormap + colorbar.
+
+    Reference options honored beyond the basics: explicit `labels`/`values`
+    overriding the adata lookup, `highlights` (grey-out all but the chosen
+    categories), `theme`/`color_key_cmap` palettes, `smooth` (KNN value
+    smoothing), `frontier`/`contour` outlining (scatters.py:1512-1550),
+    `projection='3d'`, pre-plot affine transforms (rotation degree or
+    explicit A/b), and an inline vector-field overlay (`V`/`X_grid` with
+    `vf_plot_method` in cell/grid/stream — the scatters-level integration
+    of plot_vectors)."""
     bases = [basis] if isinstance(basis, str) else list(basis)
     colors = [color] if isinstance(color, str) else list(color)
     layers = [layer] if isinstance(layer, str) else list(layer)
     marker = marker or "."
+
+    # theme -> (cmap, categorical palette) defaults, reference
+    # scatters.py:286-322 / dynamo themes
+    themes = {
+        "blue": ("Blues", "tab20"),
+        "red": ("Reds", "tab20"),
+        "green": ("Greens", "tab20"),
+        "fire": ("inferno", "tab20"),
+        "viridis": ("viridis", "tab20"),
+        "inferno": ("inferno", "tab20"),
+        "div_blue_red": ("RdBu_r", "tab20"),
+        "div_blue_black_red": ("RdBu_r", "tab20"),
+        "glasbey_dark": ("viridis", "tab20"),
+        "glasbey_white": ("viridis", "tab20b"),
+    }
+    if theme is not None and cmap is None:
+        cmap = themes.get(theme, (None, None))[0]
 
     if stack_colors:
         return _stacked_scatter(
@@ -134,35 +195,106 @@ def scatters(
     n = len(panels)
     ncols = min(ncols, n)
     nrows = int(np.ceil(n / ncols))
+    subplot_kw = {"projection": "3d"} if projection == "3d" else {}
     if ax is None:
-        fig, axes = plt.subplots(nrows, ncols, figsize=(figsize[0] * ncols, figsize[1] * nrows), dpi=dpi, squeeze=False)
+        fig, axes = plt.subplots(
+            nrows, ncols, figsize=(figsize[0] * ncols, figsize[1] * nrows), dpi=dpi, squeeze=False,
+            subplot_kw=subplot_kw,
+        )
         axes_flat = axes.ravel()
     else:
         fig = ax.figure
         axes_flat = np.asarray([ax])
 
     for i, (b, c, l) in enumerate(panels[: len(axes_flat)]):
-        pts = _resolve_basis(adata, b)[:, [x, y]]
-        vals = _get_adata_color_vec(adata, l, c)
+        coords = _resolve_basis(adata, b)
+        pts = coords[:, [x, y, z][: 3 if projection == "3d" and coords.shape[1] > 2 else 2]]
+        # pre-plot affine transform (reference scatters.py affine_transform_*)
+        if affine_transform_A is not None or affine_transform_degree is not None:
+            A = np.asarray(affine_transform_A, float) if affine_transform_A is not None else None
+            if A is None:
+                th = np.deg2rad(float(affine_transform_degree))
+                A = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+            bvec = np.asarray(affine_transform_b, float) if affine_transform_b is not None else np.zeros(A.shape[0])
+            pts2 = pts[:, : A.shape[1]] @ A.T + bvec
+            pts = np.concatenate([pts2, pts[:, A.shape[1]:]], axis=1) if pts.shape[1] > A.shape[1] else pts2
+        if values is not None and i < max(len(colors), 1):
+            vals = np.asarray(values if not isinstance(values, dict) else values[c])
+        elif labels is not None:
+            vals = np.asarray(labels, dtype=object)
+        else:
+            vals = _get_adata_color_vec(adata, l, c)
+        numeric_vals = np.issubdtype(np.asarray(vals).dtype, np.number)
+        if smooth and numeric_vals:
+            vals = _neighbor_smooth(pts[:, :2], vals, 2 if smooth is True else int(smooth))
+        if highlights and not numeric_vals:
+            svals = pd.Series(vals).astype(str).values
+            keep = np.isin(svals, np.asarray(highlights, dtype=str))
+            vals = np.where(keep, svals, "other")
         ps = pointsize if pointsize is not None else max(0.2, 30000.0 / max(len(pts), 1))
         ck = None
         if isinstance(color_key, dict):
             cats = list(color_key)
             ck = (cats, color_key)
-        _panel_scatter(
-            axes_flat[i], pts, vals, resolve_cmap(cmap, "viridis" if sort != "abs" else "inferno"),
-            ps, alpha, marker, show_legend, sym_c, sort, adata=adata, color_key=ck, title=str(c),
-            vmin=vmin, vmax=vmax,
-        )
-        axes_flat[i].set_aspect("equal" if aspect == "equal" else "auto")
-        if despline:
-            despline_all(axes_flat[i])
-        if deaxis:
-            deaxis_all(axes_flat[i])
+        elif color_key_cmap is not None and not numeric_vals:
+            cats = sorted(pd.Series(vals).astype(str).unique())
+            cm = resolve_cmap(color_key_cmap)
+            ck = (cats, {cat: cm(j / max(len(cats) - 1, 1)) for j, cat in enumerate(cats)})
+        if projection == "3d" and pts.shape[1] > 2:
+            v = np.asarray(vals, float) if numeric_vals else None
+            sc = axes_flat[i].scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=v, cmap=resolve_cmap(cmap, "viridis"), s=ps, alpha=alpha, linewidths=0)
+            if numeric_vals and show_legend not in (False, None, "none"):
+                plt.colorbar(sc, ax=axes_flat[i], shrink=0.6, pad=0.01)
+            axes_flat[i].set_title(str(c), fontsize=10)
+        else:
+            # frontier/contour outlining: a grey halo pass under the data
+            # (reference scatters.py:1512 frontier; :1546 contour via
+            # tricontourf on the value field)
+            if frontier:
+                axes_flat[i].scatter(pts[:, 0], pts[:, 1], s=ps * 4, c="0.8", linewidths=0, zorder=0)
+                axes_flat[i].scatter(pts[:, 0], pts[:, 1], s=ps * 2, c="white", linewidths=0, zorder=1)
+            if contour and numeric_vals:
+                try:
+                    axes_flat[i].tricontourf(
+                        pts[:, 0], pts[:, 1], np.asarray(vals, float),
+                        levels=10, cmap=resolve_cmap(ccmap or cmap, "viridis"), alpha=calpha, zorder=0,
+                    )
+                except Exception:
+                    pass
+            _panel_scatter(
+                axes_flat[i], pts[:, :2], vals, resolve_cmap(cmap, "viridis" if sort != "abs" else "inferno"),
+                ps, alpha, marker, show_legend, sym_c, sort, adata=adata, color_key=ck, title=str(c),
+                vmin=vmin, vmax=vmax,
+            )
+            if V is not None:
+                Xq = X_grid if X_grid is not None else pts[:, :2]
+                plot_vectors(axes_flat[i], Xq, np.asarray(V), method=vf_plot_method, **(vf_kwargs or {}))
+            axes_flat[i].set_aspect("equal" if aspect == "equal" else "auto")
+        if show_arrowed_spines and projection != "3d":
+            for spine in ("left", "bottom"):
+                axes_flat[i].spines[spine].set_visible(True)
+            axes_flat[i].annotate(
+                "", xy=(0.12, 0.0), xytext=(0.0, 0.0), xycoords="axes fraction",
+                arrowprops=dict(arrowstyle="->", lw=1.0),
+            )
+            axes_flat[i].annotate(
+                "", xy=(0.0, 0.12), xytext=(0.0, 0.0), xycoords="axes fraction",
+                arrowprops=dict(arrowstyle="->", lw=1.0),
+            )
+        if projection != "3d":
+            if despline_sides:
+                for side in despline_sides:
+                    axes_flat[i].spines[side].set_visible(False)
+            elif despline:
+                despline_all(axes_flat[i])
+            if deaxis:
+                deaxis_all(axes_flat[i])
     for j in range(n, len(axes_flat)):
         axes_flat[j].axis("off")
 
     out_axes = axes_flat[0] if n == 1 else list(axes_flat[:n])
+    if return_all:
+        return fig, out_axes
     return save_return_show_fig_utils(
         save_show_or_return, show_legend not in (False, None, "none"), background,
         "scatters", save_kwargs, n, fig, out_axes,

@@ -296,3 +296,62 @@ class TestPairwiseIterationRender:
         assert (tmp_path / "it.gif").exists()
         fig = pairwise_iteration_panel(aligned[1], aligned[0], ncols=3)
         assert fig is not None
+
+
+class TestScattersOptions:
+    """Reference scatters.py option surface: highlights, themes, smoothing,
+    outlining, 3d projection, affine pre-transform, vector-field overlay."""
+
+    def _ad(self):
+        rng = np.random.default_rng(0)
+        n, g = 200, 6
+        ad = st.AnnData(
+            X=rng.poisson(2, (n, g)).astype(float),
+            obs=pd.DataFrame({"leiden": rng.choice(["0", "1", "2"], n)}, index=[f"c{i}" for i in range(n)]),
+            var=pd.DataFrame(index=[f"g{j}" for j in range(g)]),
+        )
+        ad.obsm["spatial"] = rng.uniform(0, 10, (n, 2))
+        ad.obsm["spatial3d"] = rng.uniform(0, 10, (n, 3))
+        ad.uns["__type"] = "UMI"
+        return ad, rng
+
+    def test_highlights_greys_out(self):
+        ad, _ = self._ad()
+        ax = st.pl.scatters(ad, color="leiden", basis="spatial", highlights=["0"], save_show_or_return="return")
+        labels = {t.get_text() for t in ax.texts}
+        assert "other" in labels and "0" in labels
+        plt.close("all")
+
+    def test_explicit_values_and_labels(self, ):
+        ad, rng = self._ad()
+        st.pl.scatters(ad, basis="spatial", values=list(rng.normal(0, 1, ad.n_obs)), save_show_or_return="return")
+        st.pl.scatters(ad, basis="spatial", labels=list(rng.choice(["a", "b"], ad.n_obs)), save_show_or_return="return")
+        plt.close("all")
+
+    def test_smooth_reduces_variance(self):
+        ad, rng = self._ad()
+        from spateo_tpu.plotting.scatters import _neighbor_smooth
+
+        v = rng.normal(0, 1, ad.n_obs)
+        sm = _neighbor_smooth(np.asarray(ad.obsm["spatial"]), v, 2)
+        assert sm.std() < v.std()
+
+    def test_3d_projection_and_affine(self):
+        ad, _ = self._ad()
+        st.pl.scatters(ad, color="g1", basis="spatial3d", projection="3d", save_show_or_return="return")
+        st.pl.scatters(ad, color="g1", basis="spatial", affine_transform_degree=90, save_show_or_return="return")
+        plt.close("all")
+
+    def test_vf_overlay_and_return_all(self):
+        ad, rng = self._ad()
+        V = rng.normal(0, 1, (ad.n_obs, 2))
+        fig, axes = st.pl.scatters(ad, color="g1", basis="spatial", V=V, return_all=True)
+        assert fig is not None
+        st.pl.scatters(ad, color="g1", basis="spatial", V=V, vf_plot_method="stream", save_show_or_return="return")
+        plt.close("all")
+
+    def test_frontier_contour_theme(self):
+        ad, _ = self._ad()
+        st.pl.scatters(ad, color="g1", basis="spatial", frontier=True, contour=True, theme="fire", save_show_or_return="return")
+        st.pl.scatters(ad, color="leiden", basis="spatial", color_key_cmap="tab10", save_show_or_return="return")
+        plt.close("all")
