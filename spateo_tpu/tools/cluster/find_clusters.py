@@ -99,11 +99,13 @@ def spagcn_pyg(
 ) -> Optional[AnnData]:
     """SpaGCN spatial-domain detection (parity: find_clusters.py:28).
 
-    The torch_geometric-based original is an optional external; this build
-    ships a functionally-equivalent spectral pipeline: the SpaGCN adjacency
-    (spatial distance + optional histology similarity, exp decay with
-    characteristic length l solved so mean edge weight ~= p) followed by
-    graph-smoothed expression and GMM clustering into n_clusters.
+    The torch_geometric original becomes a JAX pipeline with the SAME
+    training scheme: the SpaGCN adjacency (spatial distance + optional
+    histology similarity, exp decay with characteristic length l solved so
+    mean edge weight ~= p), PCA embedding, then the trained GCN + DEC
+    self-training head (`spagcn_utils.simple_GC_DEC` — KL loss between the
+    student-t soft assignment and the sharpened target, SGD over the GCN
+    weight and cluster centers).
     """
     rng = np.random.default_rng(seed)
     coords = np.asarray(adata.obsm["spatial"], dtype=float)
@@ -129,10 +131,11 @@ def spagcn_pyg(
     from ..dimensionality_reduction import randomized_pca_centered
 
     emb, _, _ = randomized_pca_centered(X, min(50, X.shape[1] - 1))
-    smoothed = A @ emb  # one propagation step (GCN layer analogue)
-    from sklearn.mixture import GaussianMixture
+    from .spagcn_utils import simple_GC_DEC
 
-    labels = GaussianMixture(n_components=n_clusters, random_state=seed).fit_predict(smoothed)
+    model = simple_GC_DEC(emb.shape[1], emb.shape[1], alpha=0.2)
+    model.fit(emb, A, n_clusters=n_clusters, seed=seed)
+    _, labels = model.predict()
     out = adata.copy() if copy else adata
     out.obs["spagcn_pred"] = labels.astype(str)
     if refine_shape is not None:

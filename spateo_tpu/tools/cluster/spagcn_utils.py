@@ -112,31 +112,101 @@ class GraphConvolution:
 
 
 class simple_GC_DEC:
-    """GCN + DEC clustering head (parity surface: spagcn_utils.py
-    simple_GC_DEC — the trained model in this framework is the jax GCN in
-    find_clusters.spagcn_pyg; this class provides the same predict API over
-    a precomputed embedding)."""
+    """GCN + DEC clustering head with real self-training (parity:
+    reference spagcn_utils.py:334 simple_GC_DEC — torch GCN + KL
+    deep-embedded-clustering loop, re-done as a jitted optax scan: the
+    target distribution p refreshes every `update_interval` epochs on the
+    host, each refresh runs an update_interval-long jitted SGD block over
+    both the GCN weight and the cluster centers mu)."""
 
     def __init__(self, nfeat: int, nhid: int, alpha: float = 0.2):
+        self.nfeat, self.nhid = nfeat, nhid
         self.gc = GraphConvolution(nfeat, nhid)
         self.alpha = alpha
         self.mu = None
+        self.params = None
 
-    def fit(self, X, adj, n_clusters: int = 10, **kwargs):
-        import numpy as np
+    def _soft_assign(self, params, X, A):
+        import jax.numpy as jnp
+
+        z = A @ (X @ params["W"])
+        d2 = jnp.sum((z[:, None, :] - params["mu"][None, :, :]) ** 2, axis=-1)
+        q = (1.0 + d2 / self.alpha) ** (-(self.alpha + 1.0) / 2.0)
+        return q / jnp.sum(q, axis=1, keepdims=True)
+
+    @staticmethod
+    def target_distribution(q: np.ndarray) -> np.ndarray:
+        """DEC sharpened target p = (q^2 / f) normalized (reference :361)."""
+        w = q**2 / q.sum(axis=0, keepdims=True)
+        return w / w.sum(axis=1, keepdims=True)
+
+    def loss_function(self, p, q):
+        """KLD(p || q) (reference :354)."""
+        import jax.numpy as jnp
+
+        return jnp.mean(jnp.sum(p * jnp.log(jnp.maximum(p, 1e-6) / jnp.maximum(q, 1e-6)), axis=1))
+
+    def fit(
+        self,
+        X,
+        adj,
+        lr: float = 0.005,
+        max_epochs: int = 200,
+        update_interval: int = 3,
+        n_clusters: int = 10,
+        tol: float = 1e-3,
+        seed: int = 0,
+        **kwargs,
+    ):
+        import jax
+        import jax.numpy as jnp
+        import optax
         from sklearn.cluster import KMeans
 
-        emb = np.asarray(self.gc(X, adj))
-        km = KMeans(n_clusters=n_clusters, n_init=10, random_state=0).fit(emb)
-        self.mu = km.cluster_centers_
-        self._emb = emb
+        Xd = jnp.asarray(np.asarray(X), jnp.float32)
+        Ad = jnp.asarray(np.asarray(adj), jnp.float32)
+        params = {"W": jnp.asarray(self.gc.weight)}
+        emb0 = np.asarray(Ad @ (Xd @ params["W"]))
+        km = KMeans(n_clusters=n_clusters, n_init=10, random_state=seed).fit(emb0)
+        params["mu"] = jnp.asarray(km.cluster_centers_, jnp.float32)
+        opt = optax.sgd(lr, momentum=0.9)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def train_block(params, opt_state, p):
+            def step(carry, _):
+                params, opt_state = carry
+
+                def loss_fn(params):
+                    return self.loss_function(p, self._soft_assign(params, Xd, Ad))
+
+                loss, g = jax.value_and_grad(loss_fn)(params)
+                upd, opt_state = opt.update(g, opt_state)
+                return (optax.apply_updates(params, upd), opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(step, (params, opt_state), None, length=update_interval)
+            return params, opt_state, self._soft_assign(params, Xd, Ad), losses
+
+        y_prev = km.labels_
+        soft = jax.jit(lambda prm: self._soft_assign(prm, Xd, Ad))
+        for it in range(max(max_epochs // max(update_interval, 1), 1)):
+            p = self.target_distribution(np.asarray(soft(params)))
+            params, opt_state, q, _ = train_block(params, opt_state, jnp.asarray(p))
+            y = np.asarray(q).argmax(axis=1)
+            delta = float((y != y_prev).mean())
+            y_prev = y
+            if it > 0 and delta < tol:
+                break
+        self.params = params
+        self.mu = np.asarray(params["mu"])
+        self._X, self._A = Xd, Ad
         return self
 
     def predict(self):
-        d2 = ((self._emb[:, None, :] - self.mu[None, :, :]) ** 2).sum(-1)
-        q = (1.0 + d2 / self.alpha) ** (-(self.alpha + 1.0) / 2.0)
-        q = q / q.sum(1, keepdims=True)
-        return q, np.argmax(q, axis=1)
+        import jax
+
+        q = np.asarray(jax.jit(lambda prm: self._soft_assign(prm, self._X, self._A))(self.params))
+        return q, q.argmax(axis=1)
 
 
 class SpaGCN:
