@@ -407,3 +407,38 @@ class TestDistributedHelpers:
 
         with pytest.raises(MeshError):
             st.parallel.global_mesh(("data", "model"), shape=(3, 5))
+
+
+class TestSpaGCNDEC:
+    def test_dec_recovers_two_domains(self):
+        """The trained GCN+DEC head (reference spagcn_utils.py:334) recovers
+        two spatially separated expression domains perfectly."""
+        from sklearn.metrics import adjusted_rand_score
+
+        rng = np.random.default_rng(0)
+        n = 160
+        half = n // 2
+        coords = np.r_[rng.uniform(0, 5, (half, 2)), rng.uniform(6, 11, (half, 2))]
+        X = np.r_[rng.poisson(2, (half, 15)), rng.poisson(6, (half, 15))].astype(float)
+        ad = st.AnnData(X=X, obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                        var=pd.DataFrame(index=[f"g{j}" for j in range(15)]))
+        ad.obsm["spatial"] = coords
+        ad.uns["__type"] = "UMI"
+        st.tl.spagcn_pyg(ad, n_clusters=2, seed=1)
+        truth = np.r_[np.zeros(half), np.ones(half)]
+        ari = adjusted_rand_score(truth, np.asarray(ad.obs["spagcn_pred"]).astype(str))
+        assert ari > 0.8, ari
+
+    def test_dec_head_api(self):
+        from spateo_tpu.tools.cluster.spagcn_utils import simple_GC_DEC
+
+        rng = np.random.default_rng(1)
+        n, f = 60, 8
+        X = rng.normal(0, 1, (n, f))
+        A = np.eye(n) * 0.5 + np.ones((n, n)) / (2 * n)
+        m = simple_GC_DEC(f, f)
+        m.fit(X, A, n_clusters=3, max_epochs=15)
+        q, y = m.predict()
+        assert q.shape == (n, 3)
+        np.testing.assert_allclose(q.sum(1), 1.0, atol=1e-4)
+        assert m.target_distribution(q).shape == (n, 3)
