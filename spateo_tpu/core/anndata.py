@@ -374,9 +374,12 @@ def _write_df(f, name: str, df: pd.DataFrame, compression):
     g.attrs["column-order"] = list(map(str, df.columns))
     g.create_dataset("_index", data=np.asarray(df.index.astype(str), dtype=h5py.string_dtype()))
     for col in df.columns:
-        vals = df[col].values
-        if isinstance(df[col].dtype, pd.CategoricalDtype) or vals.dtype == object or vals.dtype.kind in "US":
-            g.create_dataset(str(col), data=np.asarray(vals.astype(str), dtype=h5py.string_dtype()))
+        vals = np.asarray(df[col].values)
+        # anything non-numeric/bool round-trips as strings (covers object,
+        # numpy str_, pandas Categorical AND pandas>=3 arrow-backed string
+        # dtypes, whose .values dtype is neither object nor 'U')
+        if isinstance(df[col].dtype, pd.CategoricalDtype) or vals.dtype.kind not in "biufc":
+            g.create_dataset(str(col), data=np.asarray(df[col].astype(str).values, dtype=h5py.string_dtype()))
         else:
             g.create_dataset(str(col), data=vals, compression=compression)
 

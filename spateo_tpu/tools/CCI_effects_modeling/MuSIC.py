@@ -880,6 +880,119 @@ class MuSIC:
                 closest[key].append(name_i)
         return closest
 
+    def map_new_cells(self):
+        """Project an existing fit onto cells added to the AnnData after the
+        model was fit (parity: reference MuSIC.py:2419): every cell absent
+        from the fitted (subsampled) set is mapped to its closest fitted
+        cell with a matching zero/nonzero expression pattern, and the
+        subsampling JSON checkpoints are extended in place."""
+        parent_dir = os.path.dirname(self.output_path) or "."
+        Path(os.path.join(parent_dir, "subsampling")).mkdir(parents=True, exist_ok=True)
+        _, filename = os.path.split(self.output_path)
+        filename = os.path.splitext(filename)[0]
+        neighboring_unsampled_path = os.path.join(parent_dir, "subsampling", f"{filename}.json")
+        subsampled_names_path = os.path.join(parent_dir, "subsampling", f"{filename}_cell_names.json")
+
+        if os.path.exists(neighboring_unsampled_path):
+            with open(neighboring_unsampled_path) as f:
+                self.neighboring_unsampled = json.load(f)
+            with open(subsampled_names_path) as f:
+                self.subsampled_sample_names = json.load(f)
+        else:
+            # no checkpoint on disk: keep any in-memory subsampling state
+            # (the initial fit's), else the fitted set is all cells
+            self.neighboring_unsampled = getattr(self, "neighboring_unsampled", None) or {}
+            self.subsampled_sample_names = getattr(self, "subsampled_sample_names", None) or {}
+
+        y_arr = self.targets_expr if hasattr(self, "targets_expr") else self.target
+        for target in y_arr.columns:
+            fitted_names = self.subsampled_sample_names.get(target)
+            if fitted_names is None:
+                fitted_names = [str(n) for n in getattr(self, "fitted_sample_names", self.sample_names)]
+            fitted_set = set(map(str, fitted_names))
+            sampled_idx = np.asarray([i for i, n in enumerate(self.sample_names) if str(n) in fitted_set], int)
+            if len(sampled_idx) == 0 or len(sampled_idx) == self.n_samples:
+                continue
+            closest = self._closest_sampled_map(self.coords, y_arr[target].values, sampled_idx, self.sample_names)
+            merged = self.neighboring_unsampled.get(target, {})
+            for k, v in closest.items():
+                merged.setdefault(k, [])
+                merged[k] = sorted(set(merged[k]) | set(v))
+            self.neighboring_unsampled[target] = merged
+            self.subsampled_sample_names[target] = sorted(fitted_set)
+
+        with open(neighboring_unsampled_path, "w") as f:
+            json.dump(self.neighboring_unsampled, f)
+        with open(subsampled_names_path, "w") as f:
+            json.dump(self.subsampled_sample_names, f)
+        self.logger.info("map_new_cells: neighbor mapping extended for all targets.")
+
+    def setup_downstream(self, adata=None):
+        """Set up the downstream (signaling-associated differential
+        expression) model (parity: reference MuSIC.py:654): load the L:R,
+        receptor-TF, TF-TF, cofactor and GRN databases for the species and
+        select the measured, expression-thresholded transcription factors
+        that will act as regulators."""
+        if adata is not None:
+            self.adata = adata
+        self._load_db()
+        from scipy.sparse import issparse
+
+        names = list(map(str, self.adata.var_names))
+        X = self.adata.X.toarray() if issparse(self.adata.X) else np.asarray(self.adata.X, dtype=float)
+        tf_pool = set()
+        if getattr(self, "r_tf_db", None) is not None:
+            tf_pool |= set(map(str, self.r_tf_db["tf"]))
+        if getattr(self, "tf_target_db", None) is not None:
+            tf_pool |= set(map(str, self.tf_target_db["TF"]))
+        tfs = [t for t in sorted(tf_pool) if t in names]
+        if tfs:
+            pct = (pd.DataFrame(X, columns=names)[tfs] > 0).mean(axis=0)
+            thr = getattr(self, "target_expr_threshold", 0.05)
+            tfs = [t for t in tfs if pct[t] > thr]
+        self.tfs_for_downstream = tfs
+        self.logger.info(f"setup_downstream: {len(tfs)} measured TFs retained as regulators.")
+        return tfs
+
+    def local_fit(
+        self,
+        i: int,
+        y: np.ndarray,
+        X: np.ndarray,
+        bw,
+        y_label: str = "target",
+        coords: Optional[np.ndarray] = None,
+        mask_indices: Optional[np.ndarray] = None,
+        feature_mask: Optional[np.ndarray] = None,
+        final: bool = False,
+        fit_predictor: bool = False,
+    ):
+        """Local weighted fit for ONE sample (parity: reference
+        MuSIC.py:2665) — the per-cell entry under `mpi_fit`'s batched
+        fan-out, running the same conditioned-weights + IWLS kernels with a
+        single-query chunk. Returns the beta row when `final`, else
+        ``[i, diagnostic, hat_i, *inv_diag]`` like the reference's
+        bandwidth-selection output."""
+        from .regression_utils import iwls_batch_full
+
+        y = np.asarray(y, float).ravel()
+        X = np.asarray(X, float)
+        chunk = np.asarray([int(i)], int)
+        distr = "gaussian" if (self.distr == "gaussian" or fit_predictor) else self.distr
+        W = self._conditioned_weights(y, bw, chunk)
+        if mask_indices is not None and len(mask_indices):
+            W = np.asarray(W)
+            W[:, np.asarray(mask_indices, int)] = 0.0
+        Xfit = X if feature_mask is None else X * np.asarray(feature_mask, float)[None, :]
+        clip = float(self.clip) if np.isscalar(self.clip) else 5.0
+        betas, hats, inv_diag, preds = iwls_batch_full(
+            y, Xfit, W, focal=chunk, distr=distr, ridge_lambda=self.ridge_lambda, clip=clip
+        )
+        if final:
+            return betas[0]
+        diagnostic = float(y[int(i)] - preds[0]) if distr == "gaussian" else float(preds[0])
+        return [float(i), diagnostic, float(hats[0])] + list(np.asarray(inv_diag[0]).ravel())
+
     # -- bandwidth ----------------------------------------------------------
     def _set_search_range(self):
         """Bandwidth search range (parity: reference MuSIC.py:2530)."""

@@ -472,3 +472,55 @@ class TestEffectPotential:
             # stored in .obs
             keys = [k for k in interp.adata.obs.columns if k.startswith("norm_sum_sent_effect_potential")]
             assert keys
+
+
+class TestParityMethods:
+    """MuSIC-level parity methods: local_fit (reference MuSIC.py:2665),
+    map_new_cells (:2419), setup_downstream (:654)."""
+
+    def _model(self, lr_adata, tmp):
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC
+        from spateo_tpu.tools.CCI_effects_modeling.SWR import define_spateo_argparse
+
+        parser, args_list = define_spateo_argparse(
+            mod_type="ligand", species="human", output_path=f"{tmp}/out.csv",
+            custom_ligands=["TGFB1", "DLL1"], custom_targets=["TGT1"],
+            bw_fixed=True, bw=8.0, fit_intercept=True,
+        )
+        model = MuSIC(parser, args_list)
+        model.adata = lr_adata.copy()
+        model.load_and_process()
+        model.define_sig_inputs()
+        return model
+
+    def test_local_fit_matches_batched_row(self, lr_adata):
+        with tempfile.TemporaryDirectory() as tmp:
+            m = self._model(lr_adata, tmp)
+            target = list(m.targets_expr.columns)[0]
+            y = np.asarray(m.targets_expr[target].values, float)
+            X = np.asarray(m.X_df.values, float)
+            m.x_chunk = np.arange(m.n_samples)
+            b_one = m.local_fit(5, y, X, bw=8, final=True)
+            B = m.mpi_fit(y, X, y_label=target, bw=8, final=True)
+            np.testing.assert_allclose(b_one, B[5], rtol=1e-4, atol=1e-5)
+            out = m.local_fit(5, y, X, bw=8, final=False)
+            assert out[0] == 5.0 and len(out) == 3 + X.shape[1]
+
+    def test_map_new_cells_extends_mapping(self, lr_adata):
+        with tempfile.TemporaryDirectory() as tmp:
+            m = self._model(lr_adata, tmp)
+            target = list(m.targets_expr.columns)[0]
+            fitted = [str(n) for n in m.sample_names[: m.n_samples - 20]]
+            m.subsampled_sample_names = {target: fitted}
+            m.neighboring_unsampled = {target: {}}
+            m.map_new_cells()
+            mapped = m.neighboring_unsampled[target]
+            assert sum(len(v) for v in mapped.values()) == 20
+            assert set(mapped.keys()) <= set(fitted)
+
+    def test_setup_downstream_selects_measured_tfs(self, lr_adata):
+        with tempfile.TemporaryDirectory() as tmp:
+            m = self._model(lr_adata, tmp)
+            tfs = m.setup_downstream()
+            assert isinstance(tfs, list)
+            assert all(t in set(map(str, m.adata.var_names)) for t in tfs)
