@@ -252,6 +252,15 @@ def _inlier_from_NN_kernel(train_x, train_y, distance, mask, n_valid, max_iter: 
     return P, s["R"], s["t"], weight0, s["sigma2"], gamma
 
 
+@partial(jax.jit, static_argnames=("kth", "metric"))
+def min_dist_order_stat(X, Y, kth: int, metric: str = "kl"):
+    """kth order statistic of the per-row minimum pairwise distance, fused
+    on device (probability-parameter init) — only the scalar crosses the
+    tunnel."""
+    [D] = calc_distance(X, Y, metric=metric)
+    return jnp.sort(jnp.min(D, axis=1))[kth]
+
+
 @partial(jax.jit, static_argnames=("metric", "top_k"))
 def mutual_topk_distance(X, Y, n_x, n_y, metric: str = "kl", top_k: int = 10):
     """Device-side mutual top-K nearest matching on a padded distance
@@ -483,6 +492,54 @@ def estep_reduced(
     materialized."""
     NA, D = XAHat.shape
     B = coordsB_batch.shape[0]
+
+    # Dense fast path: with one chunk the [NA, B] probability tensors fit
+    # in HBM, so compute them ONCE and feed both the column normalizers and
+    # the reductions — the chunked variant recomputes every GEMM and exp in
+    # pass 2 (the memory-bound discipline only pays off when it must).
+    if n_chunks <= 1:
+        b2d = jnp.sum(coordsB_batch * coordsB_batch, axis=1)[None, :]
+        d = jnp.maximum(
+            jnp.sum(XAHat * XAHat, 1)[:, None] + b2d - 2.0 * jnp.matmul(XAHat, coordsB_batch.T, precision="highest"),
+            0.0,
+        )
+        prob_v = jnp.exp(-d / (2 * sigma2 / sigma2_variance))
+        prob_s = jnp.exp(-d / (2 * sigma2))
+        full = prob_s
+        for l in range(len(exp_a_rows)):
+            e_d = (
+                exp_a_rows[l][:, None]
+                + exp_b_batch[l][None, :]
+                + jnp.matmul(exp_A_feats[l], exp_B_batch[l].T, precision="highest")
+            )
+            full = full * calc_probability(e_d, probability_type[l], probability_parameters[l])
+        mm = model_mul_vec[:, None]
+        prob_v_m = prob_v * mm
+        prob_s_m = prob_s * mm
+        full_m = full * mm
+
+        c1_raw = prob_v.sum(0)
+        outlier_s = samples_s * NA
+        spatial_outlier = jnp.power(2 * jnp.pi * sigma2, Dim / 2) * (1 - gamma) / (gamma * outlier_s)
+        spatial_inlier = 1 - spatial_outlier / (spatial_outlier + c1_raw)
+        P1 = prob_v_m / (spatial_outlier + prob_v_m.sum(0))[None, :]
+        P2 = spatial_inlier[None, :] * prob_s_m / (prob_s_m.sum(0) + eps)[None, :]
+        P3 = spatial_inlier[None, :] * full_m / (full_m.sum(0) + eps)[None, :]
+        k_sparse = min(int(sparse_top_k), NA) if sparse_top_k and sparse_top_k > 0 else 0
+        if k_sparse and k_sparse < NA:
+            topk_vals, _ = jax.lax.top_k(full_m.T, k_sparse)  # [B, k]
+            P3 = jnp.where(full_m >= topk_vals[:, -1][None, :], P3, 0.0)
+        return dict(
+            K_NA=P3.sum(1),
+            K_NA_spatial=P1.sum(1),
+            K_NA_sigma2=P2.sum(1),
+            K_NB=P3.sum(0),
+            Sp=P3.sum(),
+            sigma2_related=(P2 * d).sum(),
+            PXB=jnp.matmul(P3, coordsB_batch, precision="highest"),
+            M1=jnp.matmul(coordsA.T, jnp.matmul(P3, coordsB_batch, precision="highest"), precision="highest"),
+        )
+
     C = -(-NA // n_chunks)  # chunk rows
     pad = C * n_chunks - NA
 
