@@ -340,16 +340,20 @@ def voxel_data(
     return vox_coords, vox_exp
 
 
+@jax.jit
+def _sigma2_sum(XA, XB):
+    return jnp.sum(euc_dist(XA, XB, squared=True) ** 2)
+
+
 def init_guess_sigma2(XA: np.ndarray, XB: np.ndarray, subsample: int = 20000) -> float:
-    """Initial sigma2 guess (parity: methods/utils.py:1339)."""
+    """Initial sigma2 guess (parity: methods/utils.py:1339). The whole
+    distance + square + sum runs as one fused device program; only the
+    scalar crosses the tunnel."""
     rng = np.random.default_rng(0)
     NA, NB, D = XA.shape[0], XB.shape[0], XA.shape[1]
     sa = rng.choice(NA, subsample, replace=False) if NA > subsample else np.arange(NA)
     sb = rng.choice(NB, subsample, replace=False) if NB > subsample else np.arange(NB)
-    # reduce on device: pulling the [n, n] matrix to host costs GBs of
-    # tunnel transfer at 20k cells; the scalar sum is 4 bytes
-    d2sum = jnp.sum(euc_dist(jnp.asarray(XA[sa]), jnp.asarray(XB[sb]), squared=True) ** 2)
-    return float(d2sum) / (D * len(sa) * len(sa))
+    return float(_sigma2_sum(jnp.asarray(XA[sa]), jnp.asarray(XB[sb]))) / (D * len(sa) * len(sa))
 
 
 def normalize_coords(

@@ -657,6 +657,12 @@ class Morpho_pairwise:
             self.normalize_scales = np.ones(2)
             self.normalize_means = np.zeros((2, self.D))
 
+        # device residency: the [N, G] expression arrays are the big tunnel
+        # uploads — push them once; probability-parameter init, the distance
+        # factorization and the EM all reuse the same device buffers
+        self._exp_A_dev = [jnp.asarray(a) for a in self.exp_layers_A]
+        self._exp_B_dev = [jnp.asarray(b) for b in self.exp_layers_B]
+
     def _construct_kernel(self, inducing_variables_num: int):
         unique_coords, unique_idx = np.unique(self.coordsA, return_index=True, axis=0)
         if unique_coords.shape[0] > inducing_variables_num:
@@ -711,14 +717,20 @@ class Morpho_pairwise:
             if self.probability_parameters[i] is not None:
                 continue
             if p_t == "gauss":
-                sa = self.rng.choice(self.NA, subsample, replace=False) if self.NA > subsample else np.arange(self.NA)
-                sb = self.rng.choice(self.NB, subsample, replace=False) if self.NB > subsample else np.arange(self.NB)
-                [exp_dist] = calc_distance(exp_A[sa], exp_B[sb], metric=d_s)
-                min_exp_dist = np.asarray(jnp.min(exp_dist, axis=1))
-                order = np.argsort(min_exp_dist)
-                self.probability_parameters[i] = max(
-                    float(min_exp_dist[order[int(len(sa) * 0.05)]] / 5), 0.01
-                )
+                # reuse the resident device buffers; the distance + row-min +
+                # order statistic run fused on device and only a scalar comes
+                # back over the tunnel
+                from .math import min_dist_order_stat
+
+                exp_A_dev = self._exp_A_dev[i] if hasattr(self, "_exp_A_dev") else jnp.asarray(exp_A)
+                exp_B_dev = self._exp_B_dev[i] if hasattr(self, "_exp_B_dev") else jnp.asarray(exp_B)
+                if self.NA > subsample:
+                    exp_A_dev = exp_A_dev[jnp.asarray(self.rng.choice(self.NA, subsample, replace=False))]
+                if self.NB > subsample:
+                    exp_B_dev = exp_B_dev[jnp.asarray(self.rng.choice(self.NB, subsample, replace=False))]
+                kth = int(exp_A_dev.shape[0] * 0.05)
+                stat = min_dist_order_stat(exp_A_dev, exp_B_dev, kth, metric=d_s)
+                self.probability_parameters[i] = max(float(stat) / 5, 0.01)
             else:
                 self.probability_parameters[i] = 0.0  # unused by 'prob'/'cos'
 
@@ -810,10 +822,12 @@ class Morpho_pairwise:
             float(np.prod(self.coordsB.max(0) - self.coordsB.min(0))),
         )
 
+        # device-resident: con_K returns a device array; pulling it to host
+        # only to re-upload into the EM costs a [NA, K] tunnel round-trip
         U = (
             self._U_precomputed
             if getattr(self, "_U_precomputed", None) is not None
-            else np.asarray(con_K(self.coordsA, self.inducing_variables, self.beta))
+            else con_K(self.coordsA, self.inducing_variables, self.beta)
         )
 
         # guidance pairs: normalize into the EM frame (same stats as the
@@ -844,9 +858,11 @@ class Morpho_pairwise:
         # [L, NA, NB] tensor)
         from .math import factorize_distance
 
+        exp_A_src = getattr(self, "_exp_A_dev", None) or [jnp.asarray(a) for a in self.exp_layers_A]
+        exp_B_src = getattr(self, "_exp_B_dev", None) or [jnp.asarray(b) for b in self.exp_layers_B]
         factors = [
-            factorize_distance(jnp.asarray(a), jnp.asarray(b), m, self.label_transfer)
-            for a, b, m in zip(self.exp_layers_A, self.exp_layers_B, self.dissimilarity)
+            factorize_distance(a, b, m, self.label_transfer)
+            for a, b, m in zip(exp_A_src, exp_B_src, self.dissimilarity)
         ]
         exp_a_rows = tuple(f[0] for f in factors)
         exp_b_cols = tuple(f[1] for f in factors)
