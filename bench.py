@@ -40,14 +40,18 @@ import numpy as np
 def make_raster(h, w, seed=0):
     rng = np.random.default_rng(seed)
     X = rng.negative_binomial(1, 0.5, (h, w)).astype(np.float32)
-    # sprinkle cells: disks of elevated counts
-    yy, xx = np.mgrid[0:h, 0:w]
+    # sprinkle cells: disks of elevated counts (local patches — the full
+    # [h, w] mask per cell is O(cells * h * w) and dominates at 2048^2+)
     n_cells = (h * w) // 2500
     for i in range(n_cells):
-        cy, cx = rng.integers(0, h), rng.integers(0, w)
-        r = rng.integers(4, 10)
+        cy, cx = int(rng.integers(0, h)), int(rng.integers(0, w))
+        r = int(rng.integers(4, 10))
+        y0, y1 = max(cy - r, 0), min(cy + r + 1, h)
+        x0, x1 = max(cx - r, 0), min(cx + r + 1, w)
+        yy, xx = np.mgrid[y0:y1, x0:x1]
         mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
-        X[mask] += rng.negative_binomial(8, 0.35, int(mask.sum())).astype(np.float32)
+        patch = X[y0:y1, x0:x1]
+        patch[mask] += rng.negative_binomial(8, 0.35, int(mask.sum())).astype(np.float32)
     return X
 
 
