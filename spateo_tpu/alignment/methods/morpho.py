@@ -482,6 +482,7 @@ class Morpho_pairwise:
         beta: float = 0.01,
         K: int = 15,
         kernel_type: str = "euc",
+        graph: Optional[object] = None,
         graph_knn: int = 10,
         sigma2_init_scale: float = 0.1,
         sigma2_end: Optional[float] = None,
@@ -559,6 +560,7 @@ class Morpho_pairwise:
         self.beta = beta
         self.K = K
         self.kernel_type = kernel_type
+        self.graph = graph
         self.graph_knn = graph_knn
         self.sigma2_init_scale = sigma2_init_scale
         self.sigma2_end = sigma2_end
@@ -685,13 +687,27 @@ class Morpho_pairwise:
             from scipy.spatial import cKDTree
 
             nA = self.coordsA.shape[0]
-            k = min(self.graph_knn + 1, nA)
-            tree = cKDTree(self.coordsA)
-            dists, nbrs = tree.query(self.coordsA, k=k)
-            rows = np.repeat(np.arange(nA), k - 1)
-            cols = nbrs[:, 1:].ravel()
-            vals = dists[:, 1:].ravel()
-            graph = csr_matrix((vals, (rows, cols)), shape=(nA, nA))
+            if self.graph is not None:
+                # precomputed neighbor graph (parity: reference
+                # morpho_class.py:145/:867 `graph`): accept a scipy sparse
+                # adjacency or a networkx-style graph with weighted edges
+                g = self.graph
+                if hasattr(g, "edges"):
+                    rows, cols, vals = [], [], []
+                    for u, v, dd in g.edges(data=True):
+                        rows.append(u); cols.append(v)
+                        vals.append(float(dd.get("weight", 1.0)))
+                    graph = csr_matrix((vals, (rows, cols)), shape=(nA, nA))
+                else:
+                    graph = csr_matrix(g)
+            else:
+                k = min(self.graph_knn + 1, nA)
+                tree = cKDTree(self.coordsA)
+                dists, nbrs = tree.query(self.coordsA, k=k)
+                rows = np.repeat(np.arange(nA), k - 1)
+                cols = nbrs[:, 1:].ravel()
+                vals = dists[:, 1:].ravel()
+                graph = csr_matrix((vals, (rows, cols)), shape=(nA, nA))
             D, preds = dijkstra(graph, directed=False, indices=idx, return_predecessors=True)  # [K, NA]
             # first hop from each source point toward each inducing point:
             # the predecessor of i on the path from inducing k IS the next

@@ -551,3 +551,40 @@ class TestFlashEstep:
         colsums = P.sum(0)
         assert (colsums <= 1.0 + 1e-4).all()  # outlier model: column mass <= 1
         assert colsums.mean() > 0.3  # most mass assigned (aligned slices)
+
+
+class TestPrecomputedGraph:
+    def test_geodist_accepts_precomputed_graph(self):
+        """`graph` parameter parity (reference morpho_class.py:145): a
+        precomputed sparse KNN adjacency produces the same geodesic kernel
+        as the internally built one."""
+        from scipy.sparse import csr_matrix
+        from scipy.spatial import cKDTree
+
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+        rng = np.random.default_rng(0)
+        n, g = 300, 10
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        X = rng.poisson(2.0, (n, g)).astype(np.float32)
+        ptsA = pts + 0.3
+
+        def mk(p):
+            a = st.AnnData(X=X.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                           var=pd.DataFrame(index=[f"g{j}" for j in range(g)]))
+            a.obsm["spatial"] = p.copy()
+            a.uns["__type"] = "UMI"
+            return a
+
+        m = Morpho_pairwise(sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial",
+                            key_added="align", max_iter=10, verbose=False,
+                            kernel_type="geodist", nn_init=False)
+        m.run()
+        d, nb = cKDTree(ptsA).query(ptsA, k=11)
+        rows = np.repeat(np.arange(n), 10)
+        G = csr_matrix((d[:, 1:].ravel(), (rows, nb[:, 1:].ravel())), shape=(n, n))
+        m2 = Morpho_pairwise(sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial",
+                             key_added="align", max_iter=10, verbose=False,
+                             kernel_type="geodist", graph=G, nn_init=False)
+        m2.run()
+        np.testing.assert_allclose(np.asarray(m.XAHat), np.asarray(m2.XAHat), atol=1e-4)
