@@ -544,124 +544,86 @@ def estep_reduced(
             M1=jnp.matmul(coordsA.T, jnp.matmul(P3, coordsB_batch, precision="highest"), precision="highest"),
         )
 
-    C = -(-NA // n_chunks)  # chunk rows
-    pad = C * n_chunks - NA
+    # ---- chunked path: iterate over COLUMNS of the [NA, B] block ----
+    # The normalizers are per-column sums over the whole NA axis, so a
+    # column chunk sees its full denominators immediately: ONE streaming
+    # pass computes every reduction (the earlier row-chunked variant needed
+    # a second pass that recomputed all GEMMs and transcendentals).
+    Bc = -(-B // n_chunks)  # chunk columns
+    padB = Bc * n_chunks - B
 
-    def pad_rows(x, fill=0.0):
-        if pad == 0:
+    def pad_cols(x, fill=0.0):
+        if padB == 0:
             return x
-        cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        cfg = [(0, padB)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, cfg, constant_values=fill)
 
-    # padded rows sit far away (huge spatial distance -> prob 0) and carry
-    # zero model_mul, so they contribute to nothing
-    XA_p = pad_rows(XAHat, 1e6).reshape(n_chunks, C, D)
-    cA_p = pad_rows(coordsA, 0.0).reshape(n_chunks, C, D)
-    mm_p = pad_rows(model_mul_vec, 0.0).reshape(n_chunks, C)
-    a_p = tuple(pad_rows(a, 0.0).reshape(n_chunks, C) for a in exp_a_rows)
-    A_p = tuple(pad_rows(A, 0.0).reshape(n_chunks, C, -1) for A in exp_A_feats)
+    # padded columns sit far away (huge spatial distance -> prob 0); their
+    # normalizers degenerate to the outlier-only denominator, giving exact
+    # zero contributions to every reduction
+    cB_p = pad_cols(coordsB_batch, 1e6).reshape(n_chunks, Bc, D)
+    b_p = tuple(pad_cols(b, 0.0).reshape(n_chunks, Bc) for b in exp_b_batch)
+    B_p = tuple(pad_cols(Bf, 0.0).reshape(n_chunks, Bc, -1) for Bf in exp_B_batch)
 
-    b2 = jnp.sum(coordsB_batch * coordsB_batch, axis=1)[None, :]  # [1, B]
-
-    def chunk_probs(xa, aa, AA, mm):
-        # spatial squared distance for this chunk [C, B]
-        d = jnp.maximum(
-            jnp.sum(xa * xa, 1)[:, None] + b2 - 2.0 * jnp.matmul(xa, coordsB_batch.T, precision="highest"), 0.0
-        )
-        prob_v = jnp.exp(-d / (2 * sigma2 / sigma2_variance))  # variance-scaled
-        prob_s = jnp.exp(-d / (2 * sigma2))
-        full = prob_s
-        for l in range(len(aa)):
-            e_d = aa[l][:, None] + exp_b_batch[l][None, :] + jnp.matmul(AA[l], exp_B_batch[l].T, precision="highest")
-            full = full * calc_probability(e_d, probability_type[l], probability_parameters[l])
-        return d, prob_v, prob_s * mm[:, None], full * mm[:, None], prob_v * mm[:, None]
-
-    # ---- pass 1: column normalizers ----
-    def pass1(carry, inp):
-        c1_raw, c1m, c2, c3 = carry
-        xa, ca, mm, aa, AA = inp
-        _, prob_v, prob_s_m, full_m, prob_v_m = chunk_probs(xa, aa, AA, mm)
-        return (
-            c1_raw + prob_v.sum(0),
-            c1m + prob_v_m.sum(0),
-            c2 + prob_s_m.sum(0),
-            c3 + full_m.sum(0),
-        ), None
-
-    zeros_b = jnp.zeros(B, jnp.float32)
-    (c1_raw, c1m, c2, c3), _ = jax.lax.scan(
-        pass1, (zeros_b, zeros_b, zeros_b, zeros_b), (XA_p, cA_p, mm_p, a_p, A_p)
-    )
-
+    a2 = jnp.sum(XAHat * XAHat, axis=1)[:, None]  # [NA, 1]
+    mm_col = model_mul_vec[:, None]
     outlier_s = samples_s * NA
     spatial_outlier = jnp.power(2 * jnp.pi * sigma2, Dim / 2) * (1 - gamma) / (gamma * outlier_s)
-    spatial_inlier = 1 - spatial_outlier / (spatial_outlier + c1_raw)  # [B]
-    denom1 = spatial_outlier + c1m  # [B]
-    denom2 = c2 + eps
-    denom3 = c3 + eps
-
-    # ---- pass 1.5 (sparse mode): per-column top-k threshold on P's
-    # numerator (denominator is a positive per-column scalar, so ranking by
-    # the numerator ranks P itself) ----
     k_sparse = min(int(sparse_top_k), NA) if sparse_top_k and sparse_top_k > 0 else 0
-    if k_sparse and k_sparse < NA:
 
-        def passk(carry, inp):
-            topk = carry  # [B, k] running top values per column
-            xa, ca, mm, aa, AA = inp
-            _, _, _, full_m, _ = chunk_probs(xa, aa, AA, mm)
-            cand = jnp.concatenate([topk, full_m.T], axis=1)  # [B, k + C]
-            topk_new, _ = jax.lax.top_k(cand, k_sparse)
-            return topk_new, None
+    def chunk_cols(cb, bb, BB):
+        d = jnp.maximum(
+            a2 + jnp.sum(cb * cb, 1)[None, :] - 2.0 * jnp.matmul(XAHat, cb.T, precision="highest"), 0.0
+        )
+        prob_v = jnp.exp(-d / (2 * sigma2 / sigma2_variance))
+        prob_s = jnp.exp(-d / (2 * sigma2))
+        full = prob_s
+        for l in range(len(exp_a_rows)):
+            e_d = exp_a_rows[l][:, None] + bb[l][None, :] + jnp.matmul(exp_A_feats[l], BB[l].T, precision="highest")
+            full = full * calc_probability(e_d, probability_type[l], probability_parameters[l])
+        return d, prob_v, prob_s * mm_col, full * mm_col, prob_v * mm_col
 
-        topk0 = jnp.full((B, k_sparse), -jnp.inf, jnp.float32)
-        topk_vals, _ = jax.lax.scan(passk, topk0, (XA_p, cA_p, mm_p, a_p, A_p))
-        col_tau = topk_vals[:, -1]  # [B] k-th largest numerator per column
-    else:
-        col_tau = None
-
-    # ---- pass 2: reductions ----
-    def pass2(carry, inp):
+    def body(carry, inp):
         (K_NA, K_NA_sp, K_NA_s2, K_NB, Sp, sig_rel, PXB, M1, idx) = carry
-        xa, ca, mm, aa, AA = inp
-        d, prob_v, prob_s_m, full_m, prob_v_m = chunk_probs(xa, aa, AA, mm)
-        P1 = prob_v_m / denom1[None, :]
-        P2 = spatial_inlier[None, :] * prob_s_m / denom2[None, :]
-        P3 = spatial_inlier[None, :] * full_m / denom3[None, :]
-        if col_tau is not None:
-            P3 = jnp.where(full_m >= col_tau[None, :], P3, 0.0)
-        K_NA = jax.lax.dynamic_update_slice(K_NA, P3.sum(1), (idx * C,))
-        K_NA_sp = jax.lax.dynamic_update_slice(K_NA_sp, P1.sum(1), (idx * C,))
-        K_NA_s2 = jax.lax.dynamic_update_slice(K_NA_s2, P2.sum(1), (idx * C,))
-        K_NB = K_NB + P3.sum(0)
+        cb, bb, BB = inp
+        d, prob_v, prob_s_m, full_m, prob_v_m = chunk_cols(cb, bb, BB)
+        spatial_inlier = 1 - spatial_outlier / (spatial_outlier + prob_v.sum(0))  # [Bc]
+        P1 = prob_v_m / (spatial_outlier + prob_v_m.sum(0))[None, :]
+        P2 = spatial_inlier[None, :] * prob_s_m / (prob_s_m.sum(0) + eps)[None, :]
+        P3 = spatial_inlier[None, :] * full_m / (full_m.sum(0) + eps)[None, :]
+        if k_sparse and k_sparse < NA:
+            topk_vals, _ = jax.lax.top_k(full_m.T, k_sparse)  # [Bc, k]
+            P3 = jnp.where(full_m >= topk_vals[:, -1][None, :], P3, 0.0)
+        K_NA = K_NA + P3.sum(1)
+        K_NA_sp = K_NA_sp + P1.sum(1)
+        K_NA_s2 = K_NA_s2 + P2.sum(1)
+        K_NB = jax.lax.dynamic_update_slice(K_NB, P3.sum(0), (idx * Bc,))
         Sp = Sp + P3.sum()
         sig_rel = sig_rel + (P2 * d).sum()
-        PXB = jax.lax.dynamic_update_slice(PXB, jnp.matmul(P3, coordsB_batch, precision="highest"), (idx * C, 0))
-        M1 = M1 + jnp.matmul(ca.T, jnp.matmul(P3, coordsB_batch, precision="highest"), precision="highest")
+        pxb = jnp.matmul(P3, cb, precision="highest")
+        PXB = PXB + pxb
+        M1 = M1 + jnp.matmul(coordsA.T, pxb, precision="highest")
         return (K_NA, K_NA_sp, K_NA_s2, K_NB, Sp, sig_rel, PXB, M1, idx + 1), None
 
-    NAp = C * n_chunks
     init = (
-        jnp.zeros(NAp, jnp.float32),
-        jnp.zeros(NAp, jnp.float32),
-        jnp.zeros(NAp, jnp.float32),
-        zeros_b,
+        jnp.zeros(NA, jnp.float32),
+        jnp.zeros(NA, jnp.float32),
+        jnp.zeros(NA, jnp.float32),
+        jnp.zeros(Bc * n_chunks, jnp.float32),
         jnp.asarray(0.0, jnp.float32),
         jnp.asarray(0.0, jnp.float32),
-        jnp.zeros((NAp, D), jnp.float32),
+        jnp.zeros((NA, D), jnp.float32),
         jnp.zeros((D, D), jnp.float32),
         0,
     )
-    (K_NA, K_NA_sp, K_NA_s2, K_NB, Sp, sig_rel, PXB, M1, _), _ = jax.lax.scan(
-        pass2, init, (XA_p, cA_p, mm_p, a_p, A_p)
-    )
+    (K_NA, K_NA_sp, K_NA_s2, K_NB, Sp, sig_rel, PXB, M1, _), _ = jax.lax.scan(body, init, (cB_p, b_p, B_p))
     return dict(
-        K_NA=K_NA[:NA],
-        K_NA_spatial=K_NA_sp[:NA],
-        K_NA_sigma2=K_NA_s2[:NA],
-        K_NB=K_NB,
+        K_NA=K_NA,
+        K_NA_spatial=K_NA_sp,
+        K_NA_sigma2=K_NA_s2,
+        K_NB=K_NB[:B],
         Sp=Sp,
         sigma2_related=sig_rel,
-        PXB=PXB[:NA],
+        PXB=PXB,
         M1=M1,
     )
