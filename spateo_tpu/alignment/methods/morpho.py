@@ -111,12 +111,11 @@ def _rebuild_P(
 
 
 def _estep_chunks(NA: int, batch_size: int, hbm_fraction: float = 0.25) -> int:
-    """Number of NA-axis chunks for the flash E-step, sized to the device.
-
-    ~4 [chunk, B] f32 temporaries live per chunk; budget them against a
-    fraction of the accelerator's reported HBM (falls back to 16 GB — a v5e
-    chip — when the backend doesn't report memory stats).
-    """
+    """Number of batch-axis (column) chunks for the flash E-step, sized to
+    the device: ~4 [NA, B/chunks] f32 temporaries live per chunk; budget
+    them against a fraction of the accelerator's reported HBM (falls back
+    to 16 GB — a v5e chip — when the backend doesn't report memory stats).
+    One chunk selects the dense single-pass path."""
     hbm = 16e9
     try:
         stats = jax.devices()[0].memory_stats() or {}
@@ -947,8 +946,9 @@ class Morpho_pairwise:
             nn_init=self.nn_init,
             guidance_effect=guidance_effect,
             guidance_weight=float(self.guidance_weight),
-            # ~4 [chunk, B] f32 temporaries live per E-step chunk: size the
-            # chunks so they fit a fraction of the device's actual HBM
+            # ~4 [NA, B/chunks] f32 temporaries live per E-step column
+            # chunk: size the chunks so they fit a fraction of the device's
+            # actual HBM (one chunk selects the dense single-pass path)
             estep_chunks=_estep_chunks(self.NA, batch_size),
             gamma_a=self.gamma_a,
             gamma_b=self.gamma_b,
