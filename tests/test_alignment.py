@@ -588,3 +588,47 @@ class TestPrecomputedGraph:
                              kernel_type="geodist", graph=G, nn_init=False)
         m2.run()
         np.testing.assert_allclose(np.asarray(m.XAHat), np.asarray(m2.XAHat), atol=1e-4)
+
+
+class TestEstepChunkInvariance:
+    def test_dense_and_column_chunked_agree(self):
+        """The dense single-pass path (n_chunks=1) and the column-chunked
+        streaming path produce identical reductions for any chunk count,
+        including non-divisible B."""
+        import jax.numpy as jnp
+
+        from spateo_tpu.alignment.methods.math import estep_reduced, factorize_distance
+
+        rng = np.random.default_rng(1)
+        NA, B, D, G = 90, 47, 2, 6
+        XAHat = jnp.asarray(rng.normal(size=(NA, D)).astype(np.float32))
+        coordsA = jnp.asarray(rng.normal(size=(NA, D)).astype(np.float32))
+        coordsB = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+        a, b, A, Bf = factorize_distance(
+            rng.poisson(2.0, (NA, G)).astype(np.float32), rng.poisson(2.0, (B, G)).astype(np.float32), "kl"
+        )
+        mm = jnp.asarray(rng.uniform(0.5, 1, NA).astype(np.float32))
+        common = dict(
+            sigma2=jnp.asarray(0.4), gamma=jnp.asarray(0.7), samples_s=jnp.asarray(3.0),
+            sigma2_variance=jnp.asarray(1.5),
+        )
+
+        def run(n_chunks, k=0):
+            return estep_reduced(
+                float(D), XAHat, coordsA, coordsB, (a,), (b,), (A,), (Bf,),
+                common["sigma2"], mm, common["gamma"], common["samples_s"], common["sigma2_variance"],
+                ["gauss"], [jnp.asarray(0.3)], n_chunks=n_chunks, sparse_top_k=k,
+            )
+
+        dense = run(1)
+        for n_chunks in (2, 3, 7):
+            chunked = run(n_chunks)
+            for key in dense:
+                np.testing.assert_allclose(
+                    np.asarray(dense[key]), np.asarray(chunked[key]), rtol=2e-4, atol=1e-6,
+                    err_msg=f"{key} mismatch at n_chunks={n_chunks}",
+                )
+        # sparse mode agrees between dense and chunked too
+        ds, cs = run(1, k=9), run(4, k=9)
+        for key in ds:
+            np.testing.assert_allclose(np.asarray(ds[key]), np.asarray(cs[key]), rtol=2e-4, atol=1e-6)
