@@ -129,6 +129,7 @@ def _estep_chunks(NA: int, batch_size: int, hbm_fraction: float = 0.25) -> int:
 @partial(
     jax.jit,
     static_argnames=(
+        "batch_size",
         "max_iter",
         "n_traces",
         "nonrigid_start_iter",
@@ -150,7 +151,7 @@ def _morpho_em(
     exp_B_feats: Tuple[jnp.ndarray, ...],  # per layer: [NB, G'_l]
     U: jnp.ndarray,  # [NA, K]
     GammaSparse: jnp.ndarray,  # [K, K]
-    batch_schedule: jnp.ndarray,  # [max_iter, B] int32
+    batch_perm: jnp.ndarray,  # [NB_pad] int32 cyclic permutation
     inlier_A: jnp.ndarray,  # [Ni, D]
     inlier_B: jnp.ndarray,  # [Ni, D]
     inlier_P: jnp.ndarray,  # [Ni, 1]
@@ -161,6 +162,7 @@ def _morpho_em(
     sigma2_init: jnp.ndarray,
     samples_s: jnp.ndarray,
     *,
+    batch_size: int,
     max_iter: int = 200,
     n_traces: int = 0,
     nonrigid_start_iter: int = 80,
@@ -182,7 +184,14 @@ def _morpho_em(
 ):
     NA, D = coordsA.shape
     K = U.shape[1]
-    B = batch_schedule.shape[1]
+    B = batch_size
+    NBp = batch_perm.shape[0]
+
+    def schedule_at(it):
+        # SVI minibatch schedule: one permutation walked cyclically — the
+        # [max_iter, B] schedule materialized on device from an [NB] vector
+        # instead of uploading the full table
+        return batch_perm[(it * B + jnp.arange(B)) % NBp]
     Dim = float(D)
 
     sigma2_variance_end = partial_robust_level
@@ -219,7 +228,7 @@ def _morpho_em(
         Sp_raw=jnp.asarray(0.0, jnp.float32),
         K_NA=jnp.zeros((NA,), jnp.float32),
         K_NB=jnp.zeros((B,), jnp.float32),
-        batch_idx=batch_schedule[0],
+        batch_idx=schedule_at(0),
     )
 
     def body(it, s):
@@ -227,7 +236,7 @@ def _morpho_em(
         # full-batch runs take unmixed updates (reference morpho_class.py
         # performs plain updates when SVI_mode=False)
         step_size = jnp.minimum(1.0, SVI_decay / (it + 1.0)) if svi_mode else jnp.asarray(1.0, jnp.float32)
-        batch_idx = batch_schedule[it]
+        batch_idx = schedule_at(it)
         coordsB_batch = coordsB[batch_idx]  # [B, D]
         # ---- E-step (flash-style: the [NA, B] assignment matrix is never
         # materialized; every consumer is a reduction computed chunk-wise,
@@ -890,11 +899,7 @@ class Morpho_pairwise:
             batch_size = min(self.batch_size, self.NB)
         if not self.SVI_mode:
             batch_size = self.NB
-        perm = self.rng.permutation(self.NB)
-        schedule = np.zeros((self.max_iter, batch_size), dtype=np.int32)
-        for it in range(self.max_iter):
-            schedule[it] = perm[:batch_size]
-            perm = np.roll(perm, -batch_size)
+        perm = self.rng.permutation(self.NB).astype(np.int32)
 
         probability_parameters = np.asarray(
             [p if p is not None else 0.0 for p in self.probability_parameters], dtype=np.float32
@@ -925,7 +930,7 @@ class Morpho_pairwise:
             exp_B_feats,
             jnp.asarray(U, jnp.float32),
             jnp.asarray(self.GammaSparse, jnp.float32),
-            jnp.asarray(schedule),
+            jnp.asarray(perm),
             jnp.asarray(self.inlier_A, jnp.float32),
             jnp.asarray(self.inlier_B, jnp.float32),
             jnp.asarray(self.inlier_P, jnp.float32),
@@ -935,6 +940,7 @@ class Morpho_pairwise:
             jnp.asarray(probability_parameters),
             jnp.asarray(sigma2_init, jnp.float32),
             jnp.asarray(samples_s, jnp.float32),
+            batch_size=batch_size,
             max_iter=self.max_iter,
             # full per-iteration record, like the reference's _save_iter
             # (morpho_class.py:1043); [max_iter, NA, D] — opt-in via
