@@ -471,6 +471,7 @@ def estep_reduced(
     n_chunks: int = 8,
     eps: float = 1e-8,
     sparse_top_k: int = 0,
+    use_pallas: bool = False,
 ):
     """Flash-style E-step: every consumer of the [NA, B] assignment matrix
     is a reduction, so P is never materialized (SURVEY §7 'hard part' —
@@ -496,6 +497,26 @@ def estep_reduced(
     materialized."""
     NA, D = XAHat.shape
     B = coordsB_batch.shape[0]
+
+    # Pallas fused path (single chip, one gauss expression layer, 2-D):
+    # every [tile, tile] probability block stays in VMEM — HBM traffic per
+    # iteration drops to the O(NA + B) outputs (ops/estep_pallas.py)
+    if (
+        use_pallas
+        and n_chunks <= 1
+        and not sparse_top_k
+        and D == 2
+        and len(exp_a_rows) == 1
+        and list(probability_type) == ["gauss"]
+    ):
+        from ...ops.estep_pallas import estep_pallas
+
+        return estep_pallas(
+            XAHat, coordsA, coordsB_batch,
+            exp_a_rows[0], exp_b_batch[0], exp_A_feats[0], exp_B_batch[0],
+            model_mul_vec, sigma2, gamma, samples_s, sigma2_variance,
+            probability_parameters[0], eps=eps,
+        )
 
     # Dense fast path: with one chunk the [NA, B] probability tensors fit
     # in HBM, so compute them ONCE and feed both the column normalizers and

@@ -140,6 +140,7 @@ def _estep_chunks(NA: int, batch_size: int, hbm_fraction: float = 0.25) -> int:
         "estep_chunks",
         "svi_mode",
         "sparse_top_k",
+        "use_pallas_estep",
     ),
 )
 def _morpho_em(
@@ -181,6 +182,7 @@ def _morpho_em(
     SVI_decay: float = 10.0,
     svi_mode: bool = True,
     sparse_top_k: int = 0,
+    use_pallas_estep: bool = False,
 ):
     NA, D = coordsA.shape
     K = U.shape[1]
@@ -260,6 +262,7 @@ def _morpho_em(
             [probability_parameters[l] for l in range(len(exp_a_rows))],
             n_chunks=estep_chunks,
             sparse_top_k=sparse_top_k,
+            use_pallas=use_pallas_estep,
         )
         K_NA_spatial = red["K_NA_spatial"]
         K_NA_sigma2 = red["K_NA_sigma2"]
@@ -492,6 +495,7 @@ class Morpho_pairwise:
         kernel_type: str = "euc",
         graph: Optional[object] = None,
         graph_knn: int = 10,
+        use_pallas_estep: bool = False,
         sigma2_init_scale: float = 0.1,
         sigma2_end: Optional[float] = None,
         gamma_a: float = 1.0,
@@ -570,6 +574,7 @@ class Morpho_pairwise:
         self.kernel_type = kernel_type
         self.graph = graph
         self.graph_knn = graph_knn
+        self.use_pallas_estep = use_pallas_estep
         self.sigma2_init_scale = sigma2_init_scale
         self.sigma2_end = sigma2_end
         self.gamma_a = gamma_a
@@ -964,6 +969,22 @@ class Morpho_pairwise:
             nn_init_weight=self.nn_init_weight,
             svi_mode=bool(self.SVI_mode),
             sparse_top_k=self.sparse_top_k if self.sparse_calculation_mode else 0,
+            # Pallas fused E-step (ops/estep_pallas.py): validated opt-in.
+            # At 20k x 2k the XLA dense path is ~10% faster (the kernel's
+            # two full-VMEM sweeps recompute every exp, and transcendentals
+            # dominate once HBM traffic is gone); it wins only where the
+            # XLA path would have to chunk, but full-VMEM residency caps
+            # it at ~50k rows. Off by default until the grid/DMA-streamed
+            # variant lands.
+            use_pallas_estep=(
+                bool(getattr(self, "use_pallas_estep", False))
+                and (self.mesh is None or int(np.prod(list(self.mesh.shape.values()))) <= 1)
+                and jax.devices()[0].platform == "tpu"
+                and self.D == 2
+                and len(exp_a_rows) == 1
+                and tuple(self.probability_type) == ("gauss",)
+                and not self.sparse_calculation_mode
+            ),
         )
         # ONE batched host pull: per-array np.asarray costs a full tunnel
         # round trip each (~20 pulls = seconds); device_get on the pytree

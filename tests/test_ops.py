@@ -239,3 +239,39 @@ class TestPallasBP:
 
         assert not _use_pallas_bp(OFFSETS4)  # tests run on CPU
         assert not _use_pallas_bp(((0, 1), (1, 0)))  # non-standard neighborhood
+
+
+class TestEstepPallas:
+    def test_interpret_matches_xla_estep(self):
+        """The Pallas-fused E-step (ops/estep_pallas.py) reproduces every
+        reduction of the XLA dense path (interpret mode on CPU)."""
+        import jax.numpy as jnp
+
+        from spateo_tpu.alignment.methods.math import estep_reduced, factorize_distance
+        from spateo_tpu.ops.estep_pallas import estep_pallas
+
+        rng = np.random.default_rng(0)
+        NA, B, D, G = 700, 300, 2, 24
+        XAHat = rng.normal(size=(NA, D)).astype(np.float32)
+        coordsA = rng.normal(size=(NA, D)).astype(np.float32)
+        coordsB = rng.normal(size=(B, D)).astype(np.float32)
+        a, b, A, Bf = factorize_distance(
+            rng.poisson(2.0, (NA, G)).astype(np.float32), rng.poisson(2.0, (B, G)).astype(np.float32), "kl"
+        )
+        mm = rng.uniform(0.5, 1, NA).astype(np.float32)
+        kw = dict(sigma2=jnp.asarray(0.4), gamma=jnp.asarray(0.7),
+                  samples_s=jnp.asarray(3.0), sigma2_variance=jnp.asarray(1.5))
+        ref = estep_reduced(
+            float(D), jnp.asarray(XAHat), jnp.asarray(coordsA), jnp.asarray(coordsB),
+            (a,), (b,), (A,), (Bf,), kw["sigma2"], jnp.asarray(mm), kw["gamma"],
+            kw["samples_s"], kw["sigma2_variance"], ["gauss"], [jnp.asarray(0.3)], n_chunks=1,
+        )
+        out = estep_pallas(
+            jnp.asarray(XAHat), jnp.asarray(coordsA), jnp.asarray(coordsB),
+            a, b, A, Bf, jnp.asarray(mm), kw["sigma2"], kw["gamma"], kw["samples_s"],
+            kw["sigma2_variance"], jnp.asarray(0.3), interpret=True,
+        )
+        for k in ref:
+            r, o = np.asarray(ref[k]), np.asarray(out[k])
+            err = np.max(np.abs(r - o) / (np.abs(r) + 1e-6))
+            assert err < 5e-4, f"{k}: {err}"
