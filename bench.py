@@ -215,7 +215,7 @@ def alignment_bench():
 
     run_pair(N_FULL, seed=1)  # warmup: XLA compile at the full shape
     times = []
-    for i in range(2):
+    for i in range(3):
         t0 = time.perf_counter()
         run_pair(N_FULL, seed=2 + i)
         times.append(time.perf_counter() - t0)
