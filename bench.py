@@ -276,16 +276,15 @@ def main():
     tpu_time = min(times)
     mpix_s = (H * W) / tpu_time / 1e6
 
-    # CPU baseline on a smaller tile, scaled by pixel count; best-of-3 so
-    # host-load noise doesn't swing the recorded ratio
+    # CPU baseline on a smaller tile, scaled by pixel count (single cold
+    # run — the same methodology as every earlier round, so vs_baseline
+    # stays comparable across the BENCH_r* series)
     hb = wb = 256
     Xb = X[:hb, :wb]
-    cpu_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        numpy_baseline_pipeline(Xb)
-        cpu_times.append(time.perf_counter() - t0)
-    cpu_mpix_s = (hb * wb) / min(cpu_times) / 1e6
+    t0 = time.perf_counter()
+    numpy_baseline_pipeline(Xb)
+    cpu_time_small = time.perf_counter() - t0
+    cpu_mpix_s = (hb * wb) / cpu_time_small / 1e6
 
     try:
         extra = [alignment_bench()]
