@@ -24,6 +24,7 @@ from .utils import (
     cal_rank_p,
     cal_wass_dis,
     cal_wass_dis_batch,
+    cal_wass_dis_batch_sharded,
     cal_wass_dis_exact,
     filter_adata_by_pos_ratio,
     get_genes_by_pos_ratio,

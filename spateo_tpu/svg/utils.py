@@ -212,6 +212,50 @@ def cal_wass_dis_batch(
     return out
 
 
+def cal_wass_dis_batch_sharded(
+    M: np.ndarray,
+    A: np.ndarray,
+    b: Optional[np.ndarray] = None,
+    eps: Optional[float] = None,
+    n_iter: int = 200,
+    mesh=None,
+) -> np.ndarray:
+    """Multi-chip SVG gene scan: the [G, N] histogram block row-shards over
+    the mesh's 'data' axis, the shared [N, N] cost matrix replicates, and
+    each device runs the batched Sinkhorn on its gene shard (SURVEY §2.12:
+    the reference's multiprocessing Pool over genes, svg/get_svg.py,
+    becomes data parallelism over ICI)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import create_mesh
+
+    mesh = mesh if mesh is not None else create_mesh()
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if n_dev <= 1:
+        return cal_wass_dis_batch(M, A, b=b, eps=eps, n_iter=n_iter)
+    M = np.asarray(M, dtype=np.float32)
+    A = np.asarray(A, dtype=np.float32)
+    N = M.shape[0]
+    G = A.shape[0]
+    if b is None or len(b) == 0:
+        b = np.ones(N, np.float32) / N
+    b = np.asarray(b, np.float32)
+    if eps is None:
+        eps = float(max(M.max() * 5e-3, 1e-6))
+    # pad the gene axis to the device count (uniform histograms are valid
+    # Sinkhorn inputs; padded rows are sliced off)
+    Gp = -(-G // n_dev) * n_dev
+    if Gp > G:
+        A = np.concatenate([A, np.full((Gp - G, N), 1.0 / N, np.float32)])
+    axis = list(mesh.axis_names)[0]
+    A_dev = jax.device_put(jnp.asarray(A), NamedSharding(mesh, P(axis, None)))
+    b_dev = jax.device_put(jnp.asarray(b), NamedSharding(mesh, P()))
+    M_dev = jax.device_put(jnp.asarray(M), NamedSharding(mesh, P()))
+    res = _sinkhorn_batch_kernel(A_dev, b_dev, M_dev, eps, n_iter)
+    return np.asarray(res)[:G]
+
+
 def cal_wass_dis(M, a, b=[], numItermax: int = 1000000, eps: Optional[float] = None, n_iter: int = 200) -> float:
     """Single OT distance (parity signature: svg/utils.py:279; entropic)."""
     a = np.asarray(a, np.float32)

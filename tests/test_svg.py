@@ -158,3 +158,20 @@ class TestSVG:
         assert w_df.loc["g0", "Wasserstein_distance"] > w_df["Wasserstein_distance"].drop("g0").max()
         # localized gene should be significant vs permutations
         assert w_df.loc["g0", "pvalue"] < 0.05
+
+
+class TestShardedSVG:
+    def test_sharded_gene_scan_matches_serial(self):
+        """Gene-axis sharding over the mesh reproduces the serial batched
+        Sinkhorn scan (non-divisible gene count exercises padding)."""
+        from spateo_tpu.parallel import create_mesh
+        from spateo_tpu.svg.utils import cal_wass_dis_batch, cal_wass_dis_batch_sharded
+
+        rng = np.random.default_rng(0)
+        N, G = 48, 13
+        pts = rng.uniform(0, 1, (N, 2))
+        M = np.sqrt(((pts[:, None] - pts[None, :]) ** 2).sum(-1)).astype(np.float32)
+        A = rng.dirichlet(np.ones(N), G).astype(np.float32)
+        serial = cal_wass_dis_batch(M, A)
+        shard = cal_wass_dis_batch_sharded(M, A, mesh=create_mesh())
+        np.testing.assert_allclose(serial, shard, rtol=1e-4, atol=1e-6)
