@@ -143,3 +143,58 @@ def graph_heat_solve(
         float(max_err), int(max_itr),
     )
     return np.asarray(v), int(it), float(err)
+
+
+def jacobi_solve_sharded(
+    init_field: np.ndarray,
+    border: np.ndarray,
+    mask: np.ndarray,
+    max_err: float = 1e-10,
+    max_itr: int = 100_000,
+    check_every: int = 100,
+    mesh=None,
+):
+    """Multi-chip Jacobi solve: the raster's ROW axis shards over the
+    mesh's 'data' axis and the stencil's `jnp.roll` shifts compile to
+    GSPMD collective-permute halo exchanges over ICI (SURVEY §2.12 data
+    parallelism over pixel tiles).
+
+    The row count pads to the device count; padded rows and the raster's
+    outermost rows/columns are pinned as Dirichlet pixels at their initial
+    values — exactly the semantics of the serial kernel's `[1:-1, 1:-1]`
+    update window, so results match the unsharded path bit-for-bit on the
+    real rows."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel import create_mesh
+
+    mesh = mesh if mesh is not None else create_mesh()
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    if n_dev <= 1:
+        return jacobi_solve(init_field, border, mask, max_err=max_err, max_itr=max_itr, check_every=check_every)
+
+    f0 = np.asarray(init_field, np.float32)
+    bd = np.asarray(border) != 0
+    mk = np.asarray(mask, np.float32)
+    H, W = f0.shape
+    Hp = -(-H // n_dev) * n_dev
+    if Hp > H:
+        f0 = np.concatenate([f0, np.zeros((Hp - H, W), np.float32)])
+        bd = np.concatenate([bd, np.ones((Hp - H, W), bool)])
+        mk = np.concatenate([mk, np.zeros((Hp - H, W), np.float32)])
+    # pin the ORIGINAL raster edges (the serial kernel never updates them)
+    bd = bd.copy()
+    bd[0, :] = True
+    bd[H - 1 :, :] = True
+    bd[:, 0] = True
+    bd[:, W - 1] = True
+
+    import jax
+
+    axis = list(mesh.axis_names)[0]
+    rows = NamedSharding(mesh, P(axis, None))
+    f_dev = jax.device_put(jnp.asarray(f0), rows)
+    b_dev = jax.device_put(jnp.asarray(bd), rows)
+    m_dev = jax.device_put(jnp.asarray(mk), rows)
+    f, it, err = _jacobi_kernel(f_dev, b_dev, m_dev, float(max_err), int(max_itr), int(check_every))
+    return np.asarray(f)[:H], int(it), float(err)
