@@ -500,14 +500,19 @@ def estep_reduced(
 
     # Pallas fused path (single chip, one gauss expression layer, 2-D):
     # every [tile, tile] probability block stays in VMEM — HBM traffic per
-    # iteration drops to the O(NA + B) outputs (ops/estep_pallas.py)
+    # iteration drops to the O(NA + B) outputs (ops/estep_pallas.py). The
+    # kernel ignores chunking (it streams tiles itself), so it is eligible
+    # whenever the full-VMEM input residency fits — NOT gated on n_chunks;
+    # its winning regime is exactly where the XLA path would have to chunk.
+    G_total = exp_A_feats[0].shape[1] if len(exp_A_feats) == 1 else 0
+    vmem_inputs = 4 * NA * (G_total + 8) + 4 * B * (G_total + 8)  # bytes, transposed layout
     if (
         use_pallas
-        and n_chunks <= 1
         and not sparse_top_k
         and D == 2
         and len(exp_a_rows) == 1
         and list(probability_type) == ["gauss"]
+        and vmem_inputs < 12e6
     ):
         from ...ops.estep_pallas import estep_pallas
 

@@ -42,15 +42,10 @@ def read(filename: Union[str, Path], **kwargs) -> AnnData:
     return read_h5ad(str(filename), **kwargs)
 
 
-def _adata_from_df(df: pd.DataFrame, dtype=np.float32, first_column_names: Optional[bool] = None) -> AnnData:
-    if first_column_names or (first_column_names is None and df.index.dtype == object):
-        obs_names = df.index.astype(str)
-    else:
-        obs_names = df.index.astype(str)
-    X = df.to_numpy(dtype=dtype)
+def _adata_from_df(df: pd.DataFrame) -> AnnData:
     return AnnData(
-        X=X,
-        obs=pd.DataFrame(index=obs_names),
+        X=df.to_numpy(dtype=np.float32) if df.dtypes.map(lambda d: d.kind in "biufc").all() else df.to_numpy(),
+        obs=pd.DataFrame(index=df.index.astype(str)),
         var=pd.DataFrame(index=df.columns.astype(str)),
     )
 
@@ -61,9 +56,12 @@ def read_csv(
     first_column_names: Optional[bool] = None,
     dtype=np.float32,
 ) -> AnnData:
-    """Read a cells x genes table from a .csv file (anndata.read_csv)."""
-    df = pd.read_csv(filename, sep=delimiter, index_col=0)
-    return _adata_from_df(df, dtype=dtype, first_column_names=first_column_names)
+    """Read a cells x genes table from a .csv file (anndata.read_csv).
+    `first_column_names=False` keeps the first column as data (positional
+    obs names) instead of consuming it as the index."""
+    index_col = None if first_column_names is False else 0
+    df = pd.read_csv(filename, sep=delimiter, index_col=index_col).astype(dtype, errors="ignore")
+    return _adata_from_df(df)
 
 
 def read_text(
@@ -73,15 +71,19 @@ def read_text(
     dtype=np.float32,
 ) -> AnnData:
     """Read a cells x genes table from a delimited text file
-    (anndata.read_text); whitespace-delimited when `delimiter` is None."""
-    df = pd.read_csv(filename, sep=delimiter if delimiter is not None else r"\s+", index_col=0, engine="python")
-    return _adata_from_df(df, dtype=dtype, first_column_names=first_column_names)
+    (anndata.read_text); whitespace-delimited when `delimiter` is None.
+    `first_column_names=False` keeps the first column as data."""
+    index_col = None if first_column_names is False else 0
+    df = pd.read_csv(
+        filename, sep=delimiter if delimiter is not None else r"\s+", index_col=index_col, engine="python"
+    ).astype(dtype, errors="ignore")
+    return _adata_from_df(df)
 
 
 def read_excel(filename: Union[str, Path], sheet: Union[str, int] = 0, dtype=np.float32) -> AnnData:
     """Read a cells x genes table from an Excel sheet (anndata.read_excel)."""
     df = pd.read_excel(filename, sheet_name=sheet, index_col=0)
-    return _adata_from_df(df, dtype=dtype)
+    return _adata_from_df(df.astype(dtype, errors="ignore"))
 
 
 def read_mtx(filename: Union[str, Path], dtype=np.float32) -> AnnData:

@@ -137,8 +137,11 @@ def boundary_gridding(
     n_built = len(bdl_seg_inner_list)
     bdl_seg_all_list = bdl_seg_inner_list[::-1] + [bdl_seg_ori] + bdl_seg_outer_list
     for i_layer in range(2 * n_built):
-        curr_layer_num = i_layer % (n_built + 1) + 1 if n_built else 1
-        curr_sign = (-1) ** (i_layer // max(n_built, 1) + 1)
+        # generalizes the reference's hardcoded n_layer=3 numbering
+        # (boundary_old.py:125 `i_layer % 3 + 1`): layers 1..n_built inner
+        # (sign -1) then 1..n_built outer (sign +1)
+        curr_layer_num = i_layer % n_built + 1
+        curr_sign = (-1) ** (i_layer // n_built + 1)
         seg_grid_img = draw_seg_grid(boundary_line_img, bdl_seg_all_list[i_layer], bdl_seg_all_list[i_layer + 1])
         fill_grid_label(
             adata,

@@ -13,7 +13,7 @@ from typing import Optional, Union
 
 __version__ = "0.1.0"
 
-RE_GIT_DESCRIBE = r"v?(?:([\d.]+)-(\d+)-g)?([0-9a-f]{7})(-dirty)?"
+RE_GIT_DESCRIBE = r"v?(?:([\d.]+)(?:-(\d+)-g([0-9a-f]{7,}))?|([0-9a-f]{7,}))(-dirty)?$"
 
 
 def get_version_from_git(parent: Path) -> Optional[str]:
@@ -28,15 +28,17 @@ def get_version_from_git(parent: Path) -> Optional[str]:
         )
     except (OSError, CalledProcessError):
         return None
+    # forms: "v1.2.3", "v1.2.3-5-gabcdef1", "abcdef1", each with
+    # optional "-dirty"
     match = re.match(RE_GIT_DESCRIBE, p.stdout.strip())
     if not match:
         return None
-    release, dev, hex_, dirty = match.groups()
+    release, dev, hex_, bare_hex, dirty = match.groups()
     version = release or "0.1.0"
     if dev and dev != "0":
         version += f".dev{dev}+{hex_}"
-    if dirty and not dev:
-        version += "+dirty"
+    if dirty:
+        version += ".dirty" if dev and dev != "0" else "+dirty"
     return version
 
 

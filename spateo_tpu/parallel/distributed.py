@@ -127,10 +127,11 @@ def process_allgather(x: np.ndarray):
 
     if jax.process_count() == 1:
         return np.asarray(x)[None]
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    # multihost_utils handles hosts with any local device count (a
+    # hand-rolled mesh over all devices cannot split a [num_processes]
+    # axis across num_devices > num_processes shards)
+    from jax.experimental import multihost_utils
 
-    mesh = global_mesh(("p",))
-    x = np.asarray(x)
-    glob = jax.make_array_from_process_local_data(NamedSharding(mesh, P("p")), x[None])
-    return np.asarray(jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(glob))
+    # tiled=False adds the leading [num_processes] axis, matching the
+    # single-host x[None] contract
+    return np.asarray(multihost_utils.process_allgather(np.asarray(x), tiled=False))

@@ -218,7 +218,7 @@ def scatters(
             bvec = np.asarray(affine_transform_b, float) if affine_transform_b is not None else np.zeros(A.shape[0])
             pts2 = pts[:, : A.shape[1]] @ A.T + bvec
             pts = np.concatenate([pts2, pts[:, A.shape[1]:]], axis=1) if pts.shape[1] > A.shape[1] else pts2
-        if values is not None and i < max(len(colors), 1):
+        if values is not None:
             vals = np.asarray(values if not isinstance(values, dict) else values[c])
         elif labels is not None:
             vals = np.asarray(labels, dtype=object)

@@ -33,6 +33,7 @@ class LiveWireSegmentation(_LiveWireBase):
         self.point_plot_list: List = []
         self.path_list = np.empty(shape=[0, 2], dtype="int")
         self.path_plot_list: List = []
+        self._segment_lengths: List[int] = []  # rows committed per segment (for undo)
         self.rst: Optional[np.ndarray] = None
 
     # the auxseg API returns ndarray paths (reference auxseg.py:126-135)
@@ -89,6 +90,7 @@ class LiveWireSegmentation(_LiveWireBase):
         self.point_plot_list.extend(plt.plot([event.xdata], [event.ydata], marker="o", color="k"))
         if len(self.point_list) > 1 and self.path is not None:
             self.path_list = np.row_stack((self.path_list, self.path))
+            self._segment_lengths.append(len(self.path))
             self.path_plot_list.extend(plt.plot(self.path[:, 1], self.path[:, 0]))
             first_point = self.point_list[0]
             # closing the loop within 2 px finishes the trace: the filled
@@ -125,7 +127,8 @@ class LiveWireSegmentation(_LiveWireBase):
                 self.path_plot_list.pop(-1).remove()
             self.point_list.pop(-1)
             self.current_point = self.point_list[-1]
-            if len(self.path_list):
-                # drop the last committed segment
-                seg_len = len(self.path) if self.path is not None else 0
-                self.path_list = self.path_list[: max(len(self.path_list) - seg_len, 0)]
+            if self._segment_lengths:
+                # drop exactly the last COMMITTED segment (self.path may
+                # hold an unrelated live preview at undo time)
+                seg_len = self._segment_lengths.pop()
+                self.path_list = self.path_list[: len(self.path_list) - seg_len]
