@@ -508,6 +508,7 @@ def estep_reduced(
     vmem_inputs = 4 * NA * (G_total + 8) + 4 * B * (G_total + 8)  # bytes, transposed layout
     if (
         use_pallas
+        and n_chunks > 1  # dense XLA wins when everything fits HBM; pallas wins the chunked regime (4.7x at 40k x 8k)
         and not sparse_top_k
         and D == 2
         and len(exp_a_rows) == 1

@@ -495,7 +495,7 @@ class Morpho_pairwise:
         kernel_type: str = "euc",
         graph: Optional[object] = None,
         graph_knn: int = 10,
-        use_pallas_estep: bool = False,
+        use_pallas_estep: bool = True,
         sigma2_init_scale: float = 0.1,
         sigma2_end: Optional[float] = None,
         gamma_a: float = 1.0,
@@ -969,15 +969,13 @@ class Morpho_pairwise:
             nn_init_weight=self.nn_init_weight,
             svi_mode=bool(self.SVI_mode),
             sparse_top_k=self.sparse_top_k if self.sparse_calculation_mode else 0,
-            # Pallas fused E-step (ops/estep_pallas.py): validated opt-in.
-            # At 20k x 2k the XLA dense path is ~10% faster (the kernel's
-            # two full-VMEM sweeps recompute every exp, and transcendentals
-            # dominate once HBM traffic is gone); it wins only where the
-            # XLA path would have to chunk, but full-VMEM residency caps
-            # it at ~50k rows. Off by default until the grid/DMA-streamed
-            # variant lands.
+            # Pallas fused E-step (ops/estep_pallas.py): engages only in
+            # the chunked-XLA regime within its VMEM residency cap (see
+            # estep_reduced's gate) — 4.7x over chunked XLA at 40k x 8k;
+            # the dense XLA path keeps the small-shape regime where it is
+            # ~10% faster.
             use_pallas_estep=(
-                bool(getattr(self, "use_pallas_estep", False))
+                bool(getattr(self, "use_pallas_estep", True))
                 and (self.mesh is None or int(np.prod(list(self.mesh.shape.values()))) <= 1)
                 and jax.devices()[0].platform == "tpu"
                 and self.D == 2
