@@ -123,3 +123,66 @@ class TestTheming:
         cm = shiftedColorMap(plt.get_cmap("coolwarm"), midpoint=0.75, name="t_shift")
         mid = np.asarray(cm(0.75))
         assert abs(mid[0] - mid[2]) < 0.05  # near-neutral at the new center
+
+
+class TestAuxsegInteractive:
+    """The preprocessing/auxseg stateful tracer (reference auxseg.py:8):
+    LineDDA rasterization, contour filling, and the committed-segment undo
+    semantics, driven through synthetic matplotlib events."""
+
+    class _Ev:
+        def __init__(self, x, y, key=None):
+            self.xdata, self.ydata, self.key = x, y, key
+
+    def _tracer(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from spateo_tpu.preprocessing.auxseg import LiveWireSegmentation
+
+        img = np.zeros((30, 30))
+        img[8:22, 8:22] = 1.0
+        plt.figure()
+        plt.imshow(img)
+        return LiveWireSegmentation(image=img)
+
+    def test_linedda_and_fill(self):
+        from spateo_tpu.preprocessing.auxseg import LiveWireSegmentation
+
+        line = LiveWireSegmentation.LineDDA((0, 0), (5, 10))
+        assert tuple(line[0]) == (0, 0) and tuple(line[-1]) == (5, 10)
+        sq = np.array(
+            [[r, 5] for r in range(5, 15)] + [[r, 14] for r in range(5, 15)]
+            + [[5, c] for c in range(5, 15)] + [[14, c] for c in range(5, 15)]
+        )
+        assert len(LiveWireSegmentation.fill_contours(sq)) == 100
+
+    def test_undo_removes_committed_segment_not_preview(self):
+        import matplotlib.pyplot as plt
+
+        lw = self._tracer()
+        lw.button_pressed(self._Ev(5, 5))
+        lw.mouse_moved(self._Ev(20, 5))  # preview becomes the committed path
+        lw.button_pressed(self._Ev(20, 5))  # commit
+        committed = len(lw.path_list)
+        assert committed > 0
+        lw.mouse_moved(self._Ev(6, 6))  # NEW live preview of different length
+        lw.key_pressed(self._Ev(0, 0, key="ctrl+z"))
+        assert len(lw.path_list) == 0
+        plt.close("all")
+
+    def test_closing_loop_fills_rst(self):
+        import matplotlib.pyplot as plt
+
+        lw = self._tracer()
+        pts = [(10, 10), (10, 20), (20, 20), (20, 10)]
+        for x, y in pts:
+            lw.button_pressed(self._Ev(x, y))
+            lw.mouse_moved(self._Ev(x, y))
+        # next click within 2 px of the start closes and fills
+        lw.mouse_moved(self._Ev(10, 11))
+        lw.button_pressed(self._Ev(10, 11))
+        assert lw.rst is not None and len(lw.rst) > 10
+        plt.close("all")
