@@ -632,3 +632,35 @@ class TestEstepChunkInvariance:
         ds, cs = run(1, k=9), run(4, k=9)
         for key in ds:
             np.testing.assert_allclose(np.asarray(ds[key]), np.asarray(cs[key]), rtol=2e-4, atol=1e-6)
+
+
+class TestAllowFlip:
+    def test_flip_detected_and_recovered(self):
+        """allow_flip (reference morpho_class.py:129): a mirrored moving
+        slice is detected in the coarse init and the alignment still
+        recovers the target positions."""
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+        rng = np.random.default_rng(4)
+        n, g = 800, 25
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        # expression tied to position so the mutual-KNN init is informative
+        X = np.c_[pts * 2.0, rng.poisson(2.0, (n, g - 2))].astype(np.float32)
+        flip = np.array([[1.0, 0.0], [0.0, -1.0]], np.float32)
+        ptsA = pts @ flip + np.array([0.0, 10.0], np.float32)  # mirrored copy
+
+        def mk(p):
+            a = st.AnnData(X=X.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                           var=pd.DataFrame(index=[f"g{j}" for j in range(g)]))
+            a.obsm["spatial"] = p.copy()
+            a.uns["__type"] = "UMI"
+            return a
+
+        m = Morpho_pairwise(sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial",
+                            key_added="align", max_iter=100, verbose=False, allow_flip=True)
+        m.run()
+        # XAHat is denormalized (data units): cell i of the mirrored slice
+        # should land back on cell i of the fixed slice
+        err = float(np.abs(np.asarray(m.XAHat) - pts).mean())
+        span = float(np.ptp(pts))
+        assert err < 0.05 * span, (err, span)
