@@ -664,3 +664,35 @@ class TestAllowFlip:
         err = float(np.abs(np.asarray(m.XAHat) - pts).mean())
         span = float(np.ptp(pts))
         assert err < 0.05 * span, (err, span)
+
+
+class TestMorphoAlignRef:
+    def test_ref_downsampled_alignment_warps_full_data(self):
+        """morpho_align_ref (reference morpho_alignment.py:318): solve on a
+        downsampled reference, then warp the FULL slices through the saved
+        vector field — the full moving slice must land on the fixed one."""
+        rng = np.random.default_rng(7)
+        n, g = 1200, 20
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        X = np.c_[pts * 2.0, rng.poisson(2.0, (n, g - 2))].astype(np.float32)
+        th = 0.25
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32)
+        ptsA = pts @ R.T + np.array([1.0, -0.5], np.float32)
+
+        def mk(p):
+            a = st.AnnData(X=X.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                           var=pd.DataFrame(index=[f"g{j}" for j in range(g)]))
+            a.obsm["spatial"] = p.copy()
+            a.uns["__type"] = "UMI"
+            return a
+
+        aligned, aligned_ref, pis, pis_ref = st.align.morpho_align_ref(
+            models=[mk(pts), mk(ptsA)], spatial_key="spatial", key_added="align",
+            n_sampling=400, max_iter=60, verbose=False,
+        )
+        assert aligned_ref[1].n_obs <= 400
+        out = np.asarray(aligned[1].obsm["align"])
+        assert out.shape == (n, 2)
+        err = float(np.abs(out - pts).mean())
+        span = float(np.ptp(pts))
+        assert err < 0.06 * span, (err, span)
