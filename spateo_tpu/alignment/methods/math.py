@@ -499,13 +499,13 @@ def estep_reduced(
     B = coordsB_batch.shape[0]
 
     # Pallas fused path (single chip, one gauss expression layer, 2-D):
-    # every [tile, tile] probability block stays in VMEM — HBM traffic per
-    # iteration drops to the O(NA + B) outputs (ops/estep_pallas.py). The
-    # kernel ignores chunking (it streams tiles itself), so it is eligible
-    # whenever the full-VMEM input residency fits — NOT gated on n_chunks;
-    # its winning regime is exactly where the XLA path would have to chunk.
-    G_total = exp_A_feats[0].shape[1] if len(exp_A_feats) == 1 else 0
-    vmem_inputs = 4 * NA * (G_total + 8) + 4 * B * (G_total + 8)  # bytes, transposed layout
+    # every [tile, tile] probability block is computed in VMEM and only the
+    # O(NA + B) reductions are written (ops/estep_pallas.py). The kernel
+    # streams input blocks from HBM via grid BlockSpecs (Mosaic
+    # double-buffers the copies), so there is NO problem-size cap — it
+    # covers the reference's own headline 100k+-cell regime. The dense XLA
+    # path keeps the fits-in-HBM regime, where removing the HBM traffic
+    # doesn't pay for the kernel's second transcendental sweep.
     if (
         use_pallas
         and n_chunks > 1  # dense XLA wins when everything fits HBM; pallas wins the chunked regime (4.7x at 40k x 8k)
@@ -513,7 +513,6 @@ def estep_reduced(
         and D == 2
         and len(exp_a_rows) == 1
         and list(probability_type) == ["gauss"]
-        and vmem_inputs < 12e6
     ):
         from ...ops.estep_pallas import estep_pallas
 
