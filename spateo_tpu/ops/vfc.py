@@ -43,18 +43,24 @@ def _sparsevfc_em(
     ecr: float,
     minP: float,
     max_iter: int,
+    mask: Optional[jnp.ndarray] = None,  # [N] 1.0 for real rows, 0.0 for pad
+    n_valid: Optional[jnp.ndarray] = None,  # scalar count of real rows
 ):
     N = X.shape[0]
     D = Y.shape[1]  # output dimension (may differ from the input space's)
     M = ctrl.shape[0]
+    if mask is None:
+        mask = jnp.ones(N, X.dtype)
+    if n_valid is None:
+        n_valid = jnp.asarray(float(N), X.dtype)
     K = con_K(X, ctrl, beta)  # [N, M]
     U = con_K(ctrl, ctrl, beta)  # [M, M]
 
     state = dict(
         C=jnp.zeros((M, D)),
-        P=jnp.ones(N),
+        P=mask,
         V=jnp.zeros((N, D)),
-        sigma2=jnp.sum(Y * Y) / (N * D),
+        sigma2=jnp.sum(Y * Y) / (n_valid * D),
         gamma=jnp.asarray(gamma0),
         E=jnp.asarray(1.0),
         tecr=jnp.asarray(jnp.inf),
@@ -70,7 +76,7 @@ def _sparsevfc_em(
         resid2 = jnp.sum((Y - s["V"]) ** 2, axis=1)
         gauss = jnp.exp(jnp.clip(-resid2 / (2 * s["sigma2"]), -50.0, 0.0))
         temp = (2 * jnp.pi * s["sigma2"]) ** (D / 2) * (1 - s["gamma"]) / (s["gamma"] * a)
-        P = jnp.maximum(gauss / (gauss + temp), minP)
+        P = jnp.maximum(gauss / (gauss + temp), minP) * mask
         # energy (negative log-likelihood proxy + regularization)
         E = (
             jnp.sum(P * resid2) / (2 * s["sigma2"])
@@ -94,8 +100,8 @@ def _sparsevfc_em(
         sigma2 = jnp.sum(P * jnp.sum((Y - V) ** 2, axis=1)) / (Sp * D)
         # cap sigma2 at its initialization scale: growth beyond the raw data
         # variance always signals a diverged fit, never real noise
-        sigma2 = jnp.minimum(sigma2, jnp.sum(Y * Y) / (N * D) * 2.0)
-        gamma = jnp.clip(Sp / N, 0.05, 0.95)
+        sigma2 = jnp.minimum(sigma2, jnp.sum(Y * Y) / (n_valid * D) * 2.0)
+        gamma = jnp.clip(Sp / n_valid, 0.05, 0.95)
         return dict(C=C, P=P, V=V, sigma2=sigma2, gamma=gamma, E=E, tecr=tecr, i=s["i"] + 1)
 
     s = jax.lax.while_loop(cond, body, state)
@@ -120,8 +126,19 @@ def SparseVFC(
     seed: int = 0,
     lstsq_method: str = "drouin",
     verbose: int = 1,
+    mesh=None,
 ) -> dict:
-    """Sparse Vector Field Consensus (dynamo-compatible signature/return)."""
+    """Sparse Vector Field Consensus (dynamo-compatible signature/return).
+
+    `mesh`: optional `jax.sharding.Mesh` — rows of the [N, M] RBF feature
+    matrix shard over the mesh's 'data' axis (cells split across chips); the
+    M x M normal equations `K^T P K` and `K^T P Y` contract over the sharded
+    axis, which GSPMD lowers to psum collectives over ICI, and the M x M
+    solve is replicated. Pad rows are masked to exact zero weight inside the
+    EM, so the sharded result equals the single-device one. This is the
+    multi-chip story for BASELINE workload #5 (reference
+    tdr/morphometrics/morphofield/sparsevfc.py:103 is a serial dynamo call).
+    """
     X = np.asarray(X, dtype=np.float32)
     Y = np.asarray(Y, dtype=np.float32)
     valid_ind = np.where(np.isfinite(Y).all(axis=1) & np.isfinite(X).all(axis=1))[0]
@@ -147,44 +164,46 @@ def SparseVFC(
     y_scale = float(np.sqrt((Yv**2).mean())) + 1e-12
     Yn = Yv / y_scale
 
-    def run_em(sigma2_scale: float):
+    Xj = jnp.asarray(Xv)
+    Yj = jnp.asarray(Yn)
+    ctrl_j = jnp.asarray(ctrl)
+    mask = None
+    n_valid_t = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        from ..parallel.mesh import pad_rows, row_sharding
+
+        size = mesh.shape["data"]
+        Xj, n0 = pad_rows(Xj, size)
+        Yj, _ = pad_rows(Yj, size)
+        mask_np = np.zeros(Xj.shape[0], np.float32)
+        mask_np[:n0] = 1.0
+        Xj = jax.device_put(Xj, row_sharding(mesh, "data", 2))
+        Yj = jax.device_put(Yj, row_sharding(mesh, "data", 2))
+        mask = jax.device_put(jnp.asarray(mask_np), row_sharding(mesh, "data", 1))
+        n_valid_t = jnp.asarray(float(N), jnp.float32)
+        ctrl_j = jax.device_put(ctrl_j, NamedSharding(mesh, P_()))
+
+    def run_em(Y_in):
         return _sparsevfc_em(
-            jnp.asarray(Xv),
-            jnp.asarray(Yn),
-            jnp.asarray(ctrl),
-            jnp.asarray(beta, jnp.float32),
-            gamma,
-            a,
-            lambda_,
-            ecr,
-            minP,
-            MaxIter,
+            Xj, Y_in, ctrl_j, jnp.asarray(beta, jnp.float32),
+            gamma, a, lambda_, ecr, minP, MaxIter, mask, n_valid_t,
         )
 
-    s, Kmat = run_em(1.0)
+    s, Kmat = run_em(Yj)
     # all-outlier collapse guard: gamma pinned at its floor means the fit
     # never engaged; retry once from a colder sigma2 via scaled Y
     if float(s["gamma"]) <= 0.06:
-        s2, Kmat = _sparsevfc_em(
-            jnp.asarray(Xv),
-            jnp.asarray(Yn * 0.1),
-            jnp.asarray(ctrl),
-            jnp.asarray(beta, jnp.float32),
-            gamma,
-            a,
-            lambda_,
-            ecr,
-            minP,
-            MaxIter,
-        )
+        s2, Kmat = run_em(Yj * 0.1)
         if float(s2["gamma"]) > float(s["gamma"]):
             s = dict(s2)
             s["C"] = s2["C"] * 10.0
             s["V"] = s2["V"] * 10.0
             s["sigma2"] = s2["sigma2"] * 100.0
     C = np.asarray(s["C"]) * y_scale
-    V = np.asarray(s["V"]) * y_scale
-    P = np.asarray(s["P"])
+    V = np.asarray(s["V"])[:N] * y_scale
+    P = np.asarray(s["P"])[:N]
 
     grid_V = None
     if Grid is not None:

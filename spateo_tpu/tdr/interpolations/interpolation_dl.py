@@ -108,6 +108,75 @@ class DeepInterpolation:
         return pred
 
 
+# -- trainer loss factories (parity: reference
+# interpolation_deeplearn/nn_losses.py:4-40 — torch lambdas become jnp) -----
+
+
+def weighted_mean(x, weights):
+    """Weighted mean; plain mean when weights is None (parity: nn_losses.py:4)."""
+    x = jnp.asarray(x)
+    if weights is None:
+        return jnp.mean(x)
+    weights = jnp.asarray(weights)
+    return jnp.sum(weights * x) / jnp.sum(weights)
+
+
+def weighted_mad():
+    """Mean absolute difference (weighted) factory (parity: nn_losses.py:11)."""
+    return lambda source, target, weights: weighted_mean(jnp.abs(jnp.asarray(source) - jnp.asarray(target)), weights)
+
+
+def weighted_mse():
+    """Mean squared error (weighted) factory (parity: nn_losses.py:16)."""
+    return lambda source, target, weights: weighted_mean(
+        jnp.linalg.norm(jnp.asarray(source) - jnp.asarray(target), axis=1) ** 2, weights
+    )
+
+
+def weighted_cosine_distance():
+    """Cosine distance (weighted) factory (parity: nn_losses.py:21)."""
+
+    def _loss(source, target, weights):
+        s = jnp.asarray(source)
+        t = jnp.asarray(target)
+        cos = jnp.sum(s * t, axis=-1) / (jnp.linalg.norm(s, axis=-1) * jnp.linalg.norm(t, axis=-1) + 1e-12)
+        return 1 - weighted_mean(cos, weights)
+
+    return _loss
+
+
+def mad():
+    """Mean absolute difference factory (parity: nn_losses.py:28)."""
+    return lambda source, target: jnp.mean(jnp.abs(jnp.asarray(source) - jnp.asarray(target)))
+
+
+def mse():
+    """Mean squared error factory (parity: nn_losses.py:33)."""
+    return lambda source, target: jnp.mean(jnp.linalg.norm(jnp.asarray(source) - jnp.asarray(target), axis=1) ** 2)
+
+
+def cosine_distance():
+    """Cosine distance factory (parity: nn_losses.py:38)."""
+
+    def _loss(source, target):
+        s = jnp.asarray(source)
+        t = jnp.asarray(target)
+        cos = jnp.sum(s * t, axis=-1) / (jnp.linalg.norm(s, axis=-1) * jnp.linalg.norm(t, axis=-1) + 1e-12)
+        return 1 - jnp.mean(cos)
+
+    return _loss
+
+
+def subset_best_samples(best_sample_fraction, y_hat, y, loss_func):
+    """Indices of the best-fit fraction of samples under `loss_func`
+    (parity: reference deep_interpolation.py:339)."""
+    y_hat = np.asarray(y_hat)
+    y = np.asarray(y)
+    assert y_hat.shape == y.shape, "The shape of the two arrays y_hat and y must be the same."
+    diff = np.asarray([float(loss_func(y_hat[i], y[i])) for i in range(y.shape[0])])
+    return np.argsort(diff)[: int(best_sample_fraction * y.shape[0])]
+
+
 def deep_intepretation(
     source_adata: Optional[AnnData] = None,
     target_points: Optional[np.ndarray] = None,

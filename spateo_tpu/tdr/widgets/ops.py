@@ -75,18 +75,77 @@ def three_d_pick(model, key: str = "groups", picked_groups=None):
     return [_subset(model, groups == g) for g in sorted(wanted)]
 
 
-def overlap_pick(model1, model2, radius: float = 0.5):
-    """Points of model1 overlapping model2 within `radius`
-    (parity: widgets/pick.py overlap_pick)."""
-    from scipy.spatial import cKDTree
+def points_inside_mesh(points: np.ndarray, mesh) -> np.ndarray:
+    """Boolean mask of points enclosed by a closed triangle mesh, by +x ray
+    casting with Moller-Trumbore (the VTK `select_enclosed_points` role,
+    pyvista-free). O(N_points x N_faces) vectorized numpy, chunked over
+    points — fine for the model scales the widgets operate on."""
+    pts = np.asarray(points, float)
+    tri = np.asarray(mesh.points, float)[np.asarray(mesh.faces, int)]  # [F, 3, 3]
+    v0, e1, e2 = tri[:, 0], tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]
+    d = np.array([1.0, 0.0, 0.0])
+    h = np.cross(d, e2)  # [F, 3]
+    a = np.einsum("fj,fj->f", e1, h)
+    ok = np.abs(a) > 1e-12
+    inv_a = np.where(ok, 1.0 / np.where(ok, a, 1.0), 0.0)
+    inside = np.zeros(len(pts), bool)
+    for lo in range(0, len(pts), 2048):
+        P = pts[lo : lo + 2048]
+        s = P[:, None, :] - v0[None, :, :]  # [P, F, 3]
+        u = np.einsum("pfj,fj->pf", s, h) * inv_a[None, :]
+        q = np.cross(s, e1[None, :, :])
+        v = np.einsum("pfj,j->pf", q, d) * inv_a[None, :]
+        t = np.einsum("pfj,fj->pf", q, e2) * inv_a[None, :]
+        hit = ok[None, :] & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-9)
+        inside[lo : lo + 2048] = (hit.sum(1) % 2) == 1
+    return inside
 
-    tree = cKDTree(np.asarray(model2.points))
-    d, _ = tree.query(np.asarray(model1.points))
-    return _subset(model1, d <= radius)
+
+def overlap_pc_pick(pc, mesh) -> Tuple[PointCloud, PointCloud]:
+    """Split a point cloud into (inside, outside) of a mesh (parity:
+    reference widgets/pick.py:161 `overlap_pc_pick`, which uses VTK
+    `select_enclosed_points` + threshold)."""
+    inside = points_inside_mesh(pc.points, mesh)
+    return _subset(pc, inside), _subset(pc, ~inside)
 
 
-overlap_pc_pick = overlap_pick
-overlap_mesh_pick = overlap_pick
+def overlap_mesh_pick(mesh1, mesh2):
+    """Approximate intersection of two closed meshes (parity: reference
+    widgets/pick.py:184 `overlap_mesh_pick` = VTK `boolean_intersection`):
+    keeps the faces of each mesh whose centroids fall inside the other and
+    merges them. The open seam between the kept shells is a documented
+    substitution for VTK's exact boolean surface (pyvista absent here)."""
+    from ..models.mesh_core import Mesh, merge_models
+
+    def _clip(ma, mb):
+        faces = np.asarray(ma.faces, int)
+        cent = np.asarray(ma.points, float)[faces].mean(1)
+        keep = points_inside_mesh(cent, mb)
+        used = np.unique(faces[keep])
+        remap = -np.ones(len(ma.points), int)
+        remap[used] = np.arange(len(used))
+        return Mesh(
+            np.asarray(ma.points)[used],
+            remap[faces[keep]],
+            {k: np.asarray(v)[used] for k, v in ma.point_data.items()},
+        )
+
+    return merge_models([_clip(mesh1, mesh2), _clip(mesh2, mesh1)])
+
+
+def overlap_pick(main_mesh, other_mesh, main_pc=None, other_pc=None):
+    """Intersection mesh of two meshes plus the point clouds inside it
+    (parity: reference widgets/pick.py:244 `overlap_pick`)."""
+    select_mesh = overlap_mesh_pick(main_mesh, other_mesh)
+    if main_pc is None and other_pc is None:
+        return select_mesh, None
+    from ..models.mesh_core import merge_models
+
+    picked = []
+    for pc, other in ((main_pc, other_mesh), (other_pc, main_mesh)):
+        if pc is not None:
+            picked.append(_subset(pc, points_inside_mesh(pc.points, other)))
+    return select_mesh, merge_models(picked)
 
 
 def three_d_slice(model, method: str = "axis", n_slices: int = 10, axis: str = "x", center=None):
@@ -127,7 +186,20 @@ def interactive_rectangle_clip(model, key: str = "groups", bounds=None):
     return [_subset(model, keep)]
 
 
-interactive_box_clip = interactive_rectangle_clip
+def interactive_box_clip(model, key: str = "groups", invert: bool = False, bounds=None):
+    """Clip by a 3D box (parity: reference widgets/clip.py:158
+    `interactive_box_clip`, whose pyvista box widget defaults to the model
+    bounds; headless callers pass `bounds` = (xmin, xmax, ymin, ymax, zmin,
+    zmax) directly). `invert` keeps the points OUTSIDE the box."""
+    pts = np.asarray(model.points, float)
+    if bounds is None:
+        b = np.asarray(model.bounds, float)
+    else:
+        b = np.asarray(bounds, float)
+    keep = (pts[:, 0] >= b[0]) & (pts[:, 0] <= b[1]) & (pts[:, 1] >= b[2]) & (pts[:, 1] <= b[3])
+    if len(b) >= 6 and pts.shape[1] >= 3:
+        keep &= (pts[:, 2] >= b[4]) & (pts[:, 2] <= b[5])
+    return [_subset(model, ~keep if invert else keep)]
 
 
 # plane/line geometry helpers (parity: reference widgets/slice.py)
