@@ -227,6 +227,13 @@ def effective_L2_error(heat_field_i: np.ndarray, heat_field_j: np.ndarray, field
     return float(np.sqrt(np.sum((heat_field_j - heat_field_i) ** 2 * field_mask) / np.sum(heat_field_j**2 * field_mask)))
 
 
+# old-boundary-API names (parity: reference digitization/utils_old.py:283,303
+# `add_ep_boundary`/`add_gp_boundary` — same ops as the current eh/gh pair,
+# kept for the boundary_old.py-era call sites)
+add_ep_boundary = add_eh_boundary
+add_gp_boundary = add_gh_boundary
+
+
 def domain_heat_eqn_solver(
     heat_field: np.ndarray,
     min_line,

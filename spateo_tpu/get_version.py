@@ -62,3 +62,50 @@ def get_version(package: Union[Path, str]) -> str:
         if v:
             return v
     return get_version_from_metadata(name) or __version__
+
+
+# scientific-stack packages whose versions matter for reproducing results —
+# the role the reference's dynamo-release dependency list plays there
+_CORE_DEPENDENCIES = (
+    "jax",
+    "jaxlib",
+    "flax",
+    "optax",
+    "orbax-checkpoint",
+    "chex",
+    "numpy",
+    "scipy",
+    "pandas",
+    "scikit-learn",
+    "matplotlib",
+    "h5py",
+)
+
+
+def get_all_dependencies_version(display: bool = True):
+    """Table of installed versions of this framework's core dependencies
+    (parity: reference get_version.py:165 `get_all_dependencies_version`,
+    which walks the dynamo-release requirement set via pkg_resources;
+    importlib.metadata replaces the deprecated pkg_resources here, and the
+    IPython display degrades to a plain print outside notebooks)."""
+    from importlib.metadata import PackageNotFoundError, version
+
+    import pandas as pd
+
+    rows = [["spateo-tpu", get_version(__file__)]]
+    for name in _CORE_DEPENDENCIES:
+        try:
+            rows.append([name, version(name)])
+        except PackageNotFoundError:
+            continue
+    df = pd.DataFrame(rows, columns=["package", "version"]).set_index("package").T
+    if display:
+        try:
+            from IPython.display import display as ipy_display
+
+            pd.options.display.max_columns = None
+            ipy_display(df)
+        except ImportError:
+            print(df.to_string())
+        return None
+    return df

@@ -119,15 +119,33 @@ def fgw_entropic(
     return T, obj
 
 
+#: emd_exact size envelope: the LP has n*m variables and n+m-1 equality
+#: constraints; scipy's HiGHS handles a few hundred support points per side
+#: in seconds, but walls (minutes, GBs) well before the thousands the
+#: reference's dedicated network simplex manages. Guarded so callers get a
+#: clear redirect to the Sinkhorn path instead of a hung solve.
+EMD_EXACT_MAX_VARIABLES = 1_000_000  # n*m cap (~1000x1000)
+
+
 def emd_exact(a: np.ndarray, b: np.ndarray, M: np.ndarray) -> np.ndarray:
     """EXACT optimal transport plan via linear programming (scipy HiGHS) —
     the role POT's network simplex `ot.emd` plays in the reference.
-    Intended for small problems; returns the [n, m] plan."""
+    Intended for validation-size problems (n*m <= EMD_EXACT_MAX_VARIABLES,
+    ~1000 support points per side); larger problems should use the entropic
+    `sinkhorn` / `fgw` device path. Returns the [n, m] plan."""
     from scipy.optimize import linprog
     from scipy.sparse import coo_matrix, vstack
 
     M = np.asarray(M, float)
     n, m = M.shape
+    if n * m > EMD_EXACT_MAX_VARIABLES:
+        raise ValueError(
+            f"emd_exact: problem size {n}x{m} = {n * m} LP variables exceeds the "
+            f"{EMD_EXACT_MAX_VARIABLES}-variable envelope of the scipy/HiGHS dense-LP "
+            "formulation (the reference's POT network simplex scales further). Use the "
+            "entropic device path instead: spateo_tpu.ops.ot.sinkhorn (or fgw for "
+            "fused GW), which handles thousands of points on the TPU."
+        )
     a = np.asarray(a, float).ravel()
     b = np.asarray(b, float).ravel()
     a = a / a.sum()

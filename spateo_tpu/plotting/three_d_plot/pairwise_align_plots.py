@@ -112,6 +112,64 @@ def pairwise_mapping(
     return fig
 
 
+def pairwise_exp_similarity(
+    adataA,
+    adataB,
+    cells: Union[int, str, list],
+    layer: str = "X",
+    spatial_key: str = "spatial",
+    dissimilarity: str = "both",
+    beta2: float = 0.5,
+    colormap: str = "viridis",
+    star_cell_color: str = "red",
+    model_size: float = 5.0,
+    star_cell_size: float = 40.0,
+    filename: Optional[str] = None,
+    **kwargs,
+):
+    """For chosen cells of slice A, color slice B by the expression-based
+    assignment probability exp(-d/(2*beta2)) under each requested metric
+    (parity: reference pairwise_align_plots.py:349 `pairwise_exp_similarity`;
+    pyvista scenes become a matplotlib panel grid here). Returns the figure."""
+    from ...alignment.methods.math import calc_distance
+
+    def _X(a):
+        X = a.layers[layer] if layer != "X" else a.X
+        X = X.toarray() if hasattr(X, "toarray") else np.asarray(X)
+        return np.asarray(X, dtype=float)
+
+    X_A, X_B = _X(adataA), _X(adataB)
+    if isinstance(cells, (int, str)):
+        cells = [cells]
+    cell_idx = [list(adataA.obs_names).index(c) if isinstance(c, str) else int(c) for c in cells]
+    metrics = ["euc", "kl"] if dissimilarity == "both" else [dissimilarity]
+    sims = {}
+    for m in metrics:
+        [D] = calc_distance(X_A[cell_idx], X_B, metric=m)
+        sims[m] = np.exp(-np.asarray(D, dtype=float) / (2 * beta2))
+
+    ptsA = np.asarray(adataA.obsm[spatial_key], dtype=float)
+    ptsB = np.asarray(adataB.obsm[spatial_key], dtype=float)
+    nrow, ncol = len(cell_idx), len(metrics)
+    fig, axes = plt.subplots(nrow, ncol, figsize=(4 * ncol, 4 * nrow), squeeze=False)
+    for r, ci in enumerate(cell_idx):
+        for c, m in enumerate(metrics):
+            ax = axes[r][c]
+            sc = ax.scatter(ptsB[:, 0], ptsB[:, 1], c=sims[m][r], s=model_size,
+                            cmap=resolve_cmap(colormap), linewidths=0, **kwargs)
+            ax.scatter([ptsA[ci, 0]], [ptsA[ci, 1]], marker="*", s=star_cell_size,
+                       color=star_cell_color, zorder=3)
+            ax.set_title(f"cell {ci} ({m})", fontsize=9)
+            ax.set_aspect("equal")
+            ax.set_axis_off()
+            plt.colorbar(sc, ax=ax, shrink=0.7)
+    if filename:
+        fig.savefig(filename, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return filename
+    return fig
+
+
 def pairwise_iteration(
     adataA=None,
     adataB=None,

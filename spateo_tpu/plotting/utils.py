@@ -398,6 +398,44 @@ def scatter_with_legend(fig, ax, df, font_color, x, y, c, cmap, legend, **kwargs
     return fig, ax
 
 
+def set_spine_linewidth(ax, lw):
+    """Set all four spine linewidths (parity: utils.py:924)."""
+    for side in ("top", "bottom", "left", "right"):
+        ax.spines[side].set_linewidth(lw)
+    return ax
+
+
+def set_colorbar(ax, inset_dict={}):
+    """Inset colorbar axes in the upper-right of `ax`
+    (parity: utils.py:981 — same mpl_toolkits inset construction)."""
+    from mpl_toolkits.axes_grid1.inset_locator import inset_axes
+
+    if len(inset_dict) == 0:
+        axins = inset_axes(
+            ax,
+            width="12%",
+            height="100%",
+            loc="upper right",
+            bbox_to_anchor=(0.85, 0.97, 0.145, 0.17),
+            bbox_transform=ax.transAxes,
+            borderpad=1.85,
+        )
+    else:
+        axins = inset_axes(ax, bbox_transform=ax.transAxes, **inset_dict)
+    return axins
+
+
+def tricubic(x):
+    """Tricubic weight kernel (1-|x|^3)^3 on [-1, 1] (parity: utils.py:1379,
+    the pyloess Loess weight; the framework's native loess lives at
+    svg/utils.py `loess_1d`)."""
+    x = np.asarray(x, float)
+    y = np.zeros_like(x)
+    idx = (x >= -1) & (x <= 1)
+    y[idx] = np.power(1.0 - np.power(np.abs(x[idx]), 3), 3)
+    return y
+
+
 def set_arrow_alpha(ax=None, alpha: float = 1.0):
     """Set quiver alpha (parity: utils.py:1177)."""
     import matplotlib.pyplot as plt
