@@ -27,8 +27,19 @@ vs_baseline #2: the ACTUAL reference implementation
 (/root/reference spateo.alignment.methods.morpho_class, NumPy/torch-CPU
 backend, imported through tests/_reference_harness) timed on a 2,000-cell
 pair with identical settings, scaled to the full workload by the per-iteration
-E-step cost NA*batch (20000*2000 / 2000*1000 = 20x). Falls back to that run's
-frozen measurement (25.4 s, 2026-08-16) if the reference tree is unavailable.
+E-step cost NA*batch (20000*2000 / 2000*1000 = 20x; linear scaling likely
+understates the reference cost at 20k, so the ratio is conservative). Falls
+back to the dated frozen measurement in BENCH_BASELINES.json if the reference
+tree is unavailable — the JSON output then carries "baseline_source":
+"frozen:<date>", and the fallback is refused outright if the workload's
+methodology tag changed.
+
+Workloads #3-#5 (BASELINE.json configs #4, #5) ride along in extra_metrics:
+digitization Jacobi PDE (Mpixel-iters/sec vs the NumPy stencil the reference
+loop runs), MuSIC local GLM fits (cells/sec vs the reference's serial
+per-cell IWLS loop structure), and SparseVFC + analytic Jacobian
+(points/sec vs a NumPy transcription of the same EM). All three baselines
+are measured in-process at bench time ("baseline_source": "measured").
 """
 
 import json
@@ -223,8 +234,12 @@ def alignment_bench():
     pairs_per_min = 60.0 / tpu_time
 
     # reference CPU baseline: the actual reference solver on a smaller pair,
-    # scaled by the dominant per-iteration E-step cost (NA * batch)
-    ref_time_small = 25.4  # frozen fallback, measured 2026-08-16 on this host
+    # scaled by the dominant per-iteration E-step cost (NA * batch).
+    # The frozen fallback lives in BENCH_BASELINES.json WITH its measurement
+    # date + methodology tag; the bench refuses a fallback whose methodology
+    # tag no longer matches (guards against the constant silently anchoring
+    # vs_baseline after the workload definition changes).
+    ref_time_small, baseline_source = _frozen_baseline("morpho_small_pair_seconds", "morpho_2000x1000_iter200_cpu")
     try:
         import sys
 
@@ -242,8 +257,19 @@ def alignment_bench():
             )
             ref.run()
             ref_time_small = time.perf_counter() - t0
+            baseline_source = "measured"
     except Exception:
         pass
+    if ref_time_small is None:
+        return {
+            "metric": "morpho_alignment_throughput",
+            "value": round(pairs_per_min, 3),
+            "unit": "slice-pairs/min",
+            "vs_baseline": None,
+            "baseline_source": baseline_source,
+        }
+    # NOTE: linear NA*batch scaling likely UNDERSTATES the reference cost at
+    # 20k (cache effects) — the reported ratio is conservative.
     ref_time_full = ref_time_small * (N_FULL * B_FULL) / (N_SMALL * B_SMALL)
     ref_pairs_per_min = 60.0 / ref_time_full
 
@@ -252,11 +278,248 @@ def alignment_bench():
         "value": round(pairs_per_min, 3),
         "unit": "slice-pairs/min",
         "vs_baseline": round(pairs_per_min / ref_pairs_per_min, 2),
+        "baseline_source": baseline_source,
+    }
+
+
+def _frozen_baseline(key, methodology):
+    """Load a frozen baseline measurement from BENCH_BASELINES.json.
+
+    Returns (value, source_tag). The value is only honored when the sidecar
+    entry's methodology tag matches the caller's — a changed workload
+    definition invalidates the frozen number instead of silently anchoring
+    vs_baseline. Returns (None, reason) when unavailable/invalid.
+    """
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINES.json")
+    try:
+        with open(path) as f:
+            entry = json.load(f)[key]
+        if entry["methodology"] != methodology:
+            return None, f"frozen-invalid:methodology-changed({entry['methodology']}!={methodology})"
+        return float(entry["value"]), f"frozen:{entry['measured']}"
+    except Exception as e:
+        return None, f"frozen-missing:{type(e).__name__}"
+
+
+def pde_bench():
+    """BASELINE workload #4a: domain-digitization Laplace PDE (Jacobi
+    relaxation with Dirichlet isoline BCs — reference digitization/grid.py:15
+    via utils.py:464's 5-point stencil loop). TPU path: the fused
+    `ops.stencil.jacobi_solve` while_loop kernel on a 1024^2 raster.
+    Baseline: the same Jacobi iteration as vectorized NumPy on a 256^2
+    raster, scaled by pixel-iterations (the reference loop body IS this
+    NumPy stencil, digitization/utils.py:513-515)."""
+    import jax
+
+    from spateo_tpu.ops.stencil import jacobi_solve
+
+    H = W = 1024
+    field = np.zeros((H, W), np.float32)
+    border = np.zeros((H, W), bool)
+    mask = np.zeros((H, W), np.float32)
+    mask[1:-1, 1:-1] = 1
+    field[1, 1:-1] = 1.0
+    border[1, 1:-1] = True
+    field[-2, 1:-1] = 100.0
+    border[-2, 1:-1] = True
+    ITERS = 3000
+
+    jacobi_solve(field, border, mask, max_err=0.0, max_itr=ITERS, check_every=500)  # warmup/compile
+    jax.effects_barrier()
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        f, itr, err = jacobi_solve(field, border, mask, max_err=0.0, max_itr=ITERS, check_every=500)
+        np.asarray(f)
+        times.append(time.perf_counter() - t0)
+    tpu_t = min(times)
+    tpu_mpi = H * W * int(itr) / tpu_t / 1e6  # Mpixel-iters/sec
+
+    hb = 256
+    fb = np.zeros((hb, hb), np.float64)
+    fb[1, 1:-1] = 1.0
+    fb[-2, 1:-1] = 100.0
+    bmask = np.zeros((hb, hb), bool)
+    bmask[1, 1:-1] = True
+    bmask[-2, 1:-1] = True
+    n_base = 200
+    t0 = time.perf_counter()
+    for _ in range(n_base):
+        nb = 0.25 * (fb[:-2, 1:-1] + fb[2:, 1:-1] + fb[1:-1, :-2] + fb[1:-1, 2:])
+        inner = fb[1:-1, 1:-1]
+        fb[1:-1, 1:-1] = np.where(bmask[1:-1, 1:-1], inner, nb)
+    cpu_t = time.perf_counter() - t0
+    cpu_mpi = hb * hb * n_base / cpu_t / 1e6
+
+    return {
+        "metric": "digitization_pde_throughput",
+        "value": round(tpu_mpi, 1),
+        "unit": "Mpixel-iters/sec",
+        "vs_baseline": round(tpu_mpi / cpu_mpi, 2),
+        "baseline_source": "measured",
+    }
+
+
+def music_bench():
+    """BASELINE workload #4b: MuSIC spatially-weighted GLM local fits
+    (reference MuSIC.py:3183 `fit` -> the serial per-cell `local_fit` loop at
+    :2991,2665). TPU path: spatial-kernel weight construction + the batched
+    IWLS kernel (`regression_utils._iwls_batch_kernel`, poisson family) for
+    all cells in one program — W is built ON DEVICE so only coords cross the
+    tunnel. Baseline: the serial per-cell NumPy IWLS loop (the reference's
+    actual structure) on a cell subset, scaled by cell count."""
+    import jax
+    import jax.numpy as jnp
+
+    from spateo_tpu.tools.CCI_effects_modeling.regression_utils import _iwls_batch_kernel
+
+    Q = N = 8192
+    K = 12
+    N_IRLS = 25
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(0, 10, (N, 2)).astype(np.float32)
+    X = rng.normal(0, 0.3, (N, K)).astype(np.float32)
+    X[:, 0] = 1.0
+    beta_true = rng.normal(0, 0.4, K).astype(np.float32)
+    y = rng.poisson(np.exp(np.clip(X @ beta_true, -4, 4))).astype(np.float32)
+    bw = 1.0
+
+    @jax.jit
+    def fit_all(coords_d, y_d, X_d):
+        d2 = (
+            jnp.sum(coords_d**2, 1)[:, None]
+            + jnp.sum(coords_d**2, 1)[None, :]
+            - 2.0 * coords_d @ coords_d.T
+        )
+        W = jnp.exp(-jnp.maximum(d2, 0.0) / (2 * bw**2))  # gaussian kernel, MuSIC get_wi
+        return _iwls_batch_kernel(y_d, X_d, W, 0.0, 5.0, "poisson", N_IRLS)
+
+    cd, yd, Xd = jnp.asarray(coords), jnp.asarray(y), jnp.asarray(X)
+    betas, _ = fit_all(cd, yd, Xd)
+    np.asarray(betas)  # warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        betas, _ = fit_all(cd, yd, Xd)
+        np.asarray(betas)
+        times.append(time.perf_counter() - t0)
+    tpu_cells_s = Q / min(times)
+
+    # serial NumPy per-cell loop (reference local_fit structure), subset scaled
+    q_small = 24
+    t0 = time.perf_counter()
+    for i in range(q_small):
+        w = np.exp(-((coords - coords[i]) ** 2).sum(1) / (2 * bw**2))
+        mu = (y + y.mean()) / 2.0
+        eta = np.log(np.maximum(mu, 1e-8))
+        for _ in range(N_IRLS):
+            z = eta + (y - mu) / np.maximum(mu, 1e-8)
+            wt = np.maximum(mu, 1e-8) * w
+            Xw = X * wt[:, None]
+            beta = np.linalg.solve(Xw.T @ X, Xw.T @ z)
+            eta = X @ np.clip(beta, -5, 5)
+            mu = np.exp(np.clip(eta, -30, 30))
+    cpu_cells_s = q_small / (time.perf_counter() - t0)
+
+    return {
+        "metric": "music_local_fit_throughput",
+        "value": round(tpu_cells_s, 1),
+        "unit": "cells/sec",
+        "vs_baseline": round(tpu_cells_s / cpu_cells_s, 2),
+        "baseline_source": "measured",
+    }
+
+
+def vfc_bench():
+    """BASELINE workload #5: SparseVFC kernel regression + analytic Jacobian
+    batch (reference tdr/morphometrics/morphofield/sparsevfc.py:103 ->
+    dynamo SparseVFC, + morphofield_dg differential_geometry.py:42-297).
+    TPU path: `ops.vfc.SparseVFC` (one jitted while_loop EM) + the batched
+    RBF Jacobian at every point. Baseline: NumPy transcription of the same
+    EM at N=2000, scaled by N (the N x M kernel products dominate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spateo_tpu.ops.vfc import SparseVFC
+
+    N, M, MAXIT = 20000, 100, 100
+    rng = np.random.default_rng(0)
+    Xp = rng.uniform(-1, 1, (N, 3)).astype(np.float32)
+    V = np.cross(np.broadcast_to([0.0, 0.0, 1.0], Xp.shape), Xp).astype(np.float32)
+    V += rng.normal(0, 0.05, V.shape).astype(np.float32)
+
+    @jax.jit
+    def jac_batch(pts, ctrl, C, beta):
+        # grad_x K(x, c) = -2 beta (x - c) K -> analytic Jacobian [N, D, D]
+        diff = pts[:, None, :] - ctrl[None, :, :]  # [N, M, D]
+        Kk = jnp.exp(-beta * jnp.sum(diff**2, -1))  # [N, M]
+        return jnp.einsum("nm,nmd,me->nde", Kk, -2.0 * beta * diff, C)
+
+    def run():
+        vf = SparseVFC(Xp, V, M=M, MaxIter=MAXIT, seed=0)
+        J = jac_batch(jnp.asarray(Xp), jnp.asarray(vf["X_ctrl"]), jnp.asarray(vf["C"]), vf["beta"])
+        np.asarray(J)
+        return vf
+
+    vf = run()  # warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        vf = run()
+        times.append(time.perf_counter() - t0)
+    tpu_pts_s = N / min(times)
+    n_iters = int(vf["iteration"])
+
+    # NumPy EM transcription at smaller N, same iteration count, scaled
+    ns = 2000
+    Xs, Vs = Xp[:ns], V[:ns]
+    ctrl = Xs[rng.choice(ns, M, replace=False)]
+    beta = vf["beta"]
+    t0 = time.perf_counter()
+    Kk = np.exp(-beta * ((Xs[:, None, :] - ctrl[None, :, :]) ** 2).sum(-1))
+    U = np.exp(-beta * ((ctrl[:, None, :] - ctrl[None, :, :]) ** 2).sum(-1))
+    Cc = np.zeros((M, 3))
+    Vc = np.zeros_like(Vs)
+    sigma2 = (Vs**2).sum() / (ns * 3)
+    gamma_v, a_v, lam = 0.9, 5.0, 3.0
+    for _ in range(max(n_iters, 1)):
+        resid2 = ((Vs - Vc) ** 2).sum(1)
+        gauss = np.exp(np.clip(-resid2 / (2 * sigma2), -50, 0))
+        temp = (2 * np.pi * sigma2) ** 1.5 * (1 - gamma_v) / (gamma_v * a_v)
+        P = np.maximum(gauss / (gauss + temp), 1e-5)
+        KP = Kk * P[:, None]
+        lhs = Kk.T @ KP + lam * sigma2 * U + 1e-6 * np.eye(M)
+        Cc = np.linalg.solve(lhs, KP.T @ Vs)
+        Vc = Kk @ Cc
+        Sp = P.sum()
+        sigma2 = max((P * ((Vs - Vc) ** 2).sum(1)).sum() / (Sp * 3), 1e-8)
+        gamma_v = np.clip(Sp / ns, 0.05, 0.95)
+    # Jacobian batch at ns points
+    diff = Xs[:, None, :] - ctrl[None, :, :]
+    Kj = np.exp(-beta * (diff**2).sum(-1))
+    np.einsum("nm,nmd,me->nde", Kj, -2.0 * beta * diff, Cc)
+    cpu_pts_s = ns / (time.perf_counter() - t0)
+
+    return {
+        "metric": "sparsevfc_throughput",
+        "value": round(tpu_pts_s, 1),
+        "unit": "points/sec",
+        "vs_baseline": round(tpu_pts_s / cpu_pts_s, 2),
+        "baseline_source": "measured",
     }
 
 
 def main():
-    H = W = 1024
+    # 2048^2: real Stereo-seq chips are 10-20k pixels square, so the larger
+    # tile is the more representative unit of work — and it amortizes the
+    # fixed per-dispatch cost of the tunneled device. The r01/r02 1024^2
+    # number was pinned at ~9 Mpix/s by that fixed floor (~30 ms int8 upload
+    # at the tunnel's ~40 MB/s + ~8 ms dispatch RTTs against ~20 ms of
+    # compute); throughput is transfer-bound, not compute-bound, at any
+    # tile size (see BASELINE.md "Transfer ceiling").
+    H = W = 2048
     X = make_raster(H, W)
 
     # warmup at FULL shape (XLA compiles per raster shape)
@@ -286,10 +549,12 @@ def main():
     cpu_time_small = time.perf_counter() - t0
     cpu_mpix_s = (hb * wb) / cpu_time_small / 1e6
 
-    try:
-        extra = [alignment_bench()]
-    except Exception:
-        extra = []
+    extra = []
+    for fn in (alignment_bench, pde_bench, music_bench, vfc_bench):
+        try:
+            extra.append(fn())
+        except Exception as e:
+            extra.append({"metric": fn.__name__, "error": f"{type(e).__name__}: {e}"})
 
     print(
         json.dumps(
