@@ -95,23 +95,55 @@ class Dotplot:
         self.title = title
         self.figsize = figsize
         self._style = dict(
-            cmap="Reds", dot_max=None, dot_min=None, smallest_dot=0.0,
+            cmap="Reds", color_on="dot", dot_max=None, dot_min=None, smallest_dot=0.0,
             largest_dot=200.0, dot_edge_color="black", dot_edge_lw=0.2,
+            size_exponent=1.5, grid=False, x_padding=0.8, y_padding=1.0,
         )
-        self._legend = dict(show=True, colorbar_title=self.default_color_legend_title, size_title=self.default_size_legend_title)
+        self._legend = dict(
+            show=True, show_size_legend=True, show_colorbar=True,
+            colorbar_title=self.default_color_legend_title, size_title=self.default_size_legend_title,
+            num_size_legend_dots=4,
+        )
         self.swap_axes = False
         self.vmin = self.vmax = self.vcenter = self.norm = None
+        self._adata = adata
+        self._cat_key = cat_key
+        self._dendrogram = None  # {"key": ..., "size": ...} set by add_dendrogram
 
     def style(self, **kwargs):
         self._style.update({k: v for k, v in kwargs.items() if v is not None or k in ("dot_max", "dot_min")})
         return self
 
-    def legend(self, show: bool = True, colorbar_title=None, size_title=None, **kwargs):
+    def legend(self, show: bool = True, colorbar_title=None, size_title=None,
+               show_size_legend: bool = True, show_colorbar: bool = True, **kwargs):
         self._legend["show"] = show
+        self._legend["show_size_legend"] = show_size_legend
+        self._legend["show_colorbar"] = show_colorbar
         if colorbar_title is not None:
             self._legend["colorbar_title"] = colorbar_title
         if size_title is not None:
             self._legend["size_title"] = size_title
+        if "num_size_legend_dots" in kwargs and kwargs["num_size_legend_dots"]:
+            self._legend["num_size_legend_dots"] = int(kwargs["num_size_legend_dots"])
+        return self
+
+    def add_dendrogram(self, show: bool = True, dendrogram_key: Optional[str] = None, size: float = 0.8):
+        """Reorder categories by hierarchical clustering and render the
+        dendrogram in a side panel sharing the category axis (parity:
+        reference dotplot.py:522 `add_dendrogram` + the group_extra_ax in
+        make_figure:1459-1483)."""
+        if not show or self._adata is None or len(self.dot_color_df.index) <= 2:
+            self._dendrogram = None
+            return self
+        from .utils import dendrogram as _dend
+
+        key = dendrogram_key or f"dendrogram_{self._cat_key}"
+        if key not in self._adata.uns:
+            _dend(self._adata, self._cat_key, key_added=key)
+        order = [c for c in self._adata.uns[key]["categories_ordered"] if c in self.dot_color_df.index]
+        self.dot_color_df = self.dot_color_df.loc[order]
+        self.dot_size_df = self.dot_size_df.loc[order]
+        self._dendrogram = {"key": key, "size": size}
         return self
 
     def _size_norm(self, frac: np.ndarray) -> np.ndarray:
@@ -119,6 +151,9 @@ class Dotplot:
         dot_min = self._style["dot_min"] or 0.0
         fr = np.clip(frac, dot_min, dot_max)
         fr = (fr - dot_min) / max(dot_max - dot_min, 1e-12)
+        # relative dot areas follow fraction ** size_exponent (reference
+        # style(size_exponent), dotplot.py:568)
+        fr = fr ** float(self._style.get("size_exponent", 1.0))
         return self._style["smallest_dot"] + fr * (self._style["largest_dot"] - self._style["smallest_dot"])
 
     def make_figure(self, ax=None, dendrogram_adata=None, dendrogram_key=None):
@@ -133,34 +168,70 @@ class Dotplot:
         else:
             self.fig = ax.figure
         self.ax = ax
+        self.ax_dict = {"mainplot_ax": ax}
         yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
         cvals = color.values.astype(float)
         svals = self._size_norm(size.values.astype(float))
         norm = check_colornorm(self.vmin, self.vmax, self.vcenter, self.norm)
-        sc = ax.scatter(
-            xx.ravel(), yy.ravel(), s=svals.ravel(), c=cvals.ravel(),
-            cmap=resolve_cmap(self._style["cmap"]), norm=norm,
-            edgecolors=self._style["dot_edge_color"], linewidths=self._style["dot_edge_lw"],
-        )
+        cmap = resolve_cmap(self._style["cmap"])
+        if self._style.get("color_on") == "square":
+            # colormap on a square region behind each dot; the dot itself is
+            # transparent with only its edge drawn (reference color_on='square',
+            # dotplot.py:568 style + _mainplot square path)
+            import matplotlib.pyplot as _plt
+
+            mesh = ax.pcolormesh(
+                np.arange(nx + 1) - 0.5, np.arange(ny + 1) - 0.5, cvals, cmap=cmap, norm=norm,
+                edgecolors="white", linewidth=0.2,
+            )
+            sc = ax.scatter(
+                xx.ravel(), yy.ravel(), s=svals.ravel(), facecolors="none",
+                edgecolors=self._style["dot_edge_color"], linewidths=max(self._style["dot_edge_lw"], 0.4),
+            )
+            self._color_mappable = mesh
+        else:
+            sc = ax.scatter(
+                xx.ravel(), yy.ravel(), s=svals.ravel(), c=cvals.ravel(),
+                cmap=cmap, norm=norm,
+                edgecolors=self._style["dot_edge_color"], linewidths=self._style["dot_edge_lw"],
+            )
+            self._color_mappable = sc
         ax.set_xticks(range(nx))
         ax.set_xticklabels(color.columns, rotation=90, fontsize=8)
         ax.set_yticks(range(ny))
         ax.set_yticklabels(color.index, fontsize=8)
-        ax.set_xlim(-0.6, nx - 0.4)
-        ax.set_ylim(ny - 0.4, -0.6)
+        xpad = 0.6 * float(self._style.get("x_padding", 0.8)) / 0.8
+        ypad = 0.6 * float(self._style.get("y_padding", 1.0)) / 1.0 if not self._style.get("color_on") == "square" else 0.5
+        ax.set_xlim(-xpad, nx - 1 + xpad)
+        ax.set_ylim(ny - 1 + ypad, -ypad)
+        if self._style.get("grid"):
+            ax.grid(True, color="lightgray", linewidth=0.5)
+            ax.set_axisbelow(True)
         if self.title:
             ax.set_title(self.title)
         if self._legend["show"]:
-            cb = self.fig.colorbar(sc, ax=ax, shrink=0.5, pad=0.02)
-            cb.set_label(self._legend["colorbar_title"], fontsize=8)
-            handles = []
-            for f in (0.25, 0.5, 0.75, 1.0):
-                s = self._style["smallest_dot"] + f * (self._style["largest_dot"] - self._style["smallest_dot"])
-                handles.append(plt.scatter([], [], s=s, c="grey", edgecolors="black", linewidths=0.2, label=f"{int(f*100)}"))
-            ax.legend(handles=handles, title=self._legend["size_title"], loc="center left",
-                      bbox_to_anchor=(1.25, 0.5), frameon=False, fontsize=7, title_fontsize=7)
-        if dendrogram_adata is not None and dendrogram_key:
-            pass  # dendrogram ordering already applied by caller
+            if self._legend["show_colorbar"]:
+                cb = self.fig.colorbar(self._color_mappable, ax=ax, shrink=0.5, pad=0.02)
+                cb.set_label(self._legend["colorbar_title"], fontsize=8)
+            if self._legend["show_size_legend"]:
+                handles = []
+                n_dots = max(self._legend.get("num_size_legend_dots", 4), 2)
+                for f in np.linspace(1.0 / n_dots, 1.0, n_dots):
+                    s = self._style["smallest_dot"] + (f ** float(self._style.get("size_exponent", 1.0))) * (
+                        self._style["largest_dot"] - self._style["smallest_dot"]
+                    )
+                    handles.append(plt.scatter([], [], s=s, c="grey", edgecolors="black", linewidths=0.2, label=f"{int(f*100)}"))
+                ax.legend(handles=handles, title=self._legend["size_title"], loc="center left",
+                          bbox_to_anchor=(1.25, 0.5), frameon=False, fontsize=7, title_fontsize=7)
+        if self._dendrogram is not None and self._adata is not None and not self.swap_axes:
+            from mpl_toolkits.axes_grid1 import make_axes_locatable
+
+            from .utils import plot_dendrogram
+
+            divider = make_axes_locatable(ax)
+            dax = divider.append_axes("right", size=f"{int(self._dendrogram['size'] * 12)}%", pad=0.05)
+            plot_dendrogram(dax, self._adata, self._cat_key, orientation="right", remove_labels=True)
+            self.ax_dict["group_extra_ax"] = dax
         return self
 
 
@@ -200,6 +271,11 @@ def dotplot(
     expression_cutoff: float = 0.0,
     mean_only_expressed: bool = False,
     cmap: str = "Reds",
+    color_on: str = "dot",
+    size_exponent: float = 1.5,
+    grid: bool = False,
+    show_size_legend: bool = True,
+    show_colorbar: bool = True,
     dot_max=None,
     dot_min=None,
     standard_scale: Optional[str] = None,
@@ -239,19 +315,14 @@ def dotplot(
     dp = cls(**init_kwargs)
     dp.swap_axes = swap_axes
     dp.vmin, dp.vmax, dp.vcenter, dp.norm = vmin, vmax, vcenter, norm
-    dp.style(cmap=cmap, dot_max=dot_max, dot_min=dot_min, smallest_dot=smallest_dot, largest_dot=largest_dot)
-    dp.legend(colorbar_title=colorbar_title, size_title=size_title)
+    dp.style(cmap=cmap, color_on=color_on, dot_max=dot_max, dot_min=dot_min,
+             smallest_dot=smallest_dot, largest_dot=largest_dot,
+             size_exponent=size_exponent, grid=grid)
+    dp.legend(colorbar_title=colorbar_title, size_title=size_title,
+              show_size_legend=show_size_legend, show_colorbar=show_colorbar)
 
     if dendrogram and adata is not None:
-        from .utils import dendrogram as _dend
-
-        key = dendrogram if isinstance(dendrogram, str) else f"dendrogram_{cat_key}"
-        if key not in adata.uns:
-            _dend(adata, cat_key, var_names=var_names, key_added=key)
-        order = adata.uns[key]["categories_ordered"]
-        keep = [c for c in order if c in dp.dot_color_df.index]
-        dp.dot_color_df = dp.dot_color_df.loc[keep]
-        dp.dot_size_df = dp.dot_size_df.loc[keep]
+        dp.add_dendrogram(dendrogram_key=dendrogram if isinstance(dendrogram, str) else None)
 
     dp.make_figure(ax=ax)
     return save_return_show_fig_utils(save_show_or_return, True, None, "dotplot", save_kwargs, 1, dp.fig, dp.ax)

@@ -518,65 +518,234 @@ class MuSIC_Interpreter(MuSIC):
     # ------------------------------------------------------------------
     # heatmaps / summaries (parity: MuSIC_downstream.py:1434-5330)
     # ------------------------------------------------------------------
-    def gene_expression_heatmap(self, genes: Optional[List[str]] = None, group_key: Optional[str] = None, save_show_or_return: str = "return", **kwargs):
-        """Mean expression per group heatmap (parity: :1434)."""
+    # -- positional distribution figures (reference MuSIC_downstream.py
+    # :1434 gene_expression_heatmap, :1849 effect_distribution_heatmap,
+    # :2339 effect_distribution_density — the composed z-score-along-axis
+    # figures; CSV caching on disk becomes an in-memory cache on self) -----
+
+    def _positional_axis(self, position_key: str = "spatial", coord_column=0) -> pd.Series:
+        """Integer positional coordinate per cell along one spatial axis
+        (the reference's `pos`, MuSIC_downstream.py:1560-1660)."""
+        if position_key in self.adata.obsm:
+            arr = np.asarray(self.adata.obsm[position_key])
+            if arr.ndim == 2 and arr.shape[1] > 1:
+                col = {"x": 0, "y": 1, "z": 2}.get(coord_column, coord_column)
+                arr = arr[:, int(col)]
+            else:
+                arr = arr.ravel()
+        else:
+            arr = np.asarray(self.adata.obs[position_key])
+        pos = pd.Series(arr, index=self.adata.obs_names)
+        if pos.dtype == float:
+            pos = pos.astype(int)
+        return pos
+
+    @staticmethod
+    def _positional_distribution(
+        values: pd.DataFrame,
+        pos: pd.Series,
+        window_size: int = 3,
+        top_n: int = 30,
+        min_consecutive: int = 5,
+        select_features: bool = True,
+    ) -> pd.DataFrame:
+        """Reference composition (MuSIC_downstream.py:1694-1740): per-feature
+        fold change over its mean -> log1p -> z-score -> per-position mean ->
+        centered rolling smooth -> keep features in the per-position top-N
+        z-scores for >= `min_consecutive` consecutive positions. Returns the
+        [features x positions] matrix with positions minmax-normalized."""
+        if window_size % 2 == 0:
+            raise ValueError("Window size must be an odd integer.")
+        mean = values.mean(axis=0)
+        fc = np.log1p(values / (mean + 1e-12))
+        z = (fc - fc.mean(axis=0)) / (fc.std(axis=0) + 1e-12)
+        z = z.copy()
+        pos_arr = np.asarray(pos)
+        z["pos"] = pos_arr[: len(z)]
+        by_pos = z.sort_values("pos").groupby("pos").mean()
+        by_pos = by_pos.rolling(window_size, center=True, min_periods=1).mean()
+        features = list(values.columns)
+        if select_features and by_pos.shape[1] > 1:
+            top_per_pos = by_pos.apply(lambda row: row.nlargest(min(top_n, len(row))).index.tolist(), axis=1)
+            consecutive = {g: 0 for g in features}
+            of_interest = set()
+            for p in top_per_pos.index:
+                tops = set(top_per_pos[p])
+                for g in features:
+                    if g in tops:
+                        consecutive[g] += 1
+                        if consecutive[g] >= min_consecutive:
+                            of_interest.add(g)
+                    else:
+                        consecutive[g] = 0
+            if of_interest:
+                by_pos = by_pos[[g for g in features if g in of_interest]]
+        idx = by_pos.index.to_numpy(dtype=float)
+        if idx.max() > idx.min():
+            by_pos.index = (idx - idx.min()) / (idx.max() - idx.min())
+        return by_pos.T  # features on rows (y-axis), positions on columns
+
+    @staticmethod
+    def _neatly_arrange_rows(to_plot: pd.DataFrame) -> pd.DataFrame:
+        """Order rows by where along the axis their strongest (above
+        per-row 95th-percentile) z-scores sit (reference :1742-1757)."""
+        column_indices = np.tile(np.arange(to_plot.shape[1]), (len(to_plot), 1))
+        p95 = to_plot.apply(lambda r: np.percentile(r[r > 0], 95) if (r > 0).any() else 0.0, axis=1)
+        weights = to_plot.gt(p95, axis=0) * to_plot
+        total = weights.values.sum(axis=1)
+        weighted_avg = np.where(total != 0, (weights.values * column_indices).sum(axis=1) / total, 0.0)
+        order = pd.Series(weighted_avg, index=to_plot.index).sort_values().index
+        return to_plot.loc[order]
+
+    def _plot_positional_heatmap(self, to_plot: pd.DataFrame, cmap: str, title: str, x_label: str):
+        import matplotlib.pyplot as plt
+
+        flat = to_plot.values.ravel()
+        max_val = float(np.quantile(flat, 0.95)) if flat.size else 1.0
+        fig, ax = plt.subplots(figsize=(8, max(2.0, len(to_plot) * 0.2)))
+        im = ax.imshow(to_plot.values, aspect="auto", cmap=cmap, vmin=-max_val, vmax=max_val)
+        ax.set_xticks(np.linspace(0, to_plot.shape[1] - 1, min(6, to_plot.shape[1])))
+        ax.set_xticklabels([f"{float(to_plot.columns[int(i)]):.3f}" for i in ax.get_xticks()], fontsize=7)
+        ax.set_yticks(range(len(to_plot)))
+        ax.set_yticklabels(to_plot.index, fontsize=7)
+        ax.set_xlabel(x_label)
+        ax.set_title(title)
+        cb = fig.colorbar(im, ax=ax, shrink=0.7)
+        cb.set_label("Z-score")
+        return fig, ax
+
+    def gene_expression_heatmap(
+        self,
+        genes: Optional[List[str]] = None,
+        position_key: str = "spatial",
+        coord_column=0,
+        window_size: int = 3,
+        neatly_arrange_y: bool = True,
+        cmap: str = "magma",
+        title: Optional[str] = None,
+        save_show_or_return: str = "return",
+        **kwargs,
+    ):
+        """Smoothed z-scored expression distribution of genes along a spatial
+        axis (parity: reference :1434 — fold change -> log1p -> z-score ->
+        positional mean -> rolling smooth -> consecutive-top-N gene selection
+        -> optional enrichment-position row ordering)."""
         from scipy.sparse import issparse
 
-        group_key = group_key or self.group_key
-        genes = genes or list(map(str, self.adata.var_names[: min(20, self.adata.n_vars)]))
+        genes = list(genes) if genes is not None else list(map(str, self.adata.var_names[: min(20, self.adata.n_vars)]))
         names = list(map(str, self.adata.var_names))
+        genes = [g for g in genes if g in names]
         X = self.adata.X.toarray() if issparse(self.adata.X) else np.asarray(self.adata.X)
-        groups = pd.Series(np.asarray(self.adata.obs[group_key])).astype(str)
-        M = pd.DataFrame(
-            {g: [X[(groups == c).values][:, names.index(g)].mean() for c in pd.unique(groups)] for g in genes if g in names},
-            index=pd.unique(groups),
+        expr = pd.DataFrame(X[:, [names.index(g) for g in genes]], index=self.adata.obs_names, columns=genes)
+        pos = self._positional_axis(position_key, coord_column)
+        to_plot = self._positional_distribution(expr, pos, window_size=window_size)
+        if neatly_arrange_y:
+            to_plot = self._neatly_arrange_rows(to_plot)
+        if not hasattr(self, "_positional_dfs"):
+            self._positional_dfs = {}
+        self._positional_dfs[("genes", position_key, coord_column)] = to_plot
+        if save_show_or_return == "return":
+            return to_plot
+        fig, ax = self._plot_positional_heatmap(
+            to_plot, cmap, title or "Gene expression distribution", "Relative position"
         )
-        import matplotlib.pyplot as plt
+        return ax
 
-        _, ax = plt.subplots(figsize=(max(3, 0.3 * M.shape[1]), max(2, 0.3 * M.shape[0])))
-        im = ax.imshow(M.values, aspect="auto", cmap=kwargs.get("cmap", "magma"))
-        ax.set_xticks(range(M.shape[1])); ax.set_xticklabels(M.columns, rotation=90, fontsize=7)
-        ax.set_yticks(range(M.shape[0])); ax.set_yticklabels(M.index, fontsize=7)
-        plt.colorbar(im, ax=ax, shrink=0.6)
-        return M if save_show_or_return == "return" else ax
-
-    def effect_distribution_heatmap(self, targets=None, interactions=None, save_show_or_return: str = "return", **kwargs):
-        """Targets x interactions mean |effect| heatmap (parity: :1851)."""
-        eff = self.effect_distribution()
-        if targets is not None:
-            eff = eff.loc[[t for t in np.atleast_1d(targets) if t in eff.index]]
-        if interactions is not None:
-            eff = eff[[c for c in np.atleast_1d(interactions) if c in eff.columns]]
-        import matplotlib.pyplot as plt
-
-        _, ax = plt.subplots(figsize=(max(3, 0.3 * eff.shape[1]), max(2, 0.3 * eff.shape[0])))
-        im = ax.imshow(eff.values, aspect="auto", cmap=kwargs.get("cmap", "Reds"))
-        ax.set_xticks(range(eff.shape[1])); ax.set_xticklabels(eff.columns, rotation=90, fontsize=7)
-        ax.set_yticks(range(eff.shape[0])); ax.set_yticklabels(eff.index, fontsize=7)
-        plt.colorbar(im, ax=ax, shrink=0.6)
-        return eff if save_show_or_return == "return" else ax
-
-    def effect_distribution_density(self, target: str, interactions=None, save_show_or_return: str = "return", **kwargs):
-        """Per-interaction distribution of per-cell effects on one target
-    (parity: :2068)."""
+    def effect_distribution_heatmap(
+        self,
+        targets=None,
+        interactions=None,
+        position_key: str = "spatial",
+        coord_column=0,
+        window_size: int = 3,
+        neatly_arrange_y: bool = True,
+        cmap: str = "seismic",
+        title: Optional[str] = None,
+        save_show_or_return: str = "return",
+        **kwargs,
+    ):
+        """Smoothed z-scored per-cell interaction-effect distribution along a
+        spatial axis, one row per target-interaction pair (parity: reference
+        :1849; same composition as `gene_expression_heatmap` applied to the
+        fitted coefficient magnitudes). Caches the matrix on self for
+        `effect_distribution_density`."""
         if not getattr(self, "coeffs", None):
             self.load_coeffs()
-        cdf = self.coeffs[target]
-        cols = [c for c in cdf.columns if not c.endswith("intercept")]
-        if interactions is not None:
-            keep = set(np.atleast_1d(interactions))
-            cols = [c for c in cols if c in keep or (c[2:] if c.startswith("b_") else c) in keep]
+        tlist = [t for t in (np.atleast_1d(targets) if targets is not None else list(self.coeffs))]
+        cols = {}
+        for t in tlist:
+            cdf = self.coeffs[t]
+            for c in cdf.columns:
+                if c.endswith("intercept"):
+                    continue
+                name = c[2:] if c.startswith("b_") else c
+                if interactions is not None and name not in set(np.atleast_1d(interactions)):
+                    continue
+                cols[f"{t}-{name}"] = np.abs(np.asarray(cdf[c].values, float))
+        if not cols:
+            raise ValueError("no target-interaction columns selected for effect_distribution_heatmap")
+        values = pd.DataFrame(cols, index=self.coeffs[tlist[0]].index)
+        pos = self._positional_axis(position_key, coord_column)
+        to_plot = self._positional_distribution(values, pos, window_size=window_size)
+        if neatly_arrange_y:
+            to_plot = self._neatly_arrange_rows(to_plot)
+        if not hasattr(self, "_positional_dfs"):
+            self._positional_dfs = {}
+        self._positional_dfs[("interaction_effects", position_key, coord_column)] = to_plot
+        if save_show_or_return == "return":
+            return to_plot
+        fig, ax = self._plot_positional_heatmap(
+            to_plot, cmap, title or "Signaling effect distribution", "Relative position"
+        )
+        return ax
+
+    def effect_distribution_density(
+        self,
+        effect_names=None,
+        position_key: str = "spatial",
+        coord_column=0,
+        region_lower_bound: Optional[float] = None,
+        region_upper_bound: Optional[float] = None,
+        region_label: Optional[str] = None,
+        save_show_or_return: str = "return",
+        **kwargs,
+    ):
+        """Density of interaction effects ALONG the positional axis (parity:
+        reference :2339 — reuses the matrix computed by
+        `effect_distribution_heatmap`, which must run first; negative
+        z-scores are clipped to zero and used as density weights)."""
         import matplotlib.pyplot as plt
 
-        _, ax = plt.subplots(figsize=(6, 3))
-        for c in cols:
-            v = np.asarray(cdf[c].values, float)
-            grid = np.linspace(v.min(), v.max() + 1e-9, 120)
-            h = max(v.std() / 3, 1e-6)
-            dens = np.exp(-((grid[:, None] - v[None, :]) ** 2) / (2 * h**2)).mean(1)
-            ax.plot(grid, dens, label=c)
+        key = ("interaction_effects", position_key, coord_column)
+        cached = getattr(self, "_positional_dfs", {}).get(key)
+        if cached is None:
+            raise ValueError(
+                "Could not find the positional-distribution matrix for this position key. "
+                "Please run effect_distribution_heatmap() before effect_distribution_density()."
+            )
+        to_plot = cached.T.copy()  # positions x effects
+        to_plot[to_plot < 0] = 0.0
+        coords = to_plot.index.to_numpy(dtype=float)
+        names = list(np.atleast_1d(effect_names)) if effect_names is not None else list(to_plot.columns)
+        missing = [n for n in names if n not in to_plot.columns]
+        if missing:
+            raise ValueError(f"effect_names not present in the saved distribution: {missing}")
+        fig, ax = plt.subplots(figsize=(7, 3))
+        grid = np.linspace(coords.min(), coords.max(), 200)
+        h = max((coords.max() - coords.min()) / 25.0, 1e-6)
+        for n in names:
+            w = np.asarray(to_plot[n].values, float)
+            if w.sum() <= 0:
+                continue
+            dens = (np.exp(-((grid[:, None] - coords[None, :]) ** 2) / (2 * h**2)) * w[None, :]).sum(1)
+            dens /= max(np.trapezoid(dens, grid), 1e-12)
+            ax.plot(grid, dens, label=n)
+            ax.fill_between(grid, dens, alpha=0.2)
+        if region_lower_bound is not None and region_upper_bound is not None:
+            ax.axvspan(region_lower_bound, region_upper_bound, color="gray", alpha=0.2, label=region_label)
+        ax.set_xlabel("Relative position")
+        ax.set_ylabel("Density")
         ax.legend(fontsize=6, frameon=False)
-        ax.set_xlabel("effect size"); ax.set_ylabel("density")
         return ax
 
     def visualize_effect_specificity(self, target: str, save_show_or_return: str = "return", **kwargs):

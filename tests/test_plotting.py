@@ -110,6 +110,58 @@ class TestDotplot:
         ax = pl.dotplot(adata, var_names=["g0", "g1"], cat_key="leiden", dendrogram=True, save_show_or_return="return")
         assert f"dendrogram_leiden" in adata.uns
 
+    def test_dotplot_color_on_square_changes_artists(self, adata):
+        """color_on='square' renders a QuadMesh behind edge-only dots
+        (reference dotplot.py style(color_on='square'))."""
+        from matplotlib.collections import QuadMesh
+
+        ax_dot = pl.dotplot(adata, var_names=["g0", "g1", "g2"], cat_key="leiden", save_show_or_return="return")
+        ax_sq = pl.dotplot(adata, var_names=["g0", "g1", "g2"], cat_key="leiden",
+                           color_on="square", save_show_or_return="return")
+        assert not any(isinstance(c, QuadMesh) for c in ax_dot.collections)
+        meshes = [c for c in ax_sq.collections if isinstance(c, QuadMesh)]
+        assert len(meshes) == 1
+        # the dot layer is edge-only (transparent faces)
+        sc = [c for c in ax_sq.collections if not isinstance(c, QuadMesh)][0]
+        assert sc.get_facecolor().size == 0 or np.all(sc.get_facecolor()[:, 3] == 0)
+
+    def test_dotplot_size_exponent_changes_dot_sizes(self, adata):
+        ax1 = pl.dotplot(adata, var_names=["g0", "g1"], cat_key="leiden",
+                         size_exponent=1.0, save_show_or_return="return")
+        ax3 = pl.dotplot(adata, var_names=["g0", "g1"], cat_key="leiden",
+                         size_exponent=3.0, save_show_or_return="return")
+        s1 = np.asarray(ax1.collections[0].get_sizes())
+        s3 = np.asarray(ax3.collections[0].get_sizes())
+        # exponent > 1 shrinks sub-maximal dots, leaves the max fixed
+        assert np.isclose(s1.max(), s3.max(), rtol=1e-6)
+        mid = (s1 > s1.max() * 0.05) & (s1 < s1.max() * 0.95)
+        assert mid.any() and np.all(s3[mid] < s1[mid])
+
+    def test_dotplot_smallest_dot_floors_sizes(self, adata):
+        ax = pl.dotplot(adata, var_names=["g0", "g1"], cat_key="leiden",
+                        smallest_dot=40.0, save_show_or_return="return")
+        assert np.asarray(ax.collections[0].get_sizes()).min() >= 40.0 - 1e-9
+
+    def test_dotplot_size_legend_toggle(self, adata):
+        ax_on = pl.dotplot(adata, var_names=["g0"], cat_key="leiden", save_show_or_return="return")
+        ax_off = pl.dotplot(adata, var_names=["g0"], cat_key="leiden",
+                            show_size_legend=False, save_show_or_return="return")
+        assert ax_on.get_legend() is not None
+        assert ax_off.get_legend() is None
+
+    def test_dotplot_grid_and_dendrogram_panel(self, adata):
+        ax = pl.dotplot(adata, var_names=["g0", "g1"], cat_key="leiden",
+                        grid=True, save_show_or_return="return")
+        assert any(gl.get_visible() for gl in ax.get_xgridlines())
+        # the dendrogram renders as a side panel sharing the category axis
+        from spateo_tpu.plotting.dotplot import Dotplot
+
+        dp = Dotplot(adata=adata, var_names=["g0", "g1"], cat_key="leiden")
+        dp.add_dendrogram()
+        dp.make_figure()
+        assert "group_extra_ax" in dp.ax_dict
+        assert len(dp.ax_dict["group_extra_ax"].lines) > 0
+
 
 class TestInteractions:
     def test_ligrec(self, adata):
@@ -127,6 +179,59 @@ class TestInteractions:
         fig, axes = pl.plot_connections(adata, "leiden", n_spatial_neighbors=5, save_show_or_return="return")
         assert len(axes) == 1
         assert len(axes[0].patches) > 0  # squares drawn
+
+    def test_ligrec_alpha_controls_rings(self, adata):
+        """The significance rings (open circles over dots) follow the alpha
+        threshold — a data-presentation option, not just render-smoke."""
+        pairs = ["L1-R1", "L2-R2", "L3-R3"]
+        cols = ["a|b", "b|c"]
+        pv = np.array([[0.001, 0.5], [0.5, 0.5], [0.02, 0.5]])
+        adata.uns["cci2"] = {
+            "means": pd.DataFrame(np.ones((3, 2)), index=pairs, columns=cols),
+            "pvalues": pd.DataFrame(pv, index=pairs, columns=cols),
+        }
+
+        def n_rings(alpha):
+            ax = pl.ligrec(adata, "cci2", alpha=alpha, save_show_or_return="return")
+            rings = [c for c in ax.collections
+                     if c.get_offsets().shape[0] and c.get_facecolor().size == 0]
+            return sum(c.get_offsets().shape[0] for c in rings)
+
+        assert n_rings(0.01) == 1  # only the 0.001 entry
+        assert n_rings(0.05) == 2  # 0.001 and 0.02
+
+    def test_ligrec_dendrogram_reorders_rows(self, adata):
+        rng = np.random.default_rng(1)
+        pairs = [f"L{i}-R{i}" for i in range(6)]
+        cols = ["a|b", "b|c", "c|a"]
+        adata.uns["cci3"] = {
+            "means": pd.DataFrame(rng.uniform(0.1, 2.0, (6, 3)), index=pairs, columns=cols),
+            "pvalues": pd.DataFrame(rng.uniform(0, 0.5, (6, 3)), index=pairs, columns=cols),
+        }
+        ax0 = pl.ligrec(adata, "cci3", save_show_or_return="return")
+        ax1 = pl.ligrec(adata, "cci3", dendrogram="interacting_molecules", save_show_or_return="return")
+        labels0 = [t.get_text() for t in ax0.get_yticklabels()]
+        labels1 = [t.get_text() for t in ax1.get_yticklabels()]
+        assert sorted(labels0) == sorted(labels1)
+        assert labels0 != labels1  # clustering changed the row order
+
+    def test_plot_connections_heatmap_vs_shapes(self, adata):
+        fig, axes = pl.plot_connections(adata, "leiden", n_spatial_neighbors=5,
+                                        shapes_style=False, save_show_or_return="return")
+        assert len(axes[0].get_images()) == 1  # heatmap, not patches
+        assert len(axes[0].patches) == 0
+
+    def test_plot_connections_zero_self(self, adata):
+        fig, axes = pl.plot_connections(adata, "leiden", n_spatial_neighbors=5,
+                                        zero_self_connections=False, normalize_by_self_connections=False,
+                                        shapes_style=False, save_show_or_return="return")
+        M_with = np.asarray(axes[0].get_images()[0].get_array())
+        fig, axes0 = pl.plot_connections(adata, "leiden", n_spatial_neighbors=5,
+                                         zero_self_connections=True,
+                                         shapes_style=False, save_show_or_return="return")
+        M_zero = np.asarray(axes0[0].get_images()[0].get_array())
+        assert np.allclose(np.diag(M_zero), 0)
+        assert np.diag(M_with).sum() > 0
 
 
 class TestGlmLisaPolarity:
