@@ -275,3 +275,39 @@ class TestEstepPallas:
             r, o = np.asarray(ref[k]), np.asarray(out[k])
             err = np.max(np.abs(r - o) / (np.abs(r) + 1e-6))
             assert err < 5e-4, f"{k}: {err}"
+
+
+class TestInlierPallas:
+    def test_interpret_matches_xla_inlier(self):
+        """The fused coarse-init inlier EM (ops/inlier_pallas.py) reproduces
+        the XLA fori_loop kernel (interpret mode on CPU)."""
+        import jax.numpy as jnp
+
+        from spateo_tpu.alignment.methods.math import _inlier_from_NN_kernel
+        from spateo_tpu.ops.inlier_pallas import inlier_from_NN_pallas
+
+        rng = np.random.default_rng(0)
+        n, N = 1900, 2048  # masked padding rows
+        th = 0.4
+        R_true = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32)
+        tx = rng.uniform(0, 5, (N, 2)).astype(np.float32)
+        ty = (tx @ R_true.T + np.array([1.0, -2.0], np.float32)).astype(np.float32)
+        ty[: n // 3] += rng.normal(0, 2.0, (n // 3, 2)).astype(np.float32)  # outliers
+        dist = rng.uniform(0, 3, (N, 1)).astype(np.float32)
+        tx[n:] = tx[0]
+        ty[n:] = ty[0]
+        dist[n:] = dist[0]
+        mask = np.zeros((N, 1), np.float32)
+        mask[:n] = 1.0
+
+        args = (jnp.asarray(tx), jnp.asarray(ty), jnp.asarray(dist), jnp.asarray(mask), jnp.asarray(float(n)))
+        P_ref, R_ref, t_ref, w_ref, s2_ref, g_ref = _inlier_from_NN_kernel(*args)
+        P, R, t, w, s2, g = inlier_from_NN_pallas(*args, interpret=True)
+        np.testing.assert_allclose(np.asarray(R), np.asarray(R_ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(t), np.asarray(t_ref), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(P).ravel(), np.asarray(P_ref).ravel(), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-5)
+        assert abs(float(s2) - float(s2_ref)) < 1e-3 * max(float(s2_ref), 1e-3)
+        assert abs(float(g) - float(g_ref)) < 1e-3
+        # recovered the planted transform
+        np.testing.assert_allclose(np.asarray(R), R_true, atol=0.05)
