@@ -67,6 +67,30 @@ def get_rep(sample: AnnData, rep: str = "X", rep_field: str = "layer", genes=Non
     raise AlignmentError(f"Unsupported rep_field {rep_field}")
 
 
+@jax.jit
+def _widen_f32(x):
+    return x.astype(jnp.float32)
+
+
+def _upload_compact(arr) -> jnp.ndarray:
+    """Upload an expression array with the narrowest lossless dtype.
+
+    UMI count layers are small non-negative integers stored as float; over
+    the tunneled device a uint8/uint16 upload costs 4x/2x less than f32.
+    Integer label-code arrays keep their dtype (the label metric indexes
+    with them). Anything non-integer-valued falls back to f32."""
+    arr = np.asarray(arr)
+    if arr.dtype.kind in "iu":
+        return jnp.asarray(arr)
+    if arr.dtype.kind == "f" and arr.size:
+        amax = float(arr.max(initial=0.0))
+        amin = float(arr.min(initial=0.0))
+        if amin >= 0.0 and amax <= 65535.0 and not np.any(arr != np.floor(arr)):
+            narrow = np.uint8 if amax <= 255.0 else np.uint16
+            return _widen_f32(jnp.asarray(arr.astype(narrow)))
+    return jnp.asarray(arr.astype(np.float32))
+
+
 def filter_common_genes(*genes_lists, verbose: bool = True) -> List[str]:
     common = set(genes_lists[0])
     for g in genes_lists[1:]:
@@ -75,6 +99,64 @@ def filter_common_genes(*genes_lists, verbose: bool = True) -> List[str]:
     if len(common_genes) == 0:
         raise AlignmentError("No common genes between samples.")
     return common_genes
+
+
+# ---------------------------------------------------------------------------
+# Fused coarse-init matching + robust rigid fit
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("top_k", "metric", "allow_flip"))
+def _coarse_match_fit(X_A_p, X_B_p, cA_p, cB_p, n1, n2, *, top_k: int, metric: str, allow_flip: bool):
+    """The whole coarse-init chain as ONE device program: expression
+    distance -> mutual top-K matching -> NN pair gather -> 100-iteration
+    inlier EM (x2 under the flip hypothesis) -> posterior threshold.
+
+    Same math as reference methods/utils.py `inlier_from_NN` driven by
+    morpho_class.py:898 `_coarse_rigid_alignment`, but nothing larger than
+    R/t crosses the host boundary and sub-threshold NN rows are kept with
+    weight 0 instead of sliced away (exactly neutral downstream, and the
+    fixed row count means one compiled program across slice pairs).
+
+    Padding semantics: rows/cols >= n1/n2 are masked out of the top-K via
+    +inf distances; their gathered coordinates are real voxel coordinates
+    (pad rows are row-0 copies), so the EM's extent/max statistics match
+    the unpadded reference computation."""
+    from .math import _inlier_from_NN_kernel, calc_distance
+
+    n1p, n2p = X_A_p.shape[0], X_B_p.shape[0]
+    [Dmat] = calc_distance(X_A_p, X_B_p, metric=metric)
+    big = jnp.finfo(Dmat.dtype).max
+    valid = (jnp.arange(n1p)[:, None] < n1) & (jnp.arange(n2p)[None, :] < n2)
+    Dm = jnp.where(valid, Dmat, big)
+    neg_row_vals, row_idx = jax.lax.top_k(-Dm, top_k)  # per A row: K nearest B cols
+    neg_col_vals, col_idx = jax.lax.top_k(-Dm.T, top_k)  # per B col: K nearest A rows
+    # NN pairs (B index, A index) in the reference's NN1/NN2 order
+    b_idx = jnp.concatenate([jnp.repeat(jnp.arange(n2p), top_k), row_idx.ravel()])
+    a_idx = jnp.concatenate([col_idx.ravel(), jnp.repeat(jnp.arange(n1p), top_k)])
+    dist = jnp.concatenate([(-neg_col_vals).ravel(), (-neg_row_vals).ravel()])
+    mask = jnp.concatenate(
+        [jnp.repeat(jnp.arange(n2p) < n2, top_k), jnp.repeat(jnp.arange(n1p) < n1, top_k)]
+    ).astype(jnp.float32)[:, None]
+    dist = jnp.where(mask > 0, dist[:, None], 0.0)
+    train_x = cA_p[a_idx]
+    train_y = cB_p[b_idx]
+    n_valid = (n1 + n2).astype(jnp.float32) * top_k
+    P, R, t, _, sigma2, gamma = _inlier_from_NN_kernel(train_x, train_y, dist, mask, n_valid)
+    flipped = jnp.asarray(False)
+    if allow_flip:
+        Dd = train_x.shape[1]
+        R_flip = jnp.eye(Dd, dtype=train_x.dtype).at[-1, -1].set(-1.0)
+        P2, R2, t2, _, _, gamma_2 = _inlier_from_NN_kernel(train_x @ R_flip, train_y, dist, mask, n_valid)
+        better = gamma_2 > gamma
+        P = jnp.where(better, P2, P)
+        R = jnp.where(better, R2 @ R_flip, R)
+        t = jnp.where(better, t2, t)
+        flipped = better
+    # reference threshold: min(21st-largest posterior, 0.5); keep all rows,
+    # zeroing the sub-threshold ones (morpho_class.py inlier_set slicing)
+    k_thr = min(20, train_x.shape[0] - 1)
+    thr = jnp.minimum(jax.lax.top_k(P[:, 0], k_thr + 1)[0][-1], 0.5)
+    inlier_P = jnp.where(P > thr, P, 0.0)
+    return train_x, train_y, inlier_P, R, t, flipped
 
 
 # ---------------------------------------------------------------------------
@@ -674,9 +756,12 @@ class Morpho_pairwise:
 
         # device residency: the [N, G] expression arrays are the big tunnel
         # uploads — push them once; probability-parameter init, the distance
-        # factorization and the EM all reuse the same device buffers
-        self._exp_A_dev = [jnp.asarray(a) for a in self.exp_layers_A]
-        self._exp_B_dev = [jnp.asarray(b) for b in self.exp_layers_B]
+        # factorization and the EM all reuse the same device buffers.
+        # Integer-valued count layers travel as uint8/uint16 (4x/2x less
+        # tunnel traffic than f32 — the upload is ~20% of per-pair wall time
+        # at 20k cells on the ~40 MB/s tunnel) and widen to f32 on device.
+        self._exp_A_dev = [_upload_compact(a) for a in self.exp_layers_A]
+        self._exp_B_dev = [_upload_compact(b) for b in self.exp_layers_B]
 
     def _construct_kernel(self, inducing_variables_num: int):
         unique_coords, unique_idx = np.unique(self.coordsA, return_index=True, axis=0)
@@ -776,60 +861,41 @@ class Morpho_pairwise:
         coordsB, X_B = voxel_data(coordsB, X_B, voxel_num=max(min(int(M / 20), 1000), 100))
 
         # voxel occupancy is data-dependent: bucket the row counts (pad with
-        # row-0 copies) so fresh slice pairs reuse the compiled distance
-        # kernel instead of recompiling per occupancy count.  The mutual
-        # top-K matching runs ON DEVICE (`mutual_topk_distance`) — only the
-        # [n, K] index/value arrays cross the host boundary, never the full
-        # [n1, n2] distance matrix.
-        from .math import mutual_topk_distance, pad_rows_bucket
+        # row-0 copies) so fresh slice pairs reuse ONE compiled program.
+        # The whole matching chain — pairwise distance, mutual top-K, NN
+        # pair construction, the 100-iteration inlier EM (x2 for the flip
+        # hypothesis) and the posterior threshold — runs as a single fused
+        # device program (`_coarse_match_fit`); only R/t/scalars cross the
+        # tunnel, and the inlier arrays stay device-resident for the EM.
+        # (The previous host-orchestrated version cost ~300 ms/pair in
+        # device round-trips against ~20 ms of compute.)
+        from .math import pad_rows_bucket
 
         n1, n2 = X_A.shape[0], X_B.shape[0]
         X_A_p = pad_rows_bucket(X_A.astype(np.float32), 256)
         X_B_p = pad_rows_bucket(X_B.astype(np.float32), 256)
+        cA_p = pad_rows_bucket(coordsA.astype(np.float32), 256)
+        cB_p = pad_rows_bucket(coordsB.astype(np.float32), 256)
         top_K = min(top_K, n1 - 1, n2 - 1)
-        row_vals, row_idx, col_vals, col_idx = mutual_topk_distance(
-            X_A_p, X_B_p, n1, n2, metric="kl" if self.init_field == "layer" else "euc", top_k=top_K
+        train_x, train_y, inlier_P, R, t, flipped = _coarse_match_fit(
+            jnp.asarray(X_A_p), jnp.asarray(X_B_p), jnp.asarray(cA_p), jnp.asarray(cB_p),
+            jnp.asarray(n1), jnp.asarray(n2),
+            top_k=top_K,
+            metric="kl" if self.init_field == "layer" else "euc",
+            allow_flip=bool(self.allow_flip),
         )
-        row_vals, row_idx = np.asarray(row_vals)[:n1], np.asarray(row_idx)[:n1]
-        col_vals, col_idx = np.asarray(col_vals)[:n2], np.asarray(col_idx)[:n2]
-        # NN1: for each B voxel j its top-K nearest A rows; NN2: for each A
-        # row i its top-K nearest B columns — pairs stored (B index, A index)
-        NN1 = np.stack([np.repeat(np.arange(n2), top_K), col_idx.ravel()], axis=1)
-        distance1 = col_vals.ravel()
-        NN2 = np.stack([row_idx.ravel(), np.repeat(np.arange(n1), top_K)], axis=1)
-        distance2 = row_vals.ravel()
-        NN = np.vstack((NN1, NN2))
-        distance = np.r_[distance1, distance2]
-
-        train_x, train_y = coordsA[NN[:, 1], :], coordsB[NN[:, 0], :]
-        P, R, t, init_weight, sigma2, gamma = inlier_from_NN(train_x, train_y, distance[:, None])
-        if self.allow_flip:
-            R_flip = np.eye(self.D)
-            R_flip[-1, -1] = -1
-            P2, R2, t2, _, sigma2_2, gamma_2 = inlier_from_NN(np.dot(train_x, R_flip), train_y, distance[:, None])
-            if gamma_2 > gamma:
-                P, R, t, sigma2 = P2, R2, t2, sigma2_2
-                R = np.dot(R, R_flip)
-                lm.main_info("Flipping detected in coarse rigid alignment.")
-        inlier_threshold = min(P[np.argsort(-P[:, 0])[min(20, len(P) - 1)], 0], 0.5)
-        inlier_set = np.where(P[:, 0] > inlier_threshold)[0]
-        self.inlier_A = train_x[inlier_set, :]
-        self.inlier_B = train_y[inlier_set, :]
-        self.inlier_P = P[inlier_set, :]
-        # Pad the inlier rows to a shape bucket: the count is data-dependent
-        # (mutual-KNN inliers vary per pair), and every downstream use is
-        # weighted by inlier_P, so P=0 padding rows are exactly neutral.
-        # Without this, every slice pair recompiles the fused EM program.
-        Ni = len(self.inlier_P)
-        bucket = max(256, 1 << int(np.ceil(np.log2(max(Ni, 1)))))
-        if Ni < bucket:
-            pad = bucket - Ni
-            self.inlier_A = np.concatenate([self.inlier_A, np.zeros((pad, self.D), self.inlier_A.dtype)], 0)
-            self.inlier_B = np.concatenate([self.inlier_B, np.zeros((pad, self.D), self.inlier_B.dtype)], 0)
-            self.inlier_P = np.concatenate([self.inlier_P, np.zeros((pad, 1), self.inlier_P.dtype)], 0)
-        self.init_R, self.init_t = R, t
+        R, t, flipped = jax.device_get((R, t, flipped))
+        if self.allow_flip and bool(flipped):
+            lm.main_info("Flipping detected in coarse rigid alignment.")
+        # device-resident: consumed as jnp arrays by the EM; sub-threshold
+        # rows carry P = 0, which is exactly neutral in every weighted term
+        # (same argument as the old pad-to-bucket scheme)
+        self.inlier_A = train_x
+        self.inlier_B = train_y
+        self.inlier_P = inlier_P
+        self.init_R, self.init_t = np.asarray(R), np.asarray(t)
         if self.init_transform:
-            self.inlier_A = self.inlier_A @ R.T + t
+            self.inlier_A = self.inlier_A @ jnp.asarray(R.T) + jnp.asarray(t)
             self.coordsA = self.coordsA @ R.T + t
             # inducing points / U follow the transformed coordinates
             self.inducing_variables = self.inducing_variables @ R.T + t
