@@ -16,6 +16,13 @@ slice worker):
     st.parallel.initialize_distributed()          # env-driven (TPU pods)
     mesh = st.parallel.global_mesh(("data",))     # all chips on all hosts
     # ... device_put host-local shards with make_global_array ...
+
+Test-coverage honesty: this environment has ONE host, so CI exercises the
+single-host path only (initialize_distributed's no-op branch, global_mesh
+over local devices, make_global_array's single-host assembly). The
+env-driven `jax.distributed.initialize` branch and true cross-host
+`make_global_array` assembly follow the documented upstream API but have
+not executed on real multi-host hardware here.
 """
 
 from __future__ import annotations

@@ -705,3 +705,75 @@ class TestMorphoAlignRef:
         err = float(np.abs(out - pts).mean())
         span = float(np.ptp(pts))
         assert err < 0.06 * span, (err, span)
+
+
+class TestCoarseFusion:
+    """Round-3 coarse-init redesign: the matching + inlier EM chain runs as
+    one device program (`morpho._coarse_match_fit`). Oracle = the previous
+    host-orchestrated composition of the same primitives."""
+
+    def test_fused_matches_host_oracle(self):
+        import jax.numpy as jnp
+
+        from spateo_tpu.alignment.methods.math import (
+            inlier_from_NN, mutual_topk_distance, pad_rows_bucket,
+        )
+        from spateo_tpu.alignment.methods.morpho import _coarse_match_fit
+
+        rng = np.random.default_rng(0)
+        n1, n2, G, K = 300, 280, 20, 10
+        X_A = rng.poisson(2.0, (n1, G)).astype(np.float32)
+        X_B = np.concatenate([X_A[:150], rng.poisson(2.0, (n2 - 150, G))]).astype(np.float32)
+        th = 0.5
+        R_true = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32)
+        cA = rng.uniform(0, 5, (n1, 2)).astype(np.float32)
+        cB = np.concatenate([cA[:150] @ R_true.T + np.array([1.0, -0.5], np.float32),
+                             rng.uniform(0, 5, (n2 - 150, 2))]).astype(np.float32)
+
+        # oracle: host-orchestrated chain (the pre-round-3 implementation)
+        X_A_p, X_B_p = pad_rows_bucket(X_A, 256), pad_rows_bucket(X_B, 256)
+        rv, ri, cv, ci = mutual_topk_distance(X_A_p, X_B_p, n1, n2, metric="kl", top_k=K)
+        rv, ri = np.asarray(rv)[:n1], np.asarray(ri)[:n1]
+        cv, ci = np.asarray(cv)[:n2], np.asarray(ci)[:n2]
+        NN = np.vstack([
+            np.stack([np.repeat(np.arange(n2), K), ci.ravel()], 1),
+            np.stack([ri.ravel(), np.repeat(np.arange(n1), K)], 1),
+        ])
+        dist = np.r_[cv.ravel(), rv.ravel()]
+        tx, ty = cA[NN[:, 1]], cB[NN[:, 0]]
+        P_o, R_o, t_o, _, _, _ = inlier_from_NN(tx, ty, dist[:, None])
+
+        cA_p, cB_p = pad_rows_bucket(cA, 256), pad_rows_bucket(cB, 256)
+        train_x, train_y, inlier_P, R_f, t_f, flipped = _coarse_match_fit(
+            jnp.asarray(X_A_p), jnp.asarray(X_B_p), jnp.asarray(cA_p), jnp.asarray(cB_p),
+            jnp.asarray(n1), jnp.asarray(n2), top_k=K, metric="kl", allow_flip=False,
+        )
+        np.testing.assert_allclose(np.asarray(R_f), R_o, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(t_f), t_o, atol=2e-3)
+        # both recover the planted transform
+        np.testing.assert_allclose(np.asarray(R_f), R_true, atol=0.1)
+        # thresholded posteriors agree on the kept set (valid rows).
+        # Borderline rows can flip: the final posterior is evaluated at the
+        # frozen fix_sigma2=1e-2 temperature, a near-step function, and the
+        # two pipelines accumulate FP noise in different reduction orders
+        # over 100 EM iterations — so exact set equality is not expected.
+        thr_o = min(P_o[np.argsort(-P_o[:, 0])[20], 0], 0.5)
+        kept_o = P_o[:, 0] > thr_o
+        P_f = np.asarray(inlier_P)[: len(P_o), 0]
+        assert ((P_f > 0) == kept_o).mean() > 0.9
+
+    def test_upload_compact_dtypes(self):
+        import jax.numpy as jnp
+
+        from spateo_tpu.alignment.methods.morpho import _upload_compact
+
+        counts = np.asarray([[0.0, 3.0], [255.0, 12.0]], np.float32)
+        out = _upload_compact(counts)
+        assert out.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(out), counts)
+        big = np.asarray([[300.0, 2.0]], np.float32)
+        np.testing.assert_array_equal(np.asarray(_upload_compact(big)), big)
+        frac = np.asarray([[0.5, 2.0]], np.float32)
+        np.testing.assert_array_equal(np.asarray(_upload_compact(frac)), frac)
+        labels = np.asarray([[1, 2]], np.int32)
+        assert _upload_compact(labels).dtype == jnp.int32
