@@ -281,6 +281,24 @@ def mutual_topk_distance(X, Y, n_x, n_y, metric: str = "kl", top_k: int = 10):
     return -neg_row_vals, row_idx, -neg_col_vals, col_idx
 
 
+def morton_code(coords: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Morton (Z-order) code of each point — quantize each dimension to
+    `bits` and interleave. Sorting rows by this code makes consecutive rows
+    spatial neighbors, which turns the Pallas E-step's [row-tile, col-tile]
+    blocks into spatial neighborhoods so far-apart tiles can be skipped
+    (block-sparse E-step; see ops/estep_pallas.py)."""
+    c = np.asarray(coords, np.float64)
+    mins = c.min(axis=0)
+    spans = np.maximum(c.max(axis=0) - mins, 1e-12)
+    q = ((c - mins) / spans * (2**bits - 1)).astype(np.uint64)
+    D = c.shape[1]
+    code = np.zeros(len(c), np.uint64)
+    for b in range(bits):
+        for d in range(D):
+            code |= ((q[:, d] >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * D + d)
+    return code
+
+
 def pad_rows_bucket(arr: np.ndarray, mult: int = 1024) -> np.ndarray:
     """Pad the row count up to a multiple of `mult` with copies of row 0 —
     shape-bucketing so data-dependent sizes (voxel occupancy, NN pair

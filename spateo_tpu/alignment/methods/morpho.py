@@ -235,6 +235,7 @@ def _morpho_em(
     U: jnp.ndarray,  # [NA, K]
     GammaSparse: jnp.ndarray,  # [K, K]
     batch_perm: jnp.ndarray,  # [NB_pad] int32 cyclic permutation
+    morton_rank_B: jnp.ndarray,  # [NB] int32 Morton rank of each fixed-slice cell
     inlier_A: jnp.ndarray,  # [Ni, D]
     inlier_B: jnp.ndarray,  # [Ni, D]
     inlier_P: jnp.ndarray,  # [Ni, 1]
@@ -274,8 +275,12 @@ def _morpho_em(
     def schedule_at(it):
         # SVI minibatch schedule: one permutation walked cyclically — the
         # [max_iter, B] schedule materialized on device from an [NB] vector
-        # instead of uploading the full table
-        return batch_perm[(it * B + jnp.arange(B)) % NBp]
+        # instead of uploading the full table. The drawn index SET is then
+        # ordered by Morton rank: identical statistics (reductions over the
+        # same set), but the batch's column tiles become spatial
+        # neighborhoods, enabling tile skipping in the Pallas E-step.
+        bidx = batch_perm[(it * B + jnp.arange(B)) % NBp]
+        return bidx[jnp.argsort(morton_rank_B[bidx])]
     Dim = float(D)
 
     sigma2_variance_end = partial_robust_level
@@ -754,6 +759,22 @@ class Morpho_pairwise:
             self.normalize_scales = np.ones(2)
             self.normalize_means = np.zeros((2, self.D))
 
+        # Morton-order the moving slice's rows (pure relabeling: every
+        # row-aligned output is inverse-permuted before it leaves the
+        # solver). Consecutive rows become spatial neighbors, so the Pallas
+        # E-step's [row-tile, col-tile] blocks are spatial neighborhoods and
+        # far-apart tiles are skipped once sigma2 anneals (block-sparse
+        # E-step). The fixed slice keeps its order; each SVI minibatch is
+        # instead sorted by the precomputed Morton RANK of its members
+        # inside the EM (same index set — identical statistics).
+        from .math import morton_code
+
+        self._orderA = np.argsort(morton_code(self.coordsA), kind="stable")
+        self._invA = np.argsort(self._orderA)
+        self.coordsA = self.coordsA[self._orderA]
+        self.exp_layers_A = [a[self._orderA] for a in self.exp_layers_A]
+        self._morton_rank_B = np.argsort(np.argsort(morton_code(self.coordsB), kind="stable")).astype(np.int32)
+
         # device residency: the [N, G] expression arrays are the big tunnel
         # uploads — push them once; probability-parameter init, the distance
         # factorization and the EM all reuse the same device buffers.
@@ -853,7 +874,10 @@ class Morpho_pairwise:
         sa = self.rng.choice(self.NA, n_sampling, replace=False) if self.NA > n_sampling else np.arange(self.NA)
         sb = self.rng.choice(self.NB, n_sampling, replace=False) if self.NB > n_sampling else np.arange(self.NB)
         coordsA, coordsB = self.coordsA[sa], self.coordsB[sb]
-        X_A = get_rep(self.sampleA[sa], self.init_layer, self.init_field, self.genes if self.init_field == "layer" else None)
+        # self.coordsA is Morton-sorted; sampleA is not — route the sample
+        # indices through _orderA so expression rows pair with their coords
+        idxA = self._orderA[sa]
+        X_A = get_rep(self.sampleA, self.init_layer, self.init_field, self.genes if self.init_field == "layer" else None)[idxA]
         X_B = get_rep(self.sampleB[sb], self.init_layer, self.init_field, self.genes if self.init_field == "layer" else None)
 
         N, M = coordsA.shape[0], coordsB.shape[0]
@@ -1002,6 +1026,7 @@ class Morpho_pairwise:
             jnp.asarray(U, jnp.float32),
             jnp.asarray(self.GammaSparse, jnp.float32),
             jnp.asarray(perm),
+            jnp.asarray(self._morton_rank_B),
             jnp.asarray(self.inlier_A, jnp.float32),
             jnp.asarray(self.inlier_B, jnp.float32),
             jnp.asarray(self.inlier_P, jnp.float32),
@@ -1059,15 +1084,20 @@ class Morpho_pairwise:
                                  s["traces"] if self.iter_key_added else jnp.zeros(())))
         small_np, optimal_R, optimal_t, optimal_RnA, traces_np = pulled
         self.iter_sigma2 = np.asarray(small_np["sigma2_traces"]) if self.iter_key_added else None
-        self._state = small_np
+        self._state = small_np  # Morton-sorted row space (internal: P rebuild)
+        # inverse the Morton relabeling on every row-aligned output
+        inv = self._invA
+        optimal_RnA = np.asarray(optimal_RnA)[inv]
+        if self.iter_key_added:
+            traces_np = np.asarray(traces_np)[:, inv]
         self.sigma2 = float(small_np["sigma2"]) if self.sigma2_end is None else self.sigma2_end
         self.gamma = float(small_np["gamma"])
         self.R = small_np["R"]
         self.t = small_np["t"]
         self.Coff = small_np["Coff"]
-        self.XAHat = small_np["XAHat"]
-        self.RnA = small_np["RnA"]
-        self.VnA = small_np["VnA"]
+        self.XAHat = small_np["XAHat"][inv]
+        self.RnA = small_np["RnA"][inv]
+        self.VnA = small_np["VnA"][inv]
         self.optimal_R = np.asarray(optimal_R)
         self.optimal_t = np.asarray(optimal_t)
         self.optimal_RnA = np.asarray(optimal_RnA)
@@ -1079,15 +1109,17 @@ class Morpho_pairwise:
         # final-batch assignment lazily on first access
         self._P_cache = None
         self._P_explicit = None
-        self._norm_XAHat = np.asarray(small_np["XAHat"]).copy()  # pre-denormalization frame
+        # pre-denormalization frame, in the SORTED row space (the stored
+        # expression factors are sorted too; the P accessors unsort rows)
+        self._norm_XAHat = np.asarray(small_np["XAHat"]).copy()
         self._norm_coordsB = np.asarray(self.coordsB).copy()
         self._exp_factors = list(zip(exp_a_rows, exp_b_cols, exp_A_feats, exp_B_feats))
         self._samples_s = float(samples_s)
 
         if self.return_mapping:
-            # full NA x NB assignment
+            # full NA x NB assignment (sorted row space; rows unsorted below)
             model_mul = (self._state["alpha"] * np.exp(-self._state["SigmaDiag"] / self.sigma2))[:, None]
-            spatial_dist = euc_dist(jnp.asarray(self.XAHat), jnp.asarray(self.coordsB), squared=True)
+            spatial_dist = euc_dist(jnp.asarray(self._norm_XAHat), jnp.asarray(self.coordsB), squared=True)
             exp_dist_full_list = [
                 a[:, None] + b[None, :] + A @ B.T
                 for a, b, A, B in zip(exp_a_rows, exp_b_cols, exp_A_feats, exp_B_feats)
@@ -1104,7 +1136,7 @@ class Morpho_pairwise:
                 probability_type=self.probability_type,
                 probability_parameters=[jnp.asarray(p) for p in probability_parameters],
             )
-            self.P = self._maybe_sparsify_P(np.asarray(P_full))
+            self.P = self._maybe_sparsify_P(np.asarray(P_full)[self._invA])
 
         self._wrap_output()
         return self.P
@@ -1119,7 +1151,8 @@ class Morpho_pairwise:
         if getattr(self, "_P_explicit", None) is not None:
             return self._P_explicit
         if getattr(self, "_P_cache", None) is None:
-            P_dev = self._compute_final_P()
+            # rebuild happens in the Morton-sorted row space; unsort here
+            P_dev = self._compute_final_P()[jnp.asarray(self._invA)]
             if self.sparse_calculation_mode:
                 self._P_cache = self._maybe_sparsify_P(np.asarray(P_dev))
             else:

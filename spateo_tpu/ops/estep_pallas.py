@@ -22,6 +22,15 @@ compiler. Grid streaming is the supported form of the same pipeline.)
     sigma2_related row / PXB rows). The cheap O(NA) epilogue (mm scaling,
     M1 = coordsA^T PXB, Sp) runs in XLA.
 
+Block sparsity: both sweeps compute the cheap spatial-distance block first
+and SKIP the feature GEMM + transcendentals whenever min(d) > 80*sigma2
+(every probability < e^-40 — see _SKIP_MULT). The Morpho solver feeds this
+kernel Morton-ordered rows and Morton-sorted minibatches
+(alignment/methods/morpho.py `_align_preprocess`/`schedule_at`), which makes
+tiles spatial neighborhoods: as sigma2 anneals, each fixed-slice cell
+interacts with a shrinking neighborhood and most tiles skip — the E-step
+cost becomes proportional to the true interaction area instead of NA x B.
+
 Scope: the common Morpho configuration — one expression layer, 'gauss'
 probability, 2-D coordinates, no sparse top-k, unsharded (single chip).
 `alignment.methods.math.estep_reduced` dispatches here when those hold
@@ -65,25 +74,41 @@ def _dot(a, b, dims):
     return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32, precision=_HI)
 
 
-def _block_probs(ut_ref, v_ref, cb2_ref, fat_ref, fbt_ref, bt_ref, sigma2, sigma2_variance, p_param):
-    """mm-free probability blocks [TA, TB] for the current grid tile.
+def _block_dist(ut_ref, v_ref, cb2_ref):
+    """Spatial squared-distance block [TA, TB] (K=3 augmented dot — cheap;
+    computed unconditionally, it also drives the tile-skip test).
     Padded A rows have u = (0, 0, 1e12) -> d ~ 1e12 -> probs 0; padded
     B columns have cb2 = 1e12 -> d huge -> probs 0 (their normalizers
     degenerate to the outlier-only denominator, killing K_NB exactly)."""
     d = _dot(ut_ref[...], v_ref[...], ((0,), (0,))) + cb2_ref[...]  # [TA, TB]
-    d = jnp.maximum(d, 0.0)
+    return jnp.maximum(d, 0.0)
+
+
+def _block_probs(d, fat_ref, fbt_ref, bt_ref, sigma2, sigma2_variance, p_param):
+    """mm-free probability blocks [TA, TB] for the current grid tile."""
     prob_v = jnp.exp(-d / (2 * sigma2 / sigma2_variance))
     prob_s = jnp.exp(-d / (2 * sigma2))
     e_d = _dot(fat_ref[...], fbt_ref[...], ((0,), (0,))) + bt_ref[...]
     full = prob_s * jnp.exp(-e_d / (2 * p_param))
-    return d, prob_v, prob_s, full
+    return prob_v, prob_s, full
 
 
-def _colnorm_kernel(ut, v, cb2, fat, fbt, bt, mmt, scal, c1r_o, c1m_o, c2_o, c3_o, knb_o):
+#: Tile-skip bound: when min(d) over a tile exceeds 80*sigma2, every
+#: probability in the tile is < e^-40 (prob_s = exp(-d/(2 sigma2)) governs:
+#: prob_v decays faster since sigma2_variance >= 1, and `full` <= prob_s
+#: because the expression distances are >= 0) — the tile's contribution to
+#: every reduction is < 1e-13, far under the E-step's 1e-5 parity budget.
+#: With Morton-ordered rows (alignment.methods.math.morton_code) tiles are
+#: spatial neighborhoods, so once sigma2 anneals most tiles skip and the
+#: E-step becomes block-sparse — the TPU analogue of sparse attention.
+_SKIP_MULT = 80.0
+
+
+def _colnorm_kernel(skip, ut, v, cb2, fat, fbt, bt, mmt, scal, c1r_o, c1m_o, c2_o, c3_o, knb_o):
     """Sweep 1: per-column normalizers, accumulated over row tiles (inner
     grid dim). Output rows revisit the same block for every i, the standard
     TPU grid accumulation pattern."""
-    i = pl.program_id(1)
+    j, i = pl.program_id(0), pl.program_id(1)
     sigma2, sigma2_variance, spatial_outlier, p_param, eps = (
         scal[0], scal[1], scal[2], scal[3], scal[4],
     )
@@ -96,13 +121,22 @@ def _colnorm_kernel(ut, v, cb2, fat, fbt, bt, mmt, scal, c1r_o, c1m_o, c2_o, c3_
         c2_o[...] = z
         c3_o[...] = z
 
-    _, prob_v, prob_s, full = _block_probs(ut, v, cb2, fat, fbt, bt, sigma2, sigma2_variance, p_param)
-    mm = mmt[...]  # [1, TA]
-    mv = lambda X: _dot(mm, X, ((1,), (0,)))  # [1, TA] x [TA, TB] -> [1, TB]
-    c1r_o[...] += jnp.sum(prob_v, axis=0, keepdims=True)
-    c1m_o[...] += mv(prob_v)
-    c2_o[...] += mv(prob_s)
-    c3_o[...] += mv(full)
+    # bbox prescreen (computed in XLA, flat int32 in SMEM — dynamic scalar
+    # indexing only lowers in scalar memory): skips the whole tile including
+    # the spatial-distance dot; also kills all-padding tiles
+    @pl.when(skip[i * pl.num_programs(0) + j] == 0)
+    def _():
+        d = _block_dist(ut, v, cb2)
+
+        @pl.when(jnp.min(d) < _SKIP_MULT * sigma2)
+        def _():
+            prob_v, prob_s, full = _block_probs(d, fat, fbt, bt, sigma2, sigma2_variance, p_param)
+            mm = mmt[...]  # [1, TA]
+            mv = lambda X: _dot(mm, X, ((1,), (0,)))  # [1, TA] x [TA, TB] -> [1, TB]
+            c1r_o[...] += jnp.sum(prob_v, axis=0, keepdims=True)
+            c1m_o[...] += mv(prob_v)
+            c2_o[...] += mv(prob_s)
+            c3_o[...] += mv(full)
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
@@ -112,10 +146,10 @@ def _colnorm_kernel(ut, v, cb2, fat, fbt, bt, mmt, scal, c1r_o, c1m_o, c2_o, c3_
         knb_o[...] = spatial_inlier * c3v / (c3v + eps)
 
 
-def _rowred_kernel(ut, v, cb2, fat, fbt, bt, c1r, c1m, c2, c3, cbt, scal, r3_o, r1_o, r2_o, sig_o, pxy_o):
+def _rowred_kernel(skip, ut, v, cb2, fat, fbt, bt, c1r, c1m, c2, c3, cbt, scal, r3_o, r1_o, r2_o, sig_o, pxy_o):
     """Sweep 2: row-indexed reductions, accumulated over column tiles
     (inner grid dim). mm scaling happens in the XLA epilogue."""
-    j = pl.program_id(1)
+    i, j = pl.program_id(0), pl.program_id(1)
     sigma2, sigma2_variance, spatial_outlier, p_param, eps = (
         scal[0], scal[1], scal[2], scal[3], scal[4],
     )
@@ -129,19 +163,33 @@ def _rowred_kernel(ut, v, cb2, fat, fbt, bt, c1r, c1m, c2, c3, cbt, scal, r3_o, 
         sig_o[...] = z
         pxy_o[...] = jnp.zeros((2, TA), jnp.float32)
 
-    d, prob_v, prob_s, full = _block_probs(ut, v, cb2, fat, fbt, bt, sigma2, sigma2_variance, p_param)
-    spatial_inlier = 1.0 - spatial_outlier / (spatial_outlier + c1r[...])  # [1, TB]
-    P1t = prob_v / (spatial_outlier + c1m[...])
-    P2t = spatial_inlier * prob_s / (c2[...] + eps)
-    P3t = spatial_inlier * full / (c3[...] + eps)
-    ones_tb = jnp.ones((1, TB), jnp.float32)
-    rowsum = lambda X: _dot(ones_tb, X, ((1,), (1,)))  # [TA, TB] -> [1, TA]
-    r3_o[...] += rowsum(P3t)
-    r1_o[...] += rowsum(P1t)
-    r2_o[...] += rowsum(P2t)
-    sig_o[...] += rowsum(P2t * d)
-    # PXB rows as [2, TA]: contract the TB lanes of cbt and P3t
-    pxy_o[...] += _dot(cbt[...], P3t, ((1,), (1,)))
+    @pl.when(skip[i * pl.num_programs(1) + j] == 0)
+    def _():
+        _rowred_tile(ut, v, cb2, fat, fbt, bt, c1r, c1m, c2, c3, cbt,
+                     sigma2, sigma2_variance, spatial_outlier, p_param, eps,
+                     r3_o, r1_o, r2_o, sig_o, pxy_o)
+
+
+def _rowred_tile(ut, v, cb2, fat, fbt, bt, c1r, c1m, c2, c3, cbt,
+                 sigma2, sigma2_variance, spatial_outlier, p_param, eps,
+                 r3_o, r1_o, r2_o, sig_o, pxy_o):
+    d = _block_dist(ut, v, cb2)
+
+    @pl.when(jnp.min(d) < _SKIP_MULT * sigma2)
+    def _():
+        prob_v, prob_s, full = _block_probs(d, fat, fbt, bt, sigma2, sigma2_variance, p_param)
+        spatial_inlier = 1.0 - spatial_outlier / (spatial_outlier + c1r[...])  # [1, TB]
+        P1t = prob_v / (spatial_outlier + c1m[...])
+        P2t = spatial_inlier * prob_s / (c2[...] + eps)
+        P3t = spatial_inlier * full / (c3[...] + eps)
+        ones_tb = jnp.ones((1, TB), jnp.float32)
+        rowsum = lambda X: _dot(ones_tb, X, ((1,), (1,)))  # [TA, TB] -> [1, TA]
+        r3_o[...] += rowsum(P3t)
+        r1_o[...] += rowsum(P1t)
+        r2_o[...] += rowsum(P2t)
+        sig_o[...] += rowsum(P2t * d)
+        # PXB rows as [2, TA]: contract the TB lanes of cbt and P3t
+        pxy_o[...] += _dot(cbt[...], P3t, ((1,), (1,)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -197,6 +245,27 @@ def estep_pallas(
     n_ta, n_tb = NAp // TA, Bp // TB
     G1 = fat.shape[0]
 
+    # per-tile bounding boxes -> [n_ta, n_tb] skip mask (1.0 = the bbox gap
+    # alone proves every probability in the tile is < e^-40; also flags
+    # all-padding tiles via the +/-inf fills). Computed in XLA per call —
+    # XAHat moves every EM iteration, the mask rides along for free.
+    def _tile_min_max(x, total, tile, n_tiles):
+        lo = jnp.pad(x, (0, total - x.shape[0]), constant_values=jnp.inf).reshape(n_tiles, tile)
+        hi = jnp.pad(x, (0, total - x.shape[0]), constant_values=-jnp.inf).reshape(n_tiles, tile)
+        return lo.min(1), hi.max(1)
+
+    def _gap(amin, amax, bmin, bmax):
+        return jnp.maximum(jnp.maximum(amin[:, None] - bmax[None, :], bmin[None, :] - amax[:, None]), 0.0)
+
+    ax_lo, ax_hi = _tile_min_max(XAHat[:, 0], NAp, TA, n_ta)
+    ay_lo, ay_hi = _tile_min_max(XAHat[:, 1], NAp, TA, n_ta)
+    bx_lo, bx_hi = _tile_min_max(cB[:, 0], Bp, TB, n_tb)
+    by_lo, by_hi = _tile_min_max(cB[:, 1], Bp, TB, n_tb)
+    gx = _gap(ax_lo, ax_hi, bx_lo, bx_hi)
+    gy = _gap(ay_lo, ay_hi, by_lo, by_hi)
+    # flat int32 row-major [i * n_tb + j] for SMEM scalar indexing
+    skip = (gx * gx + gy * gy > _SKIP_MULT * jnp.float32(sigma2)).astype(jnp.int32).reshape(-1)
+
     a_spec = lambda im: pl.BlockSpec((3, TA), im)
     b_spec = lambda im: pl.BlockSpec((3, TB), im)
     rowvec_a = lambda im: pl.BlockSpec((1, TA), im)
@@ -211,6 +280,7 @@ def estep_pallas(
         _colnorm_kernel,
         grid=(n_tb, n_ta),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             a_spec(ai), b_spec(bj), rowvec_b(bj), feat_a(ai), feat_b(bj), rowvec_b(bj),
             rowvec_a(ai), pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -218,7 +288,7 @@ def estep_pallas(
         out_shape=[jax.ShapeDtypeStruct((1, Bp), f32)] * 5,
         compiler_params=_SEQ,
         interpret=interpret,
-    )(ut, v, cb2, fat, fbt, bt, mmt, scal)
+    )(skip, ut, v, cb2, fat, fbt, bt, mmt, scal)
 
     # ---- sweep 2: grid (i, j) — row reductions ----
     ai2 = lambda i, j: (0, i)
@@ -227,6 +297,7 @@ def estep_pallas(
         _rowred_kernel,
         grid=(n_ta, n_tb),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             a_spec(ai2), b_spec(bj2), rowvec_b(bj2), feat_a(ai2), feat_b(bj2), rowvec_b(bj2),
             rowvec_b(bj2), rowvec_b(bj2), rowvec_b(bj2), rowvec_b(bj2),
             pl.BlockSpec((2, TB), bj2), pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -235,7 +306,7 @@ def estep_pallas(
         out_shape=[jax.ShapeDtypeStruct((1, NAp), f32)] * 4 + [jax.ShapeDtypeStruct((2, NAp), f32)],
         compiler_params=_SEQ,
         interpret=interpret,
-    )(ut, v, cb2, fat, fbt, bt, c1_raw, c1m, c2, c3, cbt, scal)
+    )(skip, ut, v, cb2, fat, fbt, bt, c1_raw, c1m, c2, c3, cbt, scal)
 
     # ---- XLA epilogue: mm scaling + tiny contractions ----
     mm = model_mul_vec.astype(f32)

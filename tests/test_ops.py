@@ -311,3 +311,58 @@ class TestInlierPallas:
         assert abs(float(g) - float(g_ref)) < 1e-3
         # recovered the planted transform
         np.testing.assert_allclose(np.asarray(R), R_true, atol=0.05)
+
+    def test_tile_skipping_parity_with_morton_order(self):
+        """With Morton-ordered rows and a small sigma2, most [TA, TB] tiles
+        fail the min(d) < 80*sigma2 test and are skipped; the reductions
+        must still match the dense XLA path (skipped contributions are
+        < e^-40 each)."""
+        import jax.numpy as jnp
+
+        from spateo_tpu.alignment.methods.math import estep_reduced, factorize_distance, morton_code
+        from spateo_tpu.ops.estep_pallas import estep_pallas
+
+        rng = np.random.default_rng(1)
+        NA, B, G = 1600, 600, 12
+        pts = rng.uniform(0, 1, (NA, 2)).astype(np.float32)
+        order = np.argsort(morton_code(pts))
+        XAHat = pts[order]
+        coordsA = XAHat.copy()
+        ptsB = rng.uniform(0, 1, (B, 2)).astype(np.float32)
+        coordsB = ptsB[np.argsort(morton_code(ptsB))]
+        a, b, A, Bf = factorize_distance(
+            rng.poisson(2.0, (NA, G)).astype(np.float32), rng.poisson(2.0, (B, G)).astype(np.float32), "kl")
+        mm = jnp.asarray(rng.uniform(0.5, 1, NA).astype(np.float32))
+        sigma2 = jnp.asarray(2e-4)  # tiny: interaction radius ~ 0.13 of the unit box
+        kw = dict(gamma=jnp.asarray(0.7), samples_s=jnp.asarray(1.0), sigma2_variance=jnp.asarray(2.0))
+        ref = estep_reduced(
+            2.0, jnp.asarray(XAHat), jnp.asarray(coordsA), jnp.asarray(coordsB),
+            (a,), (b,), (A,), (Bf,), sigma2, mm, kw["gamma"], kw["samples_s"],
+            kw["sigma2_variance"], ["gauss"], [jnp.asarray(0.3)], n_chunks=1,
+        )
+        args = (jnp.asarray(XAHat), jnp.asarray(coordsA), jnp.asarray(coordsB),
+                a, b, A, Bf, mm, sigma2, kw["gamma"], kw["samples_s"],
+                kw["sigma2_variance"], jnp.asarray(0.3))
+        # shrink the tiles so Morton neighborhoods are smaller than the
+        # interaction radius and tiles genuinely skip (default 512x256
+        # tiles cover most of the unit box at this problem size)
+        import spateo_tpu.ops.estep_pallas as ep
+
+        old = (ep.TA, ep.TB, ep._SKIP_MULT)
+        try:
+            ep.TA, ep.TB = 128, 128
+            out = ep.estep_pallas.__wrapped__(*args, interpret=True)
+            ep._SKIP_MULT = 1e30  # force-disable skipping
+            out_noskip = ep.estep_pallas.__wrapped__(*args, interpret=True)
+            ep._SKIP_MULT = 0.0  # skip EVERY tile: proves the guard is live
+            out_allskip = ep.estep_pallas.__wrapped__(*args, interpret=True)
+        finally:
+            ep.TA, ep.TB, ep._SKIP_MULT = old
+        assert np.max(np.abs(np.asarray(out_allskip["K_NA"]))) == 0.0
+        for k in ref:
+            r, o, o2 = np.asarray(ref[k]), np.asarray(out[k]), np.asarray(out_noskip[k])
+            scale = np.max(np.abs(r)) + 1e-12
+            # vs the dense XLA path: FP reduction-order spread at spiky sigma2
+            assert np.max(np.abs(r - o)) / scale < 5e-4, f"{k}"
+            # the skip itself contributes nothing (dropped mass < e^-40/tile)
+            assert np.max(np.abs(o - o2)) / scale < 1e-6, f"skip changed {k}"
