@@ -109,7 +109,10 @@ def _starro_em_bp_fused(
         precision=em_precision,
     )
 
-    # 5. per-pixel conditionals
+    # 5. per-pixel conditionals. (A 32k-entry log-ratio table + gather for
+    # integer rasters was tried and REVERTED: inside this fused program XLA
+    # already amortizes the gammaln chains — the A/B measured 382 vs 393 ms
+    # at 2048^2 with bit-identical masks, so the table bought nothing.)
     bg_cond = jnp.exp(nb_logpmf(res, r_[0, 0], p_[0, 0]))
     cell_cond = jnp.exp(nb_logpmf(res, r_[0, 1], p_[0, 1]))
     phi = jnp.stack([bg_cond, cell_cond], axis=-1)
