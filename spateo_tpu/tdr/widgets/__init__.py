@@ -22,6 +22,7 @@ from .ops import (
     overlap_mesh_pick,
     overlap_pc_pick,
     overlap_pick,
+    points_inside_mesh,
     pick_models,
     slice_models,
     three_d_pick,
