@@ -777,3 +777,36 @@ class TestCoarseFusion:
         np.testing.assert_array_equal(np.asarray(_upload_compact(frac)), frac)
         labels = np.asarray([[1, 2]], np.int32)
         assert _upload_compact(labels).dtype == jnp.int32
+
+
+class TestMorpho3D:
+    def test_recovers_3d_rigid(self):
+        """Full Morpho pipeline on 3-D coordinates (XLA E-step path; the
+        coarse fusion, Morton relabeling and EM are D-generic)."""
+        rng = np.random.default_rng(0)
+        n, g = 500, 20
+        pts = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+        th = 0.3
+        R = np.array([
+            [np.cos(th), -np.sin(th), 0.0],
+            [np.sin(th), np.cos(th), 0.0],
+            [0.0, 0.0, 1.0],
+        ], np.float32)
+        ptsA = pts @ R.T + np.array([1.0, -0.5, 2.0], np.float32)
+        X = rng.poisson(2.0, (n, g)).astype(np.float32)
+
+        def mk(p):
+            a = st.AnnData(X=X.copy(), var=pd.DataFrame(index=[f"g{j}" for j in range(g)]))
+            a.obsm["spatial"] = p
+            st.SKM.init_adata_type(a, "UMI")
+            return a
+
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise
+
+        m = Morpho_pairwise(mk(ptsA), mk(pts), max_iter=60, nonrigid_start_iter=30,
+                            batch_size=200, verbose=False)
+        m.run()
+        err = np.sqrt(((m.XAHat - pts) ** 2).sum(1)).mean()
+        spread = np.sqrt(((pts - pts.mean(0)) ** 2).sum(1)).mean()
+        assert err / spread < 0.05, f"relative error {err / spread:.3f}"
+        assert m.XAHat.shape == (n, 3)
