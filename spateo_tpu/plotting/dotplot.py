@@ -109,6 +109,9 @@ class Dotplot:
         self._adata = adata
         self._cat_key = cat_key
         self._dendrogram = None  # {"key": ..., "size": ...} set by add_dendrogram
+        self.var_group_positions = kwargs.get("var_group_positions")
+        self.var_group_labels = kwargs.get("var_group_labels")
+        self.var_group_rotation = kwargs.get("var_group_rotation")
 
     def style(self, **kwargs):
         self._style.update({k: v for k, v in kwargs.items() if v is not None or k in ("dot_max", "dot_min")})
@@ -232,7 +235,31 @@ class Dotplot:
             dax = divider.append_axes("right", size=f"{int(self._dendrogram['size'] * 12)}%", pad=0.05)
             plot_dendrogram(dax, self._adata, self._cat_key, orientation="right", remove_labels=True)
             self.ax_dict["group_extra_ax"] = dax
+        if self.var_group_positions and not self.swap_axes:
+            self._plot_var_groups_brackets(ax)
         return self
+
+    def _plot_var_groups_brackets(self, main_ax, left_adjustment: float = 0.2, right_adjustment: float = 0.7):
+        """Brackets labeling groups of features above the main plot (parity:
+        reference dotplot.py:1224 `_plot_var_groups_brackets` + the
+        gene_groups_ax wiring in make_figure:1488). `var_group_positions`
+        is a list of inclusive (start, end) column spans."""
+        from mpl_toolkits.axes_grid1 import make_axes_locatable
+
+        divider = make_axes_locatable(main_ax)
+        gax = divider.append_axes("top", size="12%", pad=0.02, sharex=main_ax)
+        labels = self.var_group_labels or ["" for _ in self.var_group_positions]
+        for (start, end), label in zip(self.var_group_positions, labels):
+            left = start - 0.5 + left_adjustment
+            right = end - 0.5 + right_adjustment
+            gax.plot([left, left, right, right], [0.0, 0.8, 0.8, 0.0], color="black", lw=1.0)
+            rot = self.var_group_rotation if self.var_group_rotation is not None else (0 if len(str(label)) < 4 else 90)
+            gax.text((left + right) / 2, 0.95, str(label), ha="center",
+                     va="bottom", fontsize=7, rotation=rot)
+        gax.set_ylim(0, 2.2)
+        gax.set_axis_off()
+        self.ax_dict["gene_group_ax"] = gax
+        return gax
 
 
 class CCDotplot(Dotplot):
@@ -309,6 +336,9 @@ def dotplot(
         expression_cutoff=expression_cutoff, mean_only_expressed=mean_only_expressed,
         standard_scale=standard_scale, dot_color_df=dot_color_df, dot_size_df=dot_size_df,
         layer=layer, gene_symbols_key=gene_symbols_key, title=title, figsize=figsize,
+        var_group_positions=kwargs.pop("var_group_positions", None),
+        var_group_labels=kwargs.pop("var_group_labels", None),
+        var_group_rotation=kwargs.pop("var_group_rotation", None),
     )
     if cell_cell_dp:
         init_kwargs.update(delta=delta, minn=minn, alpha=alpha)

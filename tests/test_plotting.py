@@ -460,3 +460,24 @@ class TestScattersOptions:
         st.pl.scatters(ad, color="g1", basis="spatial", frontier=True, contour=True, theme="fire", save_show_or_return="return")
         st.pl.scatters(ad, color="leiden", basis="spatial", color_key_cmap="tab10", save_show_or_return="return")
         plt.close("all")
+
+
+class TestDotplotVarGroups:
+    def test_var_group_brackets_drawn(self, adata):
+        """var_group_positions/labels render bracket lines + labels in a
+        dedicated gene-group axis (reference dotplot.py:1224)."""
+        from spateo_tpu.plotting.dotplot import Dotplot
+
+        dp = Dotplot(adata=adata, var_names=["g0", "g1", "g2"], cat_key="leiden",
+                     var_group_positions=[(0, 1), (2, 2)], var_group_labels=["ab", "c"])
+        dp.make_figure()
+        assert "gene_group_ax" in dp.ax_dict
+        gax = dp.ax_dict["gene_group_ax"]
+        assert len(gax.lines) == 2  # one bracket per group
+        assert [t.get_text() for t in gax.texts] == ["ab", "c"]
+        # front-end pass-through
+        ax = pl.dotplot(adata, var_names=["g0", "g1", "g2"], cat_key="leiden",
+                        var_group_positions=[(0, 2)], var_group_labels=["all"],
+                        save_show_or_return="return")
+        fig = ax.figure
+        assert any(len(a.texts) and a.texts[0].get_text() == "all" for a in fig.axes)
