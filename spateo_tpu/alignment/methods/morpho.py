@@ -1079,10 +1079,17 @@ class Morpho_pairwise:
         # round trip each (~20 pulls = seconds); device_get on the pytree
         # pipelines them. The two large arrays (P [NA, B], traces) are
         # excluded unless actually needed.
-        small = {k: v for k, v in s.items() if k not in ("P", "traces")}
+        # Only the host-facing leaves are pulled; the rest of the EM state
+        # (alpha, SigmaDiag, batch_idx, M-step accumulators) stays on device
+        # — the lazy P rebuild consumes it there, and each [NA]-sized pull
+        # costs real tunnel time.
+        host_keys = ("sigma2", "gamma", "R", "t", "Coff", "XAHat", "RnA", "VnA",
+                     "sigma2_variance", "sigma2_traces")
+        small = {k: s[k] for k in host_keys}
         pulled = jax.device_get((small, optimal_R, optimal_t, optimal_RnA,
                                  s["traces"] if self.iter_key_added else jnp.zeros(())))
         small_np, optimal_R, optimal_t, optimal_RnA, traces_np = pulled
+        small_np = {**{k: v for k, v in s.items() if k not in ("P", "traces")}, **small_np}
         self.iter_sigma2 = np.asarray(small_np["sigma2_traces"]) if self.iter_key_added else None
         self._state = small_np  # Morton-sorted row space (internal: P rebuild)
         # inverse the Morton relabeling on every row-aligned output
