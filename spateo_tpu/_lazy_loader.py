@@ -54,3 +54,18 @@ class LazyAttribute:
 
     def __getattr__(self, item):
         return getattr(self._load(), item)
+
+
+def create_lazy_module(name: str, parent_module_globals: dict) -> LazyLoader:
+    """Factory for a module lazy-loader (parity: reference
+    _lazy_loader.py:129)."""
+    return LazyLoader(name.rsplit(".", 1)[-1], parent_module_globals, name)
+
+
+def create_lazy_attribute(import_path: str, attribute_name: str = None) -> LazyAttribute:
+    """Factory for an attribute lazy-loader (parity: reference
+    _lazy_loader.py:148). With no `attribute_name`, the last dotted
+    component of `import_path` is the attribute."""
+    if attribute_name is None:
+        import_path, attribute_name = import_path.rsplit(".", 1)
+    return LazyAttribute(import_path, attribute_name)

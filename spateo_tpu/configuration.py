@@ -434,6 +434,81 @@ def set_figure_params(
     rcParams["savefig.dpi"] = dpi_save
 
 
+def reset_rcParams() -> None:
+    """Reset matplotlib rcParams to their defaults (parity: reference
+    configuration.py:433)."""
+    import matplotlib
+    from matplotlib import rcParamsDefault
+
+    matplotlib.rcParams.update(rcParamsDefault)
+
+
+def spateo_theme(background: str = "white") -> None:
+    """Light/dark figure theme (parity: reference configuration.py:462)."""
+    import matplotlib
+
+    if background == "black":
+        matplotlib.rcParams.update(
+            {
+                "lines.color": "w",
+                "patch.edgecolor": "w",
+                "text.color": "w",
+                "axes.facecolor": background,
+                "axes.edgecolor": "white",
+                "axes.labelcolor": "w",
+                "xtick.color": "w",
+                "ytick.color": "w",
+                "figure.facecolor": background,
+                "figure.edgecolor": background,
+                "savefig.facecolor": background,
+                "savefig.edgecolor": background,
+            }
+        )
+    else:
+        matplotlib.rcParams.update(
+            {
+                "lines.color": "k",
+                "patch.edgecolor": "k",
+                "text.color": "k",
+                "axes.facecolor": background,
+                "axes.edgecolor": "black",
+                "axes.labelcolor": "k",
+                "xtick.color": "k",
+                "ytick.color": "k",
+                "figure.facecolor": background,
+                "figure.edgecolor": background,
+                "savefig.facecolor": background,
+                "savefig.edgecolor": background,
+            }
+        )
+
+
+def set_pub_style_mpltex() -> None:
+    """mpltex-style publication formatting (parity: reference
+    configuration.py:748; the cairo-backend switch is dropped — Agg
+    serializes identically in this environment)."""
+    import matplotlib as mpl
+
+    set_figure_params(background="white")
+    mpl.rcParams.update(
+        {
+            "font.family": "sans-serif",
+            "font.serif": ["Times", "Computer Modern Roman"],
+            "font.sans-serif": ["Arial", "Helvetica", "sans-serif", "Computer Modern Sans serif"],
+            "font.size": 9,
+            "legend.fontsize": 9,
+            "axes.labelsize": 9,
+            "axes.titlesize": 9,
+            "xtick.labelsize": 9,
+            "ytick.labelsize": 9,
+            "lines.linewidth": 1,
+            "lines.markersize": 4,
+            "xtick.direction": "in",
+            "ytick.direction": "in",
+        }
+    )
+
+
 def set_pub_style(scaler: float = 1) -> None:
     """Publication-figure styling (parity: reference configuration.py:720;
     the cairo-backend switch is dropped — Agg serializes identically)."""

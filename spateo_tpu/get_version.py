@@ -9,11 +9,51 @@ import os
 import re
 from pathlib import Path
 from subprocess import PIPE, CalledProcessError, run
-from typing import Optional, Union
+from typing import List, NamedTuple, Optional, Union
 
 __version__ = "0.1.0"
 
 RE_GIT_DESCRIBE = r"v?(?:([\d.]+)(?:-(\d+)-g([0-9a-f]{7,}))?|([0-9a-f]{7,}))(-dirty)?$"
+RE_VERSION = r"([\d.]+?)(?:\.dev(\d+))?(?:[_+-]([0-9a-zA-Z.]+))?"
+
+
+def match_groups(regex: str, target: str):
+    """Match or raise with the offending pattern (parity: reference
+    get_version.py:18)."""
+    match = re.match(regex, target)
+    if match is None:
+        raise re.error(f"Regex does not match '{target}'. RE Pattern: {regex}", regex)
+    return match.groups()
+
+
+class Version(NamedTuple):
+    """Parsed (release, dev, labels) version triple (parity: reference
+    get_version.py:25)."""
+
+    release: str
+    dev: Optional[str]
+    labels: List[str]
+
+    @staticmethod
+    def parse(ver: str) -> "Version":
+        release, dev, labels = match_groups(f"{RE_VERSION}$", ver)
+        return Version(release, dev, labels.split(".") if labels else [])
+
+    def __str__(self) -> str:
+        release = self.release if self.release else "0.0"
+        dev = f".dev{self.dev}" if self.dev else ""
+        labels = f'+{".".join(self.labels)}' if self.labels else ""
+        return f"{release}{dev}{labels}"
+
+
+def get_version_from_dirname(name: str, parent: Path) -> Optional["Version"]:
+    """Version from an extracted sdist directory name (parity: reference
+    get_version.py:42)."""
+    parent = parent.resolve()
+    re_dirname = re.compile(f"{name}-{RE_VERSION}$")
+    if not re_dirname.match(parent.name):
+        return None
+    return Version.parse(parent.name[len(name) + 1 :])
 
 
 def get_version_from_git(parent: Path) -> Optional[str]:

@@ -108,6 +108,89 @@ class DeepInterpolation:
         return pred
 
 
+# -- network building blocks + data plumbing (parity: reference
+# interpolation_deeplearn/interpolation_nn.py SineLayer/MainFlow and
+# deep_interpolation.py:371 DataSampler — torch modules become
+# parameter-dict callables) -------------------------------------------------
+
+
+class SineLayer:
+    """One SIREN layer sin(w0 (xW + b)) with the SIREN init scheme (parity
+    surface: reference interpolation_nn.py SineLayer)."""
+
+    def __init__(self, in_features: int, out_features: int, is_first: bool = False, omega_0: float = 30.0, seed: int = 0):
+        self.in_features = in_features
+        self.out_features = out_features
+        self.is_first = is_first
+        self.omega_0 = omega_0
+        key = jax.random.PRNGKey(seed)
+        bound = (1.0 / in_features) if is_first else (float(jnp.sqrt(6.0 / in_features)) / omega_0)
+        self.params = {
+            "W": jax.random.uniform(key, (in_features, out_features), minval=-bound, maxval=bound),
+            "b": jnp.zeros(out_features),
+        }
+
+    def __call__(self, x, params=None):
+        p = params or self.params
+        return jnp.sin(self.omega_0 * (jnp.asarray(x) @ p["W"] + p["b"]))
+
+
+class MainFlow:
+    """The A -> h -> B composed flow of the deep interpolator (parity
+    surface: reference interpolation_nn.py:220 `MainFlow`: optional input
+    lift A, main coordinate network h, optional output head B)."""
+
+    def __init__(self, h, A=None, B=None):
+        self.h = h
+        self.A = A
+        self.B = B
+
+    def __call__(self, t=None, x=None, freeze=None):
+        out = jnp.asarray(x)
+        if self.A is not None:
+            out = self.A(out)
+        out = self.h(out)
+        if self.B is not None:
+            out = self.B(out)
+        return out
+
+
+class DataSampler:
+    """Holds (X, Y) training pairs and yields random minibatches (parity
+    surface: reference deep_interpolation.py:371 `DataSampler`, which loads
+    from a .mat file or AnnData; here from arrays or an AnnData + keys)."""
+
+    def __init__(self, path_to_data=None, data=None, skey: str = "spatial", ekey: str = "M_s", wkey=None, normalize_data: bool = False, number_of_random_points: int = 100, seed: int = 0):
+        if path_to_data is not None:
+            from scipy.io import loadmat
+
+            mat = loadmat(path_to_data)
+            X, Y = np.asarray(mat["X"]), np.asarray(mat["Y"])
+        elif isinstance(data, dict):
+            X, Y = np.asarray(data["X"]), np.asarray(data["Y"])
+        elif data is not None:  # AnnData
+            X = np.asarray(data.obsm[skey])
+            Y = np.asarray(data.layers[ekey] if ekey in getattr(data, "layers", {}) else data.X)
+            if hasattr(Y, "toarray"):
+                Y = Y.toarray()
+        else:
+            raise ValueError("provide `path_to_data` or `data`")
+        assert X.shape[0] == Y.shape[0], "X and Y must have equal rows"
+        self.data = {"X": np.asarray(X, np.float32), "Y": np.asarray(Y, np.float32)}
+        self.normalize_data = normalize_data
+        if normalize_data:
+            self.norm = (self.data["X"].mean(0), self.data["X"].std(0) + 1e-8)
+            self.data["X"] = (self.data["X"] - self.norm[0]) / self.norm[1]
+        self.number_of_random_points = number_of_random_points
+        self._rng = np.random.default_rng(seed)
+
+    def generate_batch(self, batch_size: Optional[int] = None):
+        n = self.data["X"].shape[0]
+        b = min(batch_size or self.number_of_random_points, n)
+        idx = self._rng.choice(n, b, replace=False)
+        return self.data["X"][idx], self.data["Y"][idx]
+
+
 # -- trainer loss factories (parity: reference
 # interpolation_deeplearn/nn_losses.py:4-40 — torch lambdas become jnp) -----
 
