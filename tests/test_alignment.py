@@ -267,6 +267,12 @@ class TestIterationTrace:
         assert e9 <= e0 + 1e-3
         # sigma2 decreases as the alignment converges
         assert float(iter_added["sigma2"][39]) <= float(iter_added["sigma2"][0])
+        # frames are in the sample's ORIGINAL row order (the Morton
+        # relabeling must be inverted on the trace's cell axis): the last
+        # snapshot IS the final XAHat
+        np.testing.assert_allclose(
+            np.asarray(frames[39]), np.asarray(aligned[1].obsm["align_spatial_nonrigid"]), atol=1e-5
+        )
 
 
 class TestGuidancePairs:
