@@ -531,6 +531,11 @@ def estep_reduced(
         and D == 2
         and len(exp_a_rows) == 1
         and list(probability_type) == ["gauss"]
+        # the kernel streams [G+1, tile] feature blocks through VMEM; very
+        # wide factorizations (e.g. 'kl' over thousands of genes) would not
+        # fit the double-buffered working set — those fall back to chunked
+        # XLA. (NA/B are unbounded — only the feature width matters.)
+        and exp_A_feats[0].shape[1] <= 1024
     ):
         from ...ops.estep_pallas import estep_pallas
 

@@ -40,41 +40,58 @@ def gaussian_kernel_1d(k: int, sigma: Optional[float] = None) -> np.ndarray:
     return g / g.sum()
 
 
+@partial(jax.jit, static_argnames=("taps", "kh", "kw", "padding"))
+def _conv2d_unrolled(X: jnp.ndarray, taps, kh: int, kw: int, padding: str) -> jnp.ndarray:
+    """Cross-correlation as weighted shifted adds; `taps` is a static tuple
+    of (dy, dx, weight) for the nonzero kernel entries."""
+    rh, rw = kh // 2, kw // 2
+    Xp = X.astype(jnp.float32)
+    if padding == "SAME":
+        Xp = jnp.pad(Xp, ((rh, rh), (rw, rw)))
+    H = Xp.shape[0] - kh + 1
+    W = Xp.shape[1] - kw + 1
+    out = jnp.zeros((H, W), jnp.float32)
+    for dy, dx, w in taps:
+        out = out + w * Xp[dy : dy + H, dx : dx + W]
+    return out
+
+
 @partial(jax.jit, static_argnames=("kh", "kw", "padding"))
+def _conv2d_lax(X: jnp.ndarray, kernel: jnp.ndarray, kh: int, kw: int, padding: str) -> jnp.ndarray:
+    lhs = X[None, None, :, :].astype(jnp.float32)
+    rhs = kernel.reshape(1, 1, kh, kw).astype(jnp.float32)
+    out = lax.conv_general_dilated(lhs, rhs, window_strides=(1, 1), padding=padding)
+    return out[0, 0]
+
+
 def _conv2d_kernel(X: jnp.ndarray, kernel: jnp.ndarray, kh: int, kw: int, padding: str = "SAME") -> jnp.ndarray:
     """[H, W] (x) [kh, kw] -> [H, W] single-channel cross-correlation.
 
     XLA's C=1 convolution is catastrophically slow on TPU (the MXU conv
     path needs many feature channels; a 5x5 single-channel
-    `conv_general_dilated` measures ~220 ms at 2048^2 — vs ~2 ms for the
+    `conv_general_dilated` measures ~220 ms at 2048^2 — vs ~27 ms for the
     same math as vector ops). Concrete small kernels therefore unroll into
     weighted shifted adds (13 terms for the 5-circle), which XLA fuses
     into one VPU kernel; traced/huge kernels keep the lax.conv fallback.
-    Semantics match conv_general_dilated (cross-correlation, no kernel
-    flip)."""
+    This dispatcher is deliberately NOT jitted: the kernel weights must
+    stay concrete at this level (they become static `taps` of the jitted
+    unrolled program), and jit-traced callers still inline it with their
+    constant kernels intact. Semantics match conv_general_dilated
+    (cross-correlation, no kernel flip)."""
     try:
         kern_np = np.asarray(kernel, np.float32)
         concrete = True
     except Exception:  # traced kernel values — cannot unroll
         concrete = False
     if concrete and kh * kw <= 169:
-        rh, rw = kh // 2, kw // 2
-        Xp = X.astype(jnp.float32)
-        if padding == "SAME":
-            Xp = jnp.pad(Xp, ((rh, rh), (rw, rw)))
-        H = Xp.shape[0] - kh + 1
-        W = Xp.shape[1] - kw + 1
-        out = jnp.zeros((H, W), jnp.float32)
-        for dy in range(kh):
-            for dx in range(kw):
-                w = float(kern_np[dy, dx])
-                if w != 0.0:
-                    out = out + w * Xp[dy : dy + H, dx : dx + W]
-        return out
-    lhs = X[None, None, :, :].astype(jnp.float32)
-    rhs = kernel.reshape(1, 1, kh, kw).astype(jnp.float32)
-    out = lax.conv_general_dilated(lhs, rhs, window_strides=(1, 1), padding=padding)
-    return out[0, 0]
+        taps = tuple(
+            (dy, dx, float(kern_np[dy, dx]))
+            for dy in range(kh)
+            for dx in range(kw)
+            if float(kern_np[dy, dx]) != 0.0
+        )
+        return _conv2d_unrolled(X, taps, kh, kw, padding)
+    return _conv2d_lax(X, kernel, kh, kw, padding)
 
 
 def _reflect_pad(X: jnp.ndarray, r: int) -> jnp.ndarray:

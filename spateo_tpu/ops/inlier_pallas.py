@@ -1,13 +1,19 @@
-"""Pallas-fused coarse-init inlier EM (Morpho `inlier_from_NN`).
+"""Pallas-fused coarse-init inlier EM (VALIDATED NEGATIVE RESULT — not
+dispatched; the product path uses `math._inlier_from_NN_kernel`).
 
-The robust rigid fit from noisy NN matches (reference methods/utils.py:1220)
-is a 100-iteration EM over ~20-40k candidate pairs. As a jitted XLA loop it
-costs ~1.9 ms/iteration — pure per-op overhead, since the math is a handful
-of reductions over [N, 2] data (~185 ms total, the dominant share of the
-coarse-init phase at 20k cells, round-2 profile). This kernel runs the whole
-loop in ONE Pallas program with every array VMEM-resident and all EM state
-(R, t, sigma2, gamma, alpha, Sp) carried as plain scalars, so an iteration
-is a dozen fused vector ops + scalar full-reductions.
+This kernel runs the robust rigid fit from noisy NN matches (reference
+methods/utils.py:1220; a 100-iteration EM over ~20-40k candidate pairs) as
+ONE Pallas program: every array VMEM-resident, all EM state (R, t, sigma2,
+gamma, alpha, Sp) carried as plain scalars.
+
+Hardware A/B at 20,480 rows: Pallas 4.7 ms vs the plain jitted XLA
+fori_loop at 4.3 ms — no win (the round-2 profile's "~185 ms inlier loop"
+attribution turned out to be host<->device sync round-trips in the
+SURROUNDING coarse phase, fixed by `morpho._coarse_match_fit`, not loop
+overhead) — and the Mosaic compile takes ~560 s through the tunneled
+toolchain. Kept, with its interpret-mode parity test, as the documented
+record of that measurement; wire `inlier_from_NN_pallas` in
+`math.inlier_from_NN` if a future toolchain changes the tradeoff.
 
 Mosaic layout rules (same as ops/estep_pallas.py): large axis LAST
 ([2, N] coordinates, [1, N] rows), no 1-D vectors — per-axis moments are

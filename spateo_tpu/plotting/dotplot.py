@@ -134,7 +134,9 @@ class Dotplot:
         """Reorder categories by hierarchical clustering and render the
         dendrogram in a side panel sharing the category axis (parity:
         reference dotplot.py:522 `add_dendrogram` + the group_extra_ax in
-        make_figure:1459-1483)."""
+        make_figure:1459-1483). A freshly computed dendrogram clusters the
+        category means over the PLOTTED genes (matching the previous
+        dotplot() behavior and the reference's var-subset clustering)."""
         if not show or self._adata is None or len(self.dot_color_df.index) <= 2:
             self._dendrogram = None
             return self
@@ -142,7 +144,7 @@ class Dotplot:
 
         key = dendrogram_key or f"dendrogram_{self._cat_key}"
         if key not in self._adata.uns:
-            _dend(self._adata, self._cat_key, key_added=key)
+            _dend(self._adata, self._cat_key, var_names=list(self.dot_color_df.columns), key_added=key)
         order = [c for c in self._adata.uns[key]["categories_ordered"] if c in self.dot_color_df.index]
         self.dot_color_df = self.dot_color_df.loc[order]
         self.dot_size_df = self.dot_size_df.loc[order]

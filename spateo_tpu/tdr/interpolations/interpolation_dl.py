@@ -252,11 +252,14 @@ def cosine_distance():
 
 def subset_best_samples(best_sample_fraction, y_hat, y, loss_func):
     """Indices of the best-fit fraction of samples under `loss_func`
-    (parity: reference deep_interpolation.py:339)."""
+    (parity: reference deep_interpolation.py:339). Each sample is passed as
+    a [1, D] row so the row-wise factories (`mse`, `weighted_*` with their
+    axis=1 norms) work per sample; the weighted factories still need their
+    3-argument signature bound first (same contract as the reference)."""
     y_hat = np.asarray(y_hat)
     y = np.asarray(y)
     assert y_hat.shape == y.shape, "The shape of the two arrays y_hat and y must be the same."
-    diff = np.asarray([float(loss_func(y_hat[i], y[i])) for i in range(y.shape[0])])
+    diff = np.asarray([float(loss_func(y_hat[i : i + 1], y[i : i + 1])) for i in range(y.shape[0])])
     return np.argsort(diff)[: int(best_sample_fraction * y.shape[0])]
 
 

@@ -536,8 +536,10 @@ class MuSIC_Interpreter(MuSIC):
         else:
             arr = np.asarray(self.adata.obs[position_key])
         pos = pd.Series(arr, index=self.adata.obs_names)
-        if pos.dtype == float:
-            pos = pos.astype(int)
+        if np.issubdtype(pos.dtype, np.floating):
+            # integer binning regardless of float width (float32 coords are
+            # what this framework itself writes into obsm)
+            pos = pos.astype(np.int64)
         return pos
 
     @staticmethod
@@ -560,8 +562,18 @@ class MuSIC_Interpreter(MuSIC):
         fc = np.log1p(values / (mean + 1e-12))
         z = (fc - fc.mean(axis=0)) / (fc.std(axis=0) + 1e-12)
         z = z.copy()
-        pos_arr = np.asarray(pos)
-        z["pos"] = pos_arr[: len(z)]
+        # align positions to the value rows by INDEX when the labels match
+        # (coefficients may be fitted on a cell subset / different order);
+        # positional assignment is only valid for an exact length match
+        if isinstance(values.index, pd.Index) and values.index.isin(pos.index).all():
+            z["pos"] = np.asarray(pos.loc[values.index])
+        elif len(pos) == len(values):
+            z["pos"] = np.asarray(pos)
+        else:
+            raise ValueError(
+                f"positions ({len(pos)} cells) cannot be aligned to the value rows "
+                f"({len(values)}): indices do not match and lengths differ"
+            )
         by_pos = z.sort_values("pos").groupby("pos").mean()
         by_pos = by_pos.rolling(window_size, center=True, min_periods=1).mean()
         features = list(values.columns)
@@ -684,7 +696,15 @@ class MuSIC_Interpreter(MuSIC):
                 cols[f"{t}-{name}"] = np.abs(np.asarray(cdf[c].values, float))
         if not cols:
             raise ValueError("no target-interaction columns selected for effect_distribution_heatmap")
-        values = pd.DataFrame(cols, index=self.coeffs[tlist[0]].index)
+        base_index = self.coeffs[tlist[0]].index
+        for t in tlist[1:]:
+            if not self.coeffs[t].index.equals(base_index):
+                raise ValueError(
+                    f"coefficient tables are not row-aligned across targets "
+                    f"('{tlist[0]}' vs '{t}'): fit them on the same cell set "
+                    "or pass a single target"
+                )
+        values = pd.DataFrame(cols, index=base_index)
         pos = self._positional_axis(position_key, coord_column)
         to_plot = self._positional_distribution(values, pos, window_size=window_size)
         if neatly_arrange_y:
