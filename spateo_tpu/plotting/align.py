@@ -57,15 +57,28 @@ def slices_2d(
     return_palette: bool = False,
     save_show_or_return: str = "return",
     save_kwargs: Optional[dict] = None,
+    x_min=None,
+    x_max=None,
+    y_min=None,
+    y_max=None,
+    sort_values: bool = True,
+    sort_ascending: bool = True,
+    title_kwargs: Optional[dict] = None,
+    legend_kwargs: Optional[dict] = None,
+    gridspec_kws: Optional[dict] = None,
     **kwargs,
 ):
     """One panel per slice, colored by a categorical cluster or scalar value
-    (parity: reference align.py:24)."""
+    (parity: reference align.py:24 — including the shared x/y limits,
+    scalar draw-order sorting, and the title/legend/gridspec kwargs)."""
     items = _slices_list(slices, slices_key)
     n = len(items)
     ncols = min(ncols, n)
     nrows = int(np.ceil(n / ncols))
-    fig, axes = plt.subplots(nrows, ncols, figsize=(height * 1.2 * ncols, height * nrows), squeeze=False)
+    fig, axes = plt.subplots(
+        nrows, ncols, figsize=(height * 1.2 * ncols, height * nrows), squeeze=False,
+        gridspec_kw=gridspec_kws,
+    )
     axes_flat = axes.ravel()
 
     # shared palette / value range across panels
@@ -88,7 +101,15 @@ def slices_2d(
             pts = pts - pts.mean(0)
         ps = point_size if point_size is not None else max(0.5, 8000.0 / max(len(pts), 1))
         if numeric:
-            sc = ax.scatter(pts[:, 0], pts[:, 1], c=np.asarray(vals, float), s=ps, alpha=alpha, cmap=resolve_cmap(cmap if isinstance(cmap, str) else None, "viridis"), vmin=vmin, vmax=vmax, linewidths=0)
+            fvals = np.asarray(vals, float)
+            if sort_values:
+                # draw order: high (or low) values plotted last, i.e. on top
+                # (reference align.py sort_values/sort_ascending)
+                order = np.argsort(fvals)
+                if not sort_ascending:
+                    order = order[::-1]
+                pts, fvals = pts[order], fvals[order]
+            sc = ax.scatter(pts[:, 0], pts[:, 1], c=fvals, s=ps, alpha=alpha, cmap=resolve_cmap(cmap if isinstance(cmap, str) else None, "viridis"), vmin=vmin, vmax=vmax, linewidths=0)
             if show_legend and i == n - 1:
                 plt.colorbar(sc, ax=ax, shrink=0.7)
         else:
@@ -97,9 +118,13 @@ def slices_2d(
                 m = svals == c
                 ax.scatter(pts[m, 0], pts[m, 1], color=palette[c], s=ps, alpha=alpha, label=c, linewidths=0)
             if show_legend and i == n - 1:
-                ax.legend(loc="center left", bbox_to_anchor=(1, 0.5), fontsize=6, markerscale=3, frameon=False)
-        ax.set_title(name, fontsize=9)
+                ax.legend(**{**dict(loc="center left", bbox_to_anchor=(1, 0.5), fontsize=6, markerscale=3, frameon=False), **(legend_kwargs or {})})
+        ax.set_title(name, **{**dict(fontsize=9), **(title_kwargs or {})})
         ax.set_aspect("equal")
+        if x_min is not None or x_max is not None:
+            ax.set_xlim(x_min, x_max)
+        if y_min is not None or y_max is not None:
+            ax.set_ylim(y_min, y_max)
         if axis_off:
             ax.axis("off")
         elif ticks_off:

@@ -481,3 +481,21 @@ class TestDotplotVarGroups:
                         save_show_or_return="return")
         fig = ax.figure
         assert any(len(a.texts) and a.texts[0].get_text() == "all" for a in fig.axes)
+
+
+class TestSlices2DOptions:
+    def test_limits_and_scalar_sort(self, adata):
+        """slices_2d x/y limits clamp the axes; sort_values controls the
+        scalar draw order (high values on top by default) — reference
+        align.py:24 options."""
+        axes = pl.slices_2d([adata], label_key="g0", x_min=0, x_max=50, y_min=10, y_max=60,
+                            ticks_off=False, save_show_or_return="return")
+        ax = axes[0]
+        assert ax.get_xlim() == (0.0, 50.0)
+        assert ax.get_ylim() == (10.0, 60.0)
+        # scalar color array is ascending when sort_values=True
+        vals = np.asarray(ax.collections[0].get_array())
+        assert np.all(np.diff(vals) >= 0)
+        axes_d = pl.slices_2d([adata], label_key="g0", sort_ascending=False, save_show_or_return="return")
+        vals_d = np.asarray(axes_d[0].collections[0].get_array())
+        assert np.all(np.diff(vals_d) <= 0)
