@@ -1158,8 +1158,7 @@ class Morpho_pairwise:
         if getattr(self, "_P_explicit", None) is not None:
             return self._P_explicit
         if getattr(self, "_P_cache", None) is None:
-            # rebuild happens in the Morton-sorted row space; unsort here
-            P_dev = self._compute_final_P()[jnp.asarray(self._invA)]
+            P_dev = self._compute_final_P()
             if self.sparse_calculation_mode:
                 self._P_cache = self._maybe_sparsify_P(np.asarray(P_dev))
             else:
@@ -1187,14 +1186,21 @@ class Morpho_pairwise:
         self._P_explicit = value
 
     def _compute_final_P(self):
+        """Rebuild the final-batch P directly in the sample's ORIGINAL row
+        order: the Morton inverse permutation is applied to the [NA]-sized
+        row inputs BEFORE the rebuild (the column normalizers sum over all
+        rows, so they are permutation-invariant) — permuting the [NA, B]
+        output instead would double-buffer a 15 GB array at 200k x 20k."""
+        inv = jnp.asarray(self._invA)
         batch_idx = jnp.asarray(np.asarray(self.batch_idx))
         model_mul = (self._state["alpha"] * np.exp(-self._state["SigmaDiag"] / max(self.sigma2, 1e-12)))[:, None]
-        a_rows = tuple(jnp.asarray(f[0]) for f in self._exp_factors)
+        model_mul = jnp.asarray(model_mul, jnp.float32)[inv]
+        a_rows = tuple(jnp.asarray(f[0])[inv] for f in self._exp_factors)
         b_cols = tuple(jnp.asarray(f[1]) for f in self._exp_factors)
-        A_feats = tuple(jnp.asarray(f[2]) for f in self._exp_factors)
+        A_feats = tuple(jnp.asarray(f[2])[inv] for f in self._exp_factors)
         B_feats = tuple(jnp.asarray(f[3]) for f in self._exp_factors)
         return _rebuild_P(
-            jnp.asarray(self._norm_XAHat, jnp.float32),
+            jnp.asarray(self._norm_XAHat, jnp.float32)[inv],
             jnp.asarray(self._norm_coordsB, jnp.float32),
             batch_idx,
             jnp.asarray(model_mul, jnp.float32),
