@@ -104,7 +104,8 @@ class Dotplot:
             colorbar_title=self.default_color_legend_title, size_title=self.default_size_legend_title,
             num_size_legend_dots=4,
         )
-        self.swap_axes = False
+        self.are_axes_swapped = False
+        self.ax_dict = None
         self.vmin = self.vmax = self.vcenter = self.norm = None
         self._adata = adata
         self._cat_key = cat_key
@@ -130,6 +131,48 @@ class Dotplot:
             self._legend["num_size_legend_dots"] = int(kwargs["num_size_legend_dots"])
         return self
 
+    def swap_axes(self):
+        """Flip the dot grid: x becomes the categories, y the var names
+        (parity: reference dotplot.py:507 — a chainable method, not a flag)."""
+        self.are_axes_swapped = True
+        return self
+
+    def get_axes(self):
+        """Dict of the figure's axes, building the figure first if needed
+        (parity: reference dotplot.py:703)."""
+        if self.ax_dict is None:
+            self.make_figure()
+        return self.ax_dict
+
+    def reorder_categories_after_dendrogram(self, dendrogram_key=None):
+        """Reorder the category axis (and any var-group brackets) to the
+        hierarchical-clustering order stored in `.uns[dendrogram_key]`,
+        computing the dendrogram with default parameters if absent (parity:
+        reference dotplot.py:1126)."""
+        if self._adata is None or len(self.dot_color_df.index) <= 2:
+            return None
+        from .utils import dendrogram as _dend
+
+        key = dendrogram_key or f"dendrogram_{self._cat_key}"
+        if key not in self._adata.uns:
+            _dend(self._adata, self._cat_key, var_names=list(self.dot_color_df.columns), key_added=key)
+        order = [c for c in self._adata.uns[key]["categories_ordered"] if c in self.dot_color_df.index]
+        self.dot_color_df = self.dot_color_df.loc[order]
+        self.dot_size_df = self.dot_size_df.loc[order]
+        if self.var_group_positions and self.var_group_labels:
+            # var groups track gene columns; the category reorder leaves them
+            # valid, but the reference also re-sorts category-keyed brackets —
+            # only applicable when brackets label categories (swapped axes)
+            if self.are_axes_swapped:
+                idx = {c: i for i, c in enumerate(order)}
+                pairs = sorted(
+                    zip(self.var_group_positions, self.var_group_labels),
+                    key=lambda pl: idx.get(str(pl[1]), len(order)),
+                )
+                self.var_group_positions = [p for p, _ in pairs]
+                self.var_group_labels = [l for _, l in pairs]
+        return key
+
     def add_dendrogram(self, show: bool = True, dendrogram_key: Optional[str] = None, size: float = 0.8):
         """Reorder categories by hierarchical clustering and render the
         dendrogram in a side panel sharing the category axis (parity:
@@ -140,14 +183,7 @@ class Dotplot:
         if not show or self._adata is None or len(self.dot_color_df.index) <= 2:
             self._dendrogram = None
             return self
-        from .utils import dendrogram as _dend
-
-        key = dendrogram_key or f"dendrogram_{self._cat_key}"
-        if key not in self._adata.uns:
-            _dend(self._adata, self._cat_key, var_names=list(self.dot_color_df.columns), key_added=key)
-        order = [c for c in self._adata.uns[key]["categories_ordered"] if c in self.dot_color_df.index]
-        self.dot_color_df = self.dot_color_df.loc[order]
-        self.dot_size_df = self.dot_size_df.loc[order]
+        key = self.reorder_categories_after_dendrogram(dendrogram_key)
         self._dendrogram = {"key": key, "size": size}
         return self
 
@@ -164,7 +200,7 @@ class Dotplot:
     def make_figure(self, ax=None, dendrogram_adata=None, dendrogram_key=None):
         color = self.dot_color_df
         size = self.dot_size_df.loc[color.index, color.columns]
-        if self.swap_axes:
+        if self.are_axes_swapped:
             color, size = color.T, size.T
         ny, nx = color.shape
         if ax is None:
@@ -228,16 +264,23 @@ class Dotplot:
                     handles.append(plt.scatter([], [], s=s, c="grey", edgecolors="black", linewidths=0.2, label=f"{int(f*100)}"))
                 ax.legend(handles=handles, title=self._legend["size_title"], loc="center left",
                           bbox_to_anchor=(1.25, 0.5), frameon=False, fontsize=7, title_fontsize=7)
-        if self._dendrogram is not None and self._adata is not None and not self.swap_axes:
+        if self._dendrogram is not None and self._adata is not None:
             from mpl_toolkits.axes_grid1 import make_axes_locatable
 
             from .utils import plot_dendrogram
 
             divider = make_axes_locatable(ax)
-            dax = divider.append_axes("right", size=f"{int(self._dendrogram['size'] * 12)}%", pad=0.05)
-            plot_dendrogram(dax, self._adata, self._cat_key, orientation="right", remove_labels=True)
+            # dendrogram sits on the category axis: right of the plot
+            # normally, on top when the axes are swapped (reference
+            # dotplot.py:530 "or on top if the axes are swapped")
+            if self.are_axes_swapped:
+                dax = divider.append_axes("top", size=f"{int(self._dendrogram['size'] * 12)}%", pad=0.05)
+                plot_dendrogram(dax, self._adata, self._cat_key, orientation="top", remove_labels=True)
+            else:
+                dax = divider.append_axes("right", size=f"{int(self._dendrogram['size'] * 12)}%", pad=0.05)
+                plot_dendrogram(dax, self._adata, self._cat_key, orientation="right", remove_labels=True)
             self.ax_dict["group_extra_ax"] = dax
-        if self.var_group_positions and not self.swap_axes:
+        if self.var_group_positions and not self.are_axes_swapped:
             self._plot_var_groups_brackets(ax)
         return self
 
@@ -279,7 +322,7 @@ class CCDotplot(Dotplot):
         super().make_figure(ax=ax, **kwargs)
         if self.sig_df is not None:
             sig = self.sig_df.loc[self.dot_color_df.index, self.dot_color_df.columns].values.astype(bool)
-            if self.swap_axes:
+            if self.are_axes_swapped:
                 sig = sig.T
             yy, xx = np.nonzero(sig)
             self.ax.scatter(xx, yy, s=self._style["largest_dot"] * 1.4, facecolors="none",
@@ -345,7 +388,8 @@ def dotplot(
     if cell_cell_dp:
         init_kwargs.update(delta=delta, minn=minn, alpha=alpha)
     dp = cls(**init_kwargs)
-    dp.swap_axes = swap_axes
+    if swap_axes:
+        dp.swap_axes()
     dp.vmin, dp.vmax, dp.vcenter, dp.norm = vmin, vmax, vcenter, norm
     dp.style(cmap=cmap, color_on=color_on, dot_max=dot_max, dot_min=dot_min,
              smallest_dot=smallest_dot, largest_dot=largest_dot,

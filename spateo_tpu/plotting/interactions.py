@@ -100,7 +100,8 @@ def ligrec(
 
     dp = CCDotplot(delta=delta, minn=0.0, alpha=alpha, sig_df=sig_df, dot_color_df=color_df, dot_size_df=size_df,
                    title=title or "Ligand-Receptor Inference", figsize=figsize)
-    dp.swap_axes = swap_axes
+    if swap_axes:
+        dp.swap_axes()
     dp.style(cmap=kwargs.pop("cmap", "magma_r"), largest_dot=kwargs.pop("largest_dot", 120.0))
     dp.make_figure()
     return save_return_show_fig_utils(save_show_or_return, True, None, "ligrec", save_kwargs, 1, dp.fig, dp.ax)

@@ -499,3 +499,142 @@ class TestSlices2DOptions:
         axes_d = pl.slices_2d([adata], label_key="g0", sort_ascending=False, save_show_or_return="return")
         vals_d = np.asarray(axes_d[0].collections[0].get_array())
         assert np.all(np.diff(vals_d) <= 0)
+
+
+class TestNetworkTraces:
+    """PlotNetwork trace API (reference networks.py:44-417): plotly-shaped
+    trace dicts with the reference's size/color/style semantics, composited
+    with matplotlib; hover callbacks are pure data transforms."""
+
+    def _graph(self):
+        import networkx as nx
+
+        G = nx.Graph()
+        G.add_node("A", score=3.0)
+        G.add_node("B", score=1.0)
+        G.add_node("C", score=2.0)
+        G.add_edge("A", "B", kind="act", weight=2.0)
+        G.add_edge("B", "C", kind="inh", weight=1.0)
+        return G
+
+    def test_node_trace_semantics(self):
+        from spateo_tpu.plotting.networks import PlotNetwork
+
+        pn = PlotNetwork(self._graph(), layout="circular")
+        tr = pn.generate_node_traces(
+            "YlGnBu", "deg", "degree", node_label="score", node_text=["score"],
+            node_label_size=8, node_label_position="top center", node_opacity=0.8,
+            size_method="degree",
+        )
+        # degree sizing: degree + 12 (reference networks.py:119)
+        assert tr["marker"]["size"] == [d + 12 for _, d in pn.G.degree()]
+        assert tr["marker"]["color"] == [d for _, d in pn.G.degree()]
+        assert "Degree:" in tr["hovertext"][0] and "score:" in tr["hovertext"][0]
+        # static sizing and attribute coloring
+        tr2 = pn.generate_node_traces(
+            "YlGnBu", "", "score", None, None, 8, "top center", 0.8, "static",
+        )
+        assert set(tr2["marker"]["size"]) == {28}
+        assert tr2["marker"]["color"] == [3.0, 1.0, 2.0]
+
+    def test_edge_traces_styles_and_thickness(self):
+        from spateo_tpu.plotting.networks import PlotNetwork
+
+        pn = PlotNetwork(self._graph(), layout="circular")
+        edges, mid = pn.generate_edge_traces(
+            "kind", 8, "middle center", edge_text=["weight"],
+            edge_attribute_for_thickness="weight", add_text=True,
+        )
+        assert len(edges) == 2
+        # two distinct linestyles for the two 'kind' values
+        assert len({e["line"]["dash"] for e in edges}) == 2
+        # thickness = (2*weight)^2 (reference networks.py:213)
+        ws = sorted(e["line"]["width"] for e in edges)
+        assert ws == [4.0, 16.0]
+        # invisible mid-edge label nodes at segment midpoints with hovertext
+        assert len(mid["x"]) == 2 and mid["mode"] == "markers+text"
+        assert all("weight:" in t for t in mid["hovertext"])
+
+    def test_figure_compositing_and_hover(self):
+        from spateo_tpu.plotting.networks import PlotNetwork
+
+        pn = PlotNetwork(self._graph(), layout="circular")
+        node_tr = pn.generate_node_traces(
+            "YlGnBu", "deg", "degree", None, None, 8, "top center", 0.8, "degree",
+        )
+        edges, mid = pn.generate_edge_traces(None, 8, "middle center", None)
+        fig = pn.generate_figure(
+            node_tr, edges, mid, "net", 14, 2.0,
+            transparent_background=True, highlight_neighbors_on_hover=True,
+        )
+        assert pn.ax.get_title() == "net"
+        assert fig.patch.get_alpha() == 0.0
+        assert len(pn.ax.collections) >= 1  # node scatter
+
+        # hover over node A: only A and its neighbor B keep their colors
+        nodes = list(pn.pos_dict)
+        iA = nodes.index("A")
+        pos_A = pn.pos_dict["A"]
+        hovered = pn.on_hover(node_tr, {"point_inds": [iA], "xs": [pos_A[0]], "ys": [pos_A[1]]})
+        colors = hovered["marker"]["color"]
+        assert colors[nodes.index("C")] == "#E4E4E4"
+        assert colors[iA] != "#E4E4E4" and colors[nodes.index("B")] != "#E4E4E4"
+        restored = pn.on_unhover(node_tr)
+        assert restored["marker"]["color"] == pn.original_node_trace["marker"]["color"]
+
+    def test_digraph_arrowheads(self):
+        import networkx as nx
+
+        from spateo_tpu.plotting.networks import PlotNetwork
+
+        G = nx.DiGraph()
+        G.add_edge("A", "B")
+        G.add_edge("B", "C")
+        pn = PlotNetwork(G, layout="circular")
+        node_tr = pn.generate_node_traces("YlGnBu", "", "degree", None, None, 8, "top center", 0.8, "degree")
+        edges, mid = pn.generate_edge_traces(None, 8, "middle center", None)
+        pn.generate_figure(node_tr, edges, mid, "", 12, 2.0, False, False)
+        from matplotlib.text import Annotation
+
+        arrows = [a for a in pn.ax.get_children() if isinstance(a, Annotation) and a.arrowprops]
+        assert len(arrows) == 2  # one arrowhead per directed edge
+
+
+class TestDotplotMethods:
+    def test_swap_axes_method_transposes(self, adata):
+        from spateo_tpu.plotting.dotplot import Dotplot
+
+        dp = Dotplot(adata, var_names=["g0", "g1", "g2", "g3"], cat_key="leiden")
+        assert dp.swap_axes() is dp  # chainable (reference dotplot.py:507)
+        dp.make_figure()
+        # swapped: x axis carries the 3 categories, y the 4 genes
+        assert len(dp.ax.get_xticklabels()) == 3
+        assert len(dp.ax.get_yticklabels()) == 4
+
+    def test_get_axes_builds_figure(self, adata):
+        from spateo_tpu.plotting.dotplot import Dotplot
+
+        dp = Dotplot(adata, var_names=["g0", "g1"], cat_key="leiden")
+        axd = dp.get_axes()
+        assert "mainplot_ax" in axd and dp.fig is axd["mainplot_ax"].figure
+
+    def test_reorder_categories_after_dendrogram(self, adata):
+        from spateo_tpu.plotting.dotplot import Dotplot
+
+        dp = Dotplot(adata, var_names=["g0", "g1", "g2"], cat_key="leiden")
+        before = list(dp.dot_color_df.index)
+        key = dp.reorder_categories_after_dendrogram()
+        assert key in adata.uns
+        order = [c for c in adata.uns[key]["categories_ordered"] if c in before]
+        assert list(dp.dot_color_df.index) == order
+        assert list(dp.dot_size_df.index) == order
+
+    def test_swapped_dendrogram_panel_on_top(self, adata):
+        ax = pl.dotplot(adata, var_names=["g0", "g1"], cat_key="leiden",
+                        dendrogram=True, swap_axes=True, save_show_or_return="return")
+        fig = ax.figure
+        fig.canvas.draw()  # axes_grid1 divider geometry resolves at draw time
+        # the appended dendrogram axes sits above the main axes
+        main_box = ax.get_position()
+        others = [a for a in fig.axes if a is not ax]
+        assert any(a.get_position().y0 >= main_box.y1 - 1e-6 for a in others)
