@@ -55,6 +55,23 @@ class TestImageOps:
         di = np.asarray(img_ops.dilate(mask, 3, square=True))
         assert di.sum() == 49  # 5x5 -> 7x7
 
+    def test_morphology_scipy_parity(self, rng):
+        """Boolean shift-decomposed dilate/erode == scipy.ndimage with the
+        same SE and zero border, for circle and square SEs of several radii
+        (guards the ops/image.py row-decomposition)."""
+        from scipy import ndimage
+
+        mask = rng.random((64, 57)) > 0.6
+        for k in (3, 5, 7, 9):
+            for square in (False, True):
+                se = np.ones((k, k), bool) if square else img_ops.circle(k).astype(bool)
+                got_d = np.asarray(img_ops.dilate(mask, k, square=square))
+                exp_d = ndimage.binary_dilation(mask, structure=se)
+                np.testing.assert_array_equal(got_d, exp_d, err_msg=f"dilate k={k} square={square}")
+                got_e = np.asarray(img_ops.erode(mask, k, square=square))
+                exp_e = ndimage.binary_erosion(mask, structure=se, border_value=0)
+                np.testing.assert_array_equal(got_e, exp_e, err_msg=f"erode k={k} square={square}")
+
     def test_mclose_mopen_removes_noise(self):
         mask = np.zeros((20, 20), bool)
         mask[5:15, 5:15] = True
