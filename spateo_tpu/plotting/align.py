@@ -145,41 +145,126 @@ def overlay_slices_2d(
     slices,
     slices_key: Optional[str] = None,
     label_key: Optional[str] = None,
+    overlay_type: str = "both",
     spatial_key: str = "spatial",
     point_size: Optional[float] = None,
-    overlay_type: str = "forward",
+    n_sampling: int = -1,
+    palette: Optional[dict] = None,
     ncols: int = 4,
+    title: str = "",
+    title_kwargs: Optional[dict] = None,
+    show_legend: bool = True,
+    legend_kwargs: Optional[dict] = None,
+    axis_off: bool = False,
+    axis_kwargs: Optional[dict] = None,
+    ticks_off: bool = True,
+    x_min=None,
+    x_max=None,
+    y_min=None,
+    y_max=None,
     height: float = 2,
-    alpha: float = 0.6,
+    alpha: float = 1.0,
+    cmap="tab20",
+    center_coordinate: bool = False,
+    gridspec_kws: Optional[dict] = None,
     save_show_or_return: str = "return",
     save_kwargs: Optional[dict] = None,
     **kwargs,
 ):
-    """Overlay consecutive slice pairs to inspect alignment quality
-    (parity: reference align.py:445). Each panel shows slice i (red) over
-    slice i+1 (blue)."""
+    """Overlay each slice with its neighbors to inspect alignment quality
+    (parity: reference align.py:445). One panel PER SLICE: the current
+    slice plus — per `overlay_type` — the previous slice ('forward',
+    green), the next slice ('backward', blue), or 'both'; the current
+    slice draws red. With `label_key` the overlay instead colors every
+    point by the shared cluster palette / scalar range, so label
+    continuity across the aligned neighbors is visible directly."""
     items = _slices_list(slices, slices_key)
-    pairs = list(zip(items[:-1], items[1:]))
-    n = max(len(pairs), 1)
+    n = len(items)
     ncols = min(ncols, n)
     nrows = int(np.ceil(n / ncols))
-    fig, axes = plt.subplots(nrows, ncols, figsize=(height * 1.2 * ncols, height * nrows), squeeze=False)
+    fig, axes = plt.subplots(
+        nrows, ncols, figsize=(height * 1.2 * ncols, height * nrows), squeeze=False,
+        gridspec_kw={**{"wspace": 0.1, "hspace": 0.2}, **(gridspec_kws or {})},
+    )
     axes_flat = axes.ravel()
-    for i, ((na, a), (nb, b)) in enumerate(pairs):
+
+    rng = np.random.default_rng(0)
+    coords, vals_list = [], []
+    for _, a in items:
+        pts = np.asarray(a.obsm[spatial_key])[:, :2].astype(float)
+        vals = _label_values(a, label_key)
+        if 0 < n_sampling < len(pts):
+            idx = rng.choice(len(pts), n_sampling, replace=False)
+            pts, vals = pts[idx], np.asarray(vals)[idx]
+        if center_coordinate:
+            pts = pts - pts.mean(0)
+        coords.append(pts)
+        vals_list.append(np.asarray(vals))
+
+    # shared palette / scalar range across all panels
+    numeric = label_key is not None and np.issubdtype(np.concatenate(vals_list).dtype, np.number)
+    if label_key is not None and not numeric and palette is None:
+        cats = list(pd.unique(pd.Series(np.concatenate(vals_list)).astype(str)))
+        palette = {c: DEFAULT_PALETTE[i % len(DEFAULT_PALETTE)] for i, c in enumerate(cats)}
+    vmin = vmax = None
+    if numeric:
+        allv = np.concatenate(vals_list).astype(float)
+        vmin, vmax = float(np.nanmin(allv)), float(np.nanmax(allv))
+    # overlay palette used when no label_key (reference align.py:655-676)
+    overlay_palette = {"current": "red", "forward": "green", "backward": "blue"}
+
+    total_pts = sum(len(p) for p in coords)
+    ps = point_size if point_size is not None else max(0.5, 8000.0 / max(total_pts // max(n, 1), 1))
+
+    def _draw(ax, pts, vals, overlay_id, with_label):
+        if label_key is None:
+            ax.scatter(pts[:, 0], pts[:, 1], s=ps, color=overlay_palette[overlay_id],
+                       alpha=alpha, label=overlay_id if with_label else None, linewidths=0)
+        elif numeric:
+            ax.scatter(pts[:, 0], pts[:, 1], c=np.asarray(vals, float), s=ps, alpha=alpha,
+                       cmap=resolve_cmap(cmap if isinstance(cmap, str) else None, "viridis"),
+                       vmin=vmin, vmax=vmax, linewidths=0)
+        else:
+            svals = pd.Series(vals).astype(str).values
+            for c in pd.unique(svals):
+                m = svals == c
+                ax.scatter(pts[m, 0], pts[m, 1], color=palette[c], s=ps, alpha=alpha,
+                           label=c if with_label else None, linewidths=0)
+
+    for i, (name, _) in enumerate(items):
         ax = axes_flat[i]
-        pa = np.asarray(a.obsm[spatial_key])[:, :2]
-        pb = np.asarray(b.obsm[spatial_key])[:, :2]
-        ps = point_size if point_size is not None else max(0.5, 8000.0 / max(len(pa) + len(pb), 1))
-        order = (pa, pb) if overlay_type == "forward" else (pb, pa)
-        ax.scatter(order[0][:, 0], order[0][:, 1], s=ps, color="tab:red", alpha=alpha, label=na, linewidths=0)
-        ax.scatter(order[1][:, 0], order[1][:, 1], s=ps, color="tab:blue", alpha=alpha, label=nb, linewidths=0)
-        ax.set_title(f"{na} vs {nb}", fontsize=9)
+        shown = []
+        if (overlay_type in ("forward", "both")) and i > 0:
+            _draw(ax, coords[i - 1], vals_list[i - 1], "forward", True)
+            shown.append("forward")
+        if (overlay_type in ("backward", "both")) and i < n - 1:
+            _draw(ax, coords[i + 1], vals_list[i + 1], "backward", True)
+            shown.append("backward")
+        _draw(ax, coords[i], vals_list[i], "current", True)
+        ax.set_title(name, **{**dict(fontsize=9), **(title_kwargs or {})})
         ax.set_aspect("equal")
-        ax.set_xticks([])
-        ax.set_yticks([])
+        if x_min is not None or x_max is not None:
+            ax.set_xlim(x_min, x_max)
+        if y_min is not None or y_max is not None:
+            ax.set_ylim(y_min, y_max)
+        if axis_off:
+            ax.axis("off", **(axis_kwargs or {}))
+        elif ticks_off:
+            ax.set_xticks([])
+            ax.set_yticks([])
+        if show_legend and i == n - 1:
+            handles, labels_ = ax.get_legend_handles_labels()
+            seen = {}
+            for h, l in zip(handles, labels_):
+                seen.setdefault(l, h)
+            ax.legend(seen.values(), seen.keys(),
+                      **{**dict(loc="center left", bbox_to_anchor=(1, 0.5), fontsize=6,
+                                markerscale=3, frameon=False), **(legend_kwargs or {})})
     for j in range(n, len(axes_flat)):
         axes_flat[j].axis("off")
-    return save_return_show_fig_utils(save_show_or_return, True, None, "overlay_slices_2d", save_kwargs, n, fig, list(axes_flat[:n]))
+    if title:
+        fig.suptitle(title)
+    return save_return_show_fig_utils(save_show_or_return, show_legend, None, "overlay_slices_2d", save_kwargs, n, fig, list(axes_flat[:n]))
 
 
 def multi_slices(

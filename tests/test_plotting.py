@@ -87,7 +87,7 @@ class TestAlign:
         axes = pl.slices_2d([adata, b], label_key="leiden", save_show_or_return="return")
         assert len(axes) == 2
         axes = pl.overlay_slices_2d([adata, b], save_show_or_return="return")
-        assert len(axes) == 1
+        assert len(axes) == 2  # one panel per slice (reference align.py:445)
         ax = pl.multi_slices([adata, b], label_key="leiden", save_show_or_return="return")
         assert len(ax.collections) > 0
 
@@ -638,3 +638,44 @@ class TestDotplotMethods:
         main_box = ax.get_position()
         others = [a for a in fig.axes if a is not ax]
         assert any(a.get_position().y0 >= main_box.y1 - 1e-6 for a in others)
+
+
+class TestOverlaySlices2DOptions:
+    def test_neighbor_overlay_palette(self, adata):
+        """Without label_key: current red, forward (previous) green,
+        backward (next) blue — reference align.py:655 palette; overlay_type
+        controls which neighbors appear."""
+        import matplotlib.colors as mcolors
+
+        b = adata.copy()
+        c = adata.copy()
+        axes = pl.overlay_slices_2d([adata, b, c], overlay_type="both", save_show_or_return="return")
+        assert len(axes) == 3
+        # middle panel shows all three overlay roles
+        mid_colors = [tuple(col.get_facecolor()[0][:3]) for col in axes[1].collections]
+        expected = {mcolors.to_rgb("green"), mcolors.to_rgb("blue"), mcolors.to_rgb("red")}
+        assert set(mid_colors) == expected
+        # first panel has no forward neighbor
+        first_colors = {tuple(col.get_facecolor()[0][:3]) for col in axes[0].collections}
+        assert mcolors.to_rgb("green") not in first_colors
+        # forward-only: no blue anywhere
+        axes_f = pl.overlay_slices_2d([adata, b, c], overlay_type="forward", save_show_or_return="return")
+        all_colors = {tuple(col.get_facecolor()[0][:3]) for ax in axes_f for col in ax.collections}
+        assert mcolors.to_rgb("blue") not in all_colors
+
+    def test_label_coloring_and_options(self, adata):
+        b = adata.copy()
+        axes = pl.overlay_slices_2d(
+            [adata, b], label_key="leiden", n_sampling=50, center_coordinate=True,
+            x_min=-60, x_max=60, save_show_or_return="return",
+        )
+        # label coloring: one collection per category per drawn slice (3 cats x 2 slices)
+        assert len(axes[0].collections) == 6
+        assert axes[0].get_xlim() == (-60.0, 60.0)
+        # centered: points cluster around 0
+        offsets = np.concatenate([c.get_offsets() for c in axes[0].collections])
+        assert abs(offsets.mean()) < 20
+        assert len(offsets) == 100  # 50 sampled points per slice
+        # scalar label -> shared colorbar range via vmin/vmax
+        axes_s = pl.overlay_slices_2d([adata, b], label_key="g0", save_show_or_return="return")
+        assert axes_s[0].collections[0].get_array() is not None
