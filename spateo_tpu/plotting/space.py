@@ -89,22 +89,43 @@ def plot_cell_signaling(
     width: float = 6,
     pointsize: Optional[float] = None,
     dpi: int = 100,
+    ps_sample_num: int = 1000,
     alpha: float = 0.8,
     plot_method: str = "cell",
     scale: Optional[float] = None,
+    scale_units: Optional[str] = None,
     grid_density: float = 1,
+    grid_knn: Optional[int] = None,
+    grid_scale: float = 1.0,
+    grid_threshold: float = 1.0,
+    grid_width: Optional[float] = None,
+    stream_density: Optional[float] = None,
+    stream_linewidth: Optional[float] = None,
+    stream_cutoff_percentile: float = 5,
     figsize: Optional[Tuple[float, float]] = None,
     save_show_or_return: str = "return",
     save_kwargs: Optional[dict] = None,
     **kwargs,
 ):
     """Overlay a CCI-inferred signaling vector field on the spatial scatter
-    (parity: reference space.py:155; COMMOT-style rendering). `plot_method`
-    'cell' draws one arrow per cell, 'grid' averages onto a lattice,
-    'stream' draws streamlines."""
+    (parity: reference space.py:155; COMMOT-style rendering).
+
+    `plot_method`:
+      - 'cell': one arrow per cell (all-zero vectors suppressed).
+      - 'grid': Gaussian-KNN interpolation of the cell vectors onto a
+        rectangular lattice (reference space.py:312-345 — `grid_knn`
+        neighbors weighted by norm.pdf at `gridsize*grid_scale`; lattice
+        points with weight-sum below `grid_threshold` %o of the 99th
+        percentile are dropped so the grid hugs the tissue).
+      - 'stream': matplotlib streamplot over the same interpolated lattice,
+        masking vectors below `stream_cutoff_percentile` of the local
+        magnitude and scaling `stream_linewidth` by relative speed.
+    """
+    from scipy.stats import norm as _norm
+
     key = vf_key if vf_key in adata.obsm else f"vf_{vf_key}"
-    V = np.asarray(adata.obsm[key])
-    pts = np.asarray(adata.obsm[space])[:, :2]
+    V = np.asarray(adata.obsm[key])[:, :2].astype(float)
+    pts = np.asarray(adata.obsm[space])[:, :2].astype(float)
 
     ax = None
     if color is not None:
@@ -113,24 +134,68 @@ def plot_cell_signaling(
         ptp = np.ptp(pts, axis=0)
         figsize = figsize or (width, float(ptp[1] / max(ptp[0], 1e-9)) * width + 0.3)
         fig, ax = plt.subplots(figsize=figsize, dpi=dpi)
-        ax.scatter(pts[:, 0], pts[:, 1], s=pointsize or 2, color="#cccccc", alpha=alpha, linewidths=0)
+        if pointsize is None:
+            # smallest-distance-derived point size (reference space.py:293)
+            from ..tools.utils import compute_smallest_distance
+
+            sd = compute_smallest_distance(pts, sample_num=ps_sample_num)
+            pointsize = max((sd * figsize[0] / max(ptp[0], 1e-9) * dpi) ** 2 * np.sqrt(len(pts)) / 16000.0, 0.5)
+        ax.scatter(pts[:, 0], pts[:, 1], s=pointsize, color="#cccccc", alpha=alpha, linewidths=0)
         ax.set_aspect("equal")
 
-    if plot_method == "grid":
-        n = max(int(20 * grid_density), 4)
-        gx = np.linspace(pts[:, 0].min(), pts[:, 0].max(), n)
-        gy = np.linspace(pts[:, 1].min(), pts[:, 1].max(), n)
-        XX, YY = np.meshgrid(gx, gy)
-        G = np.stack([XX.ravel(), YY.ravel()], 1)
-        # kernel-average cell vectors onto the lattice
-        h = (gx[1] - gx[0]) * 1.5
-        w = np.exp(-((G[:, None, :] - pts[None, :, :]) ** 2).sum(-1) / (2 * h**2))
-        wsum = w.sum(1, keepdims=True)
-        GV = (w @ V[:, :2]) / np.maximum(wsum, 1e-12)
-        keep = wsum.ravel() > 1e-3
-        plot_vectors(ax, G[keep], GV[keep], method="cell", color=arrow_color, scale=scale, width=edgewidth / 100)
+    if plot_method == "cell":
+        Vc = V.copy()
+        Vc[np.abs(V).sum(1) == 0] = np.nan
+        plot_vectors(ax, pts, Vc, method="cell", color=arrow_color, scale=scale,
+                     scale_units=scale_units, width=grid_width)
+    elif plot_method in ("grid", "stream"):
+        from scipy.spatial import cKDTree
+
+        # rectangular lattice padded 2% beyond the tissue (reference :314)
+        xl, xr = pts[:, 0].min(), pts[:, 0].max()
+        yl, yr = pts[:, 1].min(), pts[:, 1].max()
+        xl, xr = xl - 0.02 * (xr - xl), xr + 0.02 * (xr - xl)
+        yl, yr = yl - 0.02 * (yr - yl), yr + 0.02 * (yr - yl)
+        ngrid_x = max(int(50 * grid_density), 4)
+        gridsize = (xr - xl) / float(ngrid_x)
+        ngrid_y = max(int((yr - yl) / max(gridsize, 1e-12)), 4)
+        x_grid = np.linspace(xl, xr, ngrid_x)
+        y_grid = np.linspace(yl, yr, ngrid_y)
+        XX, YY = np.meshgrid(x_grid, y_grid)
+        grid_pts = np.stack([XX.ravel(), YY.ravel()], 1)
+
+        knn = grid_knn if grid_knn is not None else max(int(len(pts) / 50), 1)
+        knn = min(knn, len(pts))
+        distances, neighbors = cKDTree(pts).query(grid_pts, k=knn)
+        distances = np.atleast_2d(distances.T).T
+        neighbors = np.atleast_2d(neighbors.T).T
+        w = _norm.pdf(x=distances, scale=gridsize * grid_scale)
+        w_sum = w.sum(axis=1)
+        vf_grid = (V[neighbors] * w[:, :, None]).sum(axis=1) / np.maximum(1, w_sum)[:, None]
+
+        if plot_method == "grid":
+            thr = grid_threshold * np.percentile(w_sum, 99) / 100
+            keep = w_sum > thr
+            plot_vectors(ax, grid_pts[keep], vf_grid[keep], method="cell", color=arrow_color,
+                         scale=scale, scale_units=scale_units, width=grid_width)
+        else:
+            U = vf_grid[:, 0].reshape(ngrid_y, ngrid_x)
+            W = vf_grid[:, 1].reshape(ngrid_y, ngrid_x)
+            vlen = np.sqrt(U**2 + W**2)
+            grid_thresh = min(10 ** (grid_threshold - 6), np.nanmax(vlen) * 0.9)
+            cutoff = vlen < grid_thresh
+            length = np.abs(V[neighbors]).mean(axis=1).sum(axis=1).reshape(ngrid_y, ngrid_x)
+            cutoff |= length < np.percentile(length, stream_cutoff_percentile)
+            U = np.where(cutoff, np.nan, U)
+            lengths = np.sqrt(U**2 + W**2)
+            lw = stream_linewidth if stream_linewidth is not None else edgewidth * 5
+            with np.errstate(invalid="ignore"):
+                lw = lw * 2 * lengths / max(np.nanmax(lengths), 1e-12)
+            ax.streamplot(x_grid, y_grid, U, W, color=arrow_color,
+                          density=stream_density if stream_density is not None else 1.0,
+                          linewidth=np.nan_to_num(lw, nan=0.0))
     else:
-        plot_vectors(ax, pts, V[:, :2], method=plot_method, color=arrow_color, scale=scale)
+        raise ValueError(f"plot_method must be one of 'cell', 'grid', or 'stream'. Got {plot_method}.")
 
     return save_return_show_fig_utils(save_show_or_return, False, None, "cell_signaling", save_kwargs, 1, ax.figure, ax)
 

@@ -679,3 +679,64 @@ class TestOverlaySlices2DOptions:
         # scalar label -> shared colorbar range via vmin/vmax
         axes_s = pl.overlay_slices_2d([adata, b], label_key="g0", save_show_or_return="return")
         assert axes_s[0].collections[0].get_array() is not None
+
+
+class TestPlotCellSignaling:
+    def _vf_adata(self):
+        rng = np.random.default_rng(3)
+        n = 400
+        a = st.AnnData(
+            X=rng.poisson(1.0, (n, 3)).astype(np.float32),
+            obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+            var=pd.DataFrame(index=["g0", "g1", "g2"]),
+        )
+        pts = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+        a.obsm["spatial"] = pts
+        # rotational field
+        ctr = pts - pts.mean(0)
+        V = np.stack([-ctr[:, 1], ctr[:, 0]], 1) / 100.0
+        a.obsm["vf"] = V.astype(np.float32)
+        st.SKM.init_adata_type(a, "UMI")
+        return a
+
+    def test_cell_mode_suppresses_zero_vectors(self):
+        from matplotlib.quiver import Quiver
+
+        a = self._vf_adata()
+        a.obsm["vf"][:50] = 0.0
+        ax = pl.plot_cell_signaling(a, "vf", plot_method="cell", save_show_or_return="return")
+        q = [c for c in ax.get_children() if isinstance(c, Quiver)][0]
+        ax.figure.canvas.draw()
+        # zero vectors NaN-ed out -> their arrow paths carry NaN vertices and
+        # are skipped at render time (reference space.py:306)
+        nan_paths = [bool(np.isnan(pth.vertices).any()) for pth in q.get_paths()]
+        assert sum(nan_paths) == 50
+
+    def test_grid_mode_knn_and_threshold(self):
+        from matplotlib.quiver import Quiver
+
+        a = self._vf_adata()
+        ax1 = pl.plot_cell_signaling(a, "vf", plot_method="grid", grid_density=0.5,
+                                     grid_knn=20, save_show_or_return="return")
+        q1 = [c for c in ax1.get_children() if isinstance(c, Quiver)][0]
+        n_default = len(q1.U)
+        # tighter threshold (larger value) keeps fewer lattice points
+        ax2 = pl.plot_cell_signaling(a, "vf", plot_method="grid", grid_density=0.5,
+                                     grid_knn=20, grid_threshold=50.0, save_show_or_return="return")
+        q2 = [c for c in ax2.get_children() if isinstance(c, Quiver)][0]
+        assert 0 < len(q2.U) < n_default
+
+    def test_stream_mode_renders_lines(self):
+        a = self._vf_adata()
+        ax = pl.plot_cell_signaling(a, "vf", plot_method="stream", grid_density=0.6,
+                                    stream_density=0.8, stream_linewidth=1.0,
+                                    save_show_or_return="return")
+        # streamplot adds a LineCollection + arrow patches
+        from matplotlib.collections import LineCollection
+
+        assert any(isinstance(c, LineCollection) for c in ax.collections)
+
+    def test_bad_method_raises(self):
+        a = self._vf_adata()
+        with pytest.raises(ValueError):
+            pl.plot_cell_signaling(a, "vf", plot_method="nope", save_show_or_return="return")
