@@ -768,46 +768,440 @@ class MuSIC_Interpreter(MuSIC):
         ax.legend(fontsize=6, frameon=False)
         return ax
 
-    def visualize_effect_specificity(self, target: str, save_show_or_return: str = "return", **kwargs):
-        """Fraction of cells where each interaction's effect is nonzero,
-        vs. its mean magnitude (parity: :2339)."""
+    def visualize_effect_specificity(
+        self,
+        agg_method: str = "mean",
+        plot_type: str = "heatmap",
+        target_subset=None,
+        interaction_subset=None,
+        ct_subset=None,
+        group_key: Optional[str] = None,
+        n_anchors: Optional[int] = None,
+        effect_threshold: Optional[float] = None,
+        use_significant: bool = False,
+        min_query_cells: int = 30,
+        significance_cutoff: float = 1.3,
+        fold_change_cutoff: float = 1.5,
+        fold_change_cutoff_for_labels: float = 3.0,
+        fontsize: Optional[int] = None,
+        figsize=None,
+        cmap: str = "seismic",
+        save_show_or_return: str = "return",
+        save_kwargs: Optional[dict] = None,
+        save_df: bool = False,
+        **kwargs,
+    ):
+        """Specificity of each interaction's effect on each target
+        (reference semantics, MuSIC_downstream.py:2587): separate the
+        target-expressing cells — conditioned on a strong predicted effect
+        (above `effect_threshold`, default the 75th quantile of nonzero
+        coefficients) and, for L:R models, on expression of every receptor
+        component — plus their spatial-graph neighborhoods (secreted or
+        membrane-bound graph chosen from the ligand's L:R-database `type`)
+        from the remaining cells and their neighborhoods, then compute the
+        log2 fold change of neighborhood ligand expression between the two
+        groups. Multi-component ligands aggregate per the reference: "/"
+        complexes by arithmetic mean, "_" complexes by geometric mean over
+        nonzero entries. `agg_method` "mean" compares mean expression,
+        "percentage" the expressing fraction.
+
+        `plot_type="heatmap"` yields the targets x interactions ward-
+        clustered fold-change matrix (volcano: one "{interaction}-{target}"
+        row with Mann-Whitney q-values). `min_query_cells` is the
+        reference's 30-cell floor, exposed so small datasets can lower it.
+        Returns the DataFrame for "return"; "axes" composes the divergent
+        masked heatmap / volcano figure and returns (fig, ax, df)."""
+        import scipy.cluster.hierarchy as sch
+        from scipy.sparse import issparse
+        from scipy.stats import mannwhitneyu
+
+        if self.mod_type not in ("lr", "ligand"):
+            raise ValueError("This function is only applicable for ligand-based models.")
         if not getattr(self, "coeffs", None):
             self.load_coeffs()
-        cdf = self.coeffs[target]
-        frac = (cdf.abs() > 1e-9).mean(axis=0)
-        mag = cdf.abs().mean(axis=0)
-        df = pd.DataFrame({"fraction_nonzero": frac, "mean_abs_effect": mag})
-        import matplotlib.pyplot as plt
+        logger = lm.get_main_logger()
+        target_subset = list(self.coeffs) if target_subset is None else [t for t in np.atleast_1d(target_subset) if t in self.coeffs]
+        all_features = [f for f in getattr(self, "feature_names", []) if f != "intercept"]
+        feature_names = all_features if interaction_subset is None else [f for f in all_features if f in set(np.atleast_1d(interaction_subset))]
+        group_key = group_key or self.group_key
+        if use_significant and not getattr(self, "is_significant", None):
+            self.compute_coeff_significance()
 
-        _, ax = plt.subplots(figsize=(4, 4))
-        ax.scatter(df["fraction_nonzero"], df["mean_abs_effect"], s=14)
-        for name, row in df.iterrows():
-            ax.annotate(str(name), (row["fraction_nonzero"], row["mean_abs_effect"]), fontsize=6)
-        ax.set_xlabel("fraction of cells with effect"); ax.set_ylabel("mean |effect|")
-        return df if save_show_or_return == "return" else ax
+        conn_secreted, conn_membrane_bound = self._specificity_graphs()
+        names = list(map(str, self.adata.var_names))
+        Xmat = self.adata.X.toarray() if issparse(self.adata.X) else np.asarray(self.adata.X)
+        obs_names = pd.Index(self.adata.obs_names)
 
-    def visualize_neighborhood(self, target: str, interaction: str, select_examples_criterion: str = "positive", n_anchors: int = 5, radius: Optional[float] = None, save_show_or_return: str = "return"):
-        """Spatial view around the strongest-effect cells (parity: :3561)."""
-        key = f"{interaction}_effect_on_{target}"
-        if key not in self.adata.obs.columns:
-            self.add_interaction_effect_to_adata(target, interaction)
-        eff = np.asarray(self.adata.obs[key], float)
-        order = np.argsort(-eff) if select_examples_criterion == "positive" else np.argsort(eff)
-        anchors = order[:n_anchors]
+        if plot_type == "heatmap":
+            df = pd.DataFrame(0.0, index=target_subset, columns=feature_names)
+        else:
+            combos = [f"{f}-{t}" for f in feature_names for t in target_subset]
+            df = pd.DataFrame(index=combos, columns=["log2FC", "p-value", "q-value", "Significance", "-log10(qval)"], dtype=float)
+            df["p-value"] = 1.0
+            df["log2FC"] = 0.0
+
+        if ct_subset is not None:
+            groups = pd.Series(np.asarray(self.adata.obs[group_key]).astype(str), index=obs_names)
+            query_pool = obs_names[groups.isin(np.atleast_1d(ct_subset)).values]
+        else:
+            query_pool = obs_names
+
+        rng = np.random.default_rng(0)
+        for target in target_subset:
+            coef_target = self.coeffs[target]
+            thr = effect_threshold
+            if thr is None:
+                nz = coef_target.values.flatten()
+                nz = nz[nz != 0]
+                thr = float(pd.Series(nz).quantile(0.75)) if nz.size else 0.0
+            ct_eff = coef_target.copy()
+            if use_significant and target in getattr(self, "is_significant", {}):
+                sig = self.is_significant[target]
+                common = [c for c in ct_eff.columns if c in sig.columns]
+                ct_eff[common] = ct_eff[common] * sig.loc[ct_eff.index, common].astype(float)
+            if target not in names:
+                continue
+            texpr = Xmat[:, names.index(target)]
+            target_expressing = obs_names[texpr > 0].intersection(query_pool)
+
+            for interaction in feature_names:
+                col = f"b_{interaction}"
+                if col not in ct_eff.columns:
+                    continue
+                affected = ct_eff.index[np.asarray(ct_eff[col].values, float) > thr]
+                if self.mod_type == "lr" and ":" in interaction:
+                    receptor = interaction.split(":")[1]
+                    rmask = np.ones(len(obs_names), bool)
+                    for r in receptor.split("_"):
+                        if r in names:
+                            rmask &= Xmat[:, names.index(r)] > 0
+                    qmask = target_expressing.intersection(obs_names[rmask]).intersection(affected)
+                else:
+                    qmask = target_expressing.intersection(affected)
+                if len(qmask) <= min_query_cells:
+                    logger.info(f"Insufficient query cells for {interaction}-{target}. Skipping.")
+                    continue
+                # membrane-bound vs secreted graph from the ligand's db type
+                lig = interaction.split(":")[0] if ":" in interaction else interaction
+                sep = "/" if "/" in lig else "_" if "_" in lig else None
+                components = lig.split(sep) if sep else [lig]
+                conn = conn_secreted
+                if getattr(self, "lr_db", None) is not None:
+                    rows = self.lr_db[self.lr_db["from"].isin(components)]
+                    secreted = rows["type"].str.contains("Secreted Signaling").any() or rows["type"].str.contains("ECM-Receptor").any()
+                    conn = conn_secreted if secreted else conn_membrane_bound
+                ref_names = obs_names[~obs_names.isin(target_expressing) & ~obs_names.isin(affected)]
+                if len(ref_names) == 0:
+                    continue
+
+                def group_with_neighbors(pool):
+                    if n_anchors is not None and len(pool) >= n_anchors:
+                        anchors = pd.Index(rng.choice(pool, size=n_anchors, replace=False))
+                    else:
+                        anchors = pd.Index(pool)
+                    sel = obs_names.get_indexer(anchors)
+                    nb = np.unique(conn[sel].nonzero()[1])
+                    nb = nb[~np.isin(nb, sel)]
+                    return list(anchors) + list(obs_names[nb])
+
+                query_group = group_with_neighbors(qmask)
+                reference_group = group_with_neighbors(ref_names)
+                comp_idx = [names.index(c) for c in components if c in names]
+                if not comp_idx:
+                    continue
+                lv = Xmat[np.concatenate([obs_names.get_indexer(query_group), obs_names.get_indexer(reference_group)])][:, comp_idx].astype(float)
+                if sep == "/":
+                    lv = lv.mean(axis=1)
+                elif sep == "_":
+                    lv = lv.copy()
+                    lv[lv == 0] = np.nan
+                    with np.errstate(invalid="ignore"):
+                        prod = np.nanprod(lv, axis=1)
+                        cnt = np.sum(~np.isnan(lv), axis=1).astype(float)
+                        cnt[cnt == 0] = np.nan
+                        lv = np.power(prod, 1.0 / cnt)
+                    lv = np.nan_to_num(lv)
+                else:
+                    lv = lv[:, 0]
+                lq, lr_ = lv[: len(query_group)], lv[len(query_group):]
+                if plot_type == "volcano":
+                    df.loc[f"{interaction}-{target}", "p-value"] = (
+                        0.0 if not lr_.any() else float(mannwhitneyu(lq, lr_)[1])
+                    )
+                q_agg = float(lq.mean()) if agg_method == "mean" else float((lq > 0).mean())
+                r_agg = float(lr_.mean()) if agg_method == "mean" else float((lr_ > 0).mean())
+                r_agg = r_agg if r_agg != 0 else 0.001
+                fc = float(np.log2(max(q_agg, 1e-12) / r_agg))
+                if plot_type == "volcano":
+                    df.loc[f"{interaction}-{target}", "log2FC"] = fc
+                else:
+                    df.loc[target, interaction] = fc
+
+        if plot_type == "volcano":
+            df["q-value"] = np.asarray(multitesting_correction(df["p-value"].fillna(1.0).values, method="fdr_bh"), float)
+            df["Significance"] = df["q-value"] < 0.05
+            with np.errstate(divide="ignore"):
+                df["-log10(qval)"] = -np.log10(df["q-value"])
+        elif df.shape[0] > 1 and df.shape[1] > 1 and df.values.std() > 0:
+            order = sch.dendrogram(sch.linkage(df.transpose(), method="ward"), no_plot=True)["leaves"]
+            df = df.iloc[:, order]
+            rorder = sch.dendrogram(sch.linkage(df, method="ward"), no_plot=True)["leaves"]
+            df = df.iloc[rorder, :]
+
+        if save_df:
+            out_folder = os.path.join(os.path.dirname(self.output_path) or ".", "analyses")
+            os.makedirs(out_folder, exist_ok=True)
+            adata_id = os.path.splitext(os.path.basename(getattr(self, "adata_path", None) or "adata"))[0]
+            df.to_csv(os.path.join(out_folder, f"{plot_type}_{adata_id}_interaction_enrichment_fold_change_target_expressing_v_nonexpressing.csv"))
+        if save_show_or_return == "return":
+            return df
+        fig, ax = self._compose_specificity_figure(
+            df, plot_type, significance_cutoff, fold_change_cutoff,
+            fold_change_cutoff_for_labels, fontsize, figsize, cmap,
+        )
+        if save_show_or_return in ("axes", "all"):
+            return fig, ax, df
+        return ax
+
+    def _specificity_graphs(self):
+        """Secreted / membrane-bound spatial kNN connectivity graphs, cached
+        on adata.obsp (reference MuSIC_downstream.py:2768-2797)."""
+        from scipy.sparse import csr_matrix
+        from scipy.spatial import cKDTree
+
+        obsp = self.adata.obsp
+        if "spatial_connectivities_secreted" in obsp and "spatial_connectivities_membrane_bound" in obsp:
+            return obsp["spatial_connectivities_secreted"], obsp["spatial_connectivities_membrane_bound"]
         coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
-        if radius is None:
-            d2 = ((coords[:200, None] - coords[None, :200]) ** 2).sum(-1)
-            np.fill_diagonal(d2, np.inf)
-            radius = 5 * float(np.sqrt(np.median(d2.min(1))))
-        import matplotlib.pyplot as plt
+        tree = cKDTree(coords)
 
-        _, ax = plt.subplots(figsize=(5, 5))
-        ax.scatter(coords[:, 0], coords[:, 1], s=2, c=eff, cmap="coolwarm", linewidths=0)
-        for a in anchors:
-            circ = plt.Circle(coords[a], radius, fill=False, color="black", lw=1)
-            ax.add_patch(circ)
-        ax.set_aspect("equal")
-        return anchors if save_show_or_return == "return" else ax
+        def knn_graph(k):
+            k = min(k + 1, len(coords))
+            _, idx = tree.query(coords, k=k)
+            rows = np.repeat(np.arange(len(coords)), idx.shape[1] - 1)
+            cols = idx[:, 1:].ravel()
+            return csr_matrix((np.ones(len(rows)), (rows, cols)), shape=(len(coords), len(coords)))
+
+        sec = knn_graph(int(getattr(self, "n_neighbors_secreted", 25)))
+        mem = knn_graph(int(getattr(self, "n_neighbors_membrane_bound", 8)))
+        obsp["spatial_connectivities_secreted"] = sec
+        obsp["spatial_connectivities_membrane_bound"] = mem
+        return sec, mem
+
+    def _compose_specificity_figure(
+        self, df, plot_type, significance_cutoff, fold_change_cutoff,
+        fold_change_cutoff_for_labels, fontsize, figsize, cmap,
+    ):
+        """Reference specificity figure (MuSIC_downstream.py:3041-3190):
+        zero-centered divergent heatmap with |FC|<0.1 masked and top
+        colorbar, or the labeled up/down volcano."""
+        import matplotlib as mpl
+        import matplotlib.pyplot as plt
+        from mpl_toolkits.axes_grid1 import make_axes_locatable
+
+        fontsize = fontsize or float(mpl.rcParams.get("font.size", 10))
+        divergent = {"seismic", "coolwarm", "bwr", "RdBu", "RdGy", "PuOr", "PiYG", "PRGn", "BrBG", "RdYlBu", "RdYlGn", "Spectral"}
+        if cmap not in divergent:
+            cmap = "seismic"
+        if figsize is None:
+            figsize = (max(df.shape[1] * 0.3, 4), max(df.shape[0] * 0.3, 4)) if plot_type == "heatmap" else (6, 6)
+        fig, ax = plt.subplots(figsize=figsize)
+        if plot_type == "volcano":
+            size = 20 if len(df) > 20 else 40
+            fc, nlq = df["log2FC"].astype(float), df["-log10(qval)"].astype(float)
+            if nlq.max() > 8:
+                ax.set_yscale("log", base=2)
+            significant = nlq > significance_cutoff
+            up, down = fc > fold_change_cutoff, fc < -fold_change_cutoff
+            ax.scatter(fc[significant & up], nlq[significant & up], c=fc[significant & up], cmap="Reds", edgecolor="black", s=size)
+            ax.scatter(fc[significant & down], nlq[significant & down], c=fc[significant & down], cmap="Blues_r", edgecolor="black", s=size)
+            rest = ~(significant & (up | down))
+            ax.scatter(fc[rest], nlq[rest], color="grey", edgecolor="black", s=size)
+            cutoff = fold_change_cutoff_for_labels
+            high = df[np.abs(fc) > cutoff]
+            while high.empty and cutoff > 1e-3:
+                cutoff /= 2
+                high = df[np.abs(fc) > cutoff]
+            for name, row in high.iterrows():
+                ax.text(row["log2FC"], row["-log10(qval)"], str(name), fontsize=fontsize * 0.75, ha="center", va="center")
+            ax.axhline(y=significance_cutoff, color="grey", linestyle="--", linewidth=1.5)
+            ax.axvline(x=fold_change_cutoff, color="grey", linestyle="--", linewidth=1.5)
+            ax.axvline(x=-fold_change_cutoff, color="grey", linestyle="--", linewidth=1.5)
+            ax.set_xlabel("$\\log_2$(Fold change Interaction Enrichment \nTarget-Expressing Cells vs. Others", fontsize=fontsize * 1.25)
+            ax.set_ylabel(r"$-log_{10}$(qval)", fontsize=fontsize * 1.25)
+        else:
+            vals = df.values.astype(float)
+            max_distance = float(np.abs(vals).max()) or 1.0
+            data = np.ma.masked_where(np.abs(vals) < 0.1, vals)
+            cm = mpl.colormaps[cmap].copy(); cm.set_bad(color="white")
+            im = ax.pcolormesh(data[::-1], cmap=cm, vmin=-max_distance, vmax=max_distance, edgecolors="grey", linewidth=0.3 * figsize[0] / 10)
+            ax.set_xticks(np.arange(df.shape[1]) + 0.5); ax.set_xticklabels(df.columns, rotation=90, fontsize=fontsize)
+            ax.set_yticks(np.arange(df.shape[0]) + 0.5); ax.set_yticklabels(df.index[::-1], fontsize=fontsize)
+            divider = make_axes_locatable(ax)
+            cax = divider.append_axes("top", size="30%", pad=0.3)
+            cbar = fig.colorbar(im, cax=cax, orientation="horizontal")
+            cbar.set_label("$\\log_2$(FC) Target-Expressing vs. Others", fontsize=fontsize, labelpad=10)
+            cbar.ax.xaxis.set_ticks_position("top"); cbar.ax.xaxis.set_label_position("top")
+            ax.set_xlabel("Neighboring Ligand" if self.mod_type == "ligand" else "L:R Interaction", fontsize=fontsize * 1.25)
+            ax.set_ylabel("Target Gene", fontsize=fontsize * 1.25)
+        ax.set_title("Fold Change Interaction Enrichment \nTarget-Expressing Cells vs. Others", fontsize=fontsize * 1.5)
+        return fig, ax
+
+    def visualize_neighborhood(
+        self,
+        target: str,
+        interaction: str,
+        interaction_type: str = "secreted",
+        select_examples_criterion: str = "positive",
+        effect_threshold: Optional[float] = None,
+        cell_type: Optional[str] = None,
+        group_key: Optional[str] = None,
+        use_significant: bool = False,
+        n_anchors: int = 100,
+        n_neighbors_expressing: int = 20,
+        display_plot: bool = True,
+    ):
+        """Example-neighborhood visualization of an interaction effect
+        (reference semantics, MuSIC_downstream.py:3219): anchor cells are
+        target-expressing cells that meet the effect criterion ("positive":
+        |effect| above `effect_threshold`, default the 75th quantile of
+        nonzero coefficients; "negative": exactly-zero effect), have more
+        than `n_neighbors_expressing` spatial neighbors expressing the
+        ligand (complexes: "/" = any component, "_" = all components), and
+        — for L:R models, positive criterion — express every receptor
+        component. Up to `n_anchors` anchors are drawn; their graph
+        neighbors get the ligand expression ("/" arithmetic mean, "_"
+        geometric mean over nonzero) and the anchors their target
+        expression, written to
+        adata.obs["{interaction}_{target}_{criterion}_example_points"].
+        Returns the modified AnnData; with `display_plot`, renders the
+        reference's three-layer scatter (grey rest / green anchors /
+        Hot-colored neighbors) on matplotlib instead of plotly (absent
+        here) and stores the axes on `self._last_neighborhood_axes`."""
+        logger = lm.get_main_logger()
+        if self.mod_type not in ("lr", "ligand"):
+            raise ValueError("This function is only applicable for ligand-based models.")
+        if select_examples_criterion not in ("positive", "negative"):
+            raise ValueError("Invalid criterion for selecting examples. Options: 'positive', 'negative'.")
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        conn_secreted, conn_membrane_bound = self._specificity_graphs()
+        if interaction_type == "secreted":
+            conn = conn_secreted
+        elif interaction_type == "membrane-bound":
+            conn = conn_membrane_bound
+        else:
+            raise ValueError("Invalid interaction type. Options: 'secreted', 'membrane-bound'.")
+
+        from scipy.sparse import issparse
+
+        adata = self.adata
+        obs_names = pd.Index(adata.obs_names)
+        names = list(map(str, adata.var_names))
+        Xmat = adata.X.toarray() if issparse(adata.X) else np.asarray(adata.X)
+        coef_target = self.coeffs[target]
+        if effect_threshold is None:
+            nz = coef_target.values.flatten()
+            nz = nz[nz != 0]
+            effect_threshold = float(pd.Series(nz).quantile(0.75)) if nz.size else 0.0
+        if use_significant:
+            if not getattr(self, "is_significant", None):
+                self.compute_coeff_significance()
+            sig = self.is_significant.get(target)
+            if sig is not None:
+                common = [c for c in coef_target.columns if c in sig.columns]
+                coef_target = coef_target.copy()
+                coef_target[common] = coef_target[common] * sig.loc[coef_target.index, common].astype(float)
+
+        target_expression = Xmat[:, names.index(target)]
+        eff = np.asarray(coef_target.loc[obs_names, f"b_{interaction}"].values, float)
+        target_expressing = obs_names[target_expression > 0]
+        if select_examples_criterion == "positive":
+            interaction_cells = obs_names[np.abs(eff) > effect_threshold]
+        else:
+            interaction_cells = obs_names[eff == 0]
+
+        lig = interaction.split(":")[0] if ":" in interaction else interaction
+        sep = "/" if "/" in lig else "_" if "_" in lig else None
+        lig_genes = lig.split(sep) if sep else [lig]
+        lig_idx = [names.index(g) for g in lig_genes if g in names]
+        if sep == "/":
+            ligand_expr_mask = (Xmat[:, lig_idx] > 0).any(axis=1)
+        else:
+            ligand_expr_mask = (Xmat[:, lig_idx] > 0).all(axis=1)
+        # count ligand-expressing neighbors per cell through the graph
+        neighbor_counts = np.asarray((conn > 0) @ ligand_expr_mask.astype(float)).reshape(-1)
+        enough_lig_neighbors = obs_names[neighbor_counts > n_neighbors_expressing]
+
+        mask = target_expressing.intersection(interaction_cells).intersection(enough_lig_neighbors)
+        if self.mod_type == "lr" and ":" in interaction and select_examples_criterion == "positive":
+            receptor = interaction.split(":")[1]
+            rmask = np.ones(len(obs_names), bool)
+            for r in receptor.split("_"):
+                if r in names:
+                    rmask &= Xmat[:, names.index(r)] > 0
+            mask = mask.intersection(obs_names[rmask])
+        if cell_type is not None:
+            group_key = group_key or self.group_key
+            groups = pd.Series(np.asarray(adata.obs[group_key]).astype(str), index=obs_names)
+            mask = mask.intersection(obs_names[groups.values == cell_type])
+
+        logger.info(
+            f"Randomly selecting {select_examples_criterion} example cells from a pool of {len(mask)} "
+            f"for target {target} and interaction {interaction}."
+        )
+        n_sel = min(n_anchors, len(mask))
+        if n_sel == len(mask):
+            selected = pd.Index(mask)
+        else:
+            selected = pd.Index(np.random.default_rng(0).choice(mask, size=n_sel, replace=False))
+        sel_idx = obs_names.get_indexer(selected)
+        nb = np.unique(conn[sel_idx].nonzero()[1]) if len(sel_idx) else np.array([], int)
+        nb = nb[~np.isin(nb, sel_idx)]
+        neighbors_selected = obs_names[nb]
+
+        lv = Xmat[nb][:, lig_idx].astype(float) if len(nb) else np.zeros((0, len(lig_idx)))
+        if sep == "/":
+            ligand_expression = lv.mean(axis=1)
+        elif sep == "_":
+            lv = lv.copy()
+            lv[lv == 0] = np.nan
+            with np.errstate(invalid="ignore"):
+                prod = np.nanprod(lv, axis=1)
+                cnt = np.sum(~np.isnan(lv), axis=1).astype(float)
+                cnt[cnt == 0] = np.nan
+                ligand_expression = np.nan_to_num(np.power(prod, 1.0 / cnt))
+        else:
+            ligand_expression = lv[:, 0] if lv.size else np.zeros(0)
+
+        key = f"{interaction}_{target}_{select_examples_criterion}_example_points"
+        adata.obs[key] = 0.0
+        adata.obs.loc[selected, key] = target_expression[sel_idx]
+        adata.obs.loc[neighbors_selected, key] = ligand_expression
+
+        if display_plot:
+            import matplotlib.pyplot as plt
+
+            coords = np.asarray(adata.obsm[self.coords_key], float)
+            three_d = coords.shape[1] > 2
+            fig, ax = plt.subplots(figsize=(6, 6), subplot_kw={"projection": "3d"} if three_d else {})
+            rest = np.setdiff1d(np.arange(len(obs_names)), np.concatenate([sel_idx, nb]) if len(sel_idx) else nb)
+            pts = lambda idx: (coords[idx, 0], coords[idx, 1], coords[idx, 2]) if three_d else (coords[idx, 0], coords[idx, 1])
+            ax.scatter(*pts(rest), color="#D3D3D3", s=4, linewidths=0, label="Other Cells")
+            if len(nb):
+                vals = np.minimum(ligand_expression, np.percentile(ligand_expression, 95)) if len(ligand_expression) else ligand_expression
+                sc = ax.scatter(*pts(nb), c=vals, cmap="hot", s=6, linewidths=0)
+                cb = fig.colorbar(sc, ax=ax, shrink=0.6)
+                cb.set_label(f"{lig} Expression")
+            ax.scatter(*pts(sel_idx), color="#39FF14", s=16, linewidths=0,
+                       label=f"{target}-Expressing Cells")
+            ax.legend(fontsize=7, frameon=False)
+            ax.set_title(
+                f"Target: {target}, Ligand: {lig}\n(Example {select_examples_criterion.title()} Predicted Effects)",
+                fontsize=10,
+            )
+            self._last_neighborhood_axes = ax
+        return adata
 
     def cell_type_specific_interactions(
         self,

@@ -346,6 +346,130 @@ class TestMuSICDownstreamBreadth:
         interp.filter_adata_spatial(["x < 50"])
         assert 0 < interp.adata.n_obs < n0
 
+    def test_visualize_effect_specificity(self):
+        """Reference semantics (MuSIC_downstream.py:2587): fold change of
+        neighborhood ligand expression, target-expressing affected cells +
+        neighbors vs the remaining cells + neighbors. The ligand is planted
+        in a band adjacent to the affected receivers (the band also
+        expresses the target, so it is excluded from the reference group,
+        as in the reference's masking) — fold change must be positive."""
+        import tempfile
+
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC_Interpreter, define_spateo_argparse
+
+        rng = np.random.default_rng(3)
+        n = 400
+        x = rng.uniform(0, 100, n)
+        pts = np.c_[x, rng.uniform(0, 5, n)].astype(np.float32)
+        band = (x >= 40) & (x < 50)  # ligand senders (autocrine target too)
+        recv = (x >= 50) & (x < 60)  # affected receivers
+        X = np.zeros((n, 3), np.float32)
+        X[band, 0] = 10.0  # LIG
+        X[recv, 1] = 5.0  # REC
+        X[band | recv, 2] = 3.0  # TGT
+        adata = st.AnnData(
+            X=X,
+            obs=pd.DataFrame({"ct": np.where(band, "band", "other")}, index=[f"c{i}" for i in range(n)]),
+            var=pd.DataFrame(index=["LIG", "REC", "TGT"]),
+        )
+        adata.obsm["spatial"] = pts
+        st.SKM.init_adata_type(adata, "UMI")
+        with tempfile.TemporaryDirectory() as tmp:
+            parser, args_list = define_spateo_argparse(
+                mod_type="lr", group_key="ct", output_path=f"{tmp}/out.csv", custom_targets=["TGT"]
+            )
+            interp = MuSIC_Interpreter(parser, args_list)
+        interp.adata = adata
+        interp.coeffs = {
+            "TGT": pd.DataFrame(
+                {"b_intercept": np.ones(n), "b_LIG:REC": np.where(recv, 4.0, 0.0)},
+                index=adata.obs_names,
+            )
+        }
+        interp.feature_names = ["intercept", "LIG:REC"]
+        df = interp.visualize_effect_specificity(min_query_cells=5)
+        assert df.shape == (1, 1)
+        assert float(df.iloc[0, 0]) > 0
+        # graphs are cached on obsp
+        assert "spatial_connectivities_secreted" in interp.adata.obsp
+        vol = interp.visualize_effect_specificity(min_query_cells=5, plot_type="volcano")
+        assert {"log2FC", "q-value", "-log10(qval)"} <= set(vol.columns)
+        assert float(vol["log2FC"].iloc[0]) > 0
+        import matplotlib.pyplot as plt
+
+        fig, ax, _ = interp.visualize_effect_specificity(min_query_cells=5, save_show_or_return="axes")
+        assert any(hasattr(c, "get_array") for c in ax.collections)  # heatmap mesh
+        plt.close(fig)
+
+    def test_visualize_neighborhood_example_points(self):
+        """Reference semantics (MuSIC_downstream.py:3219): anchors are
+        target-expressing affected cells with enough ligand-expressing
+        neighbors; anchors carry target expression and neighbors ligand
+        expression in the example_points obs column."""
+        import tempfile
+
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC_Interpreter, define_spateo_argparse
+
+        rng = np.random.default_rng(4)
+        n = 400
+        x = rng.uniform(0, 100, n)
+        pts = np.c_[x, rng.uniform(0, 5, n)].astype(np.float32)
+        band = (x >= 40) & (x < 50)
+        recv = (x >= 50) & (x < 60)
+        X = np.zeros((n, 3), np.float32)
+        X[band, 0] = 10.0  # LIG
+        X[recv, 1] = 5.0  # REC
+        X[recv, 2] = 3.0  # TGT
+        adata = st.AnnData(
+            X=X, obs=pd.DataFrame({"ct": np.where(recv, "recv", "other")}, index=[f"c{i}" for i in range(n)]),
+            var=pd.DataFrame(index=["LIG", "REC", "TGT"]),
+        )
+        adata.obsm["spatial"] = pts
+        st.SKM.init_adata_type(adata, "UMI")
+        with tempfile.TemporaryDirectory() as tmp:
+            parser, args_list = define_spateo_argparse(
+                mod_type="lr", group_key="ct", output_path=f"{tmp}/out.csv", custom_targets=["TGT"]
+            )
+            interp = MuSIC_Interpreter(parser, args_list)
+        interp.adata = adata
+        interp.coeffs = {
+            "TGT": pd.DataFrame(
+                {"b_intercept": np.ones(n), "b_LIG:REC": np.where(recv, 4.0, 0.0)}, index=adata.obs_names
+            )
+        }
+        out = interp.visualize_neighborhood(
+            "TGT", "LIG:REC", interaction_type="secreted", n_neighbors_expressing=2,
+            n_anchors=20, display_plot=True,
+        )
+        key = "LIG:REC_TGT_positive_example_points"
+        assert key in out.obs.columns
+        vals = np.asarray(out.obs[key], float)
+        anchors = (vals == 3.0)
+        assert anchors.any()
+        assert x[anchors].min() >= 50 and x[anchors].max() < 60  # anchors in receiver band
+        neigh_lig = vals == 10.0
+        assert neigh_lig.any() and (x[neigh_lig] < 60).all()  # ligand neighbors adjacent
+        # figure: 3 scatter layers (rest, neighbors, anchors)
+        ax = interp._last_neighborhood_axes
+        assert len(ax.collections) >= 3
+        with pytest.raises(ValueError, match="Invalid interaction type"):
+            interp.visualize_neighborhood("TGT", "LIG:REC", interaction_type="bogus")
+        with pytest.raises(ValueError, match="Invalid criterion"):
+            interp.visualize_neighborhood("TGT", "LIG:REC", select_examples_criterion="bogus")
+
+    def test_visualize_effect_specificity_requires_ligand_model(self):
+        import tempfile
+
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC_Interpreter, define_spateo_argparse
+
+        with tempfile.TemporaryDirectory() as tmp:
+            parser, args_list = define_spateo_argparse(
+                mod_type="niche", group_key="ct", output_path=f"{tmp}/out.csv", custom_targets=["g0"]
+            )
+            it = MuSIC_Interpreter(parser, args_list)
+        with pytest.raises(ValueError, match="ligand-based"):
+            it.visualize_effect_specificity()
+
 
 class TestShardedIWLS:
     def test_sharded_matches_unsharded(self):
