@@ -1672,24 +1672,138 @@ class MuSIC_Interpreter(MuSIC):
         ax.set_title(f"Fold change {source_data} \n{ref_ct} and {query_ct}", fontsize=fontsize * 1.5)
         return fig, ax
 
-    def summarize_interaction_effects(self, interactions=None, targets=None, effect_size_threshold: float = 0.0) -> pd.DataFrame:
-        """Interactions x targets mean-effect table (parity: :4993)."""
-        eff = self.effect_distribution().T  # interactions x targets
-        if interactions is not None:
-            eff = eff.loc[[i for i in np.atleast_1d(interactions) if i in eff.index]]
-        if targets is not None:
-            eff = eff[[t for t in np.atleast_1d(targets) if t in eff.columns]]
-        return eff.where(eff >= effect_size_threshold, 0.0)
+    def _true_positive_obs(self, target: str) -> pd.Index:
+        """Cells expressing `target` that the fitted model also predicts to
+        express it (reference MuSIC_downstream.py:4910-4917 uses
+        predictions.csv cast to bool). Falls back to the expressing cells
+        alone when no predictions are available."""
+        from scipy.sparse import issparse
 
-    def enriched_interactions_barplot(self, targets=None, n_top: int = 10, save_show_or_return: str = "return", **kwargs):
-        """Barplot of the strongest interactions across targets (parity: :4620)."""
-        eff = self.summarize_interaction_effects(targets=targets).mean(axis=1).sort_values(ascending=False).head(n_top)
+        names = list(map(str, self.adata.var_names))
+        if target not in names:
+            return pd.Index(self.adata.obs_names)
+        col = self.adata[:, target].X
+        expr = (col.toarray() if issparse(col) else np.asarray(col)).reshape(-1) > 0
+        preds = None
+        pred_path = os.path.join(os.path.dirname(self.output_path) or ".", "predictions.csv")
+        if os.path.exists(pred_path):
+            preds = pd.read_csv(pred_path, index_col=0)
+        elif hasattr(self, "X_df") and getattr(self, "coeffs", None):
+            try:
+                preds = self.predict()
+            except Exception:
+                preds = None
+        if preds is not None and target in preds.columns:
+            p = preds[target].reindex(pd.Index(self.adata.obs_names)).fillna(0.0)
+            expr = expr & np.asarray(p.values, float).astype(bool)
+        return pd.Index(self.adata.obs_names)[expr]
+
+    def summarize_interaction_effects(self, interactions=None, targets=None, effect_size_threshold: float = 0.0) -> pd.DataFrame:
+        """Interactions x targets mean-effect table over the true-positive
+        cells for each target (reference semantics,
+        MuSIC_downstream.py:4993: cells expressing the target AND predicted
+        to express it; effects below `effect_size_threshold` dropped to 0)."""
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        if isinstance(interactions, str):
+            interactions = [interactions]
+        if isinstance(targets, str):
+            targets = [targets]
+        tlist = list(self.coeffs) if targets is None else [t for t in targets if t in self.coeffs]
+        cols = {}
+        for t in tlist:
+            cdf = self.coeffs[t]
+            feats = {c[2:]: c for c in cdf.columns if c.startswith("b_") and "intercept" not in c}
+            keep = list(feats) if interactions is None else [i for i in interactions if i in feats]
+            tp = self._true_positive_obs(t).intersection(cdf.index)
+            sub = cdf.loc[tp, [feats[f] for f in keep]] if len(tp) else cdf.loc[[], [feats[f] for f in keep]]
+            avg = sub.mean(axis=0) if len(sub) else pd.Series(0.0, index=[feats[f] for f in keep])
+            avg.index = keep
+            cols[t] = avg.where(avg > effect_size_threshold, other=np.nan)
+        return pd.DataFrame(cols).replace(np.nan, 0.0)
+
+    def enriched_interactions_barplot(
+        self,
+        interactions=None,
+        targets=None,
+        plot_type: str = "average",
+        effect_size_threshold: float = 0.0,
+        fontsize: Optional[int] = None,
+        figsize=None,
+        cmap: str = "Reds",
+        top_n: Optional[int] = None,
+        save_show_or_return: str = "return",
+        save_kwargs: Optional[dict] = None,
+        **kwargs,
+    ):
+        """Top predicted effect sizes per interaction on each target
+        (reference semantics, MuSIC_downstream.py:4826): "average" = mean
+        coefficient over cells expressing the target AND predicted to
+        express it; "proportion" = fraction of target-expressing cells with
+        a positive coefficient. Filtered by `effect_size_threshold`, sorted
+        descending, collagen/HLA family collapsing for ligand models,
+        truncated to `top_n`; bars drawn with a sequential-colormap palette
+        and black edges. Returns {target: Series} for "return" (a bare
+        Series when a single target), {target: (fig, ax, Series)} for
+        "axes"."""
+        import matplotlib as mpl
         import matplotlib.pyplot as plt
 
-        _, ax = plt.subplots(figsize=(4, max(2, 0.3 * len(eff))))
-        ax.barh(eff.index[::-1], eff.values[::-1])
-        ax.set_xlabel("mean |effect|")
-        return eff if save_show_or_return == "return" else ax
+        if plot_type not in ("average", "proportion"):
+            raise ValueError(f"Unrecognized input for plot_type: {plot_type}. Options are 'average' or 'proportion'.")
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        fontsize = fontsize or float(mpl.rcParams.get("font.size", 10))
+        if isinstance(interactions, str):
+            interactions = [interactions]
+        if isinstance(targets, str):
+            targets = [targets]
+        tlist = list(self.coeffs) if targets is None else [t for t in targets if t in self.coeffs]
+        out = {}
+        for target in tlist:
+            cdf = self.coeffs[target]
+            feats = {c[2:]: c for c in cdf.columns if c.startswith("b_") and "intercept" not in c}
+            keep = list(feats) if interactions is None else [i for i in interactions if i in feats]
+            if plot_type == "average":
+                rows = self._true_positive_obs(target).intersection(cdf.index)
+                sub = cdf.loc[rows, [feats[f] for f in keep]]
+                to_plot = sub.mean(axis=0) if len(sub) else pd.Series(0.0, index=[feats[f] for f in keep])
+            else:
+                from scipy.sparse import issparse
+
+                names = list(map(str, self.adata.var_names))
+                col = self.adata[:, target].X if target in names else None
+                expr = ((col.toarray() if issparse(col) else np.asarray(col)).reshape(-1) > 0) if col is not None else np.ones(len(self.adata.obs_names), bool)
+                rows = pd.Index(self.adata.obs_names)[expr].intersection(cdf.index)
+                sub = cdf.loc[rows, [feats[f] for f in keep]]
+                to_plot = (sub > 0).mean(axis=0) if len(sub) else pd.Series(0.0, index=[feats[f] for f in keep])
+            to_plot.index = keep
+            to_plot = to_plot[to_plot > effect_size_threshold].sort_values(ascending=False)
+            if self.mod_type == "ligand":
+                to_plot.index = [replace_hla_with_hlas(replace_col_with_collagens(i)) for i in to_plot.index]
+            if top_n is not None:
+                to_plot = to_plot.iloc[:top_n]
+            if save_show_or_return == "return":
+                out[target] = to_plot
+                continue
+            fs = figsize or (max(len(to_plot) / 2, 3), 5)
+            fig, ax = plt.subplots(figsize=fs)
+            cm = mpl.colormaps[cmap]
+            colors = [cm(0.3 + 0.7 * i / max(len(to_plot) - 1, 1)) for i in range(len(to_plot))][::-1]
+            ax.bar(range(len(to_plot)), to_plot.values, color=colors, edgecolor="black", linewidth=1)
+            ax.set_xticks(range(len(to_plot)))
+            ax.set_xticklabels(to_plot.index, rotation=90, fontsize=fontsize)
+            ax.set_xlabel("Interaction (ligand(s):receptor(s))", fontsize=fontsize)
+            if plot_type == "average":
+                ax.set_title(f"Average Predicted Interaction Effects on {target}", fontsize=fontsize)
+                ax.set_ylabel("Mean Coefficient \nMagnitude", fontsize=fontsize)
+            else:
+                ax.set_title(f"Proportion of {target}-Expressing Cells \nPredicted to be Affected by Interaction", fontsize=fontsize)
+                ax.set_ylabel("Proportion of Cells", fontsize=fontsize)
+            out[target] = (fig, ax, to_plot)
+        if len(out) == 1:
+            return next(iter(out.values()))
+        return out
 
     def summarize_tf_effects(self, targets=None, effect_size_threshold: float = 0.0) -> pd.DataFrame:
         """TF-model variant of summarize_interaction_effects (parity: :5270)."""
@@ -1815,12 +1929,53 @@ class MuSIC_Interpreter(MuSIC):
         return sender_vf, receiver_vf
 
     def inferred_effect_direction(self, targets=None, compute_pathway_effect: bool = False):
-        """Compute sender/receiver effect vector fields for every fitted
-        interaction on the given targets (parity: :5758)."""
+        """Sender/receiver effect vector fields for every fitted interaction
+        (or pathway) on the given targets (reference semantics,
+        MuSIC_downstream.py:5758). With `compute_pathway_effect`, queries
+        are the L:R-database pathways represented by at least three of the
+        fitted interactions (the reference's Counter >= 3 rule) and each
+        field aggregates the member interactions' potentials via
+        `get_pathway_potential`; otherwise one field per fitted
+        interaction. Only defined for ligand-carrying models."""
+        if self.mod_type not in ("ligand", "lr"):
+            raise ValueError(
+                "Direction of effect can only be inferred if ligand expression is used as part of the model."
+            )
         if not getattr(self, "coeffs", None):
             self.load_coeffs()
         targets = list(self.coeffs) if targets is None else list(np.atleast_1d(targets))
         W = self._spatial_weights()
+        if compute_pathway_effect:
+            from collections import Counter
+
+            if getattr(self, "lr_db", None) is None:
+                raise ValueError("Pathway aggregation requires the L:R database (lr_db).")
+            db = self.lr_db
+            pathways = []
+            fitted = set()
+            for t in targets:
+                for col in self.coeffs[t].columns:
+                    name = col[2:] if col.startswith("b_") else col
+                    if not name.endswith("intercept"):
+                        fitted.add(name)
+            for query in fitted:
+                if ":" in query:
+                    lig, rec = query.split(":", 1)
+                    rows = db.loc[(db["from"] == lig) & (db["to"] == rec), "pathway"]
+                else:
+                    rows = db.loc[db["from"] == query, "pathway"]
+                pathways.extend(set(rows.values))
+            counts = Counter(pathways)
+            queries = [p for p, c in counts.items() if c >= 3]
+            for t in targets:
+                for pathway in queries:
+                    P = self.get_pathway_potential(pathway=pathway, target=t, store_summed_potential=True)
+                    sent = np.asarray(P.sum(axis=1)).ravel()
+                    received = np.asarray(P.sum(axis=0)).ravel()
+                    ns = sent / (sent.max() or 1.0)
+                    nr = received / (received.max() or 1.0)
+                    self.define_effect_vf(P, ns, nr, pathway, t)
+            return self.adata
         for t in targets:
             for col in self.coeffs[t].columns:
                 name = col[2:] if col.startswith("b_") else col
@@ -2019,19 +2174,92 @@ class MuSIC_Interpreter(MuSIC):
         plt.colorbar(im, ax=ax, shrink=0.6)
         return M if save_show_or_return == "return" else ax
 
-    def top_target_barplot(self, interaction: str, n_top: int = 10, save_show_or_return: str = "return", **kwargs):
-        """Targets most affected by one interaction (parity: :7782)."""
-        eff = self.effect_distribution()
-        col = interaction if interaction in eff.columns else f"b_{interaction}"
-        if col not in eff.columns:
-            raise KeyError(f"interaction `{interaction}` not among fitted features")
-        top = eff[col].sort_values(ascending=False).head(n_top)
+    def top_target_barplot(
+        self,
+        interaction: str,
+        target_subset: Optional[List[str]] = None,
+        use_ligand_targets: bool = False,
+        use_receptor_targets: bool = False,
+        use_target_gene_targets: bool = True,
+        top_n_targets: Optional[int] = None,
+        n_top: Optional[int] = None,
+        fontsize: Optional[int] = None,
+        figsize=None,
+        cmap: str = "Blues",
+        save_show_or_return: str = "return",
+        save_kwargs: Optional[dict] = None,
+        **kwargs,
+    ):
+        """Proportion of cells expressing each target that are predicted to
+        be affected by `interaction` (reference semantics,
+        MuSIC_downstream.py:7769: per target, the fraction of
+        target-expressing cells whose b_{interaction} coefficient is
+        nonzero, sorted descending). `use_ligand_targets` /
+        `use_receptor_targets` select the downstream ligand/receptor models
+        fitted by CCI_deg_detection (stored as
+        `downstream_model_{ligand,receptor}_coeffs`); the default targets
+        the upstream target-gene models. Requires a sequential colormap, as
+        the reference does. Returns the Series for "return", (fig, ax,
+        Series) for "axes"."""
+        import matplotlib as mpl
         import matplotlib.pyplot as plt
+        from scipy.sparse import issparse
 
-        _, ax = plt.subplots(figsize=(4, max(2, 0.3 * len(top))))
-        ax.barh(top.index[::-1], top.values[::-1])
-        ax.set_xlabel(f"mean |effect| of {interaction}")
-        return top if save_show_or_return == "return" else ax
+        top_n_targets = top_n_targets if top_n_targets is not None else n_top
+        fontsize = fontsize or float(mpl.rcParams.get("font.size", 10))
+        try:
+            mpl.colormaps[cmap]
+        except KeyError:
+            raise ValueError(f"Colormap {cmap} is not a valid colormap.")
+        if cmap.replace("_r", "") in {"seismic", "coolwarm", "bwr", "RdBu", "PiYG", "PRGn", "Spectral", "tab10", "tab20"}:
+            raise ValueError(f"Colormap {cmap} is not a sequential colormap.")
+        if use_ligand_targets:
+            all_coeffs = getattr(self, "downstream_model_ligand_coeffs", None)
+        elif use_receptor_targets:
+            all_coeffs = getattr(self, "downstream_model_receptor_coeffs", None)
+        else:
+            if not getattr(self, "coeffs", None):
+                self.load_coeffs()
+            all_coeffs = self.coeffs
+        if not all_coeffs:
+            raise ValueError("No fitted coefficient tables available for the chosen target family.")
+        if target_subset is not None:
+            all_coeffs = {k: v for k, v in all_coeffs.items() if k in set(np.atleast_1d(target_subset))}
+        found = any(
+            interaction in {c.replace("b_", "") for c in df.columns} for df in all_coeffs.values()
+        )
+        if not found:
+            raise KeyError(f"interaction `{interaction}` not among fitted features")
+        names = list(map(str, self.adata.var_names))
+        prop_effects = {}
+        for target, df in all_coeffs.items():
+            feats = [f.replace("b_", "") for f in df.columns]
+            if interaction not in feats:
+                continue
+            if target in names:
+                col = self.adata[:, target].X
+                expr = (col.toarray() if issparse(col) else np.asarray(col)).reshape(-1) > 0
+                nz = pd.Index(self.adata.obs_names)[expr].intersection(df.index)
+            else:
+                nz = df.index
+            prop_effects[target] = float((df.loc[nz, f"b_{interaction}"] != 0).mean()) if len(nz) else 0.0
+        prop_effects = pd.Series(prop_effects).sort_values(ascending=False)
+        if top_n_targets is not None:
+            prop_effects = prop_effects.iloc[:top_n_targets]
+        if save_show_or_return == "return":
+            return prop_effects
+        fig, ax = plt.subplots(figsize=figsize or (max(len(prop_effects) / 2, 3), 4))
+        cm = mpl.colormaps[cmap]
+        colors = [cm(0.3 + 0.7 * i / max(len(prop_effects) - 1, 1)) for i in range(len(prop_effects))][::-1]
+        ax.bar(range(len(prop_effects)), prop_effects.values, color=colors, edgecolor="black", linewidth=1)
+        ax.set_xticks(range(len(prop_effects)))
+        ax.set_xticklabels(prop_effects.index, rotation=90, fontsize=fontsize)
+        ax.set_xlabel("Target Gene", fontsize=fontsize * 1.1)
+        ax.set_ylabel("Proportion", fontsize=fontsize * 1.1)
+        ax.set_title(f"Proportion of cells expressing target \naffected by {interaction}", fontsize=fontsize * 1.25)
+        if save_show_or_return in ("axes", "all"):
+            return fig, ax, prop_effects
+        return ax
 
     def eval_permutation_test(self, perm_df: pd.DataFrame, alpha: float = 0.05) -> pd.DataFrame:
         """Summarize a permutation_test result: significant features at

@@ -799,3 +799,46 @@ class TestCellTypeInteractionFigures:
     def test_top_n_truncation(self, interp):
         res = interp.cell_type_interaction_fold_change("A", "B", source_data="effect", top_n_to_plot=1)
         assert len(res) == 1
+
+    def test_summarize_interaction_effects_true_positive_subset(self, interp):
+        """Reference semantics (MuSIC_downstream.py:4993): averages run over
+        target-expressing cells only — the planted I1 effect on T1 averages
+        over expressing A-cells, not the whole population."""
+        eff = interp.summarize_interaction_effects()
+        assert set(eff.columns) == {"T1", "T2"} and {"I1", "I2"} <= set(eff.index)
+        # everyone expresses T1; half are A with coef 4.0, half B with 0.2
+        assert abs(eff.loc["I1", "T1"] - 2.1) < 0.2
+        # threshold zeroes weak entries
+        eff2 = interp.summarize_interaction_effects(effect_size_threshold=3.0)
+        assert eff2.loc["I1", "T1"] == 0.0
+
+    def test_enriched_interactions_barplot_modes(self, interp):
+        ser = interp.enriched_interactions_barplot(targets="T1")
+        assert ser.index[0] == "I1"  # strongest first
+        prop = interp.enriched_interactions_barplot(targets="T1", plot_type="proportion")
+        assert 0.99 <= prop.loc["I1"] <= 1.0  # every expressing cell has coef > 0
+        with pytest.raises(ValueError, match="average' or 'proportion"):
+            interp.enriched_interactions_barplot(targets="T1", plot_type="nope")
+        import matplotlib.pyplot as plt
+
+        fig, ax, ser2 = interp.enriched_interactions_barplot(targets="T1", save_show_or_return="axes")
+        assert len(ax.patches) == len(ser2)
+        plt.close(fig)
+
+    def test_top_target_barplot_proportion_semantics(self, interp):
+        """Reference :7769: fraction of target-expressing cells with nonzero
+        coefficient — I2 affects all T2-expressing B cells but no A cells."""
+        prop = interp.top_target_barplot("I2")
+        # b_I2 is nonzero everywhere (0.2/6.0), so both targets report 1.0;
+        # restrict to literal-zero coefficients via a dedicated frame
+        interp2_coeffs = {
+            "T1": interp.coeffs["T1"].copy(),
+        }
+        interp2_coeffs["T1"]["b_I2"] = 0.0
+        interp.coeffs["T1"] = interp2_coeffs["T1"]
+        prop = interp.top_target_barplot("I2")
+        assert prop.loc["T1"] == 0.0 and prop.loc["T2"] == 1.0
+        with pytest.raises(ValueError, match="sequential"):
+            interp.top_target_barplot("I2", cmap="seismic")
+        with pytest.raises(KeyError, match="not among fitted"):
+            interp.top_target_barplot("NOPE")
