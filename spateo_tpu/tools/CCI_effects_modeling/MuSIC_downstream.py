@@ -327,9 +327,24 @@ class MuSIC_Interpreter(MuSIC):
         out = out[out["qvalue"] < significance_threshold].sort_values("correlation", ascending=False)
         return out.head(n_top)
 
-    def permutation_test(self, target: str, n_permutations: int = 100, seed: int = 0) -> pd.DataFrame:
-        """Permutation null for feature effects on a target (parity surface:
-        MuSIC_downstream.py:7941)."""
+    def permutation_test(
+        self,
+        target: str,
+        n_permutations: int = 100,
+        permute_nonzeros_only: bool = False,
+        seed: int = 0,
+        **kwargs,
+    ) -> pd.DataFrame:
+        """Permutation test for a target gene (reference semantics,
+        MuSIC_downstream.py:7941): refit the spatial model against the
+        nonpermuted expression and `n_permutations` scrambles of it
+        (`permute_nonzeros_only` scrambles values only among the expressing
+        cells, keeping the zero pattern fixed — the reference's
+        expressing-subset mode). The observed and per-permutation
+        predictions and truths are cached on
+        `self._perm_predictions[target]` / `self._perm_truth[target]` for
+        `eval_permutation_test`. Returns the per-feature effect-size null
+        summary (mean |effect| + permutation p-value)."""
         if not hasattr(self, "X_df"):
             self._set_up_model()
         if not hasattr(self, "coords"):
@@ -341,6 +356,16 @@ class MuSIC_Interpreter(MuSIC):
         rng = np.random.default_rng(seed)
         y = np.asarray(self.targets_expr[target].values, dtype=np.float32)
         X = np.asarray(self.X_df.values, dtype=np.float32)
+
+        def permute(vec):
+            if not permute_nonzeros_only:
+                return rng.permutation(vec)
+            out = vec.copy()
+            nz = np.flatnonzero(vec != 0)
+            out[nz] = vec[nz][rng.permutation(len(nz))]
+            return out
+
+        self.permuted_nonzeros_only = permute_nonzeros_only
         bw = self.bws.get(target) if getattr(self, "bws", None) else None
         if bw is None and getattr(self, "bw", None):
             bw = float(self.bw)
@@ -351,18 +376,39 @@ class MuSIC_Interpreter(MuSIC):
             )
         import tempfile
 
+        def predict_from(betas):
+            B = np.asarray(betas, float)
+            if B.shape[1] == X.shape[1] + 1:
+                vals = B[:, 0] + (B[:, 1:] * X[: len(B)]).sum(1)
+            else:
+                vals = (B * X[: len(B)]).sum(1)
+            if self.distr != "gaussian":
+                vals = np.asarray(self.distr_obj.predict(vals))
+                vals = np.maximum(vals - 1, 0.0)
+            return vals
+
         saved_out = self.output_path
+        truth_cols, pred_cols = {}, {}
         with tempfile.TemporaryDirectory() as tmp:
             # permutation fits write throwaway CSVs
             self.output_path = os.path.join(tmp, "perm.csv")
             obs_betas = self.mpi_fit(y, X, y_label=target, bw=bw, final=True)
             obs_effect = np.abs(obs_betas).mean(axis=0)
+            truth_cols["nonpermuted"] = y.astype(float)
+            pred_cols["nonpermuted"] = predict_from(obs_betas)
             null = np.zeros((n_permutations, X.shape[1]), np.float32)
             for p in range(n_permutations):
-                null[p] = np.abs(
-                    self.mpi_fit(rng.permutation(y), X, y_label=target, bw=bw, final=True)
-                ).mean(axis=0)
+                yp = permute(y)
+                betas_p = self.mpi_fit(yp, X, y_label=target, bw=bw, final=True)
+                null[p] = np.abs(betas_p).mean(axis=0)
+                truth_cols[f"permutation_{p}"] = yp.astype(float)
+                pred_cols[f"permutation_{p}"] = predict_from(betas_p)
             self.output_path = saved_out
+        if not hasattr(self, "_perm_predictions"):
+            self._perm_predictions, self._perm_truth = {}, {}
+        idx = pd.Index(self.adata.obs_names[: len(y)])
+        self._perm_predictions[target] = pd.DataFrame(pred_cols, index=idx)
+        self._perm_truth[target] = pd.DataFrame(truth_cols, index=idx)
         pv = ((null >= obs_effect[None, :]).sum(axis=0) + 1) / (n_permutations + 1)
         names = getattr(self, "feature_names", None) or list(self.X_df.columns)
         return pd.DataFrame({"mean_abs_effect": obs_effect, "perm_pvalue": pv}, index=names)
@@ -429,38 +475,126 @@ class MuSIC_Interpreter(MuSIC):
                     _space(self.adata, color=[f"{i}_effect_on_{t}"], space=self.coords_key, save_show_or_return="return")
         return self.adata
 
-    def compute_and_visualize_diagnostics(self, type: str = "correlations", save_show_or_return: str = "return"):
-        """Model fit diagnostics per target: Pearson r / RMSE between
-        observed and predicted expression (parity: MuSIC_downstream.py
-        compute_and_visualize_diagnostics)."""
+    def compute_and_visualize_diagnostics(
+        self, type: str = "correlations", n_genes_per_plot: int = 20, save_show_or_return: str = "return"
+    ):
+        """Diagnostics between observed and predicted expression per target
+        (reference semantics, MuSIC_downstream.py:453). "correlations":
+        Pearson + Spearman over all cells AND over the expressing subset,
+        with the reference's largest-prediction-outlier removal; "rmse":
+        RMSE over all cells + expressing subset; "confusion": per-gene 2x2
+        confusion matrices of expressed/not-expressed, plotted
+        `n_genes_per_plot` per figure with counts annotated.
+
+        Returns the metric DataFrame (correlations keeps the pearson_r /
+        rmse column names alongside the reference's four metrics;
+        confusion returns {gene: 2x2 ndarray}). Figure modes ("show"/
+        "axes") render the reference's per-metric barplots with dashed
+        mean lines and mean legends."""
+        from scipy.stats import pearsonr, spearmanr
+
         if not getattr(self, "coeffs", None):
             self.load_coeffs()
-        if not hasattr(self, "X_df"):
-            self._set_up_model()
+        preds = None
+        pred_path = os.path.join(os.path.dirname(self.output_path) or ".", "predictions.csv")
+        if os.path.exists(pred_path):
+            preds = pd.read_csv(pred_path, index_col=0)
+        else:
+            if not hasattr(self, "X_df"):
+                self._set_up_model()
+            preds = self.predict()
+        all_genes = [g for g in preds.columns if g in set(map(str, self.adata.var_names))]
+        from scipy.sparse import issparse
+
+        def observed(gene):
+            col = self.adata[:, gene].X
+            return (col.toarray() if issparse(col) else np.asarray(col)).reshape(-1)
+
+        if type == "confusion":
+            cms = {}
+            for gene in all_genes:
+                y = observed(gene) > 0
+                p = np.asarray(preds[gene].values, float) > 0
+                n = min(len(y), len(p))
+                y, p = y[:n], p[:n]
+                cm = np.array([
+                    [np.sum(~y & ~p), np.sum(~y & p)],
+                    [np.sum(y & ~p), np.sum(y & p)],
+                ])
+                cms[gene] = cm
+            if save_show_or_return in ("show", "save", "both", "all", "axes"):
+                import matplotlib.pyplot as plt
+
+                figs = []
+                for start in range(0, len(all_genes), n_genes_per_plot):
+                    chunk = all_genes[start : start + n_genes_per_plot]
+                    fig, axs = plt.subplots(1, len(chunk), figsize=(2.2 * len(chunk), 2.5), squeeze=False)
+                    for ax, gene in zip(axs.ravel(), chunk):
+                        ax.imshow(cms[gene], cmap="Blues")
+                        for (i, j), v in np.ndenumerate(cms[gene]):
+                            ax.text(j, i, str(int(v)), ha="center", va="center", fontsize=8)
+                        ax.set_xticks([0, 1]); ax.set_xticklabels(["Pred \nnot expr", "Pred \nexpr"], fontsize=6)
+                        ax.set_yticks([0, 1]); ax.set_yticklabels(["Actual \nnot expr", "Actual \nexpr"], fontsize=6)
+                        ax.set_title(gene, fontsize=9)
+                    figs.append(fig)
+                self._last_diagnostic_figs = figs
+            return cms
+
         rows = {}
-        X = np.asarray(self.X_df.values, float)
-        for t, cdf in self.coeffs.items():
-            if t not in self.targets_expr.columns:
-                continue
-            y = np.asarray(self.targets_expr[t].values, float)
-            betas = cdf.values[:, : X.shape[1] + 1]
-            if betas.shape[1] == X.shape[1] + 1:  # intercept first
-                pred = betas[:, 0] + (betas[:, 1:] * X[: len(betas)]).sum(1)
+        for i, gene in enumerate(all_genes):
+            y = observed(gene)
+            p = np.asarray(preds[gene].values, float)
+            n = min(len(y), len(p))
+            y, p = y[:n], p[:n]
+            if type == "correlations":
+                # reference outlier guard: drop the largest predicted value
+                out = int(np.argmax(p)) if len(p) else 0
+                yp, pp = np.delete(y, out), np.delete(p, out)
+                nzi = yp != 0
+                def _safe(f, a, b):
+                    if len(a) < 2 or np.std(a) == 0 or np.std(b) == 0:
+                        return 0.0
+                    return float(f(a, b)[0])
+                rows[gene] = {
+                    "pearson_r": _safe(pearsonr, yp, pp),
+                    "spearman_r": _safe(spearmanr, yp, pp),
+                    "nz_pearson_r": _safe(pearsonr, yp[nzi], pp[nzi]),
+                    "nz_spearman_r": _safe(spearmanr, yp[nzi], pp[nzi]),
+                }
+            elif type == "rmse":
+                nzi = y != 0
+                rows[gene] = {
+                    "rmse": float(np.sqrt(((y - p) ** 2).mean())),
+                    "nz_rmse": float(np.sqrt(((y[nzi] - p[nzi]) ** 2).mean())) if nzi.any() else 0.0,
+                }
             else:
-                pred = (betas * X[: len(betas)]).sum(1)
-            if self.distr in ("poisson", "nb"):
-                pred = np.exp(np.clip(pred, -30, 30))
-            yy = y[: len(pred)]
-            r = float(np.corrcoef(yy, pred)[0, 1]) if pred.std() > 0 else 0.0
-            rows[t] = {"pearson_r": r, "rmse": float(np.sqrt(((yy - pred) ** 2).mean()))}
+                raise ValueError(
+                    f"Unrecognized input for type: {type}. Options: 'correlations', 'confusion', 'rmse'."
+                )
         df = pd.DataFrame(rows).T
-        if save_show_or_return in ("show", "save", "both", "all"):
+        if type == "rmse" and "rmse" in df.columns:
+            df["pearson_r"] = np.nan  # keep a stable column set for callers
+        if save_show_or_return in ("show", "save", "both", "all", "axes"):
             import matplotlib.pyplot as plt
 
-            _, ax = plt.subplots(figsize=(max(3, 0.4 * len(df)), 3))
-            ax.bar(df.index, df["pearson_r"])
-            ax.set_ylabel("pearson r (obs vs pred)")
-            ax.tick_params(axis="x", rotation=90)
+            metric_cols = [c for c in df.columns if df[c].notna().any()]
+            figs = []
+            for c in metric_cols:
+                fig, ax = plt.subplots(figsize=(max(3, 0.5 * len(df)), 4))
+                ax.bar(range(len(df)), df[c].values, color="#FF7F00", edgecolor="black")
+                mean_v = float(df[c].mean())
+                ax.axhline(mean_v, color="black", linestyle="--", linewidth=2)
+                ax.legend(
+                    [plt.Line2D([0], [0], color="black", linewidth=2, linestyle="--")],
+                    [f"Mean: {mean_v:.3f}"], loc="center left", bbox_to_anchor=(1, 0.5), fontsize=8,
+                )
+                ax.set_xticks(range(len(df)))
+                ax.set_xticklabels(df.index, rotation=90)
+                ax.set_title(c)
+                figs.append((fig, ax))
+            self._last_diagnostic_figs = figs
+            if save_show_or_return == "axes":
+                return figs, df
         return df
 
     # ------------------------------------------------------------------
@@ -2261,12 +2395,87 @@ class MuSIC_Interpreter(MuSIC):
             return fig, ax, prop_effects
         return ax
 
-    def eval_permutation_test(self, perm_df: pd.DataFrame, alpha: float = 0.05) -> pd.DataFrame:
-        """Summarize a permutation_test result: significant features at
-        `alpha` (parity: :8200)."""
-        out = perm_df.copy()
-        out["significant"] = out["perm_pvalue"] < alpha
-        return out.sort_values("perm_pvalue")
+    def eval_permutation_test(self, gene_or_df, alpha: float = 0.05) -> pd.DataFrame:
+        """Evaluate a permutation test (reference semantics,
+        MuSIC_downstream.py:8080). Given a gene name, compares true and
+        predicted expression for the nonpermuted fit and every permutation
+        cached by `permutation_test`: Pearson / Spearman / F1 / AUROC /
+        RMSE over all cells and over the expressing subset (all-cell
+        metrics omitted when only nonzeros were permuted, as the reference
+        does), then one-sample t-tests of each permuted-metric column
+        against the nonpermuted value, appending t-statistic / p-value /
+        significant rows. A DataFrame input keeps the legacy effect-size
+        summary (significance at `alpha`)."""
+        if isinstance(gene_or_df, pd.DataFrame):
+            out = gene_or_df.copy()
+            out["significant"] = out["perm_pvalue"] < alpha
+            return out.sort_values("perm_pvalue")
+        gene = str(gene_or_df)
+        preds = getattr(self, "_perm_predictions", {}).get(gene)
+        truth = getattr(self, "_perm_truth", {}).get(gene)
+        if preds is None or truth is None:
+            raise ValueError(f"run permutation_test('{gene}') before eval_permutation_test")
+        from scipy.stats import pearsonr, spearmanr, ttest_1samp
+
+        def f1(yb, pb):
+            tp = np.sum(yb & pb)
+            prec = tp / max(np.sum(pb), 1)
+            rec = tp / max(np.sum(yb), 1)
+            return 2 * prec * rec / max(prec + rec, 1e-12)
+
+        def auroc(yb, score):
+            pos, neg = score[yb], score[~yb]
+            if len(pos) == 0 or len(neg) == 0:
+                return np.nan
+            # Mann-Whitney formulation of AUROC
+            order = np.argsort(np.concatenate([pos, neg]), kind="mergesort")
+            ranks = np.empty(len(order)); ranks[order] = np.arange(1, len(order) + 1)
+            return (ranks[: len(pos)].sum() - len(pos) * (len(pos) + 1) / 2) / (len(pos) * len(neg))
+
+        def corr(f, a, b):
+            if len(a) < 2 or np.std(a) == 0 or np.std(b) == 0:
+                return 0.0
+            return float(f(a, b)[0])
+
+        nonzeros_only = bool(getattr(self, "permuted_nonzeros_only", False))
+        rows = {}
+        for col in preds.columns:
+            y = np.asarray(truth[col].values, float)
+            p = np.asarray(preds[col].values, float)
+            yb, pb = y > 0, p > 0
+            nz = y != 0
+            r = {
+                "Pearson correlation (expressing subset)": corr(pearsonr, y[nz], p[nz]),
+                "Spearman correlation (expressing subset)": corr(spearmanr, y[nz], p[nz]),
+                "F1 score (expressing subset)": f1(yb[nz], pb[nz]),
+                "AUROC (expressing subset)": auroc(yb[nz], p[nz]),
+                "RMSE (expressing subset)": float(np.sqrt(((y[nz] - p[nz]) ** 2).mean())) if nz.any() else 0.0,
+            }
+            if not nonzeros_only:
+                r.update({
+                    "Pearson correlation": corr(pearsonr, y, p),
+                    "Spearman correlation": corr(spearmanr, y, p),
+                    "F1 score": f1(yb, pb),
+                    "AUROC": auroc(yb, p),
+                    "RMSE": float(np.sqrt(((y - p) ** 2).mean())),
+                })
+            rows[col] = r
+        results = pd.DataFrame(rows).T
+        permuted = results.loc[[r for r in results.index if r != "nonpermuted"]]
+        nonperm = results.loc["nonpermuted"]
+        t_statistics, pvals, significance = {}, {}, {}
+        for col in permuted.columns:
+            data = permuted[col].dropna()
+            if len(data) < 2 or np.isnan(nonperm[col]):
+                t_statistics[col], pvals[col], significance[col] = np.nan, np.nan, "no"
+                continue
+            t_stat, pval = ttest_1samp(data, nonperm[col])
+            t_statistics[col], pvals[col] = float(t_stat), float(pval)
+            significance[col] = "yes" if pval < 0.05 else "no"
+        results.loc["t-statistic"] = t_statistics
+        results.loc["p-value"] = pvals
+        results.loc["significant"] = significance
+        return results
 
 
 def replace_col_with_collagens(col: str) -> str:

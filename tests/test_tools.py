@@ -306,6 +306,7 @@ class TestMuSICDownstreamBreadth:
         interp.coeffs = model.coeffs
         interp.X_df = model.X_df
         interp.targets_expr = model.targets_expr
+        interp.feature_names = model.feature_names
         return interp, adata, senders
 
     def test_effects_and_direction(self, lr_fit):
@@ -456,6 +457,35 @@ class TestMuSICDownstreamBreadth:
             interp.visualize_neighborhood("TGT", "LIG:REC", interaction_type="bogus")
         with pytest.raises(ValueError, match="Invalid criterion"):
             interp.visualize_neighborhood("TGT", "LIG:REC", select_examples_criterion="bogus")
+
+    def test_permutation_test_and_reference_eval(self, lr_fit):
+        """Reference semantics (MuSIC_downstream.py:7941/:8080): the
+        nonpermuted fit must beat the permuted fits on held metrics, and
+        eval returns the t-statistic / p-value / significant rows."""
+        interp, adata, _ = lr_fit
+        perm = interp.permutation_test("TGT1", n_permutations=5)
+        assert {"mean_abs_effect", "perm_pvalue"} <= set(perm.columns)
+        res = interp.eval_permutation_test("TGT1")
+        assert "nonpermuted" in res.index and "permutation_0" in res.index
+        assert {"t-statistic", "p-value", "significant"} <= set(res.index)
+        # true fit correlates better with truth than scrambled fits
+        nonperm_r = float(res.loc["nonpermuted", "Pearson correlation"])
+        perm_rs = res.loc[[f"permutation_{i}" for i in range(5)], "Pearson correlation"].astype(float)
+        assert nonperm_r > perm_rs.mean()
+        assert res.loc["significant", "Pearson correlation"] in ("yes", "no")
+        # legacy DataFrame input still summarizes effect-size significance
+        legacy = interp.eval_permutation_test(perm)
+        assert "significant" in legacy.columns
+        # nonzeros-only mode preserves the zero pattern in cached truths
+        interp.permutation_test("TGT1", n_permutations=2, permute_nonzeros_only=True)
+        t = interp._perm_truth["TGT1"]
+        zero_mask = t["nonpermuted"].values == 0
+        assert (t["permutation_0"].values[zero_mask] == 0).all()
+        res_nz = interp.eval_permutation_test("TGT1")
+        assert "Pearson correlation" not in res_nz.columns  # all-cell metrics omitted
+        assert "Pearson correlation (expressing subset)" in res_nz.columns
+        with pytest.raises(ValueError, match="permutation_test"):
+            interp.eval_permutation_test("NOPE")
 
     def test_visualize_effect_specificity_requires_ligand_model(self):
         import tempfile
