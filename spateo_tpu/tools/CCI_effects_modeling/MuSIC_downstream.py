@@ -2286,27 +2286,149 @@ class MuSIC_Interpreter(MuSIC):
         ax.set_xlabel("corr with total effect")
         return degs if save_show_or_return == "return" else ax
 
-    def deg_effect_heatmap(self, targets=None, n_top: int = 10, save_show_or_return: str = "return", **kwargs):
-        """Targets x DEG correlation heatmap (parity: :7607)."""
-        if not getattr(self, "coeffs", None):
-            self.load_coeffs()
-        targets = list(self.coeffs) if targets is None else list(np.atleast_1d(targets))
-        frames = {}
-        for t in targets:
-            try:
-                d = self.sender_receiver_effect_deg_detection(t, n_top=n_top)
-                frames[t] = d["correlation"]
-            except Exception:
-                continue
-        M = pd.DataFrame(frames).fillna(0.0)
-        import matplotlib.pyplot as plt
+    def deg_effect_heatmap(
+        self,
+        target_subset: Optional[List[str]] = None,
+        target_type: str = "target_gene",
+        to_plot: str = "proportion",
+        interaction_subset: Optional[List[str]] = None,
+        fontsize: Optional[int] = None,
+        figsize=None,
+        cmap: str = "magma",
+        lower_proportion_threshold: float = 0.1,
+        order_interactions: bool = False,
+        order_targets: bool = False,
+        remove_rows_and_cols_threshold: Optional[int] = None,
+        save_show_or_return: str = "return",
+        save_kwargs: Optional[dict] = None,
+        save_df: bool = False,
+        **kwargs,
+    ):
+        """Interactions x targets heatmap of predicted-effect coverage
+        (reference semantics, MuSIC_downstream.py:7472). "proportion" =
+        fraction of target-expressing cells with a nonzero coefficient for
+        the interaction; "specificity" = fraction of the cells where the
+        interaction feature is active (design-matrix value > 0) whose
+        coefficient on the target is nonzero. `target_type` selects the
+        upstream target-gene models ("target_gene") or the downstream
+        ligand/receptor/TF-target models fitted by CCI_deg_detection.
+        Collagen/HLA family collapsing on the interaction axis, optional
+        ward ordering of rows/columns, sparse-row/column pruning via
+        `remove_rows_and_cols_threshold`, and values below
+        `lower_proportion_threshold` masked white in the figure. Returns
+        the DataFrame for "return"; "axes" composes the masked heatmap
+        with top colorbar and returns (fig, ax, df)."""
+        from scipy.sparse import issparse
 
-        _, ax = plt.subplots(figsize=(max(2, 0.4 * M.shape[1]), max(2, 0.25 * M.shape[0])))
-        im = ax.imshow(M.values, aspect="auto", cmap="coolwarm", vmin=-abs(M.values).max(), vmax=abs(M.values).max())
-        ax.set_xticks(range(M.shape[1])); ax.set_xticklabels(M.columns, rotation=90, fontsize=7)
-        ax.set_yticks(range(M.shape[0])); ax.set_yticklabels(M.index, fontsize=6)
-        plt.colorbar(im, ax=ax, shrink=0.6)
-        return M if save_show_or_return == "return" else ax
+        if to_plot not in ("proportion", "specificity"):
+            raise ValueError(f"Unrecognized input for to_plot: {to_plot}. Options: 'proportion', 'specificity'.")
+        if target_type == "ligand":
+            all_coeffs = getattr(self, "downstream_model_ligand_coeffs", None)
+            dm = getattr(self, "downstream_model_ligand_design_matrix", None)
+        elif target_type == "receptor":
+            all_coeffs = getattr(self, "downstream_model_receptor_coeffs", None)
+            dm = getattr(self, "downstream_model_receptor_design_matrix", None)
+        elif target_type == "tf_target":
+            all_coeffs = getattr(self, "downstream_model_target_coeffs", None)
+            dm = getattr(self, "downstream_model_target_design_matrix", None)
+        elif target_type == "target_gene":
+            if not getattr(self, "coeffs", None):
+                self.load_coeffs()
+            all_coeffs = self.coeffs
+            dm = getattr(self, "X_df", None)
+        else:
+            raise ValueError(
+                f"Target type {target_type} not recognized. Must be one of 'ligand', 'receptor', 'target_gene', 'tf_target'."
+            )
+        if not all_coeffs:
+            raise ValueError(f"No fitted coefficients found for target_type '{target_type}'.")
+        if target_subset is not None:
+            all_coeffs = {k: v for k, v in all_coeffs.items() if k in set(np.atleast_1d(target_subset))}
+        names = list(map(str, self.adata.var_names))
+        values = pd.DataFrame()
+        for target, cdf in all_coeffs.items():
+            eff = cdf.copy()
+            eff.columns = [c.replace("b_", "") for c in eff.columns]
+            feats = [c for c in eff.columns if "intercept" not in c]
+            if interaction_subset is not None:
+                feats = [f for f in feats if f in set(np.atleast_1d(interaction_subset))]
+            if to_plot == "proportion":
+                if target in names:
+                    col = self.adata[:, target].X
+                    expr = (col.toarray() if issparse(col) else np.asarray(col)).reshape(-1) > 0
+                    rows = pd.Index(self.adata.obs_names)[expr].intersection(eff.index)
+                else:
+                    rows = eff.index
+                for f in feats:
+                    values.loc[f, target] = float((eff.loc[rows, f] != 0).mean()) if len(rows) else 0.0
+            else:
+                if dm is None:
+                    raise ValueError("specificity mode requires the design matrix (X_df / downstream design matrix).")
+                for f in feats:
+                    dcol = f"regulator_{f}" if f"regulator_{f}" in dm.columns else (f if f in dm.columns else None)
+                    if dcol is None:
+                        values.loc[f, target] = 0.0
+                        continue
+                    active = dm.index[np.asarray(dm[dcol].values, float) > 0]
+                    active = pd.Index(active).intersection(eff.index)
+                    values.loc[f, target] = float((eff.loc[active, f] != 0).mean()) if len(active) else 0.0
+        values.index = [replace_hla_with_hlas(replace_col_with_collagens(f)) for f in values.index]
+        values = values.fillna(0.0)
+        if order_interactions and len(values) > 1:
+            from scipy.cluster.hierarchy import leaves_list, linkage
+            from scipy.spatial.distance import pdist
+
+            values = values.iloc[leaves_list(linkage(pdist(values.values), method="ward"))]
+        if order_targets and values.shape[1] > 1:
+            from scipy.cluster.hierarchy import leaves_list, linkage
+            from scipy.spatial.distance import pdist
+
+            order = leaves_list(linkage(pdist(values.T.values), method="ward"))
+            values = values.T.iloc[order].T
+        if remove_rows_and_cols_threshold is not None:
+            keep_r = (values > lower_proportion_threshold).sum(axis=1) >= remove_rows_and_cols_threshold
+            keep_c = (values > lower_proportion_threshold).sum(axis=0) >= remove_rows_and_cols_threshold
+            values = values.loc[keep_r, keep_c]
+        if save_df:
+            out_folder = os.path.join(os.path.dirname(self.output_path) or ".", "analyses")
+            os.makedirs(out_folder, exist_ok=True)
+            adata_id = os.path.splitext(os.path.basename(getattr(self, "adata_path", None) or "adata"))[0]
+            values.to_csv(os.path.join(out_folder, f"heatmap_{adata_id}_proportion_affected_by_interaction.csv"))
+        if save_show_or_return == "return":
+            return values
+        import matplotlib as mpl
+        import matplotlib.pyplot as plt
+        from mpl_toolkits.axes_grid1 import make_axes_locatable
+
+        fontsize = fontsize or float(mpl.rcParams.get("font.size", 10))
+        figsize = figsize or (max(values.shape[1] * 0.35, 4), max(values.shape[0] * 0.35, 4))
+        fig, ax = plt.subplots(figsize=figsize)
+        data = np.ma.masked_where(np.abs(values.values) < lower_proportion_threshold, values.values)
+        cm = mpl.colormaps[cmap].copy(); cm.set_bad(color="white")
+        im = ax.pcolormesh(
+            data[::-1], cmap=cm, vmin=0, vmax=float(values.values.max()) or 1.0,
+            edgecolors="grey", linewidth=0.5 * figsize[0] / 10,
+        )
+        ax.set_xticks(np.arange(values.shape[1]) + 0.5); ax.set_xticklabels(values.columns, rotation=90, fontsize=fontsize)
+        ax.set_yticks(np.arange(values.shape[0]) + 0.5); ax.set_yticklabels(values.index[::-1], fontsize=fontsize)
+        divider = make_axes_locatable(ax)
+        cax = divider.append_axes("top", size="30%", pad=0.3)
+        cbar = fig.colorbar(im, cax=cax, orientation="horizontal")
+        cbar.set_label(to_plot.title(), fontsize=fontsize * 1.5, labelpad=10)
+        cbar.ax.xaxis.set_ticks_position("top"); cbar.ax.xaxis.set_label_position("top")
+        x_label = {"ligand": "Ligand", "receptor": "Receptor"}.get(target_type, "Target Gene")
+        idname = "L:R interaction" if target_type == "target_gene" else "TF"
+        ax.set_xlabel(x_label, fontsize=fontsize * 2)
+        ax.set_ylabel("L:R interaction" if target_type == "target_gene" else "Transcription factor", fontsize=fontsize * 2)
+        title = (
+            f"Proportion of target-expressing cells \naffected by each {idname}"
+            if to_plot == "proportion"
+            else f"Specificity of each {idname}"
+        )
+        ax.set_title(title, fontsize=fontsize * 2, pad=20)
+        if save_show_or_return in ("axes", "all"):
+            return fig, ax, values
+        return ax
 
     def top_target_barplot(
         self,

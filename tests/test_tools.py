@@ -855,6 +855,28 @@ class TestCellTypeInteractionFigures:
         assert len(ax.patches) == len(ser2)
         plt.close(fig)
 
+    def test_deg_effect_heatmap_proportion_and_specificity(self, interp):
+        """Reference semantics (MuSIC_downstream.py:7472): proportion over
+        target-expressing cells; specificity over design-matrix-active
+        cells; threshold pruning."""
+        M = interp.deg_effect_heatmap()
+        assert set(M.columns) == {"T1", "T2"} and {"I1", "I2"} <= set(M.index)
+        # b_I1 nonzero everywhere (4.0/0.2) -> proportion 1 for T1
+        assert M.loc["I1", "T1"] == 1.0
+        S = interp.deg_effect_heatmap(to_plot="specificity")
+        # I1 active (X_df>0) in all cells; coef nonzero in all -> 1.0
+        assert S.loc["I1", "T1"] == 1.0
+        with pytest.raises(ValueError, match="proportion"):
+            interp.deg_effect_heatmap(to_plot="nope")
+        # pruning: rows need >= threshold entries above the proportion floor
+        P = interp.deg_effect_heatmap(remove_rows_and_cols_threshold=3)
+        assert P.empty or (P > 0.1).sum(axis=1).min() >= 3
+        import matplotlib.pyplot as plt
+
+        fig, ax, df = interp.deg_effect_heatmap(save_show_or_return="axes")
+        assert any(hasattr(c, "get_array") for c in ax.collections)
+        plt.close(fig)
+
     def test_top_target_barplot_proportion_semantics(self, interp):
         """Reference :7769: fraction of target-expressing cells with nonzero
         coefficient — I2 affects all T2-expressing B cells but no A cells."""
