@@ -1939,13 +1939,171 @@ class MuSIC_Interpreter(MuSIC):
             return next(iter(out.values()))
         return out
 
-    def summarize_tf_effects(self, targets=None, effect_size_threshold: float = 0.0) -> pd.DataFrame:
-        """TF-model variant of summarize_interaction_effects (parity: :5270)."""
-        return self.summarize_interaction_effects(targets=targets, effect_size_threshold=effect_size_threshold)
+    def _downstream_model_state(self, target_type: str):
+        """Fitted downstream-model pieces for a target type (reference
+        MuSIC_downstream.py:5110-5143): (coeffs dict, TF names, predictions
+        DataFrame or None). Predictions come from the in-memory fit first,
+        then the reference's `cci_deg_detection/{folder}/downstream/
+        predictions.csv` on disk."""
+        if target_type == "ligand":
+            attr, folder = "ligand", "ligand_analysis"
+        elif target_type == "receptor":
+            attr, folder = "receptor", "receptor_analysis"
+        elif target_type == "target_gene":
+            attr, folder = "target", "target_gene_analysis"
+        else:
+            raise ValueError(
+                f"Unrecognized input for target_type: {target_type}. Options are 'ligand', 'receptor', "
+                f"or 'target_gene'."
+            )
+        coeffs = getattr(self, f"downstream_model_{attr}_coeffs", None)
+        if not coeffs:
+            raise ValueError(
+                f"No fitted downstream {target_type} model found. Run CCI_deg_detection_setup(...) and "
+                f"CCI_deg_detection(fit_all=True) first."
+            )
+        dm = getattr(self, f"downstream_model_{attr}_design_matrix", None)
+        tfs = [c.replace("regulator_", "") for c in dm.columns] if dm is not None else sorted(
+            {c[2:] for cdf in coeffs.values() for c in cdf.columns if c.startswith("b_") and "intercept" not in c}
+        )
+        predictions = getattr(self, f"downstream_model_{attr}_predictions", None)
+        if predictions is None:
+            pred_path = os.path.join(
+                os.path.dirname(self.output_path) or ".", "cci_deg_detection", folder, "downstream", "predictions.csv"
+            )
+            if os.path.exists(pred_path):
+                predictions = pd.read_csv(pred_path, index_col=0)
+        return coeffs, tfs, predictions
 
-    def enriched_tfs_barplot(self, targets=None, n_top: int = 10, **kwargs):
-        """TF-model variant of enriched_interactions_barplot (parity: :5127)."""
-        return self.enriched_interactions_barplot(targets=targets, n_top=n_top, **kwargs)
+    def _tf_effects_for_target(self, coeffs: dict, target: str, tfs: List[str]) -> pd.DataFrame:
+        """Per-cell TF coefficient table for one downstream target, with
+        `b_` stripped and subset to `tfs` (reference :5161-5166)."""
+        coef = coeffs[target]
+        effects = coef[[c for c in coef.columns if c.startswith("b_") and "intercept" not in c]].copy()
+        effects.columns = [c[2:] for c in effects.columns]
+        keep = [t for t in tfs if t in effects.columns]
+        return effects[keep]
+
+    def _target_true_positive_mask(self, target: str, predictions: Optional[pd.DataFrame]):
+        """(expressing, true-positive) boolean masks over obs for a
+        downstream target (reference :5168-5174: expression > 0 AND the
+        downstream model's prediction cast to bool)."""
+        from scipy.sparse import issparse
+
+        names = list(map(str, self.adata.var_names))
+        if target in names:
+            col = self.adata[:, target].X
+            expr = (col.toarray() if issparse(col) else np.asarray(col)).reshape(-1) > 0
+        else:
+            expr = np.ones(self.adata.n_obs, dtype=bool)
+        if predictions is not None and target in predictions.columns:
+            p = predictions[target].reindex(pd.Index(self.adata.obs_names)).fillna(0.0)
+            tp = expr & np.asarray(p.values, float).astype(bool)
+        else:
+            tp = expr
+        return expr, tp
+
+    def summarize_tf_effects(
+        self,
+        tfs: Optional[Union[str, List[str]]] = None,
+        targets=None,
+        target_type: str = "target_gene",
+        effect_size_threshold: float = 0.0,
+    ) -> pd.DataFrame:
+        """TF x target table of average downstream-model effect sizes over
+        each target's true-positive cells (reference semantics,
+        MuSIC_downstream.py:5248: cells expressing the target AND predicted
+        by the downstream model to express it; entries below
+        `effect_size_threshold` dropped to 0)."""
+        coeffs, all_tfs, predictions = self._downstream_model_state(target_type)
+        if isinstance(tfs, str):
+            tfs = [tfs]
+        tfs = [t.replace("regulator_", "") for t in (tfs if tfs is not None else all_tfs)]
+        if isinstance(targets, str):
+            targets = [targets]
+        targets = list(coeffs) if targets is None else [t for t in targets if t in coeffs]
+        effects_df = pd.DataFrame(0.0, index=tfs, columns=targets)
+        for target in targets:
+            effects = self._tf_effects_for_target(coeffs, target, tfs)
+            _, tp = self._target_true_positive_mask(target, predictions)
+            rows = pd.Index(self.adata.obs_names)[tp].intersection(effects.index)
+            avg = effects.loc[rows].mean(axis=0) if len(rows) else pd.Series(0.0, index=effects.columns)
+            effects_df[target] = avg[avg > effect_size_threshold]
+        return effects_df.replace(np.nan, 0.0)
+
+    def enriched_tfs_barplot(
+        self,
+        tfs: Optional[Union[str, List[str]]] = None,
+        targets=None,
+        target_type: str = "target_gene",
+        plot_type: str = "average",
+        effect_size_threshold: float = 0.0,
+        fontsize: Optional[int] = None,
+        figsize=None,
+        cmap: str = "Reds",
+        top_n: Optional[int] = None,
+        save_show_or_return: str = "return",
+        save_kwargs: Optional[dict] = None,
+        **kwargs,
+    ):
+        """Top predicted TF effect sizes on downstream-model targets
+        (reference semantics, MuSIC_downstream.py:5059). "average" averages
+        coefficient magnitude over the target's true-positive cells
+        (expressing AND predicted); "proportion" is the fraction of
+        expressing cells with a positive coefficient. Returns the plotted
+        Series per target for "return"; "axes" composes the barplot and
+        returns {target: (fig, ax, series)} (a bare tuple for one target)."""
+        import matplotlib as mpl
+
+        coeffs, all_tfs, predictions = self._downstream_model_state(target_type)
+        if plot_type not in ("average", "proportion"):
+            raise ValueError(f"Unrecognized input for plot_type: {plot_type}. Options are 'average' or 'proportion'.")
+        if isinstance(tfs, str):
+            tfs = [tfs]
+        tfs = [t.replace("regulator_", "") for t in (tfs if tfs is not None else all_tfs)]
+        if isinstance(targets, str):
+            targets = [targets]
+        targets = list(coeffs) if targets is None else [t for t in targets if t in coeffs]
+        fontsize = fontsize or float(mpl.rcParams.get("font.size", 10))
+        out = {}
+        for target in targets:
+            effects = self._tf_effects_for_target(coeffs, target, tfs)
+            expr, tp = self._target_true_positive_mask(target, predictions)
+            obs = pd.Index(self.adata.obs_names)
+            if plot_type == "average":
+                rows = obs[tp].intersection(effects.index)
+                to_plot = effects.loc[rows].mean(axis=0) if len(rows) else pd.Series(0.0, index=effects.columns)
+            else:
+                rows = obs[expr].intersection(effects.index)
+                to_plot = (effects.loc[rows] > 0).mean(axis=0) if len(rows) else pd.Series(0.0, index=effects.columns)
+            to_plot = to_plot[to_plot > effect_size_threshold].sort_values(ascending=False)
+            if top_n is not None:
+                to_plot = to_plot.iloc[:top_n]
+            if save_show_or_return == "return":
+                out[target] = to_plot
+                continue
+            import matplotlib.pyplot as plt
+
+            fs = figsize or (max(len(to_plot) / 2, 3), 5)
+            fig, ax = plt.subplots(figsize=fs)
+            cm = mpl.colormaps[cmap]
+            colors = [cm(0.3 + 0.7 * i / max(len(to_plot) - 1, 1)) for i in range(len(to_plot))][::-1]
+            ax.bar(range(len(to_plot)), to_plot.values, color=colors, edgecolor="black", linewidth=1)
+            ax.set_xticks(range(len(to_plot)))
+            ax.set_xticklabels(to_plot.index, rotation=90, fontsize=fontsize)
+            ax.set_xlabel("Transcription Factor", fontsize=fontsize)
+            if plot_type == "average":
+                ax.set_title(f"Average Predicted TF Effects on {target}", fontsize=fontsize)
+                ax.set_ylabel("Mean Coefficient \nMagnitude", fontsize=fontsize)
+            else:
+                ax.set_title(
+                    f"Proportion of {target}-Expressing Cells \nPredicted to be Affected by TF", fontsize=fontsize
+                )
+                ax.set_ylabel("Proportion of Cells", fontsize=fontsize)
+            out[target] = (fig, ax, to_plot)
+        if len(out) == 1:
+            return next(iter(out.values()))
+        return out
 
     # ------------------------------------------------------------------
     # effect potential / directionality (parity: :5336-6020)
@@ -2206,6 +2364,16 @@ class MuSIC_Interpreter(MuSIC):
             raise ValueError("No measured transcription factors left after excluding the dependent molecules.")
         self._cci_deg_design = expr[tfs]
         self._cci_deg_targets = expr[mols]
+        # remember which molecule family the downstream model explains — the
+        # reference keys its saved downstream models by this
+        # (MuSIC_downstream.py:7174-7188 ligand/receptor/target_gene analysis
+        # folders and the downstream_model_{ligand,receptor,target}_* attrs)
+        if use_ligands:
+            self._cci_deg_mode = "ligand"
+        elif use_receptors:
+            self._cci_deg_mode = "receptor"
+        else:
+            self._cci_deg_mode = "target"
         lm.main_info(f"CCI DEG design: {len(tfs)} TFs explaining {len(mols)} molecules.")
         return self._cci_deg_design, self._cci_deg_targets
 
@@ -2216,40 +2384,74 @@ class MuSIC_Interpreter(MuSIC):
         bw: Optional[float] = None,
         significance_threshold: float = 0.05,
         n_top: int = 25,
+        fit_all: bool = False,
         **kwargs,
     ) -> pd.DataFrame:
         """Spatially-weighted GLM of molecule expression on TF expression —
         the reference's downstream-model DEG detection (reference
-        MuSIC_downstream.py:6838 fits a secondary 'downstream' MuSIC; here
+        MuSIC_downstream.py:7087 fits a secondary 'downstream' MuSIC; here
         the same regression runs through the batched IWLS kernel with
         bisquare spatial weights and Wald tests on the coefficients).
 
-        Returns the per-TF mean coefficient, standard error, Wald p/q
-        values for the chosen dependent molecule, sorted by |coefficient|.
-        """
-        from .regression_utils import iwls_batch_full
-        from ..find_neighbors import get_wi_batch
+        Like the reference's fitted downstream model, each fit's per-cell
+        coefficients, the TF design matrix, and the focal predictions are
+        stored on `self.downstream_model_{ligand|receptor|target}_coeffs` /
+        `_design_matrix` / `_predictions` (the attributes
+        `enriched_tfs_barplot`, `summarize_tf_effects`, `deg_effect_barplot`
+        and `deg_effect_heatmap(target_type=...)` consume), and predictions
+        are written to `cci_deg_detection/{analysis}/downstream/
+        predictions.csv` under the model's output directory (reference path
+        contract, MuSIC_downstream.py:5142).
 
+        Set `fit_all=True` to fit every dependent molecule from the setup
+        (the reference always fits the whole downstream model). Returns the
+        per-TF mean coefficient, standard error, Wald p/q values for the
+        chosen (or first/last) dependent molecule, sorted by |coefficient|.
+        """
         if not hasattr(self, "_cci_deg_design"):
             self.CCI_deg_detection_setup(**kwargs)
         y_df = self._cci_deg_targets
-        if target is None:
-            target = y_df.columns[0]
-        if target not in y_df.columns:
-            raise KeyError(f"`{target}` not among the downstream molecules: {list(y_df.columns)}")
+        if fit_all:
+            mols = list(y_df.columns)
+            if target is not None and target not in mols:
+                raise KeyError(f"`{target}` not among the downstream molecules: {mols}")
+        else:
+            if target is None:
+                target = y_df.columns[0]
+            if target not in y_df.columns:
+                raise KeyError(f"`{target}` not among the downstream molecules: {list(y_df.columns)}")
+            mols = [target]
+        out = None
+        for mol in mols:
+            out = self._fit_downstream_molecule(mol, distr=distr, bw=bw, significance_threshold=significance_threshold)
+        self._cci_deg_results = out
+        self._save_downstream_predictions()
+        return out.head(n_top)
+
+    def _fit_downstream_molecule(
+        self, molecule: str, distr: str = "poisson", bw: Optional[float] = None, significance_threshold: float = 0.05
+    ) -> pd.DataFrame:
+        """Fit one downstream molecule ~ TFs GWR-GLM and record the fitted
+        model state under the reference's attribute names."""
+        from .regression_utils import iwls_batch_full
+        from ..find_neighbors import get_wi_batch
+
+        y_df = self._cci_deg_targets
         if not hasattr(self, "coords"):
             self.coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
             self.n_samples = self.adata.n_obs
         n = self.n_samples
         Xtf = np.asarray(self._cci_deg_design.values, float)
         Xd = np.c_[np.ones(n), np.log1p(Xtf)]
-        y = np.asarray(y_df[target].values, float)
+        y = np.asarray(y_df[molecule].values, float)
         # reference downstream bandwidth default: 0.5% of n, adaptive (:3511)
         bw = bw if bw is not None else max(int(0.005 * n), 10)
         W = get_wi_batch(self.coords, bw, fixed_bw=False, exclude_self=False, kernel="bisquare")
+        distr = distr if distr in ("gaussian", "poisson", "nb") else "poisson"
         betas, hats, inv_diag, preds = iwls_batch_full(
-            y, Xd, W, distr=distr if distr in ("gaussian", "poisson", "nb") else "poisson",
-            ridge_lambda=getattr(self, "ridge_lambda", 0.3) or 0.3, clip=float(np.percentile(np.log(np.abs(y) + 1e-6), 99.7)) if distr != "gaussian" else float(np.percentile(y, 99.7)),
+            y, Xd, W, distr=distr,
+            ridge_lambda=getattr(self, "ridge_lambda", 0.3) or 0.3,
+            clip=float(np.percentile(np.log(np.abs(y) + 1e-6), 99.7)) if distr != "gaussian" else float(np.percentile(y, 99.7)),
         )
         se = np.sqrt(np.maximum(inv_diag, 1e-12))
         mean_beta = betas[:, 1:].mean(axis=0)
@@ -2267,8 +2469,46 @@ class MuSIC_Interpreter(MuSIC):
             index=list(self._cci_deg_design.columns),
         )
         out = out.reindex(out["coefficient"].abs().sort_values(ascending=False).index)
-        self._cci_deg_results = out
-        return out.head(n_top)
+
+        # --- record the fitted downstream model (reference attribute names)
+        mode = getattr(self, "_cci_deg_mode", "target")
+        obs = pd.Index(self.adata.obs_names)
+        tfs = list(self._cci_deg_design.columns)
+        coeff_df = pd.DataFrame(
+            np.asarray(betas), index=obs, columns=["b_intercept"] + [f"b_{t}" for t in tfs]
+        )
+        design_df = pd.DataFrame(np.log1p(Xtf), index=obs, columns=[f"regulator_{t}" for t in tfs])
+        coeffs_attr = f"downstream_model_{mode}_coeffs"
+        store = getattr(self, coeffs_attr, None)
+        if store is None:
+            store = {}
+            setattr(self, coeffs_attr, store)
+        store[molecule] = coeff_df
+        setattr(self, f"downstream_model_{mode}_design_matrix", design_df)
+        # focal fitted means become the model's expression predictions; the
+        # same clamp `predict` applies (response - 1, floored at 0) so weak
+        # predictions cast to False downstream
+        pred_vals = np.maximum(np.asarray(preds, float) - 1.0, 0.0) if distr != "gaussian" else np.asarray(preds, float)
+        preds_attr = f"downstream_model_{mode}_predictions"
+        pred_df = getattr(self, preds_attr, None)
+        if pred_df is None:
+            pred_df = pd.DataFrame(index=obs)
+            setattr(self, preds_attr, pred_df)
+        pred_df[molecule] = pred_vals
+        return out
+
+    def _save_downstream_predictions(self) -> None:
+        """Persist downstream-model predictions to the reference's path:
+        `{output_dir}/cci_deg_detection/{folder}/downstream/predictions.csv`
+        (MuSIC_downstream.py:5142)."""
+        mode = getattr(self, "_cci_deg_mode", "target")
+        pred_df = getattr(self, f"downstream_model_{mode}_predictions", None)
+        if pred_df is None or pred_df.empty:
+            return
+        folder = {"ligand": "ligand_analysis", "receptor": "receptor_analysis", "target": "target_gene_analysis"}[mode]
+        out_dir = os.path.join(os.path.dirname(self.output_path) or ".", "cci_deg_detection", folder, "downstream")
+        os.makedirs(out_dir, exist_ok=True)
+        pred_df.to_csv(os.path.join(out_dir, "predictions.csv"))
 
     @staticmethod
     def intersection_ratio(df1: pd.DataFrame, df2: pd.DataFrame) -> float:
@@ -2276,15 +2516,92 @@ class MuSIC_Interpreter(MuSIC):
         s1, s2 = set(map(str, df1.index)), set(map(str, df2.index))
         return len(s1 & s2) / max(len(s1 | s2), 1)
 
-    def deg_effect_barplot(self, target: str, n_top: int = 15, save_show_or_return: str = "return", **kwargs):
-        """Barplot of the top CCI DEGs for a target (parity: :7474)."""
-        degs = self.sender_receiver_effect_deg_detection(target, n_top=n_top)
+    _SEQUENTIAL_CMAPS = (
+        "Greys Purples Blues Greens Oranges Reds YlOrBr YlOrRd OrRd PuRd RdPu BuPu GnBu PuBu YlGnBu PuBuGn "
+        "BuGn YlGn binary gist_yarg gist_gray gray bone pink spring summer autumn winter cool Wistia hot "
+        "afmhot gist_heat copper viridis plasma inferno magma cividis"
+    ).split()
+
+    def deg_effect_barplot(
+        self,
+        target: str,
+        interaction_subset: Optional[List[str]] = None,
+        top_n_interactions: Optional[int] = None,
+        fontsize: Optional[int] = None,
+        figsize=None,
+        cmap: str = "Blues",
+        save_show_or_return: str = "return",
+        save_kwargs: Optional[dict] = None,
+        **kwargs,
+    ):
+        """Proportion of `target`-expressing cells predicted to be affected
+        by each regulator (reference semantics, MuSIC_downstream.py:7310).
+        The target is looked up across the upstream model and all three
+        fitted downstream models (ligand -> receptor -> target-gene order,
+        :7394-7414); proportions are the fraction of expressing cells with
+        a nonzero coefficient, sorted descending. Requires a sequential
+        colormap. Returns the Series for "return"; "axes" returns
+        (fig, ax, series)."""
+        import matplotlib as mpl
+
+        if cmap not in self._SEQUENTIAL_CMAPS and cmap not in [f"{c}_r" for c in self._SEQUENTIAL_CMAPS]:
+            raise ValueError(f"Colormap {cmap} is not a sequential colormap.")
+        all_coeffs = feature_names = None
+        if getattr(self, "coeffs", None) and target in self.coeffs:
+            all_coeffs = self.coeffs[target]
+            dm = getattr(self, "X_df", None)
+            feature_names = list(dm.columns) if dm is not None else None
+        else:
+            for attr in ("ligand", "receptor", "target"):
+                store = getattr(self, f"downstream_model_{attr}_coeffs", None)
+                if store and target in store:
+                    all_coeffs = store[target]
+                    dm = getattr(self, f"downstream_model_{attr}_design_matrix", None)
+                    feature_names = [c.replace("regulator_", "") for c in dm.columns] if dm is not None else None
+                    break
+        if all_coeffs is None:
+            raise ValueError(f"Information for target {target} not found. {target} may not have been a model target.")
+        effects = all_coeffs.copy()
+        effects.columns = [c.replace("b_", "") for c in effects.columns]
+        if feature_names is None:
+            feature_names = [c for c in effects.columns if "intercept" not in c]
+        if interaction_subset is not None:
+            feature_names = [f for f in feature_names if f in set(np.atleast_1d(interaction_subset))]
+        feature_names = [f for f in feature_names if f in effects.columns and "intercept" not in f]
+        effects = effects[feature_names]
+        from scipy.sparse import issparse
+
+        names = list(map(str, self.adata.var_names))
+        if target in names:
+            col = self.adata[:, target].X
+            expr = (col.toarray() if issparse(col) else np.asarray(col)).reshape(-1) > 0
+            rows = pd.Index(self.adata.obs_names)[expr].intersection(effects.index)
+        else:
+            rows = effects.index
+        proportions = (effects.loc[rows] != 0).mean() if len(rows) else pd.Series(0.0, index=effects.columns)
+        proportions = proportions.sort_values(ascending=False)
+        if top_n_interactions is not None:
+            proportions = proportions.iloc[:top_n_interactions]
+        if save_show_or_return == "return":
+            return proportions
         import matplotlib.pyplot as plt
 
-        _, ax = plt.subplots(figsize=(4, max(2, 0.25 * len(degs))))
-        ax.barh(list(map(str, degs.index))[::-1], degs["correlation"].values[::-1])
-        ax.set_xlabel("corr with total effect")
-        return degs if save_show_or_return == "return" else ax
+        fontsize = fontsize or float(mpl.rcParams.get("font.size", 10))
+        fig, ax = plt.subplots(figsize=figsize or (max(len(proportions) / 2, 3), 4))
+        cm = mpl.colormaps[cmap]
+        colors = [cm(0.3 + 0.7 * i / max(len(proportions) - 1, 1)) for i in range(len(proportions))][::-1]
+        ax.bar(range(len(proportions)), proportions.values, color=colors, edgecolor="black")
+        ax.set_xticks(range(len(proportions)))
+        ax.set_xticklabels(proportions.index, rotation=90, fontsize=fontsize)
+        ax.set_xlabel("Transcription factor", fontsize=fontsize * 1.1)
+        ax.set_ylabel("Proportion", fontsize=fontsize * 1.1)
+        ax.set_title(
+            f"Proportion of cells expressing {target} predicted \nto be affected by transcription factors",
+            fontsize=fontsize * 1.25,
+        )
+        if save_show_or_return in ("axes", "all"):
+            return fig, ax, proportions
+        return ax
 
     def deg_effect_heatmap(
         self,

@@ -380,6 +380,61 @@ class TestCCIDegGLM:
             assert abs(res.loc["STAT3", "coefficient"]) > 3 * abs(res.loc["JUN", "coefficient"])
             assert bool(res.loc["STAT3", "significant"])
 
+            # --- fitted downstream-model state (reference attribute names,
+            # MuSIC_downstream.py:5110-5143 / 7398) -----------------------
+            assert "TGFB1" in interp.downstream_model_ligand_coeffs
+            cdf = interp.downstream_model_ligand_coeffs["TGFB1"]
+            assert list(cdf.index) == list(interp.adata.obs_names)
+            assert {"b_STAT3", "b_JUN"} <= set(cdf.columns)
+            dm = interp.downstream_model_ligand_design_matrix
+            assert {"regulator_STAT3", "regulator_JUN"} <= set(dm.columns)
+            # predictions persisted at the reference's path contract
+            import os
+
+            pred_path = os.path.join(tmp, "cci_deg_detection", "ligand_analysis", "downstream", "predictions.csv")
+            assert os.path.exists(pred_path)
+
+            # summarize_tf_effects: average over true-positive cells —
+            # the driving TF carries the mass
+            eff = interp.summarize_tf_effects(target_type="ligand")
+            assert eff.loc["STAT3", "TGFB1"] > eff.loc["JUN", "TGFB1"]
+            with pytest.raises(ValueError, match="Unrecognized input for target_type"):
+                interp.summarize_tf_effects(target_type="nope")
+
+            # enriched_tfs_barplot: average + proportion modes and figure
+            ser = interp.enriched_tfs_barplot(target_type="ligand")
+            assert ser.index[0] == "STAT3"
+            prop = interp.enriched_tfs_barplot(target_type="ligand", plot_type="proportion")
+            assert 0.0 <= prop.max() <= 1.0
+            with pytest.raises(ValueError, match="average' or 'proportion"):
+                interp.enriched_tfs_barplot(target_type="ligand", plot_type="nope")
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax, ser2 = interp.enriched_tfs_barplot(target_type="ligand", save_show_or_return="axes")
+            assert len(ax.patches) == len(ser2)
+            plt.close(fig)
+
+            # deg_effect_barplot: target found in the DOWNSTREAM ligand
+            # model (not the upstream coeffs); proportion over expressing
+            # cells; sequential-cmap guard
+            props = interp.deg_effect_barplot("TGFB1")
+            assert {"STAT3", "JUN"} <= set(props.index)
+            assert props.max() <= 1.0 and list(props) == sorted(props, reverse=True)
+            with pytest.raises(ValueError, match="sequential"):
+                interp.deg_effect_barplot("TGFB1", cmap="coolwarm")
+            fig, ax, p2 = interp.deg_effect_barplot("TGFB1", save_show_or_return="axes")
+            assert len(ax.patches) == len(p2)
+            plt.close(fig)
+            with pytest.raises(ValueError, match="not found"):
+                interp.deg_effect_barplot("NOSUCH")
+
+            # deg_effect_heatmap over the downstream ligand model
+            M = interp.deg_effect_heatmap(target_type="ligand")
+            assert "TGFB1" in M.columns and {"STAT3", "JUN"} <= set(M.index)
+
 
 class TestMoleculeSelector:
     def test_find_targets(self, lr_adata):
