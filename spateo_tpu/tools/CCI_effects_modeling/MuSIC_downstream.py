@@ -657,24 +657,47 @@ class MuSIC_Interpreter(MuSIC):
     # :2339 effect_distribution_density — the composed z-score-along-axis
     # figures; CSV caching on disk becomes an in-memory cache on self) -----
 
-    def _positional_axis(self, position_key: str = "spatial", coord_column=0) -> pd.Series:
-        """Integer positional coordinate per cell along one spatial axis
-        (the reference's `pos`, MuSIC_downstream.py:1560-1660)."""
+    def _positional_axis(self, position_key: str = "spatial", coord_column=0, round_pos: bool = False):
+        """(pos, x_label, save_id): integer positional coordinate per cell
+        along one spatial axis plus the reference's axis labeling
+        (MuSIC_downstream.py:1583-1648). `coord_column` may be a column
+        index, a name ("x"/"y"/"z"), or a plane string "xy"/"yz"/"xz"/
+        "-xy"/"-yz"/"-xz" — the latter project onto the plane diagonal via
+        `create_new_coordinate` (reference :1584-1590). `round_pos` applies
+        the reference's coordinate coarsening (:1996-2006: round to the
+        nearest 10 below 1000, nearest 100 at or above)."""
+        from ..utils import create_new_coordinate
+
+        x_label, save_id = "Relative position", str(position_key)
         if position_key in self.adata.obsm:
-            arr = np.asarray(self.adata.obsm[position_key])
-            if arr.ndim == 2 and arr.shape[1] > 1:
-                col = {"x": 0, "y": 1, "z": 2}.get(coord_column, coord_column)
-                arr = arr[:, int(col)]
+            if coord_column in ("xy", "yz", "xz", "-xy", "-yz", "-xz"):
+                create_new_coordinate(self.adata, position_key, coord_column)
+                pos = pd.Series(
+                    np.asarray(self.adata.obs[f"{coord_column} Coordinate"], float), index=self.adata.obs_names
+                )
+                x_label = f"Relative position along custom {coord_column} axis"
+                save_id = f"{coord_column}_axis"
             else:
-                arr = arr.ravel()
+                arr = np.asarray(self.adata.obsm[position_key])
+                if arr.ndim == 2 and arr.shape[1] > 1:
+                    col = {"x": 0, "y": 1, "z": 2}.get(coord_column, coord_column)
+                    col = int(col)
+                    arr = arr[:, col]
+                    x_label = f"Relative position along {'XYZ'[col] if col < 3 else col}"
+                    save_id = f"{'xyz'[col] if col < 3 else col}_axis"
+                else:
+                    arr = arr.ravel()
+                pos = pd.Series(arr, index=self.adata.obs_names)
         else:
-            arr = np.asarray(self.adata.obs[position_key])
-        pos = pd.Series(arr, index=self.adata.obs_names)
+            pos = pd.Series(np.asarray(self.adata.obs[position_key]), index=self.adata.obs_names)
+        if round_pos and np.issubdtype(pos.dtype, np.number):
+            base = 10 if float(pos.max()) < 1000 else 100
+            pos = (pos / base).round() * base
         if np.issubdtype(pos.dtype, np.floating):
             # integer binning regardless of float width (float32 coords are
             # what this framework itself writes into obsm)
             pos = pos.astype(np.int64)
-        return pos
+        return pos, x_label, save_id
 
     @staticmethod
     def _positional_distribution(
@@ -743,48 +766,122 @@ class MuSIC_Interpreter(MuSIC):
         order = pd.Series(weighted_avg, index=to_plot.index).sort_values().index
         return to_plot.loc[order]
 
-    def _plot_positional_heatmap(self, to_plot: pd.DataFrame, cmap: str, title: str, x_label: str):
+    def _plot_positional_heatmap(
+        self,
+        to_plot: pd.DataFrame,
+        cmap: str,
+        title: str,
+        x_label: str,
+        y_label: str = "Gene",
+        fontsize: Optional[float] = None,
+        figsize=None,
+    ):
+        """Compose the reference's positional heatmap figure
+        (MuSIC_downstream.py:1758-1817): symmetric limits at the flattened
+        95th percentile, Z-score colorbar with capped aspect, scaled
+        label/tick fonts."""
+        import matplotlib as mpl
         import matplotlib.pyplot as plt
 
+        fontsize = fontsize or float(mpl.rcParams.get("font.size", 10))
         flat = to_plot.values.ravel()
         max_val = float(np.quantile(flat, 0.95)) if flat.size else 1.0
-        fig, ax = plt.subplots(figsize=(8, max(2.0, len(to_plot) * 0.2)))
+        figsize = figsize or (8, max(2.0, len(to_plot) * 0.2))
+        fig, ax = plt.subplots(figsize=figsize)
         im = ax.imshow(to_plot.values, aspect="auto", cmap=cmap, vmin=-max_val, vmax=max_val)
         ax.set_xticks(np.linspace(0, to_plot.shape[1] - 1, min(6, to_plot.shape[1])))
-        ax.set_xticklabels([f"{float(to_plot.columns[int(i)]):.3f}" for i in ax.get_xticks()], fontsize=7)
+        ax.set_xticklabels([f"{float(to_plot.columns[int(i)]):.3f}" for i in ax.get_xticks()], fontsize=fontsize)
         ax.set_yticks(range(len(to_plot)))
-        ax.set_yticklabels(to_plot.index, fontsize=7)
-        ax.set_xlabel(x_label)
-        ax.set_title(title)
+        ax.set_yticklabels(to_plot.index, fontsize=fontsize)
+        ax.set_xlabel(x_label, fontsize=fontsize * 1.25)
+        ax.set_ylabel(y_label, fontsize=fontsize * 1.25)
+        ax.set_title(title, fontsize=fontsize * 1.5, pad=20)
         cb = fig.colorbar(im, ax=ax, shrink=0.7)
-        cb.set_label("Z-score")
+        cb.set_label("Z-score", fontsize=fontsize * 1.5, labelpad=10)
+        cb.ax.tick_params(labelsize=fontsize * 1.25)
+        cb.ax.set_aspect(min(len(to_plot), 70))
         return fig, ax
+
+    def _analyses_folder(self) -> str:
+        folder = os.path.join(os.path.dirname(self.output_path) or ".", "analyses")
+        os.makedirs(folder, exist_ok=True)
+        return folder
+
+    @property
+    def _adata_id(self) -> str:
+        return os.path.splitext(os.path.basename(getattr(self, "adata_path", None) or "adata"))[0]
 
     def gene_expression_heatmap(
         self,
+        use_ligands: bool = False,
+        use_receptors: bool = False,
+        use_target_genes: bool = False,
         genes: Optional[List[str]] = None,
         position_key: str = "spatial",
         coord_column=0,
         window_size: int = 3,
+        recompute: bool = False,
         neatly_arrange_y: bool = True,
         cmap: str = "magma",
         title: Optional[str] = None,
+        fontsize: Optional[int] = None,
+        figsize=None,
         save_show_or_return: str = "return",
+        save_kwargs: Optional[dict] = None,
         **kwargs,
     ):
         """Smoothed z-scored expression distribution of genes along a spatial
-        axis (parity: reference :1434 — fold change -> log1p -> z-score ->
-        positional mean -> rolling smooth -> consecutive-top-N gene selection
-        -> optional enrichment-position row ordering)."""
+        axis (reference semantics, MuSIC_downstream.py:1434 — fold change ->
+        log1p -> z-score -> positional mean -> rolling smooth ->
+        consecutive-top-N gene selection -> optional enrichment-position row
+        ordering). `use_ligands`/`use_receptors`/`use_target_genes` read the
+        model's saved design-matrix component CSVs (ligands_expr.csv /
+        receptors_expr.csv / targets.csv, :1511-1568); otherwise `genes`
+        must be given. The positional matrix is cached in the reference's
+        `analyses/{adata_id}_distribution_{file_id}_along_{save_id}.csv`
+        and reused unless `recompute`; with a cache hit, `genes` subsets the
+        cached rows (:1682-1693)."""
         from scipy.sparse import issparse
 
-        genes = list(genes) if genes is not None else list(map(str, self.adata.var_names[: min(20, self.adata.n_vars)]))
-        names = list(map(str, self.adata.var_names))
-        genes = [g for g in genes if g in names]
-        X = self.adata.X.toarray() if issparse(self.adata.X) else np.asarray(self.adata.X)
-        expr = pd.DataFrame(X[:, [names.index(g) for g in genes]], index=self.adata.obs_names, columns=genes)
-        pos = self._positional_axis(position_key, coord_column)
-        to_plot = self._positional_distribution(expr, pos, window_size=window_size)
+        if window_size % 2 == 0:
+            raise ValueError("Window size must be an odd integer.")
+        if not use_ligands and not use_receptors and not use_target_genes and genes is None:
+            raise ValueError(
+                "Please set either 'use_ligands', 'use_receptors', or 'use_target_genes' to True, or provide a list "
+                "of genes to visualize."
+            )
+        custom_genes = genes
+        dm_dir = os.path.join(os.path.splitext(self.output_path)[0], "design_matrix")
+        if use_ligands or use_receptors or use_target_genes:
+            fname, file_id = (
+                ("ligands_expr.csv", "ligand_expression")
+                if use_ligands
+                else ("receptors_expr.csv", "receptor_expression")
+                if use_receptors
+                else ("targets.csv", "target_gene_expression")
+            )
+            path = os.path.join(dm_dir, fname)
+            if not os.path.exists(path):
+                raise FileNotFoundError(f"{fname} not found in this model's directory.")
+            expr_df = pd.read_csv(path, index_col=0)
+            genes = list(expr_df.columns)
+        else:
+            names = list(map(str, self.adata.var_names))
+            genes = [g for g in genes if g in names]
+            X = self.adata.X.toarray() if issparse(self.adata.X) else np.asarray(self.adata.X)
+            expr_df = pd.DataFrame(X[:, [names.index(g) for g in genes]], index=self.adata.obs_names, columns=genes)
+            file_id = "expression"
+        pos, x_label, save_id = self._positional_axis(position_key, coord_column)
+        cache_path = os.path.join(
+            self._analyses_folder(), f"{self._adata_id}_distribution_{file_id}_along_{save_id}.csv"
+        )
+        if os.path.exists(cache_path) and not recompute:
+            to_plot = pd.read_csv(cache_path, index_col=0)
+            if custom_genes is not None:
+                to_plot = to_plot.loc[[g for g in custom_genes if g in to_plot.index]]
+        else:
+            to_plot = self._positional_distribution(expr_df, pos, window_size=window_size)
+            to_plot.to_csv(cache_path)
         if neatly_arrange_y:
             to_plot = self._neatly_arrange_rows(to_plot)
         if not hasattr(self, "_positional_dfs"):
@@ -793,8 +890,15 @@ class MuSIC_Interpreter(MuSIC):
         if save_show_or_return == "return":
             return to_plot
         fig, ax = self._plot_positional_heatmap(
-            to_plot, cmap, title or "Gene expression distribution", "Relative position"
+            to_plot,
+            cmap,
+            title or f"Gene expression distribution along axis given by {position_key} key",
+            x_label,
+            fontsize=fontsize,
+            figsize=figsize,
         )
+        if save_show_or_return in ("axes", "all"):
+            return fig, ax, to_plot
         return ax
 
     def effect_distribution_heatmap(
@@ -803,54 +907,129 @@ class MuSIC_Interpreter(MuSIC):
         interactions=None,
         position_key: str = "spatial",
         coord_column=0,
-        window_size: int = 3,
+        effect_threshold: Optional[float] = None,
+        check_downstream_ligand_effects: bool = False,
+        check_downstream_receptor_effects: bool = False,
+        check_downstream_target_effects: bool = False,
+        use_significant: bool = False,
+        sort_by_target: bool = False,
         neatly_arrange_y: bool = True,
+        window_size: int = 3,
+        recompute: bool = False,
         cmap: str = "seismic",
         title: Optional[str] = None,
+        fontsize: Optional[int] = None,
+        figsize=None,
         save_show_or_return: str = "return",
+        save_kwargs: Optional[dict] = None,
+        target_subset=None,
+        interaction_subset=None,
         **kwargs,
     ):
         """Smoothed z-scored per-cell interaction-effect distribution along a
-        spatial axis, one row per target-interaction pair (parity: reference
-        :1849; same composition as `gene_expression_heatmap` applied to the
-        fitted coefficient magnitudes). Caches the matrix on self for
-        `effect_distribution_density`."""
-        if not getattr(self, "coeffs", None):
-            self.load_coeffs()
-        tlist = [t for t in (np.atleast_1d(targets) if targets is not None else list(self.coeffs))]
+        spatial axis, one row per target-interaction pair (reference
+        semantics, MuSIC_downstream.py:1849; same composition as
+        `gene_expression_heatmap` applied to the fitted coefficients).
+        `check_downstream_{ligand,receptor,target}_effects` switch the
+        source to the fitted downstream TF models (:2082-2093);
+        `use_significant` masks coefficients by `compute_coeff_significance`
+        (:2151-2157); `effect_threshold` clips coefficients from below
+        (:2159-2161); rows with an effect in <0.5% of cells are dropped
+        (:2168-2173); `sort_by_target` orders rows by target identity,
+        otherwise `neatly_arrange_y` orders by enrichment position, and with
+        both off rows sort by interaction identity (:2224-2251). The
+        positional matrix is cached to the reference's analyses CSV unless
+        `recompute`, and on self for `effect_distribution_density`."""
+        if window_size % 2 == 0:
+            raise ValueError("Window size must be an odd integer.")
+        targets = targets if targets is not None else target_subset
+        interactions = interactions if interactions is not None else interaction_subset
+        if check_downstream_ligand_effects or check_downstream_receptor_effects or check_downstream_target_effects:
+            attr = (
+                "ligand"
+                if check_downstream_ligand_effects
+                else "receptor"
+                if check_downstream_receptor_effects
+                else "target"
+            )
+            all_coeffs = getattr(self, f"downstream_model_{attr}_coeffs", None)
+            if not all_coeffs:
+                raise ValueError(f"No downstream model results found for {attr}s.")
+            file_id = f"downstream_{attr}_effects"
+        else:
+            if not getattr(self, "coeffs", None):
+                self.load_coeffs()
+            all_coeffs = self.coeffs
+            file_id = "interaction_effects"
+        if use_significant and not getattr(self, "is_significant", None):
+            self.compute_coeff_significance()
+        tlist = [t for t in (np.atleast_1d(targets) if targets is not None else list(all_coeffs)) if t in all_coeffs]
         cols = {}
         for t in tlist:
-            cdf = self.coeffs[t]
+            cdf = all_coeffs[t]
+            if use_significant and t in getattr(self, "is_significant", {}):
+                cdf = cdf * self.is_significant[t].astype(float)
+            if effect_threshold is not None:
+                cdf = cdf.clip(lower=effect_threshold)
             for c in cdf.columns:
                 if c.endswith("intercept"):
                     continue
                 name = c[2:] if c.startswith("b_") else c
                 if interactions is not None and name not in set(np.atleast_1d(interactions)):
                     continue
-                cols[f"{t}-{name}"] = np.abs(np.asarray(cdf[c].values, float))
+                vals = np.asarray(cdf[c].values, float)
+                # the reference drops combinations present in <0.5% of cells
+                if (vals != 0).mean() < 0.005:
+                    continue
+                cols[f"{t}-{name}"] = np.abs(vals)
         if not cols:
             raise ValueError("no target-interaction columns selected for effect_distribution_heatmap")
-        base_index = self.coeffs[tlist[0]].index
+        base_index = all_coeffs[tlist[0]].index
         for t in tlist[1:]:
-            if not self.coeffs[t].index.equals(base_index):
+            if not all_coeffs[t].index.equals(base_index):
                 raise ValueError(
                     f"coefficient tables are not row-aligned across targets "
                     f"('{tlist[0]}' vs '{t}'): fit them on the same cell set "
                     "or pass a single target"
                 )
         values = pd.DataFrame(cols, index=base_index)
-        pos = self._positional_axis(position_key, coord_column)
-        to_plot = self._positional_distribution(values, pos, window_size=window_size)
-        if neatly_arrange_y:
+        pos, x_label, save_id = self._positional_axis(position_key, coord_column, round_pos=True)
+        cache_path = os.path.join(
+            self._analyses_folder(), f"{self._adata_id}_distribution_{file_id}_along_{save_id}.csv"
+        )
+        if os.path.exists(cache_path) and not recompute:
+            to_plot = pd.read_csv(cache_path, index_col=0)
+            if interactions is not None:
+                keep = set(np.atleast_1d(interactions))
+                to_plot = to_plot.loc[[i for i in to_plot.index if i.split("-", 1)[-1] in keep]]
+            if targets is not None:
+                keep = set(np.atleast_1d(targets))
+                to_plot = to_plot.loc[[i for i in to_plot.index if i.split("-", 1)[0] in keep]]
+        else:
+            to_plot = self._positional_distribution(values, pos, window_size=window_size)
+            to_plot.to_csv(cache_path)
+        if sort_by_target:
+            to_plot = to_plot.loc[sorted(to_plot.index, key=lambda x: x.split("-", 1)[0])]
+        elif neatly_arrange_y:
             to_plot = self._neatly_arrange_rows(to_plot)
+        else:
+            to_plot = to_plot.loc[sorted(to_plot.index, key=lambda x: x.split("-", 1)[-1])]
         if not hasattr(self, "_positional_dfs"):
             self._positional_dfs = {}
         self._positional_dfs[("interaction_effects", position_key, coord_column)] = to_plot
         if save_show_or_return == "return":
             return to_plot
         fig, ax = self._plot_positional_heatmap(
-            to_plot, cmap, title or "Signaling effect distribution", "Relative position"
+            to_plot,
+            cmap,
+            title or f"Signaling effect distribution along axis given by {position_key} key",
+            x_label,
+            y_label="Interaction Effect on Target (formatted target-interaction)",
+            fontsize=fontsize,
+            figsize=figsize,
         )
+        if save_show_or_return in ("axes", "all"):
+            return fig, ax, to_plot
         return ax
 
     def effect_distribution_density(

@@ -123,36 +123,66 @@ def in_hull(p: np.ndarray, hull) -> np.ndarray:
     return hull.find_simplex(np.asarray(p)) >= 0
 
 
-def create_new_coordinate(adata, spatial_key: str = "spatial", centerline_points: Optional[np.ndarray] = None):
-    """Project cells onto a centerline to get a (along, across) coordinate
-    system (parity surface: reference utils.py create_new_coordinate). Adds
-    .obs['new_x'] (arc-length position) and .obs['new_y'] (signed offset)."""
-    coords = np.asarray(adata.obsm[spatial_key], float)[:, :2]
+def create_new_coordinate(adata, spatial_key: str = "spatial", plane: str = "xy", centerline_points: Optional[np.ndarray] = None):
+    """Project cells onto the diagonal of a coordinate plane and measure
+    the distance along it (reference semantics, tools/utils.py:304): the
+    axis runs from the plane's min corner toward its max corner ("xy",
+    "yz", "xz"), or from max of the second axis for the "-" variants.
+    Writes `.obs["{plane} Coordinate"]` and `.uns["{plane} Line"]`.
+
+    With `centerline_points` (an extension kept from this framework's
+    earlier API), instead projects onto the given polyline and writes
+    `.obs['new_x']` (arc length) / `.obs['new_y']` (signed offset)."""
     if centerline_points is None:
-        # principal axis as the default centerline
-        c = coords - coords.mean(0)
-        _, _, Vt = np.linalg.svd(c, full_matrices=False)
-        axis = Vt[0]
-        along = c @ axis
-        across = c @ Vt[1]
-    else:
-        line = np.asarray(centerline_points, float)
-        seg = np.diff(line, axis=0)
-        seg_len = np.linalg.norm(seg, axis=1)
-        cum = np.concatenate([[0], np.cumsum(seg_len)])
-        best_d = np.full(len(coords), np.inf)
-        along = np.zeros(len(coords))
-        across = np.zeros(len(coords))
-        for i, (p0, s, L) in enumerate(zip(line[:-1], seg, seg_len)):
-            t = np.clip(((coords - p0) @ s) / max(L**2, 1e-12), 0, 1)
-            proj = p0 + t[:, None] * s
-            d = np.linalg.norm(coords - proj, axis=1)
-            normal = np.array([-s[1], s[0]]) / max(L, 1e-12)
-            sgn = np.sign((coords - proj) @ normal)
-            m = d < best_d
-            best_d[m] = d[m]
-            along[m] = cum[i] + t[m] * L
-            across[m] = (sgn * d)[m]
+        arr = np.asarray(adata.obsm[spatial_key], float)
+        if "z" in plane and arr.shape[1] < 3:
+            raise ValueError("Cannot project onto z-axis if there are only 2 spatial dimensions.")
+        axes = {"xy": (0, 1), "yz": (1, 2), "xz": (0, 2)}
+        key = plane.lstrip("-")
+        if key not in axes:
+            raise ValueError("Invalid coord_column")
+        i, j = axes[key]
+        p0, p1 = arr[:, i], arr[:, j]
+        min_point = np.array([p0.min(), p1.min()])
+        max_point = np.array([p0.max(), p1.max()])
+        if plane.startswith("-"):
+            min_point[1], max_point[1] = p1.max(), p1.min()
+            reference_point = max_point
+        else:
+            reference_point = min_point
+        (c0, d0), (c1, d1) = min_point, max_point
+        dc, dd = c1 - c0, d1 - d0
+        if dc != 0:
+            m = dd / dc
+            b = d0 - m * c0
+            proj0 = (m * p1 + p0 - m * b) / (m**2 + 1)
+            proj1 = (m**2 * p1 + m * p0 + b) / (m**2 + 1)
+        else:
+            m, b = np.inf, c0
+            proj0 = np.full_like(p0, b)
+            proj1 = p1
+        dist = np.sqrt((proj0 - reference_point[0]) ** 2 + (proj1 - reference_point[1]) ** 2)
+        adata.obs[f"{plane} Coordinate"] = dist
+        adata.uns[f"{plane} Line"] = {"start": min_point, "end": max_point, "m": m, "b": b}
+        return adata
+    coords = np.asarray(adata.obsm[spatial_key], float)[:, :2]
+    line = np.asarray(centerline_points, float)
+    seg = np.diff(line, axis=0)
+    seg_len = np.linalg.norm(seg, axis=1)
+    cum = np.concatenate([[0], np.cumsum(seg_len)])
+    best_d = np.full(len(coords), np.inf)
+    along = np.zeros(len(coords))
+    across = np.zeros(len(coords))
+    for i, (p0, s, L) in enumerate(zip(line[:-1], seg, seg_len)):
+        t = np.clip(((coords - p0) @ s) / max(L**2, 1e-12), 0, 1)
+        proj = p0 + t[:, None] * s
+        d = np.linalg.norm(coords - proj, axis=1)
+        normal = np.array([-s[1], s[0]]) / max(L, 1e-12)
+        sgn = np.sign((coords - proj) @ normal)
+        m = d < best_d
+        best_d[m] = d[m]
+        along[m] = cum[i] + t[m] * L
+        across[m] = (sgn * d)[m]
     adata.obs["new_x"] = along
     adata.obs["new_y"] = across
     return adata

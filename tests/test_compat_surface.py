@@ -25,10 +25,31 @@ class TestToolsUtils:
         assert parse_instruction("x less than 5 and y greater than or equal to 2") == "(x < 5) & (y >= 2)"
 
     def test_create_new_coordinate(self):
+        """Reference semantics (tools/utils.py:304): distance along the
+        plane diagonal from the min corner; '-' variants flip the second
+        axis so the axis runs from (min x, max y)."""
         from spateo_tpu.tools.utils import create_new_coordinate
 
         a = st.sample_data.synthetic(n_cells=100, seed=0)
-        create_new_coordinate(a)
+        create_new_coordinate(a, plane="xy")
+        assert "xy Coordinate" in a.obs.columns and "xy Line" in a.uns
+        coords = np.asarray(a.obsm["spatial"], float)
+        d = np.asarray(a.obs["xy Coordinate"], float)
+        # the cell nearest the min corner has (near-)minimal distance
+        corner = np.argmin(coords[:, 0] + coords[:, 1])
+        assert d[corner] <= np.quantile(d, 0.05)
+        far = np.argmax(coords[:, 0] + coords[:, 1])
+        assert d[far] >= np.quantile(d, 0.95)
+        # negative plane: the axis runs from the (max x, min y) corner
+        create_new_coordinate(a, plane="-xy")
+        d2 = np.asarray(a.obs["-xy Coordinate"], float)
+        corner2 = np.argmax(coords[:, 0] - coords[:, 1])
+        assert d2[corner2] <= np.quantile(d2, 0.1)
+        # z-plane requires 3 spatial dims
+        with pytest.raises(ValueError, match="z-axis"):
+            create_new_coordinate(a, plane="yz")
+        # centerline extension still writes new_x / new_y
+        create_new_coordinate(a, centerline_points=np.array([[0.0, 0.0], [1.0, 0.0]]))
         assert "new_x" in a.obs.columns and "new_y" in a.obs.columns
 
 

@@ -687,6 +687,71 @@ class TestPositionalDistributionFigures:
         with pytest.raises(ValueError, match="odd"):
             interp.gene_expression_heatmap(genes=["g0"], window_size=4)
 
+    def test_gene_source_guards(self, interp):
+        """Reference :1502-1515: no gene source -> ValueError; use_ligands
+        without the saved design-matrix CSV -> FileNotFoundError."""
+        with pytest.raises(ValueError, match="use_ligands"):
+            interp.gene_expression_heatmap()
+        with pytest.raises(FileNotFoundError, match="ligands_expr.csv"):
+            interp.gene_expression_heatmap(use_ligands=True)
+
+    def test_csv_cache_and_recompute(self, interp, tmp_path):
+        """Reference :1682-1693: the positional matrix is cached in
+        analyses/ and a cache hit subsets by the custom gene list."""
+        interp.output_path = str(tmp_path / "out.csv")
+        M = interp.gene_expression_heatmap(genes=[f"g{i}" for i in range(6)], save_show_or_return="return")
+        cache = tmp_path / "analyses" / "adata_distribution_expression_along_x_axis.csv"
+        assert cache.exists()
+        M2 = interp.gene_expression_heatmap(genes=["g0", "g1"], save_show_or_return="return")
+        assert list(M2.index) == [g for g in ["g0", "g1"] if g in M.index]
+        # recompute overwrites with the fresh (2-gene) computation
+        M3 = interp.gene_expression_heatmap(genes=["g0", "g1"], recompute=True, save_show_or_return="return")
+        assert set(M3.index) <= {"g0", "g1"}
+
+    def test_plane_coord_column(self, interp, tmp_path):
+        """coord_column='xy' projects onto the plane diagonal
+        (reference :1584-1590 via create_new_coordinate)."""
+        interp.output_path = str(tmp_path / "out.csv")
+        M = interp.gene_expression_heatmap(genes=["g0", "g1"], coord_column="xy", save_show_or_return="return")
+        assert "xy Coordinate" in interp.adata.obs.columns
+        # spatial x dominates the diagonal here (y range is tiny), so the
+        # planted early/late structure survives the projection
+        peak0 = float(M.columns[np.argmax(M.loc["g0"].values)])
+        assert peak0 < 0.4
+        assert (tmp_path / "analyses" / "adata_distribution_expression_along_xy_axis.csv").exists()
+
+    def test_effect_heatmap_downstream_and_options(self, interp, tmp_path):
+        """Reference :2082-2093 downstream source; :2151 use_significant;
+        :2224-2251 row orderings."""
+        interp.output_path = str(tmp_path / "out.csv")
+        with pytest.raises(ValueError, match="No downstream model results"):
+            interp.effect_distribution_heatmap(check_downstream_ligand_effects=True)
+        n = interp.adata.n_obs
+        interp.downstream_model_ligand_coeffs = {
+            "g0": pd.DataFrame(
+                {"b_intercept": np.ones(n), "b_TFX": np.linspace(0, 2, n)}, index=interp.adata.obs_names
+            )
+        }
+        M = interp.effect_distribution_heatmap(check_downstream_ligand_effects=True, save_show_or_return="return")
+        assert list(M.index) == ["g0-TFX"]
+        assert (tmp_path / "analyses" / "adata_distribution_downstream_ligand_effects_along_x_axis.csv").exists()
+        # sort_by_target / plain interaction sort orderings
+        Mt = interp.effect_distribution_heatmap(sort_by_target=True, save_show_or_return="return", recompute=True)
+        assert list(Mt.index) == sorted(Mt.index, key=lambda x: x.split("-", 1)[0])
+        Mi = interp.effect_distribution_heatmap(
+            sort_by_target=False, neatly_arrange_y=False, save_show_or_return="return"
+        )
+        assert list(Mi.index) == sorted(Mi.index, key=lambda x: x.split("-", 1)[-1])
+        # use_significant masks through compute_coeff_significance
+        Ms = interp.effect_distribution_heatmap(use_significant=True, save_show_or_return="return", recompute=True)
+        assert hasattr(interp, "is_significant") and "g0" in interp.is_significant
+        # figure composition carries the reference axis labels
+        import matplotlib.pyplot as plt
+
+        fig, ax, df = interp.effect_distribution_heatmap(save_show_or_return="axes", recompute=True)
+        assert "Interaction Effect on Target" in ax.get_ylabel()
+        plt.close(fig)
+
 
 class TestCellTypeInteractionFigures:
     """Reference-semantics tests for cell_type_specific_interactions and
