@@ -607,47 +607,265 @@ class MuSIC_Interpreter(MuSIC):
             c = np.concatenate([c, np.zeros((len(c), 1))], 1)
         return c[:, :3]
 
-    def plot_interaction_effect_3D(self, target: str, interaction: str, save_path: Optional[str] = None, cell_subset=None, **kwargs):
-        """3D scatter colored by the per-cell effect of `interaction` on
-        `target` (parity: MuSIC_downstream.py:767)."""
-        from ...plotting.three_d_plot import three_d_plot
-        from ...tdr.models.mesh_core import PointCloud
-
-        key = f"{interaction}_effect_on_{target}"
-        if key not in self.adata.obs.columns:
-            self.add_interaction_effect_to_adata(target, interaction)
-        pc = PointCloud(self._coords3d(), {key: np.asarray(self.adata.obs[key], float)})
-        return three_d_plot(pc, key=key, model_style="points", filename=save_path, **kwargs)
-
-    def plot_multiple_interaction_effects_3D(self, effects: List[str], save_path: Optional[str] = None, **kwargs):
-        """One panel per stored effect column (parity: :932)."""
-        from ...plotting.three_d_plot import three_d_multi_plot
-        from ...tdr.models.mesh_core import PointCloud
+    def _effect_3d_scatter(self, plot_vals: np.ndarray, title: str, zero_opacity: float, size: float, save_path):
+        """Compose the reference's effect-magnitude 3D figure
+        (MuSIC_downstream.py:837-935): zeros split into their own black
+        trace with `zero_opacity`, nonzeros colored on the "hot" scale with
+        a labeled colorbar. Renders with mplot3d (pyvista/plotly absent
+        from this image, PARITY.md); `save_path` writes a PNG."""
+        import matplotlib.pyplot as plt
 
         coords = self._coords3d()
-        models = [PointCloud(coords, {"effect": np.asarray(self.adata.obs[e], float)}) for e in effects]
-        return three_d_multi_plot(models, key="effect", text=list(effects), model_style="points", filename=save_path, **kwargs)
+        is_zero = plot_vals == 0.0
+        fig = plt.figure(figsize=(7, 6))
+        ax = fig.add_subplot(projection="3d")
+        nz = ~is_zero
+        sc = ax.scatter(
+            coords[nz, 0], coords[nz, 1], coords[nz, 2], c=plot_vals[nz], cmap="hot", s=size**2
+        )
+        if is_zero.any():
+            ax.scatter(
+                coords[is_zero, 0], coords[is_zero, 1], coords[is_zero, 2],
+                c="#000000", s=size**2, alpha=zero_opacity,
+            )
+        cb = fig.colorbar(sc, ax=ax, shrink=0.6, pad=0.1)
+        cb.set_label(title)
+        ax.set_title(title)
+        ax.set_axis_off()
+        if save_path:
+            fig.savefig(save_path if not str(save_path).endswith(".html") else str(save_path)[:-5] + ".png", dpi=150)
+        return fig, ax
 
-    def plot_tf_effect_3D(self, target: str, tf: str, **kwargs):
-        """TF-effect 3D plot for downstream (TF) models (parity: :1104)."""
-        return self.plot_interaction_effect_3D(target, tf, **kwargs)
+    @staticmethod
+    def _clip_effect_values(vals: pd.Series, pcutoff: float, min_value: float) -> pd.Series:
+        """Reference percentile clamp (:829-834): values above the `pcutoff`
+        percentile (99.9 when pcutoff=0) snap to the cutoff; values below
+        `min_value` snap to `min_value`."""
+        cutoff = np.percentile(vals.values, pcutoff if pcutoff != 0 else 99.9)
+        vals = vals.copy()
+        vals[vals > cutoff] = cutoff
+        vals[vals < min_value] = min_value
+        return vals
 
-    def visualize_overlap_between_interacting_components_3D(self, target: str, interaction: str, save_path: Optional[str] = None, **kwargs):
-        """Categorical 3D view: cells expressing the ligand, the target,
-        both, or neither (parity: :1281)."""
+    def plot_interaction_effect_3D(
+        self,
+        target: str,
+        interaction: str,
+        save_path: Optional[str] = None,
+        pcutoff: Optional[float] = 99.7,
+        min_value: Optional[float] = 0,
+        zero_opacity: float = 1.0,
+        size: float = 2.0,
+        n_neighbors_smooth: Optional[int] = 0,
+        **kwargs,
+    ):
+        """3D scatter colored by the per-cell effect of `interaction` on
+        `target` (reference semantics, MuSIC_downstream.py:767): optional
+        neighbor smoothing (mean over nonzero neighbor coefficients when at
+        least 5 are nonzero, :810-827), percentile/minimum clamping, and a
+        separate black trace for zero-effect cells."""
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        if target not in self.coeffs:
+            raise ValueError(f"Target {target} not found in this model's directory. Please provide a valid target.")
+        if getattr(self, "X_df", None) is not None and interaction not in self.X_df.columns:
+            raise ValueError(f"Interaction {interaction} not found in this model's directory.")
+        cdf = self.coeffs[target]
+        col = f"b_{interaction}" if f"b_{interaction}" in cdf.columns else interaction
+        coef = cdf[col].reindex(pd.Index(self.adata.obs_names)).fillna(0.0)
+        if n_neighbors_smooth:
+            from scipy.spatial import cKDTree
+
+            coords = self._coords3d()
+            _, idx = cKDTree(coords).query(coords, k=min(n_neighbors_smooth + 1, len(coords)))
+            vals = coef.values[idx[:, 1:]]
+            nz_count = (vals != 0).sum(axis=1)
+            with np.errstate(invalid="ignore"):
+                means = np.where(nz_count > 0, vals.sum(axis=1) / np.maximum(nz_count, 1), 0.0)
+            coef = pd.Series(np.where(nz_count >= 5, means, 0.0), index=coef.index)
+        coef = self._clip_effect_values(coef, pcutoff, min_value)
+        return self._effect_3d_scatter(
+            coef.values, f"{interaction.title()} Effect on {target.title()}", zero_opacity, size, save_path
+        )
+
+    def plot_multiple_interaction_effects_3D(
+        self, effects: List[str], save_path: Optional[str] = None, include_combos_of_two: bool = False, **kwargs
+    ):
+        """Categorical 3D view of which interaction-target effect dominates
+        each cell (reference semantics, MuSIC_downstream.py:937). Effects
+        are "interaction:target" strings (split on the LAST colon so L:R
+        interaction names survive); a cell is "nonzero" for an effect when
+        its coefficient is positive and "strong" when it reaches the mean
+        positive coefficient (:970-975). Cells strong for 2+ effects fall
+        into "Multiple interactions" (or the pair category with
+        `include_combos_of_two`, :981-994). Returns (fig, ax, categories)."""
+        import matplotlib.pyplot as plt
+
+        from ...plotting.colorlabel import godsnot_102, vega_10
+
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        obs = pd.Index(self.adata.obs_names)
+        nonzero, strong = {}, {}
+        for effect in effects:
+            interaction, target = effect.rsplit(":", 1)
+            if target not in self.coeffs:
+                lm.main_info(f"{target} not found in this model's directory. Skipping this interaction-target pair.")
+                continue
+            cdf = self.coeffs[target]
+            col = f"b_{interaction}" if f"b_{interaction}" in cdf.columns else interaction
+            if col not in cdf.columns:
+                lm.main_info(f"{interaction} not found for {target}. Skipping this interaction-target pair.")
+                continue
+            coef = cdf[col].reindex(obs).fillna(0.0).values
+            pos = coef[coef > 0]
+            mean_val = pos.mean() if pos.size else np.inf
+            nonzero[effect] = coef > 0
+            strong[effect] = coef >= mean_val
+        kept = list(nonzero)
+        cats = np.full(len(obs), "Other", dtype=object)
+        for i in range(len(obs)):
+            active = [e for e in kept if nonzero[e][i]]
+            strong_active = [e for e in kept if strong[e][i]]
+            if include_combos_of_two:
+                if len(strong_active) >= 3:
+                    cats[i] = "Multiple interactions"
+                elif len(strong_active) == 2:
+                    cats[i] = f"{strong_active[0]} and {strong_active[1]}"
+                elif len(active) == 1:
+                    cats[i] = active[0]
+            else:
+                if len(strong_active) >= 2:
+                    cats[i] = "Multiple interactions"
+                elif len(active) == 1:
+                    cats[i] = active[0]
+        categories = pd.Series(cats, index=obs, name="interaction_categories")
+        self.adata.obs["interaction_categories"] = categories.values
+        counts = categories.value_counts()
+        palette = godsnot_102 if include_combos_of_two else vega_10
+        color_mapping = dict(zip(counts.index, palette))
+        color_mapping["Multiple interactions"] = "#71797E"
+        color_mapping["Other"] = "#D3D3D3"
+        coords = self._coords3d()
+        fig = plt.figure(figsize=(7, 6))
+        ax = fig.add_subplot(projection="3d")
+        for group, color in color_mapping.items():
+            mask = categories.values == group
+            if not mask.any():
+                continue
+            s = 1.25 if group == "Other" else 2.0
+            ax.scatter(coords[mask, 0], coords[mask, 1], coords[mask, 2], c=color, s=s**2, label=group)
+        ax.legend(loc="upper right", fontsize=7)
+        ax.set_title(
+            "L:R Interaction Effect on Target (format Ligand:Receptor-Target)"
+            if self.mod_type == "lr"
+            else "Ligand Effect on Target (format Ligand-Target)"
+        )
+        ax.set_axis_off()
+        if save_path:
+            fig.savefig(save_path if not str(save_path).endswith(".html") else str(save_path)[:-5] + ".png", dpi=150)
+        return fig, ax, categories
+
+    def plot_tf_effect_3D(
+        self,
+        target: str,
+        tf: str,
+        save_path: Optional[str] = None,
+        ligand_targets: bool = True,
+        receptor_targets: bool = False,
+        target_gene_targets: bool = False,
+        pcutoff: float = 99.7,
+        min_value: float = 0,
+        zero_opacity: float = 1.0,
+        size: float = 2.0,
+        **kwargs,
+    ):
+        """TF-effect magnitude over the fitted downstream model (reference
+        semantics, MuSIC_downstream.py:1086): the coefficient source is the
+        downstream ligand/receptor/target-gene model from
+        `CCI_deg_detection`, then the same clamp/zero-split composition as
+        `plot_interaction_effect_3D`."""
+        if ligand_targets:
+            attr = "ligand"
+        elif receptor_targets:
+            attr = "receptor"
+        elif target_gene_targets:
+            attr = "target"
+        else:
+            raise ValueError(
+                "Please set either 'ligand_targets', 'receptor_targets', or 'target_gene_targets' to True."
+            )
+        store = getattr(self, f"downstream_model_{attr}_coeffs", None)
+        if not store:
+            raise ValueError(
+                f"No fitted downstream {attr} model found. Run CCI_deg_detection_setup(...) and CCI_deg_detection()."
+            )
+        if target not in store:
+            raise ValueError(f"Target {target} not found in this model's directory. Please provide a valid target.")
+        cdf = store[target]
+        if f"b_{tf}" not in cdf.columns:
+            raise ValueError(f"TF {tf} not found in this model's directory.")
+        coef = cdf[f"b_{tf}"].reindex(pd.Index(self.adata.obs_names)).fillna(0.0)
+        coef = self._clip_effect_values(coef, pcutoff, min_value)
+        return self._effect_3d_scatter(
+            coef.values, f"{tf.title()} Effect on {target.title()}", zero_opacity, size, save_path
+        )
+
+    def visualize_overlap_between_interacting_components_3D(
+        self, target: str, interaction: str, save_path: Optional[str] = None, size: float = 2.0, **kwargs
+    ):
+        """Categorical 3D view of the overlap between the interaction
+        feature and target expression (reference semantics,
+        MuSIC_downstream.py:1281): interaction-active cells come from the
+        DESIGN MATRIX (nonzero X_df feature — i.e. neighborhood ligand [+
+        receptor] signal, :1319-1322), not raw ligand expression; category
+        labels follow the reference's mod_type-specific wording. Returns
+        (fig, ax, categories)."""
+        import matplotlib.pyplot as plt
         from scipy.sparse import issparse
 
-        from ...plotting.three_d_plot import three_d_plot
-        from ...tdr.models.mesh_core import PointCloud
+        from ...plotting.colorlabel import godsnot_102
 
-        lig = interaction.split(":")[0].split("/")[0]
+        if getattr(self, "X_df", None) is None or interaction not in self.X_df.columns:
+            raise ValueError(f"Interaction {interaction} not found in this model's directory.")
         names = list(map(str, self.adata.var_names))
-        X = self.adata.X.toarray() if issparse(self.adata.X) else np.asarray(self.adata.X)
-        lig_expr = X[:, names.index(lig)] > 0 if lig in names else np.zeros(self.adata.n_obs, bool)
-        tgt_expr = X[:, names.index(target)] > 0 if target in names else np.zeros(self.adata.n_obs, bool)
-        cat = np.where(lig_expr & tgt_expr, "both", np.where(lig_expr, lig, np.where(tgt_expr, target, "neither")))
-        pc = PointCloud(self._coords3d(), {"overlap": cat})
-        return three_d_plot(pc, key="overlap", model_style="points", filename=save_path, **kwargs)
+        if target not in names:
+            raise ValueError(f"Target {target} not found in this model's directory. Please provide a valid target.")
+        obs = pd.Index(self.adata.obs_names)
+        col = self.adata[:, target].X
+        target_expressing = obs[(col.toarray() if issparse(col) else np.asarray(col)).reshape(-1) != 0]
+        interaction_expressing = self.X_df.index[np.asarray(self.X_df[interaction].values, float) != 0]
+        overlap = target_expressing.intersection(interaction_expressing)
+        cats = pd.Series("Other", index=obs, name=f"{interaction}_{target}")
+        cats.loc[target_expressing] = f"{target} only (no {interaction} in neighborhood and/or receptor)"
+        if self.mod_type == "lr":
+            ligand, receptor = interaction.split(":", 1)
+            cats.loc[interaction_expressing] = f"{ligand.title()} in Neighborhood and {receptor}, no {target}"
+            cats.loc[overlap] = f"{ligand.title()} in Neighborhood, {receptor} and {target}"
+        else:
+            cats.loc[interaction_expressing] = f"{interaction.title()} in Neighborhood and Receptor, no {target}"
+            cats.loc[overlap] = f"{interaction.title()} in Neighborhood, Receptor and {target}"
+        self.adata.obs[f"{interaction}_{target}"] = cats.values
+        palette = list(godsnot_102)
+        palette[1:4] = ["#B200ED", "#FFA500", "#1CE6FF"]
+        color_mapping = dict(zip(cats.value_counts().index, palette))
+        color_mapping["Other"] = "#D3D3D3"
+        coords = self._coords3d()
+        fig = plt.figure(figsize=(7, 6))
+        ax = fig.add_subplot(projection="3d")
+        for group, color in color_mapping.items():
+            mask = cats.values == group
+            if not mask.any():
+                continue
+            ms = size * 0.75 if group == "Other" else size
+            alpha = 0.5 if group == "Other" else 1.0
+            ax.scatter(coords[mask, 0], coords[mask, 1], coords[mask, 2], c=color, s=ms**2, alpha=alpha, label=group)
+        ax.legend(loc="upper right", fontsize=6)
+        ax.set_title(f"Distribution of interacting components:\n{interaction} and {target}")
+        ax.set_axis_off()
+        if save_path:
+            fig.savefig(save_path if not str(save_path).endswith(".html") else str(save_path)[:-5] + ".png", dpi=150)
+        return fig, ax, cats
 
     # ------------------------------------------------------------------
     # heatmaps / summaries (parity: MuSIC_downstream.py:1434-5330)
@@ -2456,23 +2674,109 @@ class MuSIC_Interpreter(MuSIC):
                 self.define_effect_vf(P, ns, nr, name, t)
         return self.adata
 
-    def visualize_effect_vf_3D(self, interaction: str, target: str, save_path: Optional[str] = None, n_sampling: int = 300, **kwargs):
-        """Quiver view of the sender vector field (parity: :6020)."""
+    def visualize_effect_vf_3D(
+        self,
+        interaction: str,
+        target: str,
+        vf_key: Optional[str] = None,
+        vector_magnitude_lower_bound: float = 0.0,
+        manual_vector_scale_factor: Optional[float] = None,
+        bin_size=None,
+        plot_cells: bool = True,
+        cell_size: float = 1.0,
+        alpha: float = 0.3,
+        no_color_coding: bool = False,
+        only_view_effect_region: bool = False,
+        add_group_label: Optional[str] = None,
+        group_label_obs_key: Optional[str] = None,
+        save_path: Optional[str] = None,
+        **kwargs,
+    ):
+        """Directionality of the interaction's effect overlaid on the 3D
+        scatter (reference semantics, MuSIC_downstream.py:6020): vectors
+        come from `.obsm[vf_key or "spatial_effect_sender_vf_{interaction}_
+        {target}"]`; vectors shorter than `vector_magnitude_lower_bound` ×
+        the max magnitude are dropped; `bin_size` de-clutters by keeping one
+        averaged vector per 3D bin; `manual_vector_scale_factor` rescales
+        lengths; cells are colored by the effect coefficient unless
+        `no_color_coding`, `add_group_label` highlights one cell group in
+        orange, and `only_view_effect_region` crops the axes to the bounding
+        box of nonzero effects. Rendered with mplot3d quiver (pyvista/plotly
+        absent from this image, PARITY.md). Returns (fig, ax)."""
         import matplotlib.pyplot as plt
 
-        vf = np.asarray(self.adata.obsm[f"spatial_effect_sender_vf_{interaction}_{target}"])
-        coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
-        rng = np.random.default_rng(0)
-        idx = rng.choice(len(coords), min(n_sampling, len(coords)), replace=False)
-        fig, ax = plt.subplots(figsize=(6, 6))
-        ax.scatter(coords[:, 0], coords[:, 1], s=2, color="#cccccc", linewidths=0)
-        ax.quiver(coords[idx, 0], coords[idx, 1], vf[idx, 0], vf[idx, 1], color="tab:red", angles="xy", scale_units="xy", scale=1)
-        ax.set_aspect("equal")
+        key = vf_key or f"spatial_effect_sender_vf_{interaction}_{target}"
+        if key not in self.adata.obsm:
+            raise KeyError(
+                f"Vector field `{key}` not found in .obsm — run get_effect_potential_matrix + define_effect_vf first."
+            )
+        vf = np.asarray(self.adata.obsm[key], float)
+        coords = self._coords3d()
+        if vf.shape[1] == 2:
+            vf = np.concatenate([vf, np.zeros((len(vf), 1))], axis=1)
+        mags = np.linalg.norm(vf, axis=1)
+        keep = mags >= vector_magnitude_lower_bound * max(mags.max(), 1e-12)
+        vc, vv = coords[keep], vf[keep]
+        if bin_size is not None:
+            sizes = np.broadcast_to(np.atleast_1d(np.asarray(bin_size, float)), (3,))
+            bins = np.floor(vc / sizes).astype(np.int64)
+            _, inv = np.unique(bins, axis=0, return_inverse=True)
+            nb = inv.max() + 1 if len(inv) else 0
+            pos_sum = np.zeros((nb, 3))
+            vec_sum = np.zeros((nb, 3))
+            cnt = np.zeros(nb)
+            np.add.at(pos_sum, inv, vc)
+            np.add.at(vec_sum, inv, vv)
+            np.add.at(cnt, inv, 1.0)
+            vc = pos_sum / np.maximum(cnt[:, None], 1)
+            vv = vec_sum / np.maximum(cnt[:, None], 1)
+        if manual_vector_scale_factor is not None:
+            vv = vv * float(manual_vector_scale_factor)
+        if not getattr(self, "coeffs", None):
+            self.load_coeffs()
+        coef = None
+        if target in getattr(self, "coeffs", {}):
+            cdf = self.coeffs[target]
+            col = f"b_{interaction}" if f"b_{interaction}" in cdf.columns else interaction
+            if col in cdf.columns:
+                coef = cdf[col].reindex(pd.Index(self.adata.obs_names)).fillna(0.0).values
+        fig = plt.figure(figsize=(7, 6))
+        ax = fig.add_subplot(projection="3d")
+        if plot_cells:
+            if coef is not None and not no_color_coding:
+                affected = coef != 0
+                ax.scatter(
+                    coords[~affected, 0], coords[~affected, 1], coords[~affected, 2],
+                    c="#D3D3D3", s=cell_size**2, alpha=alpha,
+                )
+                sc = ax.scatter(
+                    coords[affected, 0], coords[affected, 1], coords[affected, 2],
+                    c=coef[affected], cmap="Reds", s=cell_size**2,
+                )
+                fig.colorbar(sc, ax=ax, shrink=0.5, pad=0.1)
+            else:
+                ax.scatter(coords[:, 0], coords[:, 1], coords[:, 2], c="#D3D3D3", s=cell_size**2, alpha=alpha)
+        if add_group_label is not None:
+            gk = group_label_obs_key or self.group_key
+            gmask = np.asarray(self.adata.obs[gk].astype(str) == str(add_group_label))
+            ax.scatter(
+                coords[gmask, 0], coords[gmask, 1], coords[gmask, 2], c="#FFA500", s=cell_size**2, label=str(add_group_label)
+            )
+            ax.legend(loc="upper right", fontsize=7)
+        ax.quiver(vc[:, 0], vc[:, 1], vc[:, 2], vv[:, 0], vv[:, 1], vv[:, 2], color="tab:red", length=1.0)
+        if only_view_effect_region and coef is not None and (coef != 0).any():
+            region = coords[coef != 0]
+            pad = 0.05 * np.ptp(region, axis=0).max()
+            ax.set_xlim(region[:, 0].min() - pad, region[:, 0].max() + pad)
+            ax.set_ylim(region[:, 1].min() - pad, region[:, 1].max() + pad)
+            ax.set_zlim(region[:, 2].min() - pad, region[:, 2].max() + pad)
+        ax.set_title(f"{interaction.title()} Effect on {target.title()}")
         if save_path:
-            fig.savefig(save_path, dpi=150, bbox_inches="tight")
-            plt.close(fig)
-            return save_path
-        return ax
+            fig.savefig(
+                save_path if not str(save_path).endswith(".html") else str(save_path)[:-5] + ".png",
+                dpi=150, bbox_inches="tight",
+            )
+        return fig, ax
 
     # ------------------------------------------------------------------
     # CCI DEG detection + summaries (parity: :6607-7941)

@@ -328,6 +328,88 @@ class TestMuSICDownstreamBreadth:
         assert svf[moving, 0].mean() > 0  # senders point toward receivers
         assert f"spatial_effect_sender_vf_{ia}_TGT1" in adata.obsm
 
+    def test_3d_effect_plot_family(self, lr_fit):
+        """Reference semantics for the 3D interpreter plots
+        (MuSIC_downstream.py:767/937/1281/6020): zero/nonzero trace split,
+        strong-effect categorization, design-matrix overlap labels, and
+        vector-field binning/filtering."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        interp, adata, senders = lr_fit
+        ia = "TGFB1:TGFBR1_TGFBR2"
+
+        # --- plot_interaction_effect_3D: zero/nonzero split traces
+        fig, ax = interp.plot_interaction_effect_3D("TGT1", ia)
+        coef = interp.coeffs["TGT1"][f"b_{ia}"]
+        n_scattered = sum(c._offsets3d[0].size for c in ax.collections if hasattr(c, "_offsets3d"))
+        assert n_scattered == adata.n_obs
+        plt.close(fig)
+        with pytest.raises(ValueError, match="not found"):
+            interp.plot_interaction_effect_3D("NOPE", ia)
+        with pytest.raises(ValueError, match="Interaction"):
+            interp.plot_interaction_effect_3D("TGT1", "FAKE:PAIR")
+        # neighbor smoothing zeroes cells with <5 nonzero neighbors
+        fig2, ax2 = interp.plot_interaction_effect_3D("TGT1", ia, n_neighbors_smooth=6)
+        plt.close(fig2)
+
+        # --- plot_multiple_interaction_effects_3D: categorization
+        fig3, ax3, cats = interp.plot_multiple_interaction_effects_3D([f"{ia}:TGT1"])
+        assert set(cats.unique()) <= {f"{ia}:TGT1", "Other", "Multiple interactions"}
+        assert (cats == f"{ia}:TGT1").sum() > 0
+        assert "interaction_categories" in adata.obs.columns
+        plt.close(fig3)
+
+        # --- overlap: interaction-active cells come from the DESIGN MATRIX
+        fig4, ax4, ov = interp.visualize_overlap_between_interacting_components_3D("TGT1", ia)
+        overlap_label = [c for c in ov.unique() if "in Neighborhood," in c]
+        assert overlap_label, f"no overlap category in {list(ov.unique())}"
+        x_active = interp.X_df.index[np.asarray(interp.X_df[ia].values, float) != 0]
+        expr = np.asarray(adata[:, "TGT1"].X).reshape(-1) != 0
+        expected_overlap = len(pd.Index(adata.obs_names)[expr].intersection(x_active))
+        assert (ov == overlap_label[0]).sum() == expected_overlap
+        plt.close(fig4)
+
+        # --- vector field: binning reduces arrows; missing key raises
+        P, ns, nr = interp.get_effect_potential_matrix("TGT1", ia)
+        interp.define_effect_vf(P, ns, nr, ia, "TGT1")
+        fig5, ax5 = interp.visualize_effect_vf_3D(ia, "TGT1")
+        n_full = sum(1 for c in ax5.collections if hasattr(c, "_segments3d"))
+        plt.close(fig5)
+        fig6, ax6 = interp.visualize_effect_vf_3D(ia, "TGT1", bin_size=25.0, vector_magnitude_lower_bound=0.01)
+        quiv_full = next(c for c in ax5.collections if hasattr(c, "_segments3d"))
+        quiv_binned = next(c for c in ax6.collections if hasattr(c, "_segments3d"))
+        assert len(quiv_binned._segments3d) < len(quiv_full._segments3d)
+        plt.close(fig6)
+        with pytest.raises(KeyError, match="Vector field"):
+            interp.visualize_effect_vf_3D("FAKE", "TGT1")
+        # only_view_effect_region crops to the affected bounding box
+        fig7, ax7 = interp.visualize_effect_vf_3D(ia, "TGT1", only_view_effect_region=True)
+        affected = np.asarray(coef.reindex(adata.obs_names).fillna(0.0).values) != 0
+        region_x = np.asarray(adata.obsm["spatial"], float)[affected, 0]
+        lo, hi = ax7.get_xlim()
+        assert lo <= region_x.min() and hi >= region_x.max()
+        plt.close(fig7)
+
+        # --- plot_tf_effect_3D: needs a fitted downstream model
+        with pytest.raises(ValueError, match="downstream"):
+            interp.plot_tf_effect_3D("TGFB1", "STAT3")
+        n = adata.n_obs
+        interp.downstream_model_ligand_coeffs = {
+            "TGFB1": pd.DataFrame(
+                {"b_intercept": np.ones(n), "b_STAT3": np.r_[np.zeros(n // 2), np.ones(n - n // 2)]},
+                index=adata.obs_names,
+            )
+        }
+        fig8, ax8 = interp.plot_tf_effect_3D("TGFB1", "STAT3")
+        # zero/nonzero split -> two scatter collections
+        assert sum(1 for c in ax8.collections if hasattr(c, "_offsets3d")) == 2
+        plt.close(fig8)
+        with pytest.raises(ValueError, match="TF"):
+            interp.plot_tf_effect_3D("TGFB1", "NOPE")
+
     def test_summaries_and_diagnostics(self, lr_fit):
         interp, adata, _ = lr_fit
         diag = interp.compute_and_visualize_diagnostics()
