@@ -13,6 +13,12 @@ import pytest
 
 import spateo_tpu as st
 import spateo_tpu.plotting as pl
+from spateo_tpu.plotting.three_d_plot.three_dims_plots import (
+    plot_expression_3D,
+    plot_multiple_genes_3D,
+    quick_plot_3D_celltypes,
+    visualize_3D_increasing_direction_gradient,
+)
 
 
 @pytest.fixture(autouse=True)
@@ -740,3 +746,83 @@ class TestPlotCellSignaling:
         a = self._vf_adata()
         with pytest.raises(ValueError):
             pl.plot_cell_signaling(a, "vf", plot_method="nope", save_show_or_return="return")
+
+
+class TestPlotly3DFamily:
+    """Reference-semantics tests for the three_dims_plots plotly-family
+    (ref three_dims_plots.py:807-1318): signatures, 'Other' relabeling,
+    percentile clipping, exclusivity categories, center-shifted norm."""
+
+    @pytest.fixture()
+    def adata3d(self):
+        rng = np.random.default_rng(3)
+        n = 120
+        X = np.zeros((n, 3), dtype=np.float32)
+        X[:40, 0] = rng.poisson(3.0, 40) + 1  # gene g0 in first 40
+        X[30:70, 1] = rng.poisson(3.0, 40) + 1  # g1 overlaps 30:40
+        a = st.AnnData(
+            X=X,
+            obs=pd.DataFrame(
+                {"celltype": (["A"] * 60 + ["B"] * 40 + ["C"] * 20)},
+                index=[f"c{i}" for i in range(n)],
+            ),
+            var=pd.DataFrame(index=["g0", "g1", "g2"]),
+        )
+        a.obsm["spatial"] = rng.uniform(0, 10, (n, 3)).astype(np.float64)
+        st.SKM.init_adata_type(a, "UMI")
+        return a
+
+    def test_quick_plot_celltypes_other_relabel(self, adata3d, tmp_path):
+        out = tmp_path / "ct.html"
+        mapping = quick_plot_3D_celltypes(
+            adata3d, str(out), group_key="celltype", ct_subset=["A"], opacity=0.4
+        )
+        assert out.exists() and out.read_text().startswith("<!DOCTYPE html>")
+        # cells outside ct_subset collapse to 'Other' pinned to light grey
+        assert mapping["Other"] == "#D3D3D3"
+        assert set(mapping) == {"A", "Other"}
+
+    def test_quick_plot_celltypes_errors(self, adata3d, tmp_path):
+        with pytest.raises(ValueError, match="does not contain"):
+            quick_plot_3D_celltypes(adata3d, str(tmp_path / "x.html"), group_key="nope")
+        adata2 = adata3d.copy()
+        adata2.obsm["spatial"] = adata2.obsm["spatial"][:, :2]
+        with pytest.raises(ValueError, match="3-dimensional"):
+            quick_plot_3D_celltypes(adata2, str(tmp_path / "x.html"), group_key="celltype")
+
+    def test_expression_percentile_clip_and_zero_split(self, adata3d, tmp_path):
+        out = tmp_path / "expr.png"
+        expr = plot_expression_3D(adata3d, str(out), "g0", pcutoff=90.0)
+        assert out.exists()
+        raw = adata3d[:, "g0"].X.flatten()
+        assert expr.max() == np.percentile(raw, 90.0)  # clipped at the cutoff
+        assert (expr == 0).sum() == (raw == 0).sum()  # zeros preserved
+
+    def test_multiple_genes_categories(self, adata3d, tmp_path):
+        out = tmp_path / "genes.html"
+        cats = plot_multiple_genes_3D(adata3d, ["g0", "g1"], str(out))
+        assert out.exists()
+        # first 30 exclusive g0, 30:40 overlap, 40:70 exclusive g1, rest None
+        assert (cats.iloc[:30] == "g0").all()
+        assert (cats.iloc[30:40] == "Multiple genes").all()
+        assert (cats.iloc[40:70] == "g1").all()
+        assert (cats.iloc[70:] == "None").all()
+        # reference writes the helper columns into obs
+        assert "gene_expressed" in adata3d.obs and "gene_expr_category" in adata3d.obs
+
+    def test_gradient_center_shift(self, adata3d, tmp_path):
+        out = tmp_path / "grad.html"
+        norm = visualize_3D_increasing_direction_gradient(
+            adata3d, str(out), coord_column=2, center=0.25
+        )
+        assert out.exists()
+        # center shift: value at midpoint 0.5 maps to 0.25
+        vals = adata3d.obsm["spatial"][:, 2]
+        raw = (vals - vals.min()) / (vals.max() - vals.min())
+        lower = raw <= 0.5
+        np.testing.assert_allclose(norm[lower], raw[lower] * 0.5, rtol=1e-12)
+        np.testing.assert_allclose(norm[~lower], 1 - (1 - raw[~lower]) * 1.5, rtol=1e-9)
+
+    def test_gradient_errors(self, adata3d, tmp_path):
+        with pytest.raises(ValueError, match="not found"):
+            visualize_3D_increasing_direction_gradient(adata3d, str(tmp_path / "x.html"), color_key="zzz")
