@@ -13,10 +13,27 @@ import numpy as np
 from .three_dims_plots import three_d_multi_plot, three_d_plot
 
 
+def _model_obs_rows(adata, model) -> np.ndarray:
+    """Row indices of `adata` for each model point (parity:
+    morphometrics_plots.py:17 `_check_index_in_adata` — models built by
+    st.tdr.construct_pc carry the source obs names in
+    point_data['obs_index']; without it, rows map 1:1 or by nearest
+    cell for resampled/voxelized models)."""
+    if "obs_index" in model.point_data:
+        import pandas as pd
+
+        lookup = pd.Series(range(adata.n_obs), index=adata.obs.index)
+        return lookup.loc[np.asarray(model.point_data["obs_index"])].values
+    if len(model.points) == adata.n_obs:
+        return np.arange(adata.n_obs)
+    pts = np.asarray(adata.obsm.get("align_spatial", adata.obsm.get("spatial")))[:, :3]
+    d2 = ((model.points[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    return np.argmin(d2, axis=1)
+
+
 def _attach_scalar(adata, model, key: str, where: str = "obs"):
     """Copy a per-cell scalar from adata onto the model's point_data,
-    matched by point count (parity: morphometrics_plots.py:17
-    `_check_index_in_adata`)."""
+    matched through obs_index (parity: morphometrics_plots.py:326-338)."""
     if where == "obs":
         if key not in adata.obs.columns:
             raise KeyError(f"`{key}` not found in .obs; run the matching st.tdr.morphofield_* function first.")
@@ -29,13 +46,7 @@ def _attach_scalar(adata, model, key: str, where: str = "obs"):
     out = []
     for m in models:
         mc = m.copy()
-        if len(mc.points) == len(vals):
-            mc.point_data[key] = vals
-        else:
-            # nearest-cell lookup for resampled/voxelized models
-            pts = np.asarray(adata.obsm.get("align_spatial", adata.obsm.get("spatial")))[:, :3]
-            d2 = ((mc.points[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
-            mc.point_data[key] = vals[np.argmin(d2, axis=1)]
+        mc.point_data[key] = vals[_model_obs_rows(adata, mc)]
         out.append(mc)
     return out if isinstance(model, (list, tuple)) else out[0]
 
@@ -68,19 +79,20 @@ def jacobian(
     st.tdr.morphofield_jacobian."""
     J = np.asarray(adata.uns[jacobian_key]["jacobian"] if isinstance(adata.uns.get(jacobian_key), dict) else adata.uns[jacobian_key])
     if J.ndim == 3 and J.shape[1] == J.shape[0] and J.shape[0] != len(adata.obs):
+        # reference layout: [D, D, N] (morphometrics_plots.py:183)
         J = np.moveaxis(J, -1, 0)
     D = J.shape[1]
     models, texts = [], []
     base = model[0] if isinstance(model, (list, tuple)) else model
+    rows = _model_obs_rows(adata, base)
+    f_names = ["fx", "fy", "fz"][:D]
+    i_names = ["x", "y", "z"][:D]
     for i in range(D):
         for j in range(D):
             mc = base.copy()
-            vals = J[:, i, j]
-            if len(mc.points) != len(vals):
-                vals = np.resize(vals, len(mc.points))
-            mc.point_data["jacobian"] = vals
+            mc.point_data["jacobian"] = J[rows, i, j]
             models.append(mc)
-            texts.append(f"J[{i},{j}]")
+            texts.append(f"∂{f_names[i]}/∂{i_names[j]}")
     cmap = "coolwarm" if colormap in (None, "default_cmap") else colormap
     return three_d_multi_plot(models, key="jacobian", filename=filename, jupyter=jupyter,
                               shape=(D, D), colormap=cmap, ambient=ambient, opacity=opacity,

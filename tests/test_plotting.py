@@ -826,3 +826,41 @@ class TestPlotly3DFamily:
     def test_gradient_errors(self, adata3d, tmp_path):
         with pytest.raises(ValueError, match="not found"):
             visualize_3D_increasing_direction_gradient(adata3d, str(tmp_path / "x.html"), color_key="zzz")
+
+
+class TestMorphometricsObsIndex:
+    """The model->adata row mapping goes through point_data['obs_index']
+    (ref morphometrics_plots.py:17-23), so subset/permuted models pick up
+    the right cells' values."""
+
+    def _adata(self, n=40):
+        rng = np.random.default_rng(7)
+        a = st.AnnData(X=np.ones((n, 2), dtype=np.float32),
+                       obs=pd.DataFrame(index=[f"cell{i}" for i in range(n)]))
+        st.SKM.init_adata_type(a, "UMI")
+        a.obsm["spatial"] = rng.uniform(0, 1, (n, 3))
+        a.obs["torsion"] = np.arange(float(n))
+        return a
+
+    def test_permuted_subset_model_maps_by_obs_index(self):
+        from spateo_tpu.plotting.three_d_plot.morphometrics_plots import _attach_scalar
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+
+        a = self._adata()
+        order = np.array([5, 3, 30, 12])
+        pc = PointCloud(np.asarray(a.obsm["spatial"])[order])
+        pc.point_data["obs_index"] = np.asarray(a.obs.index)[order]
+        out = _attach_scalar(a, pc, "torsion")
+        np.testing.assert_array_equal(out.point_data["torsion"], order.astype(float))
+
+    def test_jacobian_reference_layout_and_labels(self, tmp_path):
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+
+        a = self._adata(n=20)
+        # reference stores [3, 3, N] (morphometrics_plots.py:183)
+        J = np.arange(3 * 3 * 20, dtype=float).reshape(3, 3, 20)
+        a.uns["jacobian"] = J
+        pc = PointCloud(np.asarray(a.obsm["spatial"]))
+        fig = pl.jacobian(a, pc, model_style="points")
+        titles = [ax.get_title() for ax in fig.axes if ax.get_title()]
+        assert "∂fx/∂x" in titles and "∂fz/∂y" in titles and len(titles) == 9
