@@ -93,32 +93,78 @@ def group_pca(
     return adatas
 
 
+def _dedup_argmax_ties(pairs: np.ndarray, key_col: int, X: np.ndarray, Y: np.ndarray) -> np.ndarray:
+    """Keep one (i, j) pair per value of `pairs[:, key_col]`: among argmax
+    ties, the partner nearest in coordinates wins (reference
+    alignment/utils.py:166-184 resolves ties with a per-group KD-tree;
+    here one lexsort over (key, distance) does the same selection)."""
+    d = np.linalg.norm(X[pairs[:, 0]] - Y[pairs[:, 1]], axis=1)
+    order = np.lexsort((d, pairs[:, key_col]))
+    sp = pairs[order]
+    keys = sp[:, key_col]
+    first = np.ones(len(sp), dtype=bool)
+    first[1:] = keys[1:] != keys[:-1]
+    return sp[first]
+
+
 def get_optimal_mapping_relationship(X: np.ndarray, Y: np.ndarray, pi: np.ndarray, keep_all: bool = False):
-    """Max-probability correspondences from an assignment matrix (parity:
-    alignment/utils.py:157)."""
-    X_max_index = np.argmax(pi, axis=1)
+    """Optimal correspondences of an assignment matrix, from both sides
+    (parity: reference alignment/utils.py:157 — same return contract).
+
+    Returns ``(X_max_index, X_pi_value, Y_max_index, Y_pi_value)``:
+    the [k, 2] (i, j) pairs where pi attains each row's maximum (X side)
+    and each column's maximum (Y side), with the matching pi values as
+    [k, 1] columns. With ``keep_all=False`` argmax ties are broken by
+    spatial proximity (nearest tied partner kept); with ``keep_all=True``
+    every tied pair is returned."""
+    pi = np.asarray(pi)
+    X = np.asarray(X)
+    Y = np.asarray(Y)
+    X_max_index = np.argwhere(pi == pi.max(axis=1, keepdims=True))
+    Y_max_index = np.argwhere(pi == pi.max(axis=0, keepdims=True))
     if not keep_all:
-        values = pi[np.arange(pi.shape[0]), X_max_index]
-        mask = values > 0
-        X_index = np.arange(pi.shape[0])[mask]
-        Y_index = X_max_index[mask]
-    else:
-        X_index = np.arange(pi.shape[0])
-        Y_index = X_max_index
-    return X_index, Y_index, X[X_index], Y[Y_index]
+        X_max_index = _dedup_argmax_ties(X_max_index, 0, X, Y)
+        Y_max_index = _dedup_argmax_ties(Y_max_index, 1, X, Y)
+    X_pi_value = pi[X_max_index[:, 0], X_max_index[:, 1]].reshape(-1, 1)
+    Y_pi_value = pi[Y_max_index[:, 0], Y_max_index[:, 1]].reshape(-1, 1)
+    return X_max_index, X_pi_value, Y_max_index, Y_pi_value
 
 
 def mapping_aligned_coords(
     X: np.ndarray, Y: np.ndarray, pi: np.ndarray, keep_all: bool = False
 ) -> Tuple[dict, dict]:
-    """Mappings of aligned coordinate pairs (parity: alignment/utils.py:194)."""
+    """Optimal mapping coordinates between X and Y (parity: reference
+    alignment/utils.py:194 — returns the X-side and Y-side dicts of
+    mapping_X / mapping_Y / pi_index / pi_value, each deduplicated to
+    the highest-probability partner per point)."""
+    import pandas as pd
+
     X = np.asarray(X)
     Y = np.asarray(Y)
-    X_index, Y_index, mapX, mapY = get_optimal_mapping_relationship(X, Y, pi, keep_all=keep_all)
-    mapping_coords = {"mapping_X": mapX, "mapping_Y": mapY, "pi_index": np.c_[X_index, Y_index]}
-    pi_values = pi[X_index, Y_index]
-    mapping_relations = {"X_index": X_index, "Y_index": Y_index, "pi_value": pi_values}
-    return mapping_coords, mapping_relations
+    pi = np.asarray(pi)
+    X_max_index, X_pi_value, Y_max_index, Y_pi_value = get_optimal_mapping_relationship(X, Y, pi, keep_all=keep_all)
+    mappings = []
+    for max_index, pi_value, subset in zip(
+        [X_max_index, Y_max_index], [X_pi_value, Y_pi_value], ["index_x", "index_y"]
+    ):
+        data = pd.DataFrame(
+            {
+                "index_x": max_index[:, 0].astype(np.int32),
+                "index_y": max_index[:, 1].astype(np.int32),
+                "pi_value": pi_value[:, 0].astype(np.float64),
+            }
+        )
+        data.sort_values(by=[subset, "pi_value"], ascending=[True, False], inplace=True)
+        data.drop_duplicates(subset=[subset], keep="first", inplace=True)
+        mappings.append(
+            {
+                "mapping_X": X[data["index_x"].values],
+                "mapping_Y": Y[data["index_y"].values],
+                "pi_index": data[["index_x", "index_y"]].values,
+                "pi_value": data["pi_value"].values,
+            }
+        )
+    return mappings[0], mappings[1]
 
 
 def get_labels_based_on_coords(

@@ -26,90 +26,155 @@ def _iter_frames(iter_added) -> List[np.ndarray]:
     return frames
 
 
+def _lexsort_pi(pi: np.ndarray) -> np.ndarray:
+    """Reorder the transport plan so its mass concentrates along the
+    diagonal (reference pairwise_align_plots.py:59-60: lexsort columns by
+    the rows read bottom-up, then rows by the columns read right-to-left)."""
+    pi = np.asarray(pi, dtype=float)
+    sort_pi = pi.T[np.lexsort(pi[::-1, :])].T
+    sort_pi = sort_pi[np.lexsort(sort_pi[:, ::-1].T)]
+    return sort_pi
+
+
 def pi_heatmap(
     pi: np.ndarray,
     model1_name: str = "model1",
     model2_name: str = "model2",
     colormap: str = "hot_r",
+    fig_height: float = 3,
+    robust: bool = False,
+    vmin: Optional[float] = None,
+    vmax: Optional[float] = None,
     fontsize: int = 12,
     filename: Optional[str] = None,
-    robust: bool = True,
     ax=None,
     save_show_or_return: str = "return",
     save_kwargs: Optional[dict] = None,
     **kwargs,
 ):
     """Heatmap of the alignment transport plan / posterior P
-    (parity: reference pairwise_align_plots.py:29)."""
-    P = np.asarray(pi, dtype=float)
+    (parity: reference pairwise_align_plots.py:29 — same signature;
+    rows/columns are lexsorted first and the figure keeps the matrix's
+    aspect ratio)."""
+    sort_pi = _lexsort_pi(pi)
     if ax is None:
-        fig, ax = plt.subplots(figsize=(6, 6))
+        aspect_ratio = sort_pi.shape[1] / sort_pi.shape[0]
+        fig, ax = plt.subplots(figsize=(fig_height * aspect_ratio, fig_height))
     else:
         fig = ax.figure
-    vmax = np.percentile(P, 99.5) if robust else None
-    im = ax.imshow(P, cmap=resolve_cmap(colormap), aspect="auto", vmax=vmax, **kwargs)
-    ax.set_xlabel(model2_name, fontsize=fontsize)
-    ax.set_ylabel(model1_name, fontsize=fontsize)
+    if robust and vmin is None and vmax is None:
+        vmin, vmax = np.percentile(sort_pi, 2.0), np.percentile(sort_pi, 98.0)
+    im = ax.imshow(sort_pi, cmap=resolve_cmap(colormap), aspect="auto", vmin=vmin, vmax=vmax, **kwargs)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    ax.set_xlabel(model2_name, labelpad=5, loc="center", fontsize=fontsize, fontweight="regular")
+    ax.set_ylabel(model1_name, labelpad=5, loc="center", fontsize=fontsize, fontweight="regular")
     plt.colorbar(im, ax=ax, shrink=0.7)
     if filename:
-        fig.savefig(filename, dpi=150, bbox_inches="tight")
+        fig.savefig(filename, dpi=300, bbox_inches="tight")
     return save_return_show_fig_utils(save_show_or_return, False, None, "pi_heatmap", save_kwargs, 1, fig, ax)
 
 
 def pairwise_mapping(
-    idA=None,
-    idB=None,
+    idA: str = "sampleA",
+    idB: str = "sampleB",
     adataA=None,
     adataB=None,
     pi: Optional[np.ndarray] = None,
     modelA=None,
     modelB=None,
+    model_lines=None,
     layer: str = "X",
+    group_key=None,
     spatial_key: str = "align_spatial",
     keep_all: bool = False,
-    distance_threshold: Optional[float] = None,
-    n_sampling: int = 300,
-    model_color: Sequence[str] = ("tab:red", "tab:blue"),
-    line_color: str = "#777777",
-    line_alpha: float = 0.4,
-    point_size: float = 3.0,
+    distance: Optional[float] = 300,
+    direction: str = "z",
     filename: Optional[str] = None,
+    modelA_cmap: str = "dodgerblue",
+    modelB_cmap: str = "red",
+    line_color: str = "gainsboro",
+    line_alpha: float = 1.0,
+    model_opacity: float = 1.0,
+    line_opacity: float = 0.03,
+    model_size: float = 6.0,
+    line_size: float = 2.0,
+    point_size: Optional[float] = None,
     **kwargs,
 ):
-    """3D view of two aligned slices with mapping lines connecting each
-    sampled cell in A to its best-matched cell in B under the transport
-    plan `pi` (parity: reference pairwise_align_plots.py:89)."""
+    """3D view of two aligned slices, model B offset by `distance` along
+    `direction`, with one line per A-cell to its optimal B partner under
+    the transport plan (parity: reference pairwise_align_plots.py:89 —
+    pairs come from get_optimal_mapping_relationship, deduplicated to the
+    highest-pi partner per A cell; cells are colored by `group_key`
+    (obs column or gene) when given, else by sample id).
+
+    Returns (fig, mapping_data) where mapping_data holds the drawn
+    index_x/index_y/pi_value rows."""
+    import pandas as pd
+
+    from ...alignment.utils import get_optimal_mapping_relationship
+
+    if point_size is not None:  # back-compat alias
+        model_size = point_size
     ptsA = np.asarray(adataA.obsm[spatial_key], dtype=float)
     ptsB = np.asarray(adataB.obsm[spatial_key], dtype=float)
     if ptsA.shape[1] == 2:
         ptsA = np.concatenate([ptsA, np.zeros((len(ptsA), 1))], 1)
     if ptsB.shape[1] == 2:
-        ptsB = np.concatenate([ptsB, np.ones((len(ptsB), 1))], 1)
-    P = np.asarray(pi, dtype=float)
+        ptsB = np.concatenate([ptsB, np.zeros((len(ptsB), 1))], 1)
+    offset = {"x": np.array([-1.0, 0, 0]), "y": np.array([0, -1.0, 0]), "z": np.array([0, 0, -1.0])}[direction]
+    models_distance = offset * (distance if distance is not None else 0.0)
+    ptsB = ptsB + models_distance
+
+    max_index, pi_value, _, _ = get_optimal_mapping_relationship(
+        X=ptsA.copy(), Y=ptsB.copy(), pi=np.asarray(pi), keep_all=keep_all
+    )
+    mapping_data = pd.DataFrame(
+        {
+            "index_x": max_index[:, 0].astype(np.int64),
+            "index_y": max_index[:, 1].astype(np.int64),
+            "pi_value": pi_value[:, 0].astype(np.float64),
+        }
+    )
+    mapping_data.sort_values(by=["index_x", "pi_value"], ascending=[True, False], inplace=True)
+    mapping_data.drop_duplicates(subset=["index_x"], keep="first", inplace=True)
 
     fig = plt.figure(figsize=(7, 7))
     ax = fig.add_subplot(projection="3d")
-    ax.scatter(ptsA[:, 0], ptsA[:, 1], ptsA[:, 2], s=point_size, color=model_color[0], alpha=0.6, linewidths=0, label=idA or "A")
-    ax.scatter(ptsB[:, 0], ptsB[:, 1], ptsB[:, 2], s=point_size, color=model_color[1], alpha=0.6, linewidths=0, label=idB or "B")
 
-    best = np.argmax(P, axis=1)
-    conf = P[np.arange(len(P)), best]
-    order = np.argsort(-conf)
-    idx = order if keep_all else order[: min(n_sampling, len(order))]
-    if distance_threshold is not None:
-        d = np.linalg.norm(ptsA[idx] - ptsB[best[idx]], axis=1)
-        idx = idx[d <= distance_threshold]
-    for i in idx:
-        j = best[i]
+    def _scatter_group(pts, adata, cmap_color, label):
+        if group_key is not None and adata is not None and group_key in getattr(adata.obs, "columns", []):
+            groups = np.asarray(adata.obs[group_key]).astype(str)
+            for g in np.unique(groups):
+                m = groups == g
+                ax.scatter(pts[m, 0], pts[m, 1], pts[m, 2], s=model_size, alpha=model_opacity,
+                           linewidths=0, label=f"{label}:{g}")
+        elif group_key is not None and adata is not None and group_key in list(map(str, adata.var_names)):
+            X = adata.layers[layer] if layer != "X" else adata.X
+            X = X.toarray() if hasattr(X, "toarray") else np.asarray(X)
+            vals = np.asarray(X)[:, list(map(str, adata.var_names)).index(group_key)].astype(float)
+            ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=vals, cmap="viridis", s=model_size,
+                       alpha=model_opacity, linewidths=0, label=label)
+        else:
+            ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=model_size, color=cmap_color,
+                       alpha=model_opacity, linewidths=0, label=label)
+
+    _scatter_group(ptsA, adataA, modelA_cmap, idA)
+    _scatter_group(ptsB, adataB, modelB_cmap, idB)
+
+    segs = mapping_data[["index_x", "index_y"]].values
+    for i, j in segs:
         ax.plot([ptsA[i, 0], ptsB[j, 0]], [ptsA[i, 1], ptsB[j, 1]], [ptsA[i, 2], ptsB[j, 2]],
-                color=line_color, alpha=line_alpha, lw=0.5)
+                color=line_color, alpha=max(line_opacity, line_alpha * line_opacity), lw=line_size * 0.25)
     ax.legend(frameon=False, fontsize=8)
+    ax.set_title(f"Models id: {idA} & {idB}", fontsize=10)
     ax.set_axis_off()
     if filename:
         fig.savefig(filename, dpi=150, bbox_inches="tight")
         plt.close(fig)
-        return filename
-    return fig
+        return filename, mapping_data
+    return fig, mapping_data
 
 
 def pairwise_exp_similarity(

@@ -47,7 +47,7 @@ def cell_directions(
         verbose=False,
         **kwargs,
     )
-    X_index, Y_index, _, _ = get_optimal_mapping_relationship(
+    max_index, pi_value, _, _ = get_optimal_mapping_relationship(
         X=np.asarray(adataA.obsm[spatial_key]).copy(),
         Y=np.asarray(adataB.obsm[spatial_key]).copy(),
         pi=pi,
@@ -55,9 +55,9 @@ def cell_directions(
     )
     mapping_data = pd.DataFrame(
         {
-            "index_x": X_index.astype(np.int32),
-            "index_y": Y_index.astype(np.int32),
-            "pi_value": pi[X_index, Y_index].astype(np.float64),
+            "index_x": max_index[:, 0].astype(np.int32),
+            "index_y": max_index[:, 1].astype(np.int32),
+            "pi_value": pi_value[:, 0].astype(np.float64),
         }
     )
     mapping_data.sort_values(by=["index_x", "pi_value"], ascending=[True, False], inplace=True)

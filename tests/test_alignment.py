@@ -816,3 +816,48 @@ class TestMorpho3D:
         spread = np.sqrt(((pts - pts.mean(0)) ** 2).sum(1)).mean()
         assert err / spread < 0.05, f"relative error {err / spread:.3f}"
         assert m.XAHat.shape == (n, 3)
+
+
+class TestOptimalMappingRelationship:
+    """Reference-contract tests (ref alignment/utils.py:157): [k,2] pair
+    arrays + [k,1] values from both sides, tie-break by proximity."""
+
+    def test_pairs_values_and_tie_break(self):
+        import numpy as np
+
+        from spateo_tpu.alignment.utils import get_optimal_mapping_relationship
+
+        X = np.array([[0.0, 0.0], [10.0, 0.0]])
+        Y = np.array([[0.1, 0.0], [9.0, 0.0], [20.0, 0.0]])
+        # row 0 ties between Y0 (near) and Y2 (far); row 1 unique argmax Y1
+        pi = np.array([[0.4, 0.2, 0.4], [0.1, 0.8, 0.1]])
+        Xp, Xv, Yp, Yv = get_optimal_mapping_relationship(X, Y, pi, keep_all=False)
+        assert Xp.shape[1] == 2 and Xv.shape == (len(Xp), 1)
+        asdict = {int(i): int(j) for i, j in Xp}
+        assert asdict[0] == 0  # nearest tied partner wins
+        assert asdict[1] == 1
+        # keep_all returns every tied pair
+        Xp_all, _, _, _ = get_optimal_mapping_relationship(X, Y, pi, keep_all=True)
+        assert {(0, 0), (0, 2), (1, 1)} == {(int(i), int(j)) for i, j in Xp_all}
+        # column side: each column's max row
+        col_map = {int(j): int(i) for i, j in Yp}
+        assert col_map[1] == 1 and col_map[0] == 0
+
+    def test_mapping_aligned_coords_dicts(self):
+        import numpy as np
+
+        from spateo_tpu.alignment.utils import mapping_aligned_coords
+
+        rng = np.random.default_rng(0)
+        X = rng.uniform(0, 1, (12, 2))
+        Y = rng.uniform(0, 1, (9, 2))
+        pi = rng.uniform(0, 1, (12, 9))
+        dx, dy = mapping_aligned_coords(X, Y, pi)
+        assert set(dx) == {"mapping_X", "mapping_Y", "pi_index", "pi_value"}
+        # X-side dict: one entry per X point, partner = row argmax
+        assert len(dx["pi_index"]) == 12
+        np.testing.assert_array_equal(dx["pi_index"][:, 1], np.argmax(pi, axis=1))
+        np.testing.assert_allclose(dx["pi_value"], pi[np.arange(12), np.argmax(pi, axis=1)])
+        # Y-side dict: one entry per Y point, partner = column argmax
+        assert len(dy["pi_index"]) == 9
+        np.testing.assert_array_equal(np.sort(dy["pi_index"][:, 1]), np.arange(9))

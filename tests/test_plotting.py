@@ -343,8 +343,22 @@ class TestThreeD:
         P = rng.uniform(0, 1, (30, 25))
         ax = pl.pi_heatmap(P, save_show_or_return="return")
         assert ax.get_images()
-        fig = pl.pairwise_mapping(adataA=a, adataB=b, pi=P, n_sampling=10)
-        assert len(fig.axes[0].lines) == 10
+        fig, mapping = pl.pairwise_mapping(adataA=a, adataB=b, pi=P, distance=3.0)
+        # one line per A cell: optimal partner deduplicated to highest pi
+        assert len(fig.axes[0].lines) == 30
+        assert mapping["index_x"].is_unique
+        np.testing.assert_array_equal(mapping["index_y"].values, np.argmax(P, axis=1))
+
+    def test_pi_heatmap_lexsort_and_mapping_offset(self):
+        from spateo_tpu.plotting.three_d_plot.pairwise_align_plots import _lexsort_pi
+
+        P = np.array([[0.0, 0.9, 0.1], [0.8, 0.1, 0.1], [0.1, 0.0, 0.9]])
+        S = _lexsort_pi(P)
+        # same multiset of entries, rows/cols reordered (ref :59-60)
+        assert sorted(S.ravel()) == sorted(P.ravel())
+        ref = P.T[np.lexsort(P[::-1, :])].T
+        ref = ref[np.lexsort(ref[:, ::-1].T)]
+        np.testing.assert_array_equal(S, ref)
 
 
 class TestInteractive:
