@@ -82,7 +82,8 @@ def add_model(
                 cats = list(pd.unique(svals))
                 for i, c in enumerate(cats):
                     m = svals == c
-                    ax.scatter(pts[m, 0], pts[m, 1], pts[m, 2], color=DEFAULT_PALETTE[i % len(DEFAULT_PALETTE)],
+                    ax.scatter(pts[m, 0], pts[m, 1], pts[m, 2],
+                               color=color or DEFAULT_PALETTE[i % len(DEFAULT_PALETTE)],
                                s=model_size, alpha=opacity, label=c, linewidths=0)
         else:
             ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], color=color or "tab:blue", s=model_size, alpha=opacity, linewidths=0)

@@ -229,9 +229,30 @@ class TestUtilities:
     def test_grid_deformation(self):
         A, B, _ = make_slice_pair(n=250, seed=12)
         models, _ = st.align.morpho_align([A, B], max_iter=30, batch_size=150, verbose=False)
-        out = st.align.grid_deformation(models[1], spatial_key="align_spatial", grid_num=5, grid_density=20)
-        assert len(out["grid_lines"]) == 10
-        assert out["deformed_lines"][0].shape == (20, 2)
+        # inject a visible non-rigid component so the velocity scalar is
+        # non-trivial regardless of how rigid the fitted pair was
+        vf = models[1].uns["VecFld_morpho"]
+        vf["Coff"] = np.asarray(vf["Coff"]) + 0.05
+        grid, deformed = st.align.grid_deformation(
+            models[1], spatial_key="align_spatial", grid_num=[5, 5], grid_density=20
+        )
+        # reference contract (deformation.py:24): two merged line models;
+        # 10 lines x 20 points, velocity scalar only on the deformed one
+        assert len(grid.points) == len(deformed.points) == 10 * 20
+        assert np.all(np.asarray(grid.point_data["deformation"]) == 0)
+        assert np.asarray(deformed.point_data["deformation"]).max() > 0
+        # raw polylines still stashed for the 2D path
+        assert len(models[1].uns["deformation"]["grid_lines"]) == 10
+        # and the 3D deformation plot renders one panel per slice
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import spateo_tpu.plotting as pl
+
+        models[1].obs["slices"] = "s1"
+        fig = pl.deformation(models[1], deformed_grid=deformed)
+        visible = [ax for ax in fig.axes if ax.get_visible()]
+        assert len(visible) == 1 and visible[0].get_title() == "Model id: s1"
 
 
 class TestIterationTrace:

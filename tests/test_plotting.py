@@ -878,3 +878,47 @@ class TestMorphometricsObsIndex:
         fig = pl.jacobian(a, pc, model_style="points")
         titles = [ax.get_title() for ax in fig.axes if ax.get_title()]
         assert "∂fx/∂x" in titles and "∂fz/∂y" in titles and len(titles) == 9
+
+
+class TestMultiModels:
+    """Reference mode semantics of st.pl.multi_models
+    (ref align_plots.py:46): panel counts and overlap coloring."""
+
+    def _slices(self, k=3):
+        rng = np.random.default_rng(5)
+        out = []
+        for i in range(k):
+            a = st.AnnData(X=np.ones((50, 2), dtype=np.float32),
+                           obs=pd.DataFrame({"slices": [f"s{i}"] * 50},
+                                            index=[f"c{i}_{j}" for j in range(50)]))
+            st.SKM.init_adata_type(a, "UMI")
+            a.obsm["align_spatial"] = rng.uniform(0, 1, (50, 2))
+            out.append(a)
+        return out
+
+    def test_single_mode_one_panel_per_slice(self):
+        fig = pl.multi_models(self._slices(3), mode="single")
+        visible = [ax for ax in fig.axes if ax.get_visible() and ax.collections]
+        assert len(visible) == 3
+        assert visible[0].get_title() == "Model id: s0"
+
+    def test_overlap_mode_pairs(self):
+        import matplotlib.colors as mcolors
+
+        fig = pl.multi_models(self._slices(3), mode="overlap")
+        visible = [ax for ax in fig.axes if ax.get_visible() and ax.collections]
+        assert len(visible) == 2  # consecutive pairs
+        assert visible[0].get_title() == "Model id: s0 & s1"
+        # first model dodgerblue at overlap_amap, second red opaque
+        cols = visible[0].collections
+        assert len(cols) == 2
+        c0 = cols[0].get_facecolor()[0][:3]
+        np.testing.assert_allclose(c0, mcolors.to_rgb("dodgerblue"), atol=0.01)
+        assert cols[0].get_alpha() == 0.5
+
+    def test_both_mode_three_panels_per_pair(self):
+        fig = pl.multi_models(self._slices(2), mode="both")
+        visible = [ax for ax in fig.axes if ax.get_visible() and ax.collections]
+        assert len(visible) == 3
+        titles = [ax.get_title() for ax in visible]
+        assert titles == ["Model id: s0", "Model id: s1", "Model id: s0 & s1"]
