@@ -18,10 +18,46 @@ from .utils import (
     deaxis_all,
     despline_all,
     get_categorical_colors,
+    is_cell_anno_column,
+    is_gene_name,
     quiver_autoscaler,
     resolve_cmap,
     save_return_show_fig_utils,
 )
+
+
+def _axis_vector(adata, key, layer: str) -> np.ndarray:
+    """Per-cell vector for a string x/y axis: a gene (from `layer`) or an
+    obs column (reference scatters.py:643-698 phase-plot axes)."""
+    if is_gene_name(adata, key):
+        names = list(map(str, adata.var_names))
+        X = adata.layers[layer] if layer not in (None, "X") else adata.X
+        X = X.toarray() if hasattr(X, "toarray") else np.asarray(X)
+        return np.asarray(X)[:, names.index(str(key))].astype(float)
+    if is_cell_anno_column(adata, key):
+        return np.asarray(adata.obs[key], dtype=float)
+    raise ValueError(f"`{key}` is neither a gene name nor an obs column.")
+
+
+def _aggregate_points(adata, aggregate: str, pts: np.ndarray, vals: np.ndarray):
+    """Collapse cells to per-group medians; numeric colors take the group
+    median, categorical the group's most frequent label; point sizes become
+    the group sizes (reference scatters.py:718-752)."""
+    groups = np.asarray(adata.obs[aggregate]).astype(str)
+    uniq = list(pd.unique(groups))
+    med = np.zeros((len(uniq), pts.shape[1]))
+    sizes = np.zeros(len(uniq))
+    numeric = np.issubdtype(np.asarray(vals).dtype, np.number)
+    out_vals = np.zeros(len(uniq)) if numeric else np.empty(len(uniq), dtype=object)
+    for k, g in enumerate(uniq):
+        m = groups == g
+        med[k] = np.nanmedian(pts[m], axis=0)
+        sizes[k] = m.sum()
+        if numeric:
+            out_vals[k] = np.nanmedian(np.asarray(vals, float)[m])
+        else:
+            out_vals[k] = pd.Series(np.asarray(vals)[m]).value_counts().index[0]
+    return med, out_vals, sizes
 
 
 def _resolve_basis(adata, basis: str) -> np.ndarray:
@@ -77,7 +113,10 @@ def _panel_scatter(
                     ax.text(*pts[m].mean(0)[:2], c, fontsize=8, ha="center", weight="bold")
         elif show_legend not in (False, None, "none"):
             ax.legend(loc="center left", bbox_to_anchor=(1, 0.5), fontsize=7, markerscale=3, frameon=False)
+        ax.set_title(title, fontsize=10)
+        return dict(zip(cats, (mapping[c] for c in cats)))
     ax.set_title(title, fontsize=10)
+    return None
 
 
 def _neighbor_smooth(pts: np.ndarray, v: np.ndarray, iterations: int) -> np.ndarray:
@@ -137,6 +176,12 @@ def scatters(
     ccmap: Optional[str] = None,
     calpha: float = 0.4,
     projection: str = "2d",
+    aggregate: Optional[str] = None,
+    geo: bool = False,
+    boundary_width: float = 0.2,
+    boundary_color: str = "black",
+    slices: Optional[int] = None,
+    img_layers: Optional[int] = None,
     affine_transform_degree: Optional[float] = None,
     affine_transform_A: Optional[np.ndarray] = None,
     affine_transform_b: Optional[np.ndarray] = None,
@@ -207,8 +252,21 @@ def scatters(
         axes_flat = np.asarray([ax])
 
     for i, (b, c, l) in enumerate(panels[: len(axes_flat)]):
-        coords = _resolve_basis(adata, b)
-        pts = coords[:, [x, y, z][: 3 if projection == "3d" and coords.shape[1] > 2 else 2]]
+        phase_title = None
+        if isinstance(x, str) or isinstance(y, str):
+            # phase-plot axes: gene/obs-column values instead of basis
+            # coordinates (reference scatters.py:643-698)
+            vx = _axis_vector(adata, x, l) if isinstance(x, str) else _resolve_basis(adata, b)[:, x]
+            vy = _axis_vector(adata, y, l) if isinstance(y, str) else _resolve_basis(adata, b)[:, y]
+            pts = np.c_[vx, vy]
+            if isinstance(x, str) and isinstance(y, str):
+                if is_gene_name(adata, x) != is_gene_name(adata, y):
+                    phase_title = x if is_gene_name(adata, x) else y
+                else:
+                    phase_title = f"{x} VS {y}"
+        else:
+            coords = _resolve_basis(adata, b)
+            pts = coords[:, [x, y, z][: 3 if projection == "3d" and coords.shape[1] > 2 else 2]]
         # pre-plot affine transform (reference scatters.py affine_transform_*)
         if affine_transform_A is not None or affine_transform_degree is not None:
             A = np.asarray(affine_transform_A, float) if affine_transform_A is not None else None
@@ -232,6 +290,9 @@ def scatters(
             keep = np.isin(svals, np.asarray(highlights, dtype=str))
             vals = np.where(keep, svals, "other")
         ps = pointsize if pointsize is not None else max(0.2, 30000.0 / max(len(pts), 1))
+        if aggregate is not None:
+            pts, vals, ps = _aggregate_points(adata, aggregate, pts, vals)
+            numeric_vals = np.issubdtype(np.asarray(vals).dtype, np.number)
         ck = None
         if isinstance(color_key, dict):
             cats = list(color_key)
@@ -261,11 +322,56 @@ def scatters(
                     )
                 except Exception:
                     pass
-            _panel_scatter(
-                axes_flat[i], pts[:, :2], vals, resolve_cmap(cmap, "viridis" if sort != "abs" else "inferno"),
-                ps, alpha, marker, show_legend, sym_c, sort, adata=adata, color_key=ck, title=str(c),
-                vmin=vmin, vmax=vmax,
-            )
+            if geo:
+                # cell-polygon rendering (reference scatters.py geo=True:
+                # shapely geometries -> here the geo module's polygon store)
+                from matplotlib.collections import PolyCollection
+
+                from .geo import _get_polygons
+
+                polys = _get_polygons(adata, "contour")
+                if numeric_vals:
+                    v = np.asarray(vals, float)
+                    norm = check_colornorm(vmin, vmax)
+                    fc = resolve_cmap(cmap, "viridis")(norm(v))
+                else:
+                    cats, mapping = ck if ck is not None else get_categorical_colors(adata, None, values=vals)
+                    svals = pd.Series(vals).astype(str).values
+                    fc = [mapping[s] for s in svals]
+                axes_flat[i].add_collection(PolyCollection(
+                    polys[: len(vals)], facecolors=fc, edgecolors=boundary_color,
+                    linewidths=boundary_width, alpha=alpha,
+                ))
+                axes_flat[i].autoscale_view()
+                axes_flat[i].set_title(phase_title or str(c), fontsize=10)
+                color_mapping = None
+            else:
+                color_mapping = _panel_scatter(
+                    axes_flat[i], pts[:, :2], vals, resolve_cmap(cmap, "viridis" if sort != "abs" else "inferno"),
+                    ps, alpha, marker, show_legend, sym_c, sort, adata=adata, color_key=ck,
+                    title=phase_title or str(c), vmin=vmin, vmax=vmax,
+                )
+            if color_mapping is not None:
+                # persist the categorical palette the way the reference does
+                # (scatters.py:892-898 adata.uns[f"{title}_colors"])
+                from matplotlib.colors import to_hex
+
+                adata.uns[f"{phase_title or str(c)}_colors"] = {
+                    k: to_hex(v) for k, v in color_mapping.items()
+                }
+            if img_layers is not None and slices is not None and "spatial" in getattr(adata, "uns", {}):
+                # staining image underlay (reference scatters.py:979-991)
+                entry = adata.uns["spatial"][slices]
+                img = np.asarray(entry["images"][img_layers])
+                scale = entry.get("scalefactors", {})
+                sf = scale[img_layers] if not np.isscalar(scale) and img_layers in scale else scale
+                try:
+                    sf = float(sf)
+                except (TypeError, ValueError):
+                    sf = 1.0
+                extent = [0, img.shape[1] / sf, 0, img.shape[0] / sf]
+                axes_flat[i].imshow(np.flipud(np.rot90(img)) if img.ndim == 2 else img,
+                                    extent=extent, cmap="gray" if img.ndim == 2 else None, zorder=-1)
             if V is not None:
                 Xq = X_grid if X_grid is not None else pts[:, :2]
                 plot_vectors(axes_flat[i], Xq, np.asarray(V), method=vf_plot_method, **(vf_kwargs or {}))

@@ -62,10 +62,11 @@ def add_model(
         pc = Poly3DCollection(tris, facecolors=face_colors, alpha=opacity,
                               edgecolors="k" if model_style == "wireframe" else "none", linewidths=0.1)
         ax.add_collection3d(pc)
-    elif hasattr(model, "lines"):
-        segs = pts[np.asarray(model.lines)]
+    elif hasattr(model, "lines") or hasattr(model, "edges"):
+        edge_idx = np.asarray(model.lines if hasattr(model, "lines") else model.edges)
+        segs = pts[edge_idx]
         if scalars is not None and np.issubdtype(np.asarray(scalars).dtype, np.number):
-            svals = np.asarray(scalars, float)[np.asarray(model.lines)].mean(1)
+            svals = np.asarray(scalars, float)[edge_idx].mean(1)
             norm = check_colornorm(float(svals.min()), float(svals.max()))
             lc = Line3DCollection(segs, colors=cm(norm(svals)), alpha=opacity, linewidths=model_size / 2)
         else:

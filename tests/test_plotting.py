@@ -922,3 +922,63 @@ class TestMultiModels:
         assert len(visible) == 3
         titles = [ax.get_title() for ax in visible]
         assert titles == ["Model id: s0", "Model id: s1", "Model id: s0 & s1"]
+
+
+class TestBackbonePlot:
+    def test_backbone_wireframe_and_node_labels(self):
+        rng = np.random.default_rng(2)
+        pts = np.c_[np.linspace(0, 1, 300), rng.normal(0, 0.03, 300), rng.normal(0, 0.03, 300)]
+        bb, length, _ = st.tdr.construct_backbone(pts, rd_method="SimplePPT", num_nodes=10)
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+
+        fig = pl.backbone(bb, bg_model=PointCloud(pts))
+        ax = fig.axes[0]
+        from mpl_toolkits.mplot3d.art3d import Line3DCollection
+
+        # backbone edges render as a 3D line collection (ref: wireframe)
+        assert any(isinstance(c, Line3DCollection) for c in ax.collections)
+        # one text label per backbone node (ref add_point_labels)
+        assert len(ax.texts) == 10
+
+
+class TestScattersReferenceOptions:
+    """Reference option semantics added to scatters (ref scatters.py:643-991):
+    phase-plot axes, aggregate, uns color persistence, geo polygons, image
+    underlay."""
+
+    def test_phase_plot_gene_vs_gene(self, adata):
+        ax = pl.scatters(adata, basis="spatial", color="leiden", x="g0", y="g1",
+                         save_show_or_return="return")
+        assert ax.get_title() == "g0 VS g1"
+        offsets = np.concatenate([c.get_offsets() for c in ax.collections])
+        X = np.asarray(adata.X)
+        assert set(np.unique(offsets[:, 0])) <= set(np.unique(X[:, 0]))
+
+    def test_aggregate_collapses_to_groups(self, adata):
+        ax = pl.scatters(adata, basis="spatial", color="g0", aggregate="leiden",
+                         save_show_or_return="return")
+        pts = ax.collections[0].get_offsets()
+        assert len(pts) == 3  # one median point per leiden group
+        sizes = np.asarray(ax.collections[0].get_sizes())
+        counts = adata.obs["leiden"].value_counts()
+        assert set(sizes.astype(int)) == set(counts.values)
+
+    def test_uns_colors_written(self, adata):
+        pl.scatters(adata, basis="spatial", color="leiden", save_show_or_return="return")
+        assert "leiden_colors" in adata.uns
+        assert set(adata.uns["leiden_colors"]) == {"a", "b", "c"}
+        assert all(str(v).startswith("#") for v in adata.uns["leiden_colors"].values())
+
+    def test_geo_polygons(self, adata):
+        from matplotlib.collections import PolyCollection
+
+        ax = pl.scatters(adata, basis="spatial", color="g0", geo=True,
+                         save_show_or_return="return")
+        assert any(isinstance(c, PolyCollection) for c in ax.collections)
+
+    def test_img_underlay(self, adata):
+        rng = np.random.default_rng(0)
+        adata.uns["spatial"] = {0: {"images": [rng.uniform(0, 1, (20, 20))], "scalefactors": [1.0]}}
+        ax = pl.scatters(adata, basis="spatial", color="g0", slices=0, img_layers=0,
+                         save_show_or_return="return")
+        assert len(ax.get_images()) == 1
