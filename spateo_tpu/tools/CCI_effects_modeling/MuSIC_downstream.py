@@ -2781,6 +2781,94 @@ class MuSIC_Interpreter(MuSIC):
     # ------------------------------------------------------------------
     # CCI DEG detection + summaries (parity: :6607-7941)
     # ------------------------------------------------------------------
+    @staticmethod
+    def _intersection_ratio_top_regulators(signal_df: pd.DataFrame, regulator_df: pd.DataFrame, k: int = 20):
+        """For each signal column, rank regulators by
+        |nonzero(signal) ∩ nonzero(regulator)| / |nonzero(regulator)| and
+        keep the top `k` (reference MuSIC_downstream.py:6954-6976)."""
+        sig_nz = signal_df.values != 0
+        reg_nz = regulator_df.values != 0
+        # [n_signals, n_regs] intersection counts in one matmul
+        inter = sig_nz.T.astype(float) @ reg_nz.astype(float)
+        reg_counts = reg_nz.sum(axis=0).astype(float)
+        ratios = np.divide(inter, reg_counts[None, :], out=np.zeros_like(inter), where=reg_counts[None, :] > 0)
+        top = {}
+        for si, sc in enumerate(signal_df.columns):
+            order = np.argsort(-ratios[si])[:k]
+            top[sc] = [regulator_df.columns[j] for j in order]
+        return top
+
+    def _select_grn_regulators(self, expr: pd.DataFrame, signal_df: pd.DataFrame, custom_tfs=None, n_obs=None):
+        """Reference TF selection (MuSIC_downstream.py:6907-6981): primary
+        TFs = GRN columns measured and nonzero in >= target_expr_threshold
+        of cells; secondary TFs = GRN-bound partners of the primaries kept
+        at half that threshold; the union is then pruned to the top-20
+        coexpressed regulators per signal column by intersection ratio.
+        The binary TF-TF binding matrix stands in for the reference's GRN
+        file (which ships only as an LFS pointer)."""
+        n_obs = n_obs if n_obs is not None else len(expr)
+        sp = getattr(self, "species", "human")
+        grn = getattr(self, "grn", None)
+        if grn is None:
+            from .MuSIC import _read_db_csv
+            import os as _os
+
+            grn = _read_db_csv(_os.path.join(self.cci_dir, f"{sp}_TF_TF_db.csv"))
+        if grn is None:
+            grn = pd.DataFrame()
+        grn = grn[[c for c in grn.columns if c in expr.columns]]
+
+        thr = getattr(self, "target_expr_threshold", 0.05)
+        n_cells_threshold = int(thr * n_obs)
+        all_TFs = list(grn.columns)
+        if all_TFs:
+            nnz = (expr[all_TFs].values != 0).sum(axis=0)
+            all_TFs = [tf for tf, c in zip(all_TFs, nnz) if c >= n_cells_threshold]
+        if custom_tfs is not None:
+            all_TFs.extend([t for t in custom_tfs if t in expr.columns])
+
+        # secondary TFs: binding partners of the primaries, at half threshold
+        check_TFs = [tf for tf in all_TFs if tf in grn.index]
+        secondary_TFs: List[str] = []
+        if check_TFs:
+            primary_rows = grn.loc[check_TFs]
+            secondary_TFs = primary_rows.columns[(primary_rows == 1).any()].tolist()
+            nnz = (expr[secondary_TFs].values != 0).sum(axis=0)
+            secondary_TFs = [tf for tf, c in zip(secondary_TFs, nnz) if c >= int(0.5 * n_cells_threshold)]
+            secondary_TFs = [tf for tf in secondary_TFs if tf not in all_TFs]
+        regulator_features = all_TFs + secondary_TFs
+
+        # fallback pool when the binding matrix covers nothing measured
+        if not regulator_features:
+            pool = set()
+            if getattr(self, "r_tf_db", None) is not None:
+                pool |= set(map(str, self.r_tf_db["tf"]))
+            if getattr(self, "tf_target_db", None) is not None:
+                pool |= set(map(str, self.tf_target_db["TF"]))
+            regulator_features = [t for t in sorted(pool) if t in expr.columns]
+            nnz = (expr[regulator_features].values != 0).sum(axis=0) if regulator_features else []
+            regulator_features = [t for t, c in zip(regulator_features, nnz) if c >= int(0.5 * n_cells_threshold)]
+
+        if regulator_features:
+            top = self._intersection_ratio_top_regulators(signal_df, expr[regulator_features], k=20)
+            regulator_features = list(set(r for regs in top.values() for r in regs))
+        if custom_tfs is not None:
+            regulator_features = list(set(regulator_features) | {t for t in custom_tfs if t in expr.columns})
+        return regulator_features
+
+    @staticmethod
+    def _split_complex_columns(sig_df: pd.DataFrame, expr: pd.DataFrame) -> pd.DataFrame:
+        """Replace complex columns ('A_B') by their measured components
+        (reference MuSIC_downstream.py:6743-6751)."""
+        sig_df = sig_df.copy()
+        for col in list(sig_df.columns):
+            if "_" in str(col):
+                sig_df = sig_df.drop(col, axis=1)
+                for part in str(col).split("_"):
+                    if part in expr.columns:
+                        sig_df[part] = expr[part].values
+        return sig_df
+
     def CCI_deg_detection_setup(
         self,
         group_key: Optional[str] = None,
@@ -2788,77 +2876,148 @@ class MuSIC_Interpreter(MuSIC):
         sender_receiver_or_target_degs: str = "sender",
         use_ligands: bool = True,
         use_receptors: bool = False,
+        use_pathways: bool = False,
         use_targets: bool = False,
+        use_cell_types: bool = False,
+        compute_dim_reduction: bool = False,
         **kwargs,
     ):
         """Build the downstream GLM design for CCI DEG detection (parity:
-        reference MuSIC_downstream.py:6607): the dependent variables are the
-        model's ligands (sender), receptors (receiver) or targets, and the
-        regulators are the measured transcription factors (receptor-TF and
-        TF-TF databases, expression-thresholded). Stores
-        `self._cci_deg_design` (TF expression design) and
-        `self._cci_deg_targets` (molecule expression to explain)."""
+        reference MuSIC_downstream.py:6607 — same signature and pipeline).
+
+        The dependent 'signal' is the model's ligands (non-lagged),
+        receptors, pathway-aggregated ligands/receptors, or targets
+        (complex columns split into components, then filtered to >1%
+        nonzero cells); regulators are chosen by the GRN primary/secondary
+        + intersection-ratio procedure. With ``use_cell_types`` one design
+        is built per cell type (stored in ``self._cci_deg_by_cell_type``).
+        Alongside the design this stores the reference's X_jaccard array
+        (binary signal profile, the downstream model's neighbor space) and
+        optionally a PCA representation (`compute_dim_reduction`)."""
         from scipy.sparse import issparse
 
+        if use_pathways and getattr(self, "species", "human") != "human":
+            raise ValueError("Pathway analysis is only available for human samples.")
+        if sender_receiver_or_target_degs == "target" and use_pathways:
+            raise ValueError("`sender_receiver_or_target_degs` cannot be 'target' if 'use_pathways' is True.")
         if not hasattr(self, "lr_db") or self.lr_db is None:
             self._load_db()
         names = list(map(str, self.adata.var_names))
         X = self.adata.X.toarray() if issparse(self.adata.X) else np.asarray(self.adata.X, dtype=float)
         expr = pd.DataFrame(X, index=self.adata.obs_names, columns=names)
 
-        # regulators: TFs from the receptor-TF / TF-TF databases (custom
-        # additions always kept), expressed above the model threshold
-        tf_pool = set()
-        if getattr(self, "r_tf_db", None) is not None:
-            tf_pool |= set(map(str, self.r_tf_db["tf"]))
-        if getattr(self, "tf_target_db", None) is not None:
-            tf_pool |= set(map(str, self.tf_target_db["TF"]))
-        tfs = [t for t in sorted(tf_pool) if t in names]
-        if tfs:
-            pct = (expr[tfs] > 0).mean(axis=0)
-            thr = getattr(self, "target_expr_threshold", 0.05)
-            tfs = [t for t in tfs if pct[t] > thr]
-        if custom_tfs:
-            tfs = sorted(set(tfs) | {t for t in custom_tfs if t in names})
-        if not tfs:
-            raise ValueError("No measured transcription factors found for the downstream design.")
+        def _molecule_pool(kind: str) -> List[str]:
+            if kind == "ligand":
+                pool = list(self.ligands_expr_nonlag.columns) if hasattr(self, "ligands_expr_nonlag") else list(self.custom_ligands or [])
+            elif kind == "receptor":
+                pool = list(self.receptors_expr.columns) if hasattr(self, "receptors_expr") else list(self.custom_receptors or [])
+            else:
+                pool = list(self.targets_expr.columns) if hasattr(self, "targets_expr") else list(self.custom_targets or [])
+            return pool
 
-        # dependent molecules
-        if use_ligands and (hasattr(self, "ligands_expr_nonlag") or self.custom_ligands):
-            pool = list(self.ligands_expr_nonlag.columns) if hasattr(self, "ligands_expr_nonlag") else list(self.custom_ligands)
-            mols = [m for m in pool if m in names]
-        elif use_receptors and (hasattr(self, "receptors_expr") or self.custom_receptors):
-            pool = list(self.receptors_expr.columns) if hasattr(self, "receptors_expr") else list(self.custom_receptors)
-            mols = [m for m in pool if m in names]
-        elif use_targets and (hasattr(self, "targets_expr") or self.custom_targets):
-            pool = list(self.targets_expr.columns) if hasattr(self, "targets_expr") else list(self.custom_targets)
-            mols = [m for m in pool if m in names]
-        else:
-            # fall back to fitted-model targets
-            if not getattr(self, "coeffs", None):
-                self.load_coeffs()
-            mols = [t for t in self.coeffs if t in names]
-        if not mols:
-            raise ValueError("No dependent molecules for CCI DEG detection.")
-        # a dependent molecule must not regress on itself (some ligands are
-        # also annotated as regulators in the TF databases)
-        tfs = [t for t in tfs if t not in set(mols)]
-        if not tfs:
-            raise ValueError("No measured transcription factors left after excluding the dependent molecules.")
-        self._cci_deg_design = expr[tfs]
-        self._cci_deg_targets = expr[mols]
-        # remember which molecule family the downstream model explains — the
-        # reference keys its saved downstream models by this
-        # (MuSIC_downstream.py:7174-7188 ligand/receptor/target_gene analysis
-        # folders and the downstream_model_{ligand,receptor,target}_* attrs)
+        def _signal_source(kind: str) -> pd.DataFrame:
+            """The molecule-expression frame: the model's own expression
+            table when fitted (it carries complex columns the reference
+            splits), else raw expression of the custom molecule list."""
+            if kind == "ligand" and hasattr(self, "ligands_expr_nonlag"):
+                return self.ligands_expr_nonlag.copy()
+            if kind == "receptor" and hasattr(self, "receptors_expr"):
+                return self.receptors_expr.copy()
+            if kind == "target" and hasattr(self, "targets_expr"):
+                return self.targets_expr.copy()
+            return expr[[m for m in _molecule_pool(kind) if m in names]]
+
+        signal: dict = {}
+        subsets: dict = {}
         if use_ligands:
+            sig_df = self._split_complex_columns(_signal_source("ligand"), expr)
+            nonzero_pct = (sig_df != 0).sum() / len(sig_df) * 100
+            signal["all"] = sig_df.loc[:, nonzero_pct > 1]
+            subsets["all"] = self.adata
             self._cci_deg_mode = "ligand"
         elif use_receptors:
+            sig_df = self._split_complex_columns(_signal_source("receptor"), expr)
+            nonzero_pct = (sig_df != 0).sum() / len(sig_df) * 100
+            signal["all"] = sig_df.loc[:, nonzero_pct > 1]
+            subsets["all"] = self.adata
             self._cci_deg_mode = "receptor"
-        else:
+        elif use_pathways:
+            # aggregate ligand (sender) or receptor (receiver) expression by
+            # pathway membership (reference :6816-6839)
+            side = "from" if sender_receiver_or_target_degs == "sender" else "to"
+            mapping = self.lr_db.set_index(side)["pathway"].drop_duplicates()
+            mapping = mapping[~mapping.index.duplicated()].to_dict()
+            base = _signal_source("ligand" if side == "from" else "receptor")
+            mapped = base.copy()
+            mapped.columns = base.columns.map(mapping)
+            mapped = mapped.loc[:, mapped.columns.notna()]
+            signal["all"] = mapped.T.groupby(level=0).sum().T
+            subsets["all"] = self.adata
+            self._cci_deg_mode = "ligand" if side == "from" else "receptor"
+        elif use_targets:
+            signal["all"] = expr[[m for m in _molecule_pool("target") if m in names]]
+            subsets["all"] = self.adata
             self._cci_deg_mode = "target"
-        lm.main_info(f"CCI DEG design: {len(tfs)} TFs explaining {len(mols)} molecules.")
-        return self._cci_deg_design, self._cci_deg_targets
+        elif use_cell_types:
+            kind = {"sender": "ligand", "receiver": "receptor", "target": "target"}[sender_receiver_or_target_degs]
+            # expand complexes to their measured components
+            mols: List[str] = []
+            for m in _molecule_pool(kind):
+                for part in str(m).split("_"):
+                    if part in names and part not in mols:
+                        mols.append(part)
+            gk = group_key or self.group_key
+            thr = getattr(self, "target_expr_threshold", 0.05)
+            for cell_type in pd.unique(self.adata.obs[gk]):
+                mask = np.asarray(self.adata.obs[gk] == cell_type)
+                ct_expr = expr.loc[mask, [m for m in mols if m in names]]
+                pct = (ct_expr != 0).sum() / max(mask.sum(), 1) * 100
+                keep = [m for m in ct_expr.columns if pct[m] > thr * 100]
+                if not keep:
+                    continue
+                signal[str(cell_type)] = expr[keep]
+                subsets[str(cell_type)] = self.adata
+            self._cci_deg_mode = kind
+        else:
+            raise ValueError(
+                "All of 'use_ligands', 'use_receptors', 'use_pathways', 'use_targets' and 'use_cell_types' are "
+                "False. Please set at least one to True."
+            )
+
+        self._cci_deg_by_cell_type = {}
+        for subset_key, sig_df in signal.items():
+            if sig_df.shape[1] == 0:
+                continue
+            tfs = self._select_grn_regulators(expr, sig_df, custom_tfs=custom_tfs)
+            # a dependent molecule must not regress on itself
+            tfs = sorted(t for t in tfs if t not in set(sig_df.columns))
+            if not tfs:
+                raise ValueError("No measured transcription factors found for the downstream design.")
+            design = expr[tfs]
+            jaccard = (sig_df.values > 0).astype(int)
+            entry = {"design": design, "targets": sig_df, "X_jaccard": jaccard}
+            if compute_dim_reduction:
+                from ..dimensionality_reduction import find_optimal_pca_components, pca_fit
+
+                std = np.log1p(sig_df)
+                std = (std - std.mean()) / (std.std() + 1e-12)
+                ncomp = find_optimal_pca_components(std.values)
+                _, X_pca = pca_fit(std.values, n_components=ncomp)
+                entry["X_pca"] = np.asarray(X_pca)
+            if subset_key == "all":
+                self._cci_deg_design = design
+                self._cci_deg_targets = sig_df
+                self._cci_deg_jaccard = jaccard
+                if "X_pca" in entry:
+                    self._cci_deg_pca = entry["X_pca"]
+            else:
+                self._cci_deg_by_cell_type[subset_key] = entry
+            lm.main_info(
+                f"CCI DEG design [{subset_key}]: {len(tfs)} TFs explaining {sig_df.shape[1]} molecules."
+            )
+        if "all" in signal:
+            return self._cci_deg_design, self._cci_deg_targets
+        return self._cci_deg_by_cell_type
 
     def CCI_deg_detection(
         self,
@@ -2868,6 +3027,8 @@ class MuSIC_Interpreter(MuSIC):
         significance_threshold: float = 0.05,
         n_top: int = 25,
         fit_all: bool = False,
+        cell_type: Optional[str] = None,
+        use_dim_reduction: bool = False,
         **kwargs,
     ) -> pd.DataFrame:
         """Spatially-weighted GLM of molecule expression on TF expression —
@@ -2891,8 +3052,28 @@ class MuSIC_Interpreter(MuSIC):
         per-TF mean coefficient, standard error, Wald p/q values for the
         chosen (or first/last) dependent molecule, sorted by |coefficient|.
         """
+        if cell_type is not None:
+            # per-cell-type downstream model (reference :7261-7271): swap in
+            # the design built by CCI_deg_detection_setup(use_cell_types=True)
+            if not getattr(self, "_cci_deg_by_cell_type", None):
+                self.CCI_deg_detection_setup(use_ligands=False, use_cell_types=True, **kwargs)
+            if cell_type not in self._cci_deg_by_cell_type:
+                raise KeyError(
+                    f"`{cell_type}` has no downstream design; available: {list(self._cci_deg_by_cell_type)}"
+                )
+            entry = self._cci_deg_by_cell_type[cell_type]
+            self._cci_deg_design = entry["design"]
+            self._cci_deg_targets = entry["targets"]
+            self._cci_deg_jaccard = entry["X_jaccard"]
+            if "X_pca" in entry:
+                self._cci_deg_pca = entry["X_pca"]
         if not hasattr(self, "_cci_deg_design"):
             self.CCI_deg_detection_setup(**kwargs)
+        self._cci_deg_use_pca = bool(use_dim_reduction)
+        if use_dim_reduction and not hasattr(self, "_cci_deg_pca"):
+            raise ValueError(
+                "`use_dim_reduction=True` requires CCI_deg_detection_setup(compute_dim_reduction=True) first."
+            )
         y_df = self._cci_deg_targets
         if fit_all:
             mols = list(y_df.columns)
@@ -2923,13 +3104,30 @@ class MuSIC_Interpreter(MuSIC):
         if not hasattr(self, "coords"):
             self.coords = np.asarray(self.adata.obsm[self.coords_key], float)[:, :2]
             self.n_samples = self.adata.n_obs
-        n = self.n_samples
+        # the downstream model's neighbor space is signaling space, not
+        # physical space: X_pca when requested, else the binary Jaccard
+        # profile (reference CCI_deg_detection coords_key = "X_pca" /
+        # "X_jaccard", MuSIC_downstream.py:7160)
+        if getattr(self, "_cci_deg_use_pca", False) and hasattr(self, "_cci_deg_pca"):
+            nbr_coords = np.asarray(self._cci_deg_pca, float)
+        elif hasattr(self, "_cci_deg_jaccard"):
+            nbr_coords = np.asarray(self._cci_deg_jaccard, float)
+        else:
+            nbr_coords = self.coords
+        n = len(nbr_coords)
         Xtf = np.asarray(self._cci_deg_design.values, float)
         Xd = np.c_[np.ones(n), np.log1p(Xtf)]
         y = np.asarray(y_df[molecule].values, float)
         # reference downstream bandwidth default: 0.5% of n, adaptive (:3511)
         bw = bw if bw is not None else max(int(0.005 * n), 10)
-        W = get_wi_batch(self.coords, bw, fixed_bw=False, exclude_self=False, kernel="bisquare")
+        # a low-dimensional binary profile can be degenerate (fewer distinct
+        # rows than the bandwidth -> zero kNN radius -> NaN weights); fall
+        # back to physical coordinates in that case
+        if nbr_coords is not self.coords:
+            distinct = np.unique(nbr_coords, axis=0).shape[0]
+            if distinct <= bw + 1:
+                nbr_coords = self.coords
+        W = get_wi_batch(nbr_coords, bw, fixed_bw=False, exclude_self=False, kernel="bisquare")
         distr = distr if distr in ("gaussian", "poisson", "nb") else "poisson"
         betas, hats, inv_diag, preds = iwls_batch_full(
             y, Xd, W, distr=distr,

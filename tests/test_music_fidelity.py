@@ -579,3 +579,121 @@ class TestParityMethods:
             tfs = m.setup_downstream()
             assert isinstance(tfs, list)
             assert all(t in set(map(str, m.adata.var_names)) for t in tfs)
+
+
+class TestCCIDegSetupReferenceSemantics:
+    """Reference pipeline behaviors in CCI_deg_detection_setup
+    (ref MuSIC_downstream.py:6607-7085): complex splitting, >1% filter,
+    pathway aggregation, GRN secondary-TF selection, intersection-ratio
+    ranking, per-cell-type designs, X_jaccard."""
+
+    def _interp(self, genes, X, extra_args=None, obs=None):
+        import tempfile
+
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC_Interpreter, define_spateo_argparse
+
+        n = len(X)
+        adata = st.AnnData(X=np.asarray(X, np.float32),
+                           obs=obs if obs is not None else pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                           var=pd.DataFrame(index=genes))
+        adata.obsm["spatial"] = np.random.default_rng(0).uniform(0, 100, (n, 2)).astype(np.float32)
+        st.SKM.init_adata_type(adata, "UMI")
+        self._tmp = tempfile.TemporaryDirectory()
+        parser, args_list = define_spateo_argparse(
+            mod_type="ligand", species="human", output_path=f"{self._tmp.name}/out.csv",
+            **(extra_args or {"custom_ligands": [genes[0]], "custom_targets": [genes[0]]}),
+        )
+        interp = MuSIC_Interpreter(parser, args_list)
+        interp.adata = adata
+        interp.load_and_process()
+        return interp
+
+    def test_intersection_ratio_ranking(self):
+        from spateo_tpu.tools.CCI_effects_modeling.MuSIC_downstream import MuSIC_Interpreter
+
+        sig = pd.DataFrame({"L": [1, 1, 1, 0, 0, 0]})
+        regs = pd.DataFrame({
+            "good": [2, 3, 1, 0, 0, 0],   # all nonzero cells overlap L -> ratio 1
+            "half": [1, 0, 0, 1, 0, 0],   # 1 of 2 nonzero overlap -> 0.5
+            "none": [0, 0, 0, 2, 2, 1],   # 0 of 3 -> 0
+        })
+        top = MuSIC_Interpreter._intersection_ratio_top_regulators(sig, regs, k=2)
+        assert top["L"] == ["good", "half"]
+
+    def test_complex_splitting_and_nonzero_filter(self):
+        rng = np.random.default_rng(1)
+        n = 300
+        # ligand + complex components (IL12A_IL12B) + TF; one gene <1% cells
+        genes = ["TGFB1", "IL12A", "IL12B", "RARELY", "STAT3"]
+        X = np.c_[rng.poisson(2, n), rng.poisson(2, n), rng.poisson(2, n), np.zeros(n), rng.poisson(2, n)]
+        X[0, 3] = 1.0  # RARELY in exactly 1/300 cells (<1%)
+        interp = self._interp(genes, X)
+        # synthesize a ligands table carrying a complex column
+        interp.ligands_expr_nonlag = pd.DataFrame(
+            {"TGFB1": X[:, 0], "IL12A_IL12B": np.minimum(X[:, 1], X[:, 2]), "RARELY": X[:, 3]},
+            index=interp.adata.obs_names,
+        )
+        design, targets = interp.CCI_deg_detection_setup(use_ligands=True, custom_tfs=["STAT3"])
+        # complex replaced by measured components; <1% gene filtered out
+        assert "IL12A_IL12B" not in targets.columns
+        assert "IL12A" in targets.columns and "IL12B" in targets.columns
+        assert "RARELY" not in targets.columns
+        # X_jaccard stored with one column per dependent molecule
+        assert interp._cci_deg_jaccard.shape == (n, targets.shape[1])
+        assert set(np.unique(interp._cci_deg_jaccard)) <= {0, 1}
+
+    def test_pathway_aggregation_sums_member_ligands(self):
+        rng = np.random.default_rng(2)
+        n = 250
+        # two human ligands from the same pathway in lr_db plus a TF
+        from spateo_tpu.tools.CCI_effects_modeling.MuSIC import _read_db_csv, _DB_DIR
+        import os
+
+        lr = _read_db_csv(os.path.join(_DB_DIR, "lr_db_human.csv"))
+        # first-occurrence ligand->pathway map (the reference's own
+        # drop_duplicates semantics), then pick a pathway with >=2 ligands
+        first_map = lr.set_index("from")["pathway"]
+        first_map = first_map[~first_map.index.duplicated()]
+        by_pathway = first_map[~first_map.index.str.contains("_")].groupby(first_map).groups
+        pathway, members = next((k, list(v)) for k, v in by_pathway.items() if len(v) >= 2)
+        ligs = members[:2]
+        genes = ligs + ["STAT3"]
+        X = rng.poisson(2, (n, len(genes)))
+        interp = self._interp(genes, X, extra_args={"custom_ligands": ligs, "custom_targets": [ligs[0]]})
+        design, targets = interp.CCI_deg_detection_setup(
+            use_ligands=False, use_pathways=True, sender_receiver_or_target_degs="sender",
+            custom_tfs=["STAT3"],
+        )
+        assert pathway in targets.columns
+        # reference quirk preserved (MuSIC_downstream.py:6823): the
+        # ligand->pathway map is Series.drop_duplicates() of the pathway
+        # VALUES, so only the first lr_db-listed ligand of each pathway
+        # survives the mapping; the "sum" is over surviving members
+        surviving = lr.set_index("from")["pathway"].drop_duplicates()
+        surviving = {l: p_ for l, p_ in surviving.items() if p_ == pathway and l in ligs}
+        expected = sum(np.asarray(X[:, ligs.index(l)], float) for l in surviving)
+        np.testing.assert_allclose(targets[pathway].values, expected, rtol=1e-6)
+
+    def test_cell_type_designs(self):
+        rng = np.random.default_rng(3)
+        n = 300
+        genes = ["TGFB1", "STAT3", "JUN"]
+        X = rng.poisson(3, (n, 3))
+        obs = pd.DataFrame({"group": ["A"] * 150 + ["B"] * 150}, index=[f"c{i}" for i in range(n)])
+        interp = self._interp(genes, X, extra_args={
+            "custom_ligands": ["TGFB1"], "custom_targets": ["TGFB1"], "group_key": "group"},
+            obs=obs)
+        out = interp.CCI_deg_detection_setup(
+            use_ligands=False, use_cell_types=True, sender_receiver_or_target_degs="sender",
+            custom_tfs=["STAT3"], group_key="group",
+        )
+        assert set(out) == {"A", "B"}
+        assert "TGFB1" in out["A"]["targets"].columns
+        # per-cell-type fit path
+        res = interp.CCI_deg_detection("TGFB1", cell_type="A", distr="poisson")
+        assert "coefficient" in res.columns
+
+    def test_pathway_target_combination_rejected(self):
+        interp = self._interp(["TGFB1", "STAT3"], np.random.default_rng(0).poisson(2, (100, 2)))
+        with pytest.raises(ValueError, match="cannot be 'target'"):
+            interp.CCI_deg_detection_setup(use_pathways=True, sender_receiver_or_target_degs="target")
