@@ -49,6 +49,11 @@ class MuSIC_Interpreter(MuSIC):
                     if "index" in df.columns and hasattr(self, "sample_names"):
                         df.index = [str(self.sample_names[int(i)]) for i in df["index"].values]
                     coeffs[target] = df[b_cols]
+                    se_cols = [c for c in df.columns if c.startswith("se_")]
+                    if se_cols:
+                        if not hasattr(self, "standard_errors") or self.standard_errors is None:
+                            self.standard_errors = {}
+                        self.standard_errors[target] = df[se_cols]
         out_dir = output_dir or os.path.splitext(self.output_path)[0]
         if os.path.isdir(out_dir):
             for f in sorted(os.listdir(out_dir)):
@@ -62,18 +67,34 @@ class MuSIC_Interpreter(MuSIC):
 
     # -- significance -------------------------------------------------------
     def compute_coeff_significance(self, method: str = "fdr_bh", significance_threshold: float = 0.05):
-        """Per-cell coefficient significance via bootstrap-free asymptotic
-        Wald tests using the cross-cell coefficient spread (parity surface:
-        MuSIC_downstream.py:201)."""
+        """Per-cell coefficient significance (parity: reference
+        MuSIC_downstream.py:201 `compute_coeff_significance`): Wald tests
+        against the model's own per-cell standard errors (`se_*`, stored at
+        fit time and re-loaded from the result CSVs), with zero-coefficient
+        or zero-SE entries fixed at p=1 exactly as the reference's task
+        filter does. Falls back to the cross-cell coefficient spread when
+        no fitted SEs exist (e.g. coefficients injected directly)."""
         if not getattr(self, "coeffs", None):
             self.load_coeffs()
         self.pvalues: Dict[str, pd.DataFrame] = {}
         self.qvalues: Dict[str, pd.DataFrame] = {}
         self.is_significant: Dict[str, pd.DataFrame] = {}
+        ses = getattr(self, "standard_errors", None) or {}
         for target, cdf in self.coeffs.items():
             betas = cdf.values
-            sd = betas.std(axis=0, keepdims=True) + 1e-12
-            pv = wald_test(betas, np.broadcast_to(sd, betas.shape))
+            se_df = ses.get(target)
+            if se_df is not None:
+                # align se_X columns with b_X columns
+                se_lookup = {c.replace("se_", "", 1): se_df[c].values for c in se_df.columns}
+                se = np.column_stack([
+                    se_lookup.get(c.replace("b_", "", 1), np.zeros(len(cdf))) for c in cdf.columns
+                ])
+                testable = (betas != 0) & (se != 0)
+                pv = np.ones_like(betas, dtype=float)
+                pv[testable] = wald_test(betas[testable], se[testable])
+            else:
+                sd = betas.std(axis=0, keepdims=True) + 1e-12
+                pv = wald_test(betas, np.broadcast_to(sd, betas.shape))
             qv = np.stack([multitesting_correction(pv[:, j], method=method) for j in range(pv.shape[1])], axis=1)
             self.pvalues[target] = pd.DataFrame(pv, index=cdf.index, columns=cdf.columns)
             self.qvalues[target] = pd.DataFrame(qv, index=cdf.index, columns=cdf.columns)
@@ -2574,13 +2595,29 @@ class MuSIC_Interpreter(MuSIC):
             used.append(name)
         if total is None:
             raise ValueError(f"no fitted interactions belong to pathway `{pathway}`")
+        if getattr(self, "mod_type", "ligand") == "lr" and len(used) < 3:
+            # reference guard (:5683): pathway analysis needs >=3 fitted
+            # ligand-receptor pairs in an lr model
+            raise ValueError(
+                f"Pathway effect potential computation for pathway {pathway} is unsuitable for this model, "
+                f"since there are fewer than three valid ligand-receptor pairs in the pathway that were "
+                f"incorporated in the initial model."
+            )
         sent = np.asarray(total.sum(axis=1)).ravel()
         received = np.asarray(total.sum(axis=0)).ravel()
+
+        def _minmax(v):
+            rng_ = np.max(v) - np.min(v)
+            return (v - np.min(v)) / rng_ if rng_ > 0 else np.zeros_like(v)
+
+        norm_sent, norm_received = _minmax(sent), _minmax(received)
         if store_summed_potential:
-            self.adata.obs[f"{pathway}_{target}_sent_potential"] = sent
-            self.adata.obs[f"{pathway}_{target}_received_potential"] = received
+            # reference obs naming (:5741-5750)
+            suffix = "lr" if getattr(self, "mod_type", "ligand") == "lr" else "ligands"
+            self.adata.obs[f"norm_sum_sent_effect_potential_{pathway}_{suffix}_for_{target}"] = norm_sent
+            self.adata.obs[f"norm_sum_received_effect_potential_{pathway}_{suffix}_for_{target}"] = norm_received
         lm.main_info(f"pathway `{pathway}`: aggregated {len(used)} interactions")
-        return total
+        return total, norm_sent, norm_received
 
     def define_effect_vf(self, effect_potential, normalized_effect_potential_sum_sent, normalized_effect_potential_sum_received, sig: str, target: str, max_val: float = 0.05):
         """Sender/receiver vector fields from the potential matrix: each
@@ -2658,11 +2695,7 @@ class MuSIC_Interpreter(MuSIC):
             queries = [p for p, c in counts.items() if c >= 3]
             for t in targets:
                 for pathway in queries:
-                    P = self.get_pathway_potential(pathway=pathway, target=t, store_summed_potential=True)
-                    sent = np.asarray(P.sum(axis=1)).ravel()
-                    received = np.asarray(P.sum(axis=0)).ravel()
-                    ns = sent / (sent.max() or 1.0)
-                    nr = received / (received.max() or 1.0)
+                    P, ns, nr = self.get_pathway_potential(pathway=pathway, target=t, store_summed_potential=True)
                     self.define_effect_vf(P, ns, nr, pathway, t)
             return self.adata
         for t in targets:

@@ -697,3 +697,33 @@ class TestCCIDegSetupReferenceSemantics:
         interp = self._interp(["TGFB1", "STAT3"], np.random.default_rng(0).poisson(2, (100, 2)))
         with pytest.raises(ValueError, match="cannot be 'target'"):
             interp.CCI_deg_detection_setup(use_pathways=True, sender_receiver_or_target_degs="target")
+
+
+class TestCoeffSignificanceFittedSE:
+    def test_wald_uses_fitted_se_and_zero_filter(self):
+        """Reference compute_coeff_significance (MuSIC_downstream.py:201):
+        p-values come from per-cell fitted SEs; zero coefficient or zero SE
+        entries get p=1."""
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC_Interpreter, define_spateo_argparse
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            parser, args_list = define_spateo_argparse(
+                mod_type="ligand", species="human", output_path=f"{tmp}/out.csv",
+                custom_ligands=["TGFB1"], custom_targets=["TGT"],
+            )
+            interp = MuSIC_Interpreter(parser, args_list)
+            n = 50
+            idx = [f"c{i}" for i in range(n)]
+            b = np.full(n, 2.0)
+            b[0] = 0.0  # zero coefficient -> p=1
+            se = np.full(n, 0.5)
+            se[1] = 0.0  # zero SE -> p=1
+            interp.coeffs = {"TGT": pd.DataFrame({"b_TGFB1": b}, index=idx)}
+            interp.standard_errors = {"TGT": pd.DataFrame({"se_TGFB1": se}, index=idx)}
+            sig = interp.compute_coeff_significance()
+            pv = interp.pvalues["TGT"]["b_TGFB1"]
+            assert pv.iloc[0] == 1.0 and pv.iloc[1] == 1.0
+            # z = 2/0.5 = 4 -> p ~ 6e-5
+            assert pv.iloc[2] < 1e-3
+            assert bool(sig["TGT"]["b_TGFB1"].iloc[2])
