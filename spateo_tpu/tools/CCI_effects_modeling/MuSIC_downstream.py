@@ -477,23 +477,26 @@ class MuSIC_Interpreter(MuSIC):
                 if col not in cdf.columns:
                     lm.main_warning(f"interaction `{i}` not among the fitted features for `{t}`; skipping")
                     continue
-                name = col[2:] if col.startswith("b_") else col
-                x = (
-                    np.asarray(self.X_df[name].values, float)[: len(cdf)]
-                    if hasattr(self, "X_df") and name in getattr(self, "X_df", pd.DataFrame()).columns
-                    else np.ones(len(cdf))
-                )
                 eff = np.zeros(self.adata.n_obs)
                 pos = {str(n): k for k, n in enumerate(self.adata.obs_names)}
+                vals = np.asarray(cdf[col].values, float)
                 for ci, cell in enumerate(cdf.index):
                     k = pos.get(str(cell))
                     if k is not None:
-                        eff[k] = cdf[col].values[ci] * x[ci]
-                self.adata.obs[f"{i}_effect_on_{t}"] = eff
+                        eff[k] = vals[ci]
+                # reference obs key + raw coefficient semantics
+                # (MuSIC_downstream.py:316 adata.obs[f"{target}_{interaction}_effect"])
+                self.adata.obs[f"{t}_{i}_effect"] = eff
+                self.adata.obs[f"{i}_effect_on_{t}"] = eff  # legacy alias
                 if visualize:
                     from ...plotting.space import space as _space
 
-                    _space(self.adata, color=[f"{i}_effect_on_{t}"], space=self.coords_key, save_show_or_return="return")
+                    # reference clamps the color scale at the 99.7th
+                    # percentile before rendering (:75 in the method body)
+                    p997 = float(np.percentile(eff, 99.7))
+                    plot_col = f"{t}_{i}_effect_plot"
+                    self.adata.obs[plot_col] = np.minimum(eff, p997)
+                    _space(self.adata, color=[plot_col], space=self.coords_key, save_show_or_return="return")
         return self.adata
 
     def compute_and_visualize_diagnostics(
