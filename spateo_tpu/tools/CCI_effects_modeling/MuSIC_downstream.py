@@ -27,6 +27,36 @@ class MuSIC_Interpreter(MuSIC):
     def __init__(self, parser=None, args_list=None, keep_coeff_threshold_proportion_cells: float = 0, **kwargs):
         super().__init__(parser=parser, args_list=args_list, **kwargs)
         self.keep_column_threshold_proportion_cells = keep_coeff_threshold_proportion_cells
+        # the reference init eagerly loads any fitted coefficients from the
+        # output directory (MuSIC_downstream.py:186); keep that contract but
+        # tolerate a not-yet-fitted model (lazy load on first use)
+        try:
+            if os.path.isdir(os.path.dirname(self.output_path) or "."):
+                self.load_coeffs()
+        except Exception:
+            pass
+
+    def _apply_keep_column_threshold(self) -> None:
+        """Zero out coefficient columns nonzero in fewer than
+        `keep_column_threshold_proportion_cells` x (cells expressing the
+        target) cells — the reference's false-positive filter
+        (MuSIC_downstream.py:187-196)."""
+        prop = getattr(self, "keep_column_threshold_proportion_cells", 0) or 0
+        if not prop or not getattr(self, "coeffs", None):
+            return
+        for target, df in self.coeffs.items():
+            if hasattr(self, "targets_expr") and target in getattr(self, "targets_expr", pd.DataFrame()).columns:
+                n_expressing = int((self.targets_expr[target] > 0).sum())
+            else:
+                n_expressing = len(df)
+            threshold = int(prop * n_expressing)
+            for col in df.columns:
+                if int((df[col] != 0).sum()) < threshold:
+                    df[col] = 0
+                    if getattr(self, "standard_errors", None) and target in self.standard_errors:
+                        se_col = col.replace("b_", "se_", 1)
+                        if se_col in self.standard_errors[target].columns:
+                            self.standard_errors[target][se_col] = 0
 
     # -- loading fitted results --------------------------------------------
     def load_coeffs(self, output_dir: Optional[str] = None) -> Dict[str, pd.DataFrame]:
@@ -63,6 +93,7 @@ class MuSIC_Interpreter(MuSIC):
                     if b_cols:
                         coeffs[os.path.splitext(f)[0]] = df[b_cols]
         self.coeffs = coeffs
+        self._apply_keep_column_threshold()
         return coeffs
 
     # -- significance -------------------------------------------------------

@@ -727,3 +727,30 @@ class TestCoeffSignificanceFittedSE:
             # z = 2/0.5 = 4 -> p ~ 6e-5
             assert pv.iloc[2] < 1e-3
             assert bool(sig["TGT"]["b_TGFB1"].iloc[2])
+
+
+class TestKeepColumnThreshold:
+    def test_sparse_columns_zeroed(self):
+        """Reference init filter (MuSIC_downstream.py:187-196): columns
+        nonzero in fewer than prop x expressing cells are zeroed in both
+        coeffs and SEs."""
+        from spateo_tpu.tools.CCI_effects_modeling import MuSIC_Interpreter, define_spateo_argparse
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmp:
+            parser, args_list = define_spateo_argparse(
+                mod_type="ligand", species="human", output_path=f"{tmp}/out.csv",
+                custom_ligands=["TGFB1"], custom_targets=["TGT"],
+            )
+            interp = MuSIC_Interpreter(parser, args_list, keep_coeff_threshold_proportion_cells=0.5)
+            n = 100
+            idx = [f"c{i}" for i in range(n)]
+            dense = np.ones(n)
+            sparse = np.zeros(n)
+            sparse[:10] = 1.0  # 10% << 50% threshold
+            interp.coeffs = {"TGT": pd.DataFrame({"b_dense": dense.copy(), "b_sparse": sparse.copy()}, index=idx)}
+            interp.standard_errors = {"TGT": pd.DataFrame({"se_dense": dense * 0.1, "se_sparse": dense * 0.1}, index=idx)}
+            interp._apply_keep_column_threshold()
+            assert (interp.coeffs["TGT"]["b_sparse"] == 0).all()
+            assert (interp.coeffs["TGT"]["b_dense"] == 1).all()
+            assert (interp.standard_errors["TGT"]["se_sparse"] == 0).all()
