@@ -270,55 +270,102 @@ def overlay_slices_2d(
 def multi_slices(
     slices,
     slices_key: Optional[str] = None,
-    label_key: Optional[str] = None,
+    label: Optional[str] = None,
     spatial_key: str = "spatial",
     layer: str = "X",
     point_size: Optional[float] = None,
     font_size: int = 10,
+    color: Optional[str] = "skyblue",
     palette=None,
     alpha: float = 1.0,
-    ax=None,
+    ncols: int = 4,
+    ax_height: float = 1,
+    dpi: int = 100,
+    show_legend: bool = True,
     save_show_or_return: str = "return",
     save_kwargs: Optional[dict] = None,
+    label_key: Optional[str] = None,
     **kwargs,
 ):
-    """All slices side-by-side on ONE axes, offset along x
-    (parity: reference align.py:1261)."""
+    """One panel per slice, wrapped at `ncols` (parity: reference
+    align.py:1261 — the seaborn FacetGrid becomes a subplot grid). `label`
+    may be an obs column or a gene name; numeric labels share one colorbar
+    beside the last top-row panel, categorical labels share one legend;
+    with no label every cell draws in `color`."""
+    label = label if label is not None else label_key
     items = _slices_list(slices, slices_key)
-    if ax is None:
-        fig, ax = plt.subplots(figsize=(3 * len(items), 3))
-    else:
-        fig = ax.figure
-    x_cursor = 0.0
-    all_vals = np.concatenate([_label_values(a, label_key) for _, a in items])
-    numeric = np.issubdtype(all_vals.dtype, np.number)
-    if not numeric and palette is None:
+    n = len(items)
+    ncols_eff = min(ncols, n)
+    nrows = int(np.ceil(n / ncols_eff))
+
+    # shared value range / palette across panels
+    def _vals(a):
+        if label is None:
+            return None
+        if label in a.obs.columns:
+            return np.asarray(a.obs[label])
+        if label in list(map(str, a.var_names)):
+            X = a.layers[layer] if layer != "X" else a.X
+            X = X.toarray() if hasattr(X, "toarray") else np.asarray(X)
+            return np.asarray(X)[:, list(map(str, a.var_names)).index(label)].astype(float)
+        raise ValueError("`label` is not a valid column names or gene name.")
+
+    all_vals = None if label is None else np.concatenate([_vals(a) for _, a in items])
+    numeric = all_vals is not None and np.issubdtype(np.asarray(all_vals).dtype, np.number)
+    if all_vals is not None and not numeric and palette is None:
         cats = list(pd.unique(pd.Series(all_vals).astype(str)))
         palette = {c: DEFAULT_PALETTE[i % len(DEFAULT_PALETTE)] for i, c in enumerate(cats)}
-    seen = set()
-    for name, a in items:
-        pts = np.asarray(a.obsm[spatial_key])[:, :2].astype(float).copy()
-        pts -= pts.min(0)
-        width = pts[:, 0].max()
-        pts[:, 0] += x_cursor
-        vals = _label_values(a, label_key)
+
+    # aspect from the pooled physical extent (reference :1315-1321)
+    all_pts = np.concatenate([np.asarray(a.obsm[spatial_key])[:, :2] for _, a in items])
+    ptp = np.ptp(all_pts, axis=0)
+    aspect = float(ptp[0] / max(ptp[1], 1e-9))
+    ax_height = 2 if nrows == 1 and ax_height == 1 else ax_height
+    fig, axes = plt.subplots(
+        nrows, ncols_eff, figsize=(ax_height * 2 * aspect * ncols_eff, ax_height * 2 * nrows),
+        dpi=dpi, squeeze=False, sharex=True, sharey=True,
+    )
+    flat = axes.ravel()
+    vmin = float(np.nanmin(all_vals)) if numeric else None
+    vmax = float(np.nanmax(all_vals)) if numeric else None
+    last_top = axes[0, ncols_eff - 1]
+    sc_num = None
+    for i, (name, a) in enumerate(items):
+        axp = flat[i]
+        pts = np.asarray(a.obsm[spatial_key])[:, :2].astype(float)
         ps = point_size if point_size is not None else max(0.5, 8000.0 / max(len(pts), 1))
-        if numeric:
-            ax.scatter(pts[:, 0], pts[:, 1], c=np.asarray(vals, float), s=ps, alpha=alpha, cmap="viridis", linewidths=0)
+        vals = _vals(a)
+        if vals is None:
+            axp.scatter(pts[:, 0], pts[:, 1], color=color, s=ps, alpha=alpha, linewidths=0)
+        elif numeric:
+            sc_num = axp.scatter(pts[:, 0], pts[:, 1], c=np.asarray(vals, float), s=ps, alpha=alpha,
+                                 cmap=palette if isinstance(palette, str) else "viridis",
+                                 vmin=vmin, vmax=vmax, linewidths=0)
         else:
             svals = pd.Series(vals).astype(str).values
             for c in pd.unique(svals):
                 m = svals == c
-                ax.scatter(pts[m, 0], pts[m, 1], color=palette[c], s=ps, alpha=alpha, linewidths=0,
-                           label=None if c in seen else c)
-                seen.add(c)
-        ax.text(x_cursor + width / 2, -0.08 * pts[:, 1].max(), name, ha="center", fontsize=font_size)
-        x_cursor += width * 1.15
-    if not numeric:
-        ax.legend(loc="center left", bbox_to_anchor=(1, 0.5), fontsize=7, markerscale=3, frameon=False)
-    ax.set_aspect("equal")
-    ax.axis("off")
-    return save_return_show_fig_utils(save_show_or_return, True, None, "multi_slices", save_kwargs, 1, fig, ax)
+                axp.scatter(pts[m, 0], pts[m, 1], color=palette[c], s=ps, alpha=alpha, linewidths=0, label=c)
+        axp.set_title(str(name), fontsize=font_size)
+        axp.set_aspect("equal")
+        axp.set_xticks([])
+        axp.set_yticks([])
+    for j in range(n, len(flat)):
+        flat[j].axis("off")
+    if numeric and sc_num is not None and show_legend:
+        # shared colorbar beside the last top-row panel (reference :1362-1381)
+        from mpl_toolkits.axes_grid1.inset_locator import inset_axes
+
+        cax = inset_axes(last_top, width="12%", height="100%", loc="center left",
+                         bbox_to_anchor=(1.02, 0.0, 0.5, 1.0), bbox_transform=last_top.transAxes, borderpad=1.85)
+        fig.colorbar(sc_num, cax=cax, orientation="vertical", alpha=alpha, label=label)
+    elif all_vals is not None and not numeric and show_legend:
+        handles = [plt.Line2D([], [], marker="o", ls="", color=v, label=k) for k, v in palette.items()]
+        fig.legend(handles=handles, loc="center left", bbox_to_anchor=(0.92, 0.5), fontsize=7,
+                   markerscale=1.5, frameon=False)
+    return save_return_show_fig_utils(
+        save_show_or_return, show_legend, "white", "multi_slices", save_kwargs, n, fig, list(flat[:n]),
+    )
 
 
 def plot_deformation_grid(

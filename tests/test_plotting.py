@@ -94,8 +94,17 @@ class TestAlign:
         assert len(axes) == 2
         axes = pl.overlay_slices_2d([adata, b], save_show_or_return="return")
         assert len(axes) == 2  # one panel per slice (reference align.py:445)
-        ax = pl.multi_slices([adata, b], label_key="leiden", save_show_or_return="return")
-        assert len(ax.collections) > 0
+        axes = pl.multi_slices([adata, b], label="leiden", save_show_or_return="return")
+        # reference semantics: one panel per slice (FacetGrid -> grid)
+        assert len(axes) == 2 and all(a.collections for a in axes)
+
+    def test_multi_slices_gene_colorbar(self, adata):
+        b = adata.copy()
+        axes = pl.multi_slices([adata, b], label="g0", save_show_or_return="return")
+        fig = axes[0].figure
+        # shared numeric colorbar beside the top-right panel: the inset
+        # cax adds one axes beyond the two slice panels
+        assert len(fig.axes) == 3
 
     def test_deformation_grid(self, adata):
         adata.obsm["align_spatial"] = np.asarray(adata.obsm["spatial"]) + 1.0
