@@ -62,9 +62,11 @@ def imshow(
 
     extent = None
     unit = None
+    xlabel, ylabel = "Y", "X"
     if use_scale and SKM.UNS_SPATIAL_KEY in adata.uns:
         sp = adata.uns[SKM.UNS_SPATIAL_KEY]
-        scale = sp.get(SKM.UNS_SPATIAL_SCALE_KEY, 1.0) or 1.0
+        binsize = sp.get(SKM.UNS_SPATIAL_BINSIZE_KEY, 1) or 1
+        scale = (sp.get(SKM.UNS_SPATIAL_SCALE_KEY, 1.0) or 1.0) * binsize
         unit = sp.get(SKM.UNS_SPATIAL_SCALE_UNIT_KEY)
         h, w = img.shape[:2]
         x0 = y0 = 0.0
@@ -75,14 +77,36 @@ def imshow(
             except (ValueError, IndexError):
                 pass
         extent = (x0 * scale, (x0 + w) * scale, (y0 + h) * scale, y0 * scale)
+        if unit is not None:
+            xlabel += f" ({unit})"
+            ylabel += f" ({unit})"
+
+    # overlay-consistency guards (reference agg.py:128-141): drawing onto an
+    # axes that already holds an image requires matching shape and extent
+    from ..errors import PlottingError
+
+    if any(img.shape[:2] != im.get_array().shape[:2] for im in ax.get_images()):
+        raise PlottingError(
+            f"The dimensions of the matrix, {img.shape[:2]} must be equal to the dimensions of "
+            "the images present in the axis. Make sure you are using the same AnnData and the `downscale` "
+            "argument as you used to show the previous image(s)."
+        )
+    if extent is not None and any(
+        not np.allclose(extent, im.get_extent(), atol=0.5) for im in ax.get_images()
+    ):
+        raise PlottingError(
+            f"The extent of the matrix, {extent} must be equal to the extent of the images present in the "
+            "axis. Make sure you are using the same AnnData and the `use_scale` and `absolute` arguments as "
+            "you used to show the previous image(s)."
+        )
 
     if labels:
         kwargs.setdefault("cmap", _labels_cmap(img))
         kwargs.setdefault("interpolation", "nearest")
     im = ax.imshow(img, extent=extent, **kwargs)
-    if unit:
-        ax.set_xlabel(unit)
-        ax.set_ylabel(unit)
+    ax.set_title(layer)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
     if show_cbar and not labels:
         plt.colorbar(im, ax=ax, shrink=0.7)
     return save_return_show_fig_utils(save_show_or_return, False, background, "imshow", save_kwargs, 1, fig, (fig, ax))

@@ -991,3 +991,27 @@ class TestScattersReferenceOptions:
         ax = pl.scatters(adata, basis="spatial", color="g0", slices=0, img_layers=0,
                          save_show_or_return="return")
         assert len(ax.get_images()) == 1
+
+
+class TestImshowOverlayGuards:
+    def _agg(self, shape=(30, 40)):
+        rng = np.random.default_rng(0)
+        a = st.AnnData(X=rng.poisson(1.0, shape).astype(np.float32),
+                       obs=pd.DataFrame(index=[str(i) for i in range(shape[0])]),
+                       var=pd.DataFrame(index=[str(j) for j in range(shape[1])]))
+        st.SKM.init_adata_type(a, "AGG")
+        return a
+
+    def test_mismatched_overlay_raises(self):
+        from spateo_tpu.errors import PlottingError
+
+        a = self._agg((30, 40))
+        b = self._agg((20, 25))
+        fig, ax = pl.imshow(a, save_show_or_return="return")
+        with pytest.raises(PlottingError, match="dimensions"):
+            pl.imshow(b, ax=ax)
+
+    def test_title_is_layer(self):
+        a = self._agg()
+        fig, ax = pl.imshow(a, save_show_or_return="return")
+        assert ax.get_title() == "X"
