@@ -41,6 +41,8 @@ from ..ops.threshold import _otsu_from_values
         "bp_max_iter",
         "bp_p",
         "bp_q",
+        "bp_precision",
+        "bp_msg_dtype",
         "offsets",
         "use_pallas_bp",
         "pack_mask",
@@ -61,6 +63,7 @@ def _starro_em_bp_fused(
     bp_max_iter: int,
     use_pallas_bp: bool = False,
     pack_mask: bool = False,
+    bp_msg_dtype: str = "float32",
 ):
     X = X.astype(jnp.float32)
 
@@ -123,7 +126,11 @@ def _starro_em_bp_fused(
     if use_pallas_bp:
         from ..ops.bp_pallas import bp_kernel_pallas
 
-        scores = bp_kernel_pallas(phi, bp_p, bp_q, bp_precision, bp_max_iter)
+        # delta checked every 10 iterations: the full-raster convergence
+        # reduction costs ~0.36 ms/check at 2048^2 (profiled), and blocked
+        # checks land within 10 iterations of the per-iteration exit
+        scores = bp_kernel_pallas(phi, bp_p, bp_q, bp_precision, bp_max_iter, check_every=10,
+                                  msg_dtype=bp_msg_dtype)
     else:
         scores = _bp_kernel(phi, offsets, bp_p, bp_q, bp_precision, bp_max_iter)
 
@@ -152,6 +159,7 @@ def starro_em_bp(
     bp_q: float = 0.4,
     bp_precision: float = 1e-6,
     bp_max_iter: int = 100,
+    bp_msg_dtype: str = "float32",
     seed: Optional[int] = None,
     mask_only: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -201,6 +209,7 @@ def starro_em_bp(
         int(bp_max_iter),
         _use_pallas_bp(offsets),
         bool(mask_only),
+        str(bp_msg_dtype),
     )
     if mask_only:
         mask = np.unpackbits(np.asarray(mask))[: X.size].reshape(X.shape).astype(bool)

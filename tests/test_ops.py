@@ -383,3 +383,53 @@ class TestInlierPallas:
             assert np.max(np.abs(r - o)) / scale < 5e-4, f"{k}"
             # the skip itself contributes nothing (dropped mass < e^-40/tile)
             assert np.max(np.abs(o - o2)) / scale < 1e-6, f"skip changed {k}"
+
+
+class TestHistogramSorted:
+    def test_counts_match_numpy(self):
+        import jax.numpy as jnp
+
+        from spateo_tpu.ops.threshold import _histogram_chunked
+
+        rng = np.random.default_rng(0)
+        idx = rng.integers(0, 256, 100_000).astype(np.int32)
+        h = np.asarray(_histogram_chunked(jnp.asarray(idx), 256))
+        np.testing.assert_array_equal(h, np.bincount(idx, minlength=256).astype(np.float32))
+
+    def test_otsu_unchanged(self):
+        from spateo_tpu.ops.threshold import threshold_otsu
+
+        rng = np.random.default_rng(1)
+        vals = np.concatenate([rng.normal(1, 0.3, 5000), rng.normal(5, 0.5, 5000)]).astype(np.float32)
+        t = threshold_otsu(vals)
+        assert 1.8 < t < 4.2
+
+
+class TestBPCheckEvery:
+    def test_blocked_checks_match_per_iteration(self):
+        """check_every>1 produces the same marginals as per-iteration checks
+        when the loop runs to max_iter (no early exit)."""
+        import jax.numpy as jnp
+
+        from spateo_tpu.ops.bp_pallas import bp_kernel_pallas
+
+        rng = np.random.default_rng(2)
+        phi = rng.uniform(0.1, 0.9, (16, 128, 2)).astype(np.float32)
+        phi /= phi.sum(-1, keepdims=True)
+        a = np.asarray(bp_kernel_pallas(jnp.asarray(phi), 0.6, 0.4, 1e-12, 20, check_every=1, interpret=True))
+        b = np.asarray(bp_kernel_pallas(jnp.asarray(phi), 0.6, 0.4, 1e-12, 20, check_every=7, interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_fixed_iteration_mode(self):
+        """precision<=0 runs exactly max_iter iterations (matches the
+        per-iteration path run to completion)."""
+        import jax.numpy as jnp
+
+        from spateo_tpu.ops.bp_pallas import bp_kernel_pallas
+
+        rng = np.random.default_rng(3)
+        phi = rng.uniform(0.1, 0.9, (16, 128, 2)).astype(np.float32)
+        phi /= phi.sum(-1, keepdims=True)
+        a = np.asarray(bp_kernel_pallas(jnp.asarray(phi), 0.6, 0.4, 0.0, 15, interpret=True))
+        b = np.asarray(bp_kernel_pallas(jnp.asarray(phi), 0.6, 0.4, 1e-30, 15, check_every=1, interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-6)
