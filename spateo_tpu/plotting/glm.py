@@ -22,6 +22,8 @@ def glm_fit(
     feature_y: str = "expression",
     glm_key: str = "glm_degs",
     remove_zero: bool = False,
+    color_key: Optional[str] = None,
+    color_key_cmap: str = "vlag",
     point_size: float = 14,
     point_color="skyblue",
     line_size: float = 2,
@@ -57,7 +59,14 @@ def glm_fit(
         ys = np.asarray(df[feature_y], float)
         order = np.argsort(xs)
         if show_point:
-            ax.scatter(xs, ys, s=point_size, color=point_color, alpha=0.6, linewidths=0)
+            if color_key is not None and color_key in df.columns:
+                # color each point by another correlation column
+                # (reference glm.py color_key/color_key_cmap)
+                sc = ax.scatter(xs, ys, s=point_size, c=np.asarray(df[color_key], float),
+                                cmap=color_key_cmap, alpha=0.6, linewidths=0)
+                plt.colorbar(sc, ax=ax, shrink=0.7, label=color_key)
+            else:
+                ax.scatter(xs, ys, s=point_size, color=point_color, alpha=0.6, linewidths=0)
         if show_line and len(xs) > 3:
             _, smooth, _ = loess_1d(xs[order], ys[order], frac=0.3)
             ax.plot(xs[order], smooth, color=line_color, lw=line_size)
