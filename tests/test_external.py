@@ -153,3 +153,31 @@ def test_cast_mark_embeds(small_adata):
     emb = CAST_MARK(coords, X, d_hidden=32, d_out=8, n_epochs=40)
     assert emb.shape == (small_adata.n_obs, 8)
     assert np.isfinite(emb).all()
+
+
+class TestMERFISHVISharded:
+    def test_mesh_training_matches_single_device(self):
+        """DP-sharded VAE training (mesh=) reproduces the single-device loss
+        trajectory: same math, reductions become psums."""
+        import numpy as np
+        import pandas as pd
+
+        import spateo_tpu as st
+        from spateo_tpu.external.merfishvi import MERFISHVI
+        from spateo_tpu.parallel.mesh import create_mesh
+
+        rng = np.random.default_rng(0)
+        n, g = 60, 12  # not divisible by 8: exercises the padded-row mask
+        X = rng.poisson(3.0, (n, g)).astype(np.float32)
+        a = st.AnnData(X=X, obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                       var=pd.DataFrame(index=[f"g{j}" for j in range(g)]))
+        st.SKM.init_adata_type(a, "UMI")
+
+        m1 = MERFISHVI(a.copy() if hasattr(a, "copy") else a, n_latent=4, n_hidden=16, seed=3)
+        l_single = m1.train(max_epochs=8)
+
+        mesh = create_mesh((8,), ("data",))
+        m2 = MERFISHVI(a, n_latent=4, n_hidden=16, seed=3)
+        l_mesh = m2.train(max_epochs=8, mesh=mesh)
+        np.testing.assert_allclose(l_single, l_mesh, rtol=2e-4, atol=2e-4)
+        assert np.isfinite(l_mesh).all() and l_mesh[-1] < l_mesh[0]
