@@ -93,19 +93,50 @@ def three_d_multi_plot(
     """One 3D panel per model (parity: reference `three_d_multi_plot`)."""
     models = _as_model_list(model)
     n = len(models)
-    if shape is None:
-        ncols = min(4, n)
-        nrows = int(np.ceil(n / ncols))
-    else:
-        nrows, ncols = shape
     keys = key if isinstance(key, (list, tuple)) else [key] * n
     cmaps = colormap if isinstance(colormap, (list, tuple)) else [colormap] * n
     styles = list(model_style) if isinstance(model_style, (list, tuple)) else [model_style] * n
     sizes = list(model_size) if isinstance(model_size, (list, tuple)) else [model_size] * n
     texts = text if isinstance(text, (list, tuple)) else [text] * n
 
-    fig, axes = create_plotter(nrows, ncols, window_size=window_size, background=background)
-    flat = axes.ravel()
+    if isinstance(shape, str):
+        # reference string descriptors (three_dims_plots.py:391-397):
+        # "a|b" = a panels in the left column, b in the right;
+        # "a/b" = a panels on top, b at the bottom
+        import re
+
+        a, b = map(int, re.split(r"[/|]", shape))
+        fig = plt.figure(figsize=(window_size[0] / 100 * 2, window_size[1] / 100 * 2))
+        fig.patch.set_facecolor(background)
+        flat = []
+        if "|" in shape:
+            import matplotlib.gridspec as gridspec
+
+            gs = gridspec.GridSpec(max(a, b) or 1, 2)
+            for i in range(a):
+                flat.append(fig.add_subplot(gs[i, 0], projection="3d"))
+            for i in range(b):
+                flat.append(fig.add_subplot(gs[i, 1], projection="3d"))
+        else:
+            import matplotlib.gridspec as gridspec
+
+            gs = gridspec.GridSpec(2, max(a, b) or 1)
+            for i in range(a):
+                flat.append(fig.add_subplot(gs[0, i], projection="3d"))
+            for i in range(b):
+                flat.append(fig.add_subplot(gs[1, i], projection="3d"))
+        for axp in flat:
+            axp.set_facecolor(background)
+            axp.set_axis_off()
+        flat = np.asarray(flat, dtype=object)
+    else:
+        if shape is None:
+            ncols = min(4, n)
+            nrows = int(np.ceil(n / ncols))
+        else:
+            nrows, ncols = shape
+        fig, axes = create_plotter(nrows, ncols, window_size=window_size, background=background)
+        flat = axes.ravel()
     for i, m in enumerate(models):
         add_model(flat[i], m, key=keys[i], colormap=cmaps[i], ambient=ambient,
                   opacity=opacity if np.isscalar(opacity) else opacity[i],
@@ -121,6 +152,8 @@ def three_d_multi_plot(
 
 def three_d_animate(
     models,
+    stable_model=None,
+    stable_kwargs: Optional[dict] = None,
     key: Optional[str] = None,
     filename: str = "animate.gif",
     jupyter: bool = False,
@@ -136,17 +169,25 @@ def three_d_animate(
     **kwargs,
 ):
     """Animate a sequence of models (e.g. morphopath snapshots) into a GIF
-    (parity: reference `three_d_animate`; pyvista movie -> matplotlib
-    FuncAnimation + PillowWriter)."""
+    (parity: reference three_dims_plots.py:573 `three_d_animate` —
+    `stable_model` draws a time-invariant model under every frame with its
+    own `stable_kwargs` style; pyvista movie -> matplotlib FuncAnimation +
+    PillowWriter)."""
     from matplotlib import animation
 
     models = _as_model_list(models)
     fig, axes = create_plotter(1, 1, window_size=window_size, background=background)
     ax = axes[0, 0]
+    sk = dict(key=key, colormap=colormap, ambient=ambient, opacity=opacity,
+              model_style=model_style, model_size=model_size)
+    if stable_kwargs:
+        sk.update({k: v for k, v in stable_kwargs.items() if k in sk})
 
     def update(i):
         ax.clear()
         ax.set_axis_off()
+        if stable_model is not None:
+            add_model(ax, stable_model, **sk)
         add_model(ax, models[i], key=key, colormap=colormap, ambient=ambient,
                   opacity=opacity, model_style=model_style, model_size=model_size)
         ax.set_title(f"frame {i}")

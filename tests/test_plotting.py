@@ -1015,3 +1015,27 @@ class TestImshowOverlayGuards:
         a = self._agg()
         fig, ax = pl.imshow(a, save_show_or_return="return")
         assert ax.get_title() == "X"
+
+
+class TestThreeDAnimateOptions:
+    def test_stable_model_in_every_frame(self, tmp_path):
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+        from spateo_tpu.plotting.three_d_plot.three_dims_plots import three_d_animate
+
+        rng = np.random.default_rng(0)
+        frames = [PointCloud(rng.normal(size=(40, 3)) + i * 0.1) for i in range(3)]
+        stable = PointCloud(rng.normal(size=(25, 3)))
+        out = str(tmp_path / "anim.gif")
+        three_d_animate(frames, stable_model=stable, stable_kwargs={"opacity": 0.3},
+                        filename=out, framerate=5)
+        assert (tmp_path / "anim.gif").stat().st_size > 1000
+
+    def test_string_shape_descriptor(self):
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+
+        rng = np.random.default_rng(1)
+        models = [PointCloud(rng.normal(size=(30, 3))) for _ in range(4)]
+        # "3|1": 3 panels left column, 1 right (ref three_dims_plots.py:396)
+        fig = pl.three_d_multi_plot(models, shape="3|1")
+        drawn = [ax for ax in fig.axes if ax.collections]
+        assert len(drawn) == 4
