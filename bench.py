@@ -464,8 +464,12 @@ def vfc_bench():
 
     def run():
         vf = SparseVFC(Xp, V, M=M, MaxIter=MAXIT, ecr=0.0, seed=0)
-        J = jac_batch(jnp.asarray(Xp), jnp.asarray(vf["X_ctrl"]), jnp.asarray(vf["C"]), vf["beta"])
-        np.asarray(J)
+        # Jacobians at every point, from the device-resident handles (the
+        # 100k points and fitted C are already on the chip — re-uploading
+        # them would serialize another 1.2 MB through the tunnel)
+        dev = vf["_device"]
+        J = np.asarray(jac_batch(dev["X"], dev["ctrl"], dev["C"], dev["beta"])) * dev["y_rescale"]
+        assert J.shape == (N, 3, 3)
         return vf
 
     vf = run()  # warmup

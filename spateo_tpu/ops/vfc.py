@@ -34,7 +34,7 @@ def con_K(x: jnp.ndarray, y: jnp.ndarray, beta: float) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("max_iter",))
 def _sparsevfc_em(
     X: jnp.ndarray,  # [N, D]
-    Y: jnp.ndarray,  # [N, D] velocities
+    Y: jnp.ndarray,  # [N, D] velocities (RAW units; normalized inside)
     ctrl: jnp.ndarray,  # [M, D]
     beta: jnp.ndarray,
     gamma0: float,
@@ -45,6 +45,7 @@ def _sparsevfc_em(
     max_iter: int,
     mask: Optional[jnp.ndarray] = None,  # [N] 1.0 for real rows, 0.0 for pad
     n_valid: Optional[jnp.ndarray] = None,  # scalar count of real rows
+    y_mult: jnp.ndarray = 1.0,  # extra scale on the normalized Y (retry path)
 ):
     N = X.shape[0]
     D = Y.shape[1]  # output dimension (may differ from the input space's)
@@ -53,6 +54,12 @@ def _sparsevfc_em(
         mask = jnp.ones(N, X.dtype)
     if n_valid is None:
         n_valid = jnp.asarray(float(N), X.dtype)
+    # normalize Y to unit RMS on device: keeps the EM in the inlier basin
+    # (the all-outlier fixed point P=minP is otherwise reachable when |Y|
+    # and the outlier volume `a` are mismatched in scale). Doing this here
+    # instead of on the host removes a full-array host pass + re-upload.
+    y_scale = jnp.sqrt(jnp.sum(Y * Y) / (n_valid * D)) + 1e-12
+    Y = Y * (y_mult / y_scale) * mask[:, None]
     K = con_K(X, ctrl, beta)  # [N, M]
     U = con_K(ctrl, ctrl, beta)  # [M, M]
 
@@ -105,7 +112,7 @@ def _sparsevfc_em(
         return dict(C=C, P=P, V=V, sigma2=sigma2, gamma=gamma, E=E, tecr=tecr, i=s["i"] + 1)
 
     s = jax.lax.while_loop(cond, body, state)
-    return s, K
+    return s, K, y_scale
 
 
 @jax.jit
@@ -158,28 +165,34 @@ def SparseVFC(
     Xv, Yv = X[valid_ind], Y[valid_ind]
     N, D = Xv.shape
 
+    # kick the uploads off FIRST — device_put is async, so the ~100 ms the
+    # 100k-point transfer takes on a tunneled TPU overlaps the host-side
+    # control-point selection below instead of serializing after it
+    Xj = jnp.asarray(Xv)
+    Yj = jnp.asarray(Yv)
+
     rng = np.random.default_rng(seed)
-    uniq, uniq_idx = np.unique(Xv, axis=0, return_index=True)
-    M_eff = min(M, len(uniq))
-    ctrl_idx = uniq_idx[rng.choice(len(uniq), M_eff, replace=False)]
+    # control points must be distinct. np.unique(axis=0) lexsorts the full
+    # [N, D] array (~200 ms at N=1e5 — a third of total fit time); project
+    # rows onto a random direction instead: equal rows always hash equal,
+    # and a float64 collision between distinct rows merely drops one
+    # candidate control point
+    proj = Xv.astype(np.float64) @ rng.standard_normal(Xv.shape[1])
+    _, uniq_idx = np.unique(proj, return_index=True)
+    M_eff = min(M, len(uniq_idx))
+    ctrl_idx = uniq_idx[rng.choice(len(uniq_idx), M_eff, replace=False)]
     ctrl = Xv[ctrl_idx]
 
     if beta is None:
-        # median heuristic over a subsample — fused on device (the numpy
-        # [2000, 2000] broadcast version cost ~260 ms of host time, half the
-        # total fit time at N=20k); only the scalar crosses the tunnel
+        # median heuristic over a subsample — fused on device, and kept as a
+        # device scalar: pulling it would stall the pipeline for a tunnel
+        # RTT before the EM could even be dispatched
         sub = Xv[rng.choice(N, min(N, 2000), replace=False)]
-        h2 = float(_median_positive_sqdist(jnp.asarray(sub)))
-        beta = 1.0 / h2 if np.isfinite(h2) and h2 > 0 else 1.0
+        h2 = _median_positive_sqdist(jnp.asarray(sub))
+        beta_t = jnp.where(jnp.isfinite(h2) & (h2 > 0.0), 1.0 / h2, 1.0).astype(jnp.float32)
+    else:
+        beta_t = jnp.asarray(beta, jnp.float32)
 
-    # normalize Y to unit RMS: keeps the EM in the inlier basin (the
-    # all-outlier fixed point P=minP is otherwise reachable when |Y| and the
-    # outlier volume `a` are mismatched in scale)
-    y_scale = float(np.sqrt((Yv**2).mean())) + 1e-12
-    Yn = Yv / y_scale
-
-    Xj = jnp.asarray(Xv)
-    Yj = jnp.asarray(Yn)
     ctrl_j = jnp.asarray(ctrl)
     mask = None
     n_valid_t = None
@@ -199,25 +212,30 @@ def SparseVFC(
         n_valid_t = jnp.asarray(float(N), jnp.float32)
         ctrl_j = jax.device_put(ctrl_j, NamedSharding(mesh, P_()))
 
-    def run_em(Y_in):
+    def run_em(y_mult):
         return _sparsevfc_em(
-            Xj, Y_in, ctrl_j, jnp.asarray(beta, jnp.float32),
+            Xj, Yj, ctrl_j, beta_t,
             gamma, a, lambda_, ecr, minP, MaxIter, mask, n_valid_t,
+            jnp.asarray(y_mult, jnp.float32),
         )
 
-    s, Kmat = run_em(Yj)
+    s, Kmat, y_scale_t = run_em(1.0)
+    y_mult = 1.0
     # all-outlier collapse guard: gamma pinned at its floor means the fit
     # never engaged; retry once from a colder sigma2 via scaled Y
     if float(s["gamma"]) <= 0.06:
-        s2, Kmat = run_em(Yj * 0.1)
+        s2, Kmat2, _ = run_em(0.1)
         if float(s2["gamma"]) > float(s["gamma"]):
-            s = dict(s2)
-            s["C"] = s2["C"] * 10.0
-            s["V"] = s2["V"] * 10.0
-            s["sigma2"] = s2["sigma2"] * 100.0
-    C = np.asarray(s["C"]) * y_scale
-    V = np.asarray(s["V"])[:N] * y_scale
-    P = np.asarray(s["P"])[:N]
+            s, Kmat, y_mult = s2, Kmat2, 0.1
+    # ONE batched pull for everything that crosses the host boundary — on a
+    # tunneled device each separate float()/asarray() is its own RTT
+    Cn, Vn, Pn, sigma2_n, n_iter, tecr_f, E_f, y_scale, beta = jax.device_get(
+        (s["C"], s["V"], s["P"], s["sigma2"], s["i"], s["tecr"], s["E"], y_scale_t, beta_t)
+    )
+    rescale = float(y_scale) / y_mult
+    C = Cn * rescale
+    V = Vn[:N] * rescale
+    P = Pn[:N]
 
     grid_V = None
     if Grid is not None:
@@ -235,12 +253,15 @@ def SparseVFC(
         "C": C,
         "P": P,
         "VFCIndex": np.where(P > theta)[0],
-        "sigma2": float(s["sigma2"]) * y_scale**2,
+        "sigma2": float(sigma2_n) * rescale**2,
         "grid": Grid,
         "grid_V": grid_V,
-        "iteration": int(s["i"]),
-        "tecr_traj": np.asarray([float(s["tecr"])]),
-        "E_traj": np.asarray([float(s["E"])]),
+        "iteration": int(n_iter),
+        "tecr_traj": np.asarray([float(tecr_f)]),
+        "E_traj": np.asarray([float(E_f)]),
+        # device-resident handles so chained consumers (differential geometry,
+        # field evaluation) don't re-upload what is already on the chip
+        "_device": {"X": Xj, "ctrl": ctrl_j, "C": s["C"], "beta": beta_t, "y_rescale": rescale},
     }
 
 

@@ -157,6 +157,7 @@ def morphofield_sparsevfc(
         restart_seed=restart_seed,
         **kwargs,
     )
+    vf_dict.pop("_device", None)  # device handles must not be serialized into .uns
     adata.uns[key_added] = vf_dict
     adata.obsm["velocity_" + spatial_key.split("_")[-1] if "_" in spatial_key else "velocity"] = vf_dict["V"]
     return None if inplace else adata
