@@ -647,6 +647,59 @@ class TestDistributedHelpers:
         with pytest.raises(MeshError):
             st.parallel.global_mesh(("data", "model"), shape=(3, 5))
 
+    def test_env_driven_bootstrap_branches(self, monkeypatch):
+        """Structural coverage of the multi-host decision logic that cannot
+        execute for real on a single host: which environments trigger
+        `jax.distributed.initialize`, and with which arguments. The real
+        initialize is monkeypatched out — this pins the branch structure,
+        not actual DCN bringup (documented module-docstring honesty note)."""
+        from spateo_tpu.parallel import distributed as D
+
+        calls = []
+
+        def fake_initialize(**kwargs):
+            calls.append(kwargs)
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+        monkeypatch.setattr(D, "_initialized", False)
+
+        # 1. bare single-host env: initialize must NOT be called
+        monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+        monkeypatch.delenv("MEGASCALE_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        D.initialize_distributed()
+        assert calls == [] and D.is_distributed() is False
+
+        # 2. TPU-pod env (multiple workers): env-autodetected initialize()
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "w0,w1,w2,w3")
+        D.initialize_distributed()
+        assert calls == [{}]
+        # _initialized reflects the REAL process count (1 here), so a
+        # faked bringup must not leave the module claiming multi-host
+        assert D.is_distributed() is False
+
+        # 3. manual-cluster env variable routes into the explicit branch
+        calls.clear()
+        monkeypatch.setattr(D, "_initialized", False)
+        monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+        monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        D.initialize_distributed(num_processes=2, process_id=1)
+        assert calls == [
+            dict(coordinator_address="10.0.0.1:1234", num_processes=2, process_id=1, local_device_ids=None)
+        ]
+
+        # 4. explicit args always win
+        calls.clear()
+        monkeypatch.setattr(D, "_initialized", False)
+        D.initialize_distributed(coordinator_address="host:9", num_processes=4, process_id=0)
+        assert calls[0]["coordinator_address"] == "host:9" and calls[0]["num_processes"] == 4
+
+        # 5. idempotent once initialized
+        calls.clear()
+        monkeypatch.setattr(D, "_initialized", True)
+        D.initialize_distributed()
+        assert calls == []
+
 
 class TestSpaGCNDEC:
     def test_dec_recovers_two_domains(self):
