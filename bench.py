@@ -11,9 +11,14 @@ parseable line carries both:
                       "unit": "slice-pairs/min", "vs_baseline": N}]}
 
 Workload #1 (BASELINE.json config #1): NB-mixture EM scoring + belief
-propagation + Otsu mask + morphology on a synthetic Stereo-seq-like UMI
-raster — the full `_score_pixels(method="EM+BP")` + threshold path, measured
-steady-state (after one warmup for XLA compilation).
+propagation + Otsu mask + morphology on synthetic Stereo-seq-like UMI
+rasters — the full `_score_pixels(method="EM+BP")` + threshold path,
+measured steady-state (after one warmup for XLA compilation) over a
+4-tile 2048^2 pipelined stream (`starro_em_bp_stream`: tile i+1's upload
+overlaps tile i's compute — production chips are 10-20k px square, i.e.
+dozens of tiles, so pipeline throughput is the representative number;
+r01/r02 measured a single tile round-trip including its serialized
+upload).
 vs_baseline #1: ratio against a single-threaded vectorized NumPy/SciPy
 implementation of the same math measured in-process on a smaller tile and
 scaled by pixel count (the reference's EM is vectorized NumPy, em.py:83; its
@@ -521,38 +526,42 @@ def vfc_bench():
 
 
 def main():
-    # 2048^2: real Stereo-seq chips are 10-20k pixels square, so the larger
-    # tile is the more representative unit of work — and it amortizes the
-    # fixed per-dispatch cost of the tunneled device. The r01/r02 1024^2
-    # number was pinned at ~9 Mpix/s by that fixed floor (~30 ms int8 upload
-    # at the tunnel's ~40 MB/s + ~8 ms dispatch RTTs against ~20 ms of
-    # compute); throughput is transfer-bound, not compute-bound, at any
-    # tile size (see BASELINE.md "Transfer ceiling").
-    H = W = 2048
-    X = make_raster(H, W)
-
-    # warmup at FULL shape (XLA compiles per raster shape)
+    # 2048^2 tiles, streamed: real Stereo-seq chips are 10-20k pixels square
+    # — dozens of such tiles — so the representative unit of work is a tile
+    # STREAM, where `starro_em_bp_stream` overlaps tile i+1's host->device
+    # upload with tile i's on-device compute (the serialized upload is
+    # otherwise ~1/3 of per-tile wall time on the tunneled link; the overlap
+    # is worth ~1.4x measured). Single-tile latency is documented in
+    # BASELINE.md "Starro throughput anatomy".
     import jax
 
-    tpu_pipeline(X, seed=1)
+    from spateo_tpu.segmentation.starro import starro_em_bp_stream
+
+    H = W = 2048
+    N_TILES = 4
+    tiles = [make_raster(H, W, seed=s) for s in range(N_TILES)]
+
+    # warmup at FULL shape (XLA compiles per raster shape)
+    list(starro_em_bp_stream(tiles[:1], k=5, seed=1, bp_max_iter=50, mask_only=True))
     jax.effects_barrier()
 
-    # best of 5: the tunneled TPU adds ~±30% per-dispatch RTT jitter, so a
-    # single sample under-reports steady-state throughput
+    # best of 3 stream passes: the tunneled TPU adds ~±30% per-dispatch RTT
+    # jitter, so a single sample under-reports steady-state throughput
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        mask = tpu_pipeline(X)
+        masks = [m for _, m in starro_em_bp_stream(tiles, k=5, seed=0, bp_max_iter=50, mask_only=True)]
         jax.effects_barrier()
         times.append(time.perf_counter() - t0)
+    assert len(masks) == N_TILES
     tpu_time = min(times)
-    mpix_s = (H * W) / tpu_time / 1e6
+    mpix_s = (N_TILES * H * W) / tpu_time / 1e6
 
     # CPU baseline on a smaller tile, scaled by pixel count (single cold
     # run — the same methodology as every earlier round, so vs_baseline
     # stays comparable across the BENCH_r* series)
     hb = wb = 256
-    Xb = X[:hb, :wb]
+    Xb = tiles[0][:hb, :wb]
     t0 = time.perf_counter()
     numpy_baseline_pipeline(Xb)
     cpu_time_small = time.perf_counter() - t0

@@ -280,3 +280,36 @@ class TestShardedStarro:
         s2, m2 = starro_em_bp_sharded(X, mesh=mesh, k=3, seed=0, bp_max_iter=20)
         np.testing.assert_allclose(np.asarray(s1), s2, atol=1e-5)
         assert (np.asarray(m1) == m2).all()
+
+
+class TestStarroStream:
+    def test_stream_matches_per_tile_calls(self):
+        """The pipelined tile stream (upload of tile i+1 overlapped with
+        compute of tile i) is bit-identical to per-tile starro_em_bp calls,
+        including across a mid-stream tile-shape change."""
+        from spateo_tpu.segmentation.starro import starro_em_bp, starro_em_bp_stream
+
+        rng = np.random.default_rng(1)
+
+        def tile(shape, seed):
+            r = np.random.default_rng(seed)
+            X = r.negative_binomial(1, 0.5, shape).astype(np.float32)
+            X[10:40, 10:40] += r.negative_binomial(8, 0.35, (30, 30)).astype(np.float32)
+            return X
+
+        tiles = [tile((96, 96), 0), tile((96, 96), 1), tile((64, 96), 2)]
+        streamed = list(starro_em_bp_stream(tiles, k=3, seed=0, bp_max_iter=15, mask_only=True))
+        assert len(streamed) == 3
+        for X, (s_st, m_st) in zip(tiles, streamed):
+            s_ref, m_ref = starro_em_bp(X, k=3, seed=0, bp_max_iter=15, mask_only=True)
+            np.testing.assert_array_equal(np.asarray(m_st), np.asarray(m_ref))
+            np.testing.assert_allclose(np.asarray(s_st), np.asarray(s_ref), atol=0)
+
+    def test_stream_empty_and_single(self):
+        from spateo_tpu.segmentation.starro import starro_em_bp_stream
+
+        assert list(starro_em_bp_stream([], k=3)) == []
+        rng = np.random.default_rng(0)
+        X = rng.negative_binomial(1, 0.5, (64, 64)).astype(np.float32)
+        out = list(starro_em_bp_stream([X], k=3, seed=0, bp_max_iter=5, mask_only=True))
+        assert len(out) == 1 and out[0][1].shape == X.shape
