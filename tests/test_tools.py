@@ -604,6 +604,32 @@ class TestShardedIWLS:
         b2, _ = iwls_batch_sharded(y, X, W[:37])
         np.testing.assert_allclose(b2, b_ref[:37], atol=1e-5)
 
+    def test_block_invariance_including_leverage(self):
+        """Results must not depend on the device block size — in particular
+        each block's leverage must be computed against its GLOBAL focal rows
+        (regression: blocks beyond the first used X rows 0..B)."""
+        from spateo_tpu.tools.CCI_effects_modeling.regression_utils import iwls_batch, iwls_batch_full
+
+        rng = np.random.default_rng(1)
+        n, k = 150, 4
+        X = rng.normal(0, 0.4, (n, k)).astype(np.float32)
+        X[:, 0] = 1.0
+        y = rng.poisson(np.exp(np.clip(X @ rng.normal(0, 0.3, k), -3, 3))).astype(np.float32)
+        pos = rng.uniform(0, 4, (n, 2))
+        W = np.exp(-((pos[:, None] - pos[None]) ** 2).sum(-1)).astype(np.float32)
+        b1, h1 = iwls_batch(y, X, W, distr="poisson", block=1024)
+        b2, h2 = iwls_batch(y, X, W, distr="poisson", block=48)
+        np.testing.assert_allclose(b1, b2, atol=1e-5)
+        np.testing.assert_allclose(h1, h2, atol=1e-5)
+        # full-diagnostics variant under gaussian + blocked poisson
+        for distr in ("gaussian", "poisson"):
+            bf1, hf1, d1, p1 = iwls_batch_full(y, X, W, distr=distr, block=1024)
+            bf2, hf2, d2, p2 = iwls_batch_full(y, X, W, distr=distr, block=48)
+            np.testing.assert_allclose(bf1, bf2, atol=1e-5)
+            np.testing.assert_allclose(hf1, hf2, atol=1e-5)
+            np.testing.assert_allclose(d1, d2, atol=1e-5)
+            np.testing.assert_allclose(p1, p2, atol=1e-5)
+
 
 class TestPySTAGATE:
     def test_train_predict_psm(self, spatial_adata):
