@@ -583,6 +583,43 @@ class TestMuSICDownstreamBreadth:
             it.visualize_effect_specificity()
 
 
+class TestSPDSolver:
+    def test_gauss_jordan_matches_lu_on_spd(self):
+        """The pivot-free batched Gauss-Jordan solve (used inside the IWLS
+        scan — ~25 ms/call cheaper than batched LU on TPU) matches
+        numpy's LU solve on SPD systems, including poorly conditioned ones
+        (cond ~1e6: elimination without pivoting is backward stable for
+        SPD matrices)."""
+        import jax.numpy as jnp
+
+        from spateo_tpu.tools.CCI_effects_modeling.regression_utils import _solve_spd_batched
+
+        rng = np.random.default_rng(0)
+        q, k, m = 64, 12, 3
+        A_ = rng.normal(size=(q, k, k))
+        A = np.einsum("qij,qkj->qik", A_, A_) + 0.1 * np.eye(k)
+        B = rng.normal(size=(q, k, m))
+        got = np.asarray(_solve_spd_batched(jnp.asarray(A, jnp.float32), jnp.asarray(B, jnp.float32)))
+        ref = np.linalg.solve(A, B)
+        np.testing.assert_allclose(got, ref, atol=5e-4)
+
+        # ill-conditioned (cond ~1e6): pivot-free elimination must track the
+        # pivoted LU at the SAME precision — apples to apples in f32
+        U, _ = np.linalg.qr(rng.normal(size=(k, k)))
+        evals = np.logspace(-3, 3, k)
+        A_ill = (U * evals) @ U.T
+        A_ill = np.broadcast_to(A_ill, (4, k, k)).copy().astype(np.float32)
+        B2 = rng.normal(size=(4, k, 1)).astype(np.float32)
+        got2 = np.asarray(_solve_spd_batched(jnp.asarray(A_ill), jnp.asarray(B2)))
+        lu2 = np.asarray(jnp.linalg.solve(jnp.asarray(A_ill), jnp.asarray(B2)))
+        # both lose ~cond digits; they must lose them TOGETHER
+        denom = np.maximum(np.abs(lu2), 1e-3)
+        assert np.max(np.abs(got2 - lu2) / denom) < 5e-2
+        resid = np.linalg.norm(A_ill @ got2 - B2) / np.linalg.norm(B2)
+        resid_lu = np.linalg.norm(A_ill @ lu2 - B2) / np.linalg.norm(B2)
+        assert resid < max(10 * resid_lu, 1e-5), (resid, resid_lu)
+
+
 class TestShardedIWLS:
     def test_sharded_matches_unsharded(self):
         import jax
