@@ -30,6 +30,35 @@ class TestJacobi:
         sol, it, err = jacobi_solve(field, border, mask, max_err=1e-8, max_itr=50_000)
         np.testing.assert_allclose(sol[H // 2], ramp, rtol=0.02)
 
+    def test_pallas_vmem_block_matches_xla_block(self):
+        """The VMEM-resident Pallas sweep block (engaged on real TPUs for
+        rasters that fit on-chip) is exactly the XLA roll/update step
+        (interpret mode on CPU)."""
+        import jax.numpy as jnp
+
+        from spateo_tpu.ops.stencil import _jacobi_pallas_block
+
+        rng = np.random.default_rng(0)
+        H, W = 16, 128  # lane-aligned last dim
+        f0 = rng.uniform(0, 10, (H, W)).astype(np.float32)
+        border = np.zeros((H, W), bool)
+        border[0] = border[-1] = True
+        border[3, 40:60] = True
+        upd = np.zeros((H, W), np.float32)
+        upd[1:-1, 1:-1] = 1.0
+        upd[border] = 0.0
+
+        f_ref = f0.copy()
+        for _ in range(7):
+            pre = f_ref.copy()
+            avg = 0.25 * (
+                np.roll(pre, -1, 0) + np.roll(pre, 1, 0) + np.roll(pre, -1, 1) + np.roll(pre, 1, 1)
+            )
+            f_ref = np.where(upd > 0, avg, pre)
+
+        got = np.asarray(_jacobi_pallas_block(jnp.asarray(f0), jnp.asarray(upd), 7, interpret=True))
+        np.testing.assert_allclose(got, f_ref, atol=1e-6)
+
     def test_matches_numpy_reference_solver(self):
         """Device solver must agree with a literal numpy transcription of the
         reference update rule (reference digitization/utils.py:513-515)."""
