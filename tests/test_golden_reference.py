@@ -372,6 +372,101 @@ class TestMiscGolden:
             np.asarray(my_s.compute_jaccard_similarity_matrix(J)),
         )
 
+    def test_smooth_normalized_path_exact(self):
+        """smooth(normalize_W=True) — the weighted-average path: x_new, the
+        post-processing W, AND the row-sum vector d must match the reference
+        bit-for-bit, including cell-type masking and the return contract
+        (reference spatial_smooth.py:16-178)."""
+        from scipy.sparse import csr_matrix
+
+        ref_s = _need("spateo.tools.spatial_smooth")
+        import spateo_tpu.tools.spatial_smooth as my_s
+
+        rng = np.random.default_rng(7)
+        n, g = 50, 12
+        # dense X + sparse W: the one combination the reference executes
+        # under modern scipy (its sparse-X fancy indexing returns np.matrix
+        # and crashes at spatial_smooth.py:150; its dense-W path calls
+        # ndarray.multiply and crashes at :106)
+        X = np.asarray((rng.random((n, g)) > 0.6) * rng.integers(1, 5, (n, g)).astype(float))
+        W = csr_matrix((rng.random((n, n)) > 0.7) * rng.random((n, n)))
+        ct = rng.integers(0, 3, n)
+
+        def dn(a):
+            return np.asarray(a.todense()) if hasattr(a, "todense") else np.asarray(a)
+
+        ref_x, ref_W, ref_d = ref_s.smooth(X.copy(), W.copy(), ct=ct, normalize_W=True, return_W=True)
+        my_x, my_W, my_d = my_s.smooth(X.copy(), W.copy(), ct=ct, normalize_W=True, return_W=True)
+        np.testing.assert_allclose(dn(my_x), dn(ref_x), atol=1e-12)
+        np.testing.assert_allclose(dn(my_W), dn(ref_W), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(my_d).ravel(), np.asarray(ref_d).ravel(), atol=1e-12)
+
+        # return_discrete semantics: fractional averages in (0, 1) become 1
+        ref_x2, _ = ref_s.smooth(X.copy(), W.copy(), normalize_W=True, return_discrete=True)
+        my_x2, _ = my_s.smooth(X.copy(), W.copy(), normalize_W=True, return_discrete=True)
+        np.testing.assert_allclose(dn(my_x2), dn(ref_x2), atol=1e-12)
+
+        # manual_mask OVERRIDES ct conditioning (reference :93-99)
+        mask = (rng.random((n, n)) > 0.5).astype(float)
+        ref_x3, _ = ref_s.smooth(X.copy(), W.copy(), ct=ct, manual_mask=mask, normalize_W=True)
+        my_x3, _ = my_s.smooth(X.copy(), W.copy(), ct=ct, manual_mask=mask, normalize_W=True)
+        np.testing.assert_allclose(dn(my_x3), dn(ref_x3), atol=1e-12)
+
+    def test_smooth_probabilistic_path_structure(self):
+        """smooth(normalize_W=False) — the probabilistic imputation path:
+        eligible-row selection must match the reference exactly; sampled
+        values must come from expressing neighbors; original nonzeros are
+        restored verbatim (reference spatial_smooth.py:180-208,312-420)."""
+        from scipy.sparse import csr_matrix
+
+        ref_s = _need("spateo.tools.spatial_smooth")
+        import spateo_tpu.tools.spatial_smooth as my_s
+
+        rng = np.random.default_rng(11)
+        n, g = 40, 5
+        X = csr_matrix((rng.random((n, g)) > 0.5) * rng.integers(1, 6, (n, g)).astype(float))
+        W = csr_matrix((rng.random((n, n)) > 0.6) * rng.random((n, n)))
+
+        # helper-level golden: eligible rows are identical
+        for i in range(g):
+            feat = np.asarray(X[:, i].todense()).ravel()
+            ref_rows = ref_s.get_eligible_rows(W.copy(), feat, threshold=2)
+            my_rows = my_s.get_eligible_rows(W.copy(), feat, threshold=2)
+            np.testing.assert_array_equal(np.sort(my_rows), np.sort(ref_rows))
+
+        np.random.seed(0)
+        my_x = my_s.smooth(X.copy(), W.copy(), normalize_W=False, smoothing_threshold=2)
+        my_dense = np.asarray(my_x.todense())
+        X_dense = np.asarray(X.todense())
+        # original nonzeros restored verbatim
+        nzr, nzc = X.nonzero()
+        np.testing.assert_allclose(my_dense[nzr, nzc], X_dense[nzr, nzc])
+        # every imputed value equals some expressing neighbor's value
+        for i in range(g):
+            feat = X_dense[:, i]
+            imputed = np.where((my_dense[:, i] != 0) & (feat == 0))[0]
+            for r in imputed:
+                nbrs = W[r].nonzero()[1]
+                vals = feat[nbrs]
+                assert my_dense[r, i] in vals[vals != 0]
+            # only reference-eligible rows were imputed
+            eligible = set(ref_s.get_eligible_rows(W.copy(), feat, threshold=2).tolist())
+            assert set(imputed.tolist()) <= eligible
+
+    def test_sparse_matrix_median_exact(self):
+        from scipy.sparse import csr_matrix
+
+        ref_s = _need("spateo.tools.spatial_smooth")
+        import spateo_tpu.tools.spatial_smooth as my_s
+
+        rng = np.random.default_rng(5)
+        for density, nz_only in ((0.2, True), (0.2, False), (0.8, False), (0.7, True)):
+            M = csr_matrix((rng.random((17, 13)) < density) * rng.random((17, 13)))
+            assert np.isclose(
+                my_s.sparse_matrix_median(M, nonzero_only=nz_only),
+                float(ref_s.sparse_matrix_median(M, nonzero_only=nz_only)),
+            ), (density, nz_only)
+
 
 class TestDistanceGolden:
     """Pin every calc_distance metric (and its GEMM factorization) against
