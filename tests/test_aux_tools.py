@@ -186,3 +186,96 @@ class TestAuxsegInteractive:
         lw.button_pressed(self._Ev(10, 11))
         assert lw.rst is not None and len(lw.rst) > 10
         plt.close("all")
+
+
+class TestBivariateMoran:
+    """Bivariate Moran (reference tools/spatial_correlation.py:12-282, which
+    delegates to esda Moran_BV / Moran_Local_BV — the statistics are pinned
+    here against literal NumPy transcriptions of esda's definitions)."""
+
+    @staticmethod
+    def _adata(n=60, g=4, seed=3):
+        import spateo_tpu.core as core
+        from scipy.sparse import csr_matrix
+
+        rng = np.random.default_rng(seed)
+        coords = rng.uniform(0, 10, (n, 2))
+        # smooth spatial signal + gene tracking it (positive bv Moran)
+        sig = np.sin(coords[:, 0] / 3.0) + coords[:, 1] / 10.0
+        X = rng.poisson(1.0, (n, g)).astype(float)
+        X[:, 0] += 3 * sig - 3 * sig.min()
+        a = core.AnnData(
+            X=X,
+            obs=pd.DataFrame({"sig": sig}, index=[f"c{i}" for i in range(n)]),
+            var=pd.DataFrame(index=[f"g{j}" for j in range(g)]),
+        )
+        a.obsm["spatial"] = coords
+        a.uns["__type"] = "UMI"
+        # explicit kNN connectivities (row-standardized inside the function)
+        d2 = ((coords[:, None] - coords[None]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        W = np.zeros((n, n))
+        nn = np.argsort(d2, axis=1)[:, :6]
+        for i in range(n):
+            W[i, nn[i]] = 1.0
+        a.obsp["spatial_connectivities"] = csr_matrix(W)
+        return a, W
+
+    def test_global_bv_matches_esda_definition(self):
+        a, W = self._adata()
+        from spateo_tpu.tools.spatial_correlation import spatial_bv_moran_obs_genes
+
+        df = spatial_bv_moran_obs_genes(a, "sig", genes=["g0", "g1"], permutations=199, copy=True)
+        assert list(df.index) == ["g0", "g1"]
+        assert {"I", "EI_sim", "pval_sim", "pval_z_sim", "z_sim"} <= set(df.columns)
+
+        # literal esda Moran_BV: I = zx' W_rowstd zy / (n - 1), ddof=1
+        x = np.asarray(a.X[:, 0]).ravel()
+        y = np.asarray(a.obs["sig"].values, float)
+        Wr = W / W.sum(1, keepdims=True)
+        zx = (x - x.mean()) / x.std(ddof=1)
+        zy = (y - y.mean()) / y.std(ddof=1)
+        I_expect = float(zx @ (Wr @ zy)) / (len(x) - 1)
+        assert np.isclose(df.loc["g0", "I"], I_expect, atol=1e-10)
+        # the tracking gene is significantly spatially co-varying
+        assert df.loc["g0", "I"] > 0.2 and df.loc["g0", "pval_sim"] < 0.05
+
+        # uns storage contract
+        spatial_bv_moran_obs_genes(a, "sig", genes="g0", permutations=None)
+        stored = a.uns["sig_gene_bv_moranI"]
+        assert list(stored.columns) == ["I"] and np.isclose(stored.loc["g0", "I"], I_expect)
+
+    def test_local_bv_statistics_and_quadrants(self):
+        a, W = self._adata()
+        from spateo_tpu.tools.spatial_correlation import spatial_bv_local_moran
+
+        df = spatial_bv_local_moran(a, "g0", "sig", permutations=99, copy=True)
+        assert len(df) == a.n_obs
+        assert {"I", "q", "EI_sim", "pval_sim", "pval_z_sim", "z_sim"} <= set(df.columns)
+
+        # literal esda Moran_Local_BV: I_i = (n-1) zx_i (W zy)_i / sum(zx^2), ddof=0
+        x = np.asarray(a.X[:, 0]).ravel()
+        y = np.asarray(a.obs["sig"].values, float)
+        Wr = W / W.sum(1, keepdims=True)
+        zx = (x - x.mean()) / x.std()
+        zy = (y - y.mean()) / y.std()
+        lag = Wr @ zy
+        Is = (len(x) - 1) * zx * lag / (zx * zx).sum()
+        np.testing.assert_allclose(df["I"].values, Is, atol=1e-10)
+        # quadrant codes: 1 HH, 2 LH, 3 LL, 4 HL
+        q = np.where((zx > 0) & (lag > 0), 1, np.where((zx <= 0) & (lag > 0), 2, np.where((zx <= 0) & (lag <= 0), 3, 4)))
+        np.testing.assert_array_equal(df["q"].values, q)
+        # storage contract
+        spatial_bv_local_moran(a, "g0", "sig", permutations=49)
+        assert "g0_sig_bv_local_moranI" in a.uns
+
+    def test_input_validation(self):
+        a, _ = self._adata()
+        from spateo_tpu.tools.spatial_correlation import spatial_bv_local_moran, spatial_bv_moran_obs_genes
+
+        with pytest.raises(ValueError, match="Only 'moran'"):
+            spatial_bv_moran_obs_genes(a, "sig", mode="geary")
+        with pytest.raises(KeyError):
+            spatial_bv_moran_obs_genes(a, "missing")
+        with pytest.raises(KeyError):
+            spatial_bv_local_moran(a, "missing", "sig")
