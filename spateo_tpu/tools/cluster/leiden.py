@@ -52,34 +52,66 @@ def _partition_to_labels(communities, n: int) -> np.ndarray:
     return labels
 
 
+def _resolve_graph(adj, input_mat, graph, num_neighbors: int, graph_type: str):
+    """Reference input contract (leiden.py:61-120): a precomputed adjacency
+    wins; otherwise `input_mat` is interpreted per `graph_type` as a distance
+    matrix or an embedding and converted to a kNN graph; neither is an error."""
+    if graph is not None:
+        return graph
+    if adj is None and input_mat is None:
+        raise ValueError("Either `adj` or `input_mat` must be specified")
+    if adj is not None:
+        return _adj_to_nx(adj)
+    if graph_type == "distance":
+        return distance_knn_graph(np.asarray(input_mat), num_neighbors)
+    if graph_type == "embedding":
+        return embedding_knn_graph(np.asarray(input_mat), num_neighbors)
+    raise ValueError(f"Unknown graph_type {graph_type!r}: use 'distance' or 'embedding'")
+
+
 def calculate_louvain_partition(
     adj=None,
-    graph=None,
+    input_mat: Optional[np.ndarray] = None,
+    num_neighbors: int = 10,
+    graph_type: str = "distance",
     resolution: Optional[float] = None,
-    seed: int = 0,
+    n_iterations: int = -1,
+    graph=None,
+    seed: int = 42,
 ) -> np.ndarray:
-    """Louvain communities of an adjacency matrix (parity: leiden.py:126)."""
+    """Louvain communities (parity: leiden.py:126-190 — same adj/input_mat
+    contract; the reference's fixed seed 42 is the default here too).
+    `n_iterations` caps the level passes (-1 = run to convergence, the
+    reference louvain package's semantics)."""
     from networkx.algorithms.community import louvain_communities
 
-    G = graph if graph is not None else _adj_to_nx(adj)
-    comms = louvain_communities(G, resolution=resolution or 1.0, seed=seed)
+    G = _resolve_graph(adj, input_mat, graph, num_neighbors, graph_type)
+    kwargs = {} if n_iterations in (-1, None) else {"max_level": int(n_iterations)}
+    comms = louvain_communities(G, resolution=resolution or 1.0, seed=seed, **kwargs)
     return _partition_to_labels(comms, G.number_of_nodes())
 
 
 def calculate_leiden_partition(
     adj=None,
-    graph=None,
+    input_mat: Optional[np.ndarray] = None,
+    num_neighbors: int = 10,
+    graph_type: str = "distance",
     resolution: Optional[float] = None,
-    seed: int = 0,
+    n_iterations: int = -1,
+    graph=None,
+    seed: int = 888,
 ) -> np.ndarray:
     """Leiden-style partition: Louvain + connectivity refinement
-    (parity surface: leiden.py:61)."""
+    (parity surface: leiden.py:61-124 — same adj/input_mat contract; the
+    reference's fixed seed 888 is the default here too)."""
     import networkx as nx
     from networkx.algorithms.community import louvain_communities
 
-    G = graph if graph is not None else _adj_to_nx(adj)
-    comms = louvain_communities(G, resolution=resolution or 1.0, seed=seed)
-    # refinement: split communities that are internally disconnected
+    G = _resolve_graph(adj, input_mat, graph, num_neighbors, graph_type)
+    kwargs = {} if n_iterations in (-1, None) else {"max_level": int(n_iterations)}
+    comms = louvain_communities(G, resolution=resolution or 1.0, seed=seed, **kwargs)
+    # refinement: split communities that are internally disconnected (the
+    # Leiden guarantee the plain Louvain pass lacks)
     refined = []
     for c in comms:
         sub = G.subgraph(c)

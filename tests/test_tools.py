@@ -1157,3 +1157,40 @@ class TestCellTypeInteractionFigures:
             interp.top_target_barplot("I2", cmap="seismic")
         with pytest.raises(KeyError, match="not among fitted"):
             interp.top_target_barplot("NOPE")
+
+
+class TestPartitionInputContract:
+    """calculate_{leiden,louvain}_partition accept the reference's full input
+    contract (reference cluster/leiden.py:61-190): precomputed adj, OR an
+    input matrix interpreted as distances/embedding with a kNN build."""
+
+    @staticmethod
+    def _two_blobs(n=40, seed=0):
+        rng = np.random.default_rng(seed)
+        a = rng.normal(0, 0.3, (n // 2, 2))
+        b = rng.normal(4, 0.3, (n // 2, 2))
+        return np.vstack([a, b])
+
+    def test_embedding_and_distance_inputs(self):
+        from scipy.spatial.distance import cdist
+
+        from spateo_tpu.tools.cluster.leiden import calculate_leiden_partition, calculate_louvain_partition
+
+        X = self._two_blobs()
+        for fn in (calculate_leiden_partition, calculate_louvain_partition):
+            lab_emb = fn(input_mat=X, graph_type="embedding", num_neighbors=5)
+            lab_dist = fn(input_mat=cdist(X, X), graph_type="distance", num_neighbors=5)
+            for lab in (lab_emb, lab_dist):
+                assert len(lab) == len(X)
+                # the kNN graph never bridges the blobs, so no community may
+                # span both (community count within a blob is resolution-
+                # dependent and not pinned)
+                assert set(lab[:20]).isdisjoint(set(lab[20:]))
+
+    def test_input_validation(self):
+        from spateo_tpu.tools.cluster.leiden import calculate_leiden_partition
+
+        with pytest.raises(ValueError, match="adj.*input_mat|input_mat.*adj"):
+            calculate_leiden_partition()
+        with pytest.raises(ValueError, match="graph_type"):
+            calculate_leiden_partition(input_mat=np.eye(5), graph_type="nope")
