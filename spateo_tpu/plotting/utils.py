@@ -260,59 +260,167 @@ def _dendrogram_sig(data: np.ndarray, method: str = "ward", **kwargs):
 
 def dendrogram(
     adata,
-    cluster_key: str,
-    var_names: Optional[Sequence[str]] = None,
+    cat_key,
+    n_pcs: int = 30,
     use_rep: Optional[str] = None,
-    method: str = "ward",
+    var_names: Optional[Sequence[str]] = None,
+    cor_method: str = "pearson",
+    linkage_method: str = "complete",
+    optimal_ordering: bool = False,
     key_added: Optional[str] = None,
-) -> None:
-    """Compute a cluster-level dendrogram and stash it in .uns
-    (reference utils.py:1669)."""
+    inplace: bool = True,
+):
+    """Hierarchical clustering of the categories in `cat_key` (reference
+    utils.py:1669-1818): per-category means of the chosen representation
+    (PCA by default), a `cor_method` correlation matrix between category
+    means, and `linkage_method` linkage on 1 - correlation. `cat_key` may be
+    a list — categories are merged by string concatenation. Stores (or
+    returns, with `inplace=False`) the reference's dict: linkage, cat_key,
+    use_rep, cor_method, linkage_method, categories_ordered,
+    categories_idx_ordered, dendrogram_info, correlation_matrix."""
+    from scipy.cluster import hierarchy as sch
     from scipy.sparse import issparse
+    from scipy.spatial import distance
 
-    groups = np.asarray(adata.obs[cluster_key]).astype(str)
-    cats = list(pd.unique(groups))
-    if use_rep is not None and use_rep in adata.obsm:
-        M = np.asarray(adata.obsm[use_rep])
-    else:
+    cat_keys = cat_key if isinstance(cat_key, list) else [cat_key]
+    for cat in cat_keys:
+        if cat not in adata.obs.columns:
+            raise KeyError(f"'cat_key' has to be a valid observation; got {cat!r}")
+
+    groups = np.asarray(adata.obs[cat_keys[0]]).astype(str)
+    for cat in cat_keys[1:]:
+        groups = np.char.add(np.char.add(groups, "_"), np.asarray(adata.obs[cat]).astype(str))
+
+    if var_names is not None:
+        idx = [list(map(str, adata.var_names)).index(str(g)) for g in var_names]
         M = adata.X.toarray() if issparse(adata.X) else np.asarray(adata.X)
-        if var_names is not None:
-            idx = [list(map(str, adata.var_names)).index(str(g)) for g in var_names]
-            M = M[:, idx]
-    means = np.stack([M[groups == c].mean(axis=0) for c in cats])
-    leaves, icoord, dcoord, link = _dendrogram_sig(means, method=method)
-    key_added = key_added or f"dendrogram_{cluster_key}"
-    adata.uns[key_added] = {
-        "linkage": link,
-        "categories_ordered": [cats[i] for i in leaves],
-        "categories_idx_ordered": leaves,
-        "dendrogram_info": {"icoord": icoord, "dcoord": dcoord, "leaves": leaves},
-        "cluster_key": cluster_key,
-    }
-
-
-def plot_dendrogram(ax: Axes, adata, cluster_key: str, orientation: str = "top", remove_labels: bool = True):
-    """Draw a stored dendrogram onto `ax` (reference utils.py:1820)."""
-    info = adata.uns.get(f"dendrogram_{cluster_key}")
-    if info is None:
-        dendrogram(adata, cluster_key)
-        info = adata.uns[f"dendrogram_{cluster_key}"]
-    icoord = np.asarray(info["dendrogram_info"]["icoord"])
-    dcoord = np.asarray(info["dendrogram_info"]["dcoord"])
-    for xs, ys in zip(icoord, dcoord):
-        if orientation in ("top", "bottom"):
-            ax.plot(xs, ys, color="#555555", lw=1)
+        M = M[:, idx]
+    elif use_rep is not None:
+        if use_rep == "X":
+            M = adata.X.toarray() if issparse(adata.X) else np.asarray(adata.X)
+        elif use_rep in adata.obsm:
+            M = np.asarray(adata.obsm[use_rep])
+            if n_pcs is not None and n_pcs <= M.shape[1]:
+                M = M[:, :n_pcs]
         else:
-            ax.plot(ys, xs, color="#555555", lw=1)
-    if orientation == "bottom":
-        ax.invert_yaxis()
-    if orientation == "left":
-        ax.invert_xaxis()
+            raise KeyError(f"Did not find {use_rep} in `.obsm.keys()`.")
+    elif n_pcs == 0 or adata.n_vars <= n_pcs:
+        M = adata.X.toarray() if issparse(adata.X) else np.asarray(adata.X)
+    else:
+        # PCA representation (computed on demand, as the reference does)
+        if "X_pca" in adata.obsm and adata.obsm["X_pca"].shape[1] >= n_pcs:
+            M = np.asarray(adata.obsm["X_pca"])[:, :n_pcs]
+        else:
+            from sklearn.decomposition import PCA
+
+            Xd = adata.X.toarray() if issparse(adata.X) else np.asarray(adata.X)
+            M = PCA(n_components=min(n_pcs, Xd.shape[1] - 1), svd_solver="arpack", random_state=0).fit_transform(Xd)
+            adata.obsm["X_pca"] = M
+
+    cats = list(pd.unique(groups))
+    mean_df = pd.DataFrame(np.asarray(M, float)).groupby(pd.Series(groups, name="_cat").values).mean()
+    cats = list(mean_df.index)
+    corr_matrix = mean_df.T.corr(method=cor_method)
+    corr_condensed = distance.squareform(1 - corr_matrix)
+    z_var = sch.linkage(corr_condensed, method=linkage_method, optimal_ordering=optimal_ordering)
+    dendro_info = sch.dendrogram(z_var, labels=list(cats), no_plot=True)
+
+    dat = dict(
+        linkage=z_var,
+        cat_key=cat_keys,
+        use_rep=use_rep,
+        cor_method=cor_method,
+        linkage_method=linkage_method,
+        categories_ordered=dendro_info["ivl"],
+        categories_idx_ordered=dendro_info["leaves"],
+        dendrogram_info=dendro_info,
+        correlation_matrix=corr_matrix.values,
+    )
+    if inplace:
+        if key_added is None:
+            key_added = f'dendrogram_{"_".join(cat_keys)}'
+        adata.uns[key_added] = dat
+        return None
+    return dat
+
+
+def _translate_pos(pos_list, new_ticks, old_ticks):
+    """Dendrogram leaf coordinates -> custom tick positions (reference
+    utils.py:1867-1901); interior joins interpolate between neighbors."""
+    if not isinstance(old_ticks, list):
+        old_ticks = list(old_ticks)
+    new_xs = []
+    for x_val in pos_list:
+        if x_val in old_ticks:
+            new_x_val = new_ticks[old_ticks.index(x_val)]
+        else:
+            idx_next = int(np.searchsorted(old_ticks, x_val, side="left"))
+            idx_prev = idx_next - 1
+            old_min, old_max = old_ticks[idx_prev], old_ticks[idx_next]
+            new_min, new_max = new_ticks[idx_prev], new_ticks[idx_next]
+            new_x_val = ((x_val - old_min) / (old_max - old_min)) * (new_max - new_min) + new_min
+        new_xs.append(new_x_val)
+    return new_xs
+
+
+def plot_dendrogram(
+    dendro_ax: Axes,
+    adata,
+    cat_key,
+    dendrogram_key: Optional[str] = None,
+    orientation: str = "top",
+    remove_labels: bool = True,
+    ticks: Optional[Sequence[float]] = None,
+):
+    """Draw a stored dendrogram onto `dendro_ax` (reference
+    utils.py:1820-1948): supports all four orientations with leaf tick
+    labels, optional custom tick positions (heatmap row alignment), and the
+    reference's axis/spine cleanup."""
+    if not isinstance(dendrogram_key, str):
+        dendrogram_key = f"dendrogram_{cat_key}" if isinstance(cat_key, str) else f'dendrogram_{"_".join(cat_key)}'
+    if dendrogram_key not in adata.uns:
+        dendrogram(adata, cat_key, key_added=dendrogram_key)
+    if "dendrogram_info" not in adata.uns[dendrogram_key]:
+        raise ValueError(f"The given dendrogram key ({dendrogram_key!r}) does not contain valid dendrogram information.")
+
+    info = adata.uns[dendrogram_key]["dendrogram_info"]
+    leaves = info.get("ivl", info.get("leaves"))
+    icoord = np.asarray(info["icoord"])
+    dcoord = np.asarray(info["dcoord"])
+    orig_ticks = np.arange(5, len(leaves) * 10 + 5, 10).astype(float)
+    if ticks is not None and len(orig_ticks) != len(ticks):
+        ticks = None
+
+    for xs, ys in zip(icoord, dcoord):
+        if ticks is not None:
+            xs = _translate_pos(list(xs), list(ticks), orig_ticks)
+        if orientation in ("right", "left"):
+            xs, ys = ys, xs
+        dendro_ax.plot(xs, ys, color="#555555")
+
+    dendro_ax.tick_params(bottom=False, top=False, left=False, right=False)
+    ticks = ticks if ticks is not None else orig_ticks
+    if orientation in ("right", "left"):
+        dendro_ax.set_yticks(ticks)
+        dendro_ax.set_yticklabels(leaves, fontsize="small", rotation=0)
+        dendro_ax.tick_params(labelbottom=False, labeltop=False)
+        if orientation == "left":
+            xmin, xmax = dendro_ax.get_xlim()
+            dendro_ax.set_xlim(xmax, xmin)
+            dendro_ax.tick_params(labelleft=False, labelright=True)
+    else:
+        dendro_ax.set_xticks(ticks)
+        dendro_ax.set_xticklabels(leaves, fontsize="small", rotation=90)
+        dendro_ax.tick_params(labelleft=False, labelright=False)
+        if orientation == "bottom":
+            ymin, ymax = dendro_ax.get_ylim()
+            dendro_ax.set_ylim(ymax, ymin)
+            dendro_ax.tick_params(labeltop=True, labelbottom=False)
     if remove_labels:
-        ax.set_xticks([])
-        ax.set_yticks([])
-        despline_all(ax)
-    return ax
+        dendro_ax.tick_params(labelbottom=False, labeltop=False, labelleft=False, labelright=False)
+    dendro_ax.grid(False)
+    despline_all(dendro_ax)
+    return dendro_ax
 
 
 def arrowed_spines(ax: Axes, basis: str = "", background: str = "white"):

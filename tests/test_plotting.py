@@ -1039,3 +1039,90 @@ class TestThreeDAnimateOptions:
         fig = pl.three_d_multi_plot(models, shape="3|1")
         drawn = [ax for ax in fig.axes if ax.collections]
         assert len(drawn) == 4
+
+
+class TestDendrogramReferenceContract:
+    """dendrogram/plot_dendrogram follow the reference's full contract
+    (reference plotting/static/utils.py:1669-1948)."""
+
+    @staticmethod
+    def _adata(n=90, g=8, seed=0):
+        import pandas as pd
+
+        import spateo_tpu.core as core
+
+        rng = np.random.default_rng(seed)
+        X = rng.poisson(2.0, (n, g)).astype(float)
+        ct = np.array(["a", "b", "c"] * (n // 3))
+        X[ct == "a", :3] += 5
+        X[ct == "b", 3:6] += 5
+        a = core.AnnData(
+            X=X,
+            obs=pd.DataFrame({"ct": ct, "batch": ["x", "y"] * (n // 2)}, index=[f"c{i}" for i in range(n)]),
+            var=pd.DataFrame(index=[f"g{j}" for j in range(g)]),
+        )
+        a.uns["__type"] = "UMI"
+        return a
+
+    def test_correlation_linkage_and_storage(self):
+        from scipy.cluster import hierarchy as sch
+        from scipy.spatial import distance
+
+        from spateo_tpu.plotting.utils import dendrogram
+
+        a = self._adata()
+        dendrogram(a, "ct", n_pcs=0, cor_method="pearson", linkage_method="complete")
+        dat = a.uns["dendrogram_ct"]
+        assert {"linkage", "categories_ordered", "categories_idx_ordered",
+                "dendrogram_info", "correlation_matrix", "cor_method",
+                "linkage_method"} <= set(dat.keys())
+        # literal transcription: mean per category -> pearson corr -> complete
+        # linkage on 1 - corr
+        X = np.asarray(a.X)
+        ct = np.asarray(a.obs["ct"])
+        cats = list(pd.unique(ct))
+        means = np.stack([X[ct == c].mean(0) for c in cats])
+        corr = np.corrcoef(means)
+        link = sch.linkage(distance.squareform(1 - corr), method="complete")
+        np.testing.assert_allclose(dat["linkage"], link, atol=1e-10)
+        np.testing.assert_allclose(dat["correlation_matrix"], corr, atol=1e-10)
+        assert sorted(dat["categories_ordered"]) == sorted(cats)
+
+        # inplace=False returns without storing
+        out = dendrogram(a, "ct", n_pcs=0, key_added="alt", inplace=False)
+        assert out is not None and "alt" not in a.uns
+
+        # multi-key: categories merged by string concatenation
+        dendrogram(a, ["ct", "batch"], n_pcs=0)
+        merged = a.uns["dendrogram_ct_batch"]["categories_ordered"]
+        assert any("_" in c for c in merged) and len(merged) == 6
+
+    def test_plot_orientations_and_ticks(self):
+        import matplotlib.pyplot as plt
+
+        from spateo_tpu.plotting.utils import dendrogram, plot_dendrogram
+
+        a = self._adata()
+        dendrogram(a, "ct", n_pcs=0)
+        for orient in ("top", "bottom", "left", "right"):
+            fig, ax = plt.subplots()
+            plot_dendrogram(ax, a, "ct", orientation=orient, remove_labels=False)
+            assert len(ax.lines) >= 2  # the linkage arcs were drawn
+            if orient in ("left", "right"):
+                labels = [t.get_text() for t in ax.get_yticklabels()]
+            else:
+                labels = [t.get_text() for t in ax.get_xticklabels()]
+            assert sorted(labels) == ["a", "b", "c"]
+            plt.close(fig)
+
+        # custom ticks translate the leaf coordinates
+        fig, ax = plt.subplots()
+        plot_dendrogram(ax, a, "ct", orientation="top", ticks=[0, 1, 2], remove_labels=False)
+        xs = np.concatenate([l.get_xdata() for l in ax.lines])
+        assert xs.max() <= 2.5  # translated into the new tick range
+        plt.close(fig)
+
+        # invalid stored dict raises
+        a.uns["dendrogram_bad"] = {"nope": 1}
+        with pytest.raises(ValueError, match="valid dendrogram information"):
+            plot_dendrogram(ax, a, "ct", dendrogram_key="dendrogram_bad")
