@@ -101,19 +101,43 @@ def alpha_shape(
 
 
 def get_concave_hull(
-    adata,
-    alpha: float = 2.0,
+    path,
+    binsize: int = 20,
+    min_agg_umi: Optional[int] = None,
+    alpha: float = 1.0,
     buffer: Optional[float] = None,
 ) -> Tuple[List[np.ndarray], np.ndarray]:
-    """Concave hull of all occupied coordinates of an AGG/UMI AnnData.
+    """Concave hull of all buckets with more than `min_agg_umi` UMIs.
 
-    Mirrors reference spateo/io/bbs.py:131; returns vertex-array rings.
+    Reference contract (spateo/io/bbs.py:131-180): `path` is a BGI GEM file,
+    aggregated at `binsize` via `read_bgi_agg`; occupied bins above
+    `min_agg_umi` (default binsize - 1) are mapped back to true chip
+    coordinates through bin centroids; `buffer` defaults to the binsize.
+    An AnnData may be passed directly in place of `path` (AGG rasters use
+    their occupied pixels, UMI objects their `.obsm['spatial']`).
     """
-    if SKM.get_adata_type(adata) == SKM.ADATA_AGG_TYPE:
-        from scipy import sparse
+    if isinstance(path, (str, bytes)) or hasattr(path, "__fspath__"):
+        from .bgi import read_bgi_agg
+        from .utils import centroids
 
-        X = adata.X
-        nz = X.nonzero()
+        adata = read_bgi_agg(path, binsize=binsize)
+        if min_agg_umi is None:
+            min_agg_umi = binsize - 1
+        i, j = (adata.X > min_agg_umi).nonzero()
+        x_min, y_min = int(adata.obs_names[0]), int(adata.var_names[0])
+        if binsize != 1:
+            x = centroids(np.asarray(i), coord_min=x_min, binsize=binsize).astype(float)
+            y = centroids(np.asarray(j), coord_min=y_min, binsize=binsize).astype(float)
+        else:
+            x, y = np.asarray(i, float) + x_min, np.asarray(j, float) + y_min
+        if buffer is None:
+            buffer = binsize
+        return alpha_shape(x, y, alpha=alpha, buffer=buffer)
+
+    adata = path
+    if SKM.get_adata_type(adata) == SKM.ADATA_AGG_TYPE:
+        thr = 0 if min_agg_umi is None else min_agg_umi
+        nz = (adata.X > thr).nonzero()
         x, y = np.asarray(nz[0], dtype=float), np.asarray(nz[1], dtype=float)
     else:
         spatial = np.asarray(adata.obsm["spatial"], dtype=float)

@@ -168,3 +168,31 @@ class TestPreprocessing:
         binned = st.pp.bin_adata(adata, bin_size=5)
         assert binned.n_obs == 3
         assert binned.X.sum() == 6
+
+
+class TestConcaveHull:
+    def test_from_gem_path_reference_contract(self):
+        """get_concave_hull(path, binsize, min_agg_umi): reads the GEM,
+        thresholds aggregated bins, and maps hull vertices back to true chip
+        coordinates via bin centroids (reference io/bbs.py:131-180)."""
+        from spateo_tpu.io import read_bgi_agg
+        from spateo_tpu.io.bbs import get_concave_hull
+
+        rings, edges = get_concave_hull(FIXTURE, binsize=20, alpha=0.02)
+        assert len(rings) >= 1 and all(r.shape[1] == 2 for r in rings)
+        # hull vertices live in chip coordinates, not bin indices
+        adata = read_bgi_agg(FIXTURE, binsize=20)
+        x_min, y_min = int(adata.obs_names[0]), int(adata.var_names[0])
+        allv = np.vstack(rings)
+        assert allv[:, 0].min() >= x_min and allv[:, 1].min() >= y_min
+        # the hull enclosure spans most of the occupied raster
+        span_x = allv[:, 0].max() - allv[:, 0].min()
+        assert span_x > 20 * (adata.n_obs // 2)
+
+    def test_from_adata_still_supported(self):
+        from spateo_tpu.io import read_bgi_agg
+        from spateo_tpu.io.bbs import get_concave_hull
+
+        adata = read_bgi_agg(FIXTURE, binsize=30)
+        rings, _ = get_concave_hull(adata, alpha=0.5)
+        assert len(rings) >= 1
