@@ -19,6 +19,9 @@ class PointCloud:
     def __init__(self, points: np.ndarray, point_data: Optional[Dict[str, np.ndarray]] = None):
         self.points = np.asarray(points, dtype=float)
         self.point_data: Dict[str, np.ndarray] = dict(point_data or {})
+        # per-cell (face/segment) data, mirroring the reference's pyvista
+        # model API (model.cell_data)
+        self.cell_data: Dict[str, np.ndarray] = {}
 
     @property
     def n_points(self) -> int:

@@ -170,19 +170,48 @@ def marching_cubes_mesh(
     return _marching_tetrahedra(field, iso, origin, cell)
 
 
-def voxelize_mesh(mesh: Mesh, voxel_pc: Optional[PointCloud] = None, resolution: int = 40, key_added: str = "groups", label: str = "voxel") -> PointCloud:
-    """Voxel model filling a surface mesh's interior (parity: voxel.py:61):
-    grid points inside the mesh (winding via Delaunay in-hull on the mesh
-    vertices as an approximation)."""
-    from scipy.spatial import Delaunay
+def voxelize_mesh(
+    mesh: Mesh,
+    voxel_pc: Optional[PointCloud] = None,
+    key_added: str = "groups",
+    label: str = "voxel",
+    color: Optional[str] = "gainsboro",
+    alpha: float = 1.0,
+    smooth: Optional[int] = 200,
+) -> tuple:
+    """Voxel model filling a surface mesh's interior (parity: reference
+    voxel.py:61-110 — same key_added/label/color/alpha labeling and
+    (model, plot_cmap) return; `smooth` sets the voxel density like the
+    reference's pyvista voxelize density = diagonal / smooth, grid capped at
+    ~2M candidate points). Interior test: Delaunay in-hull on the mesh
+    vertices. `voxel_pc`'s labels, when given, transfer onto the voxels
+    nearest to its points (the reference's cell-assignment merge)."""
+    from scipy.spatial import Delaunay, cKDTree
 
     pts = mesh.points
     mins, maxs = pts.min(0), pts.max(0)
+    extent = maxs - mins
+    diag = float(np.linalg.norm(extent)) + 1e-12
+    spacing = diag / max(int(smooth or 200), 2)
+    counts = np.maximum((extent / spacing).astype(int) + 1, 2)
+    while np.prod(counts) > 2_000_000:
+        counts = np.maximum(counts // 2, 2)
     grid = np.stack(
-        np.meshgrid(*[np.linspace(mins[d], maxs[d], resolution) for d in range(3)]), axis=-1
+        np.meshgrid(*[np.linspace(mins[d], maxs[d], int(counts[d])) for d in range(3)]), axis=-1
     ).reshape(-1, 3)
     tri = Delaunay(pts)
     inside = tri.find_simplex(grid) >= 0
     out = PointCloud(grid[inside])
-    out[key_added] = np.full(inside.sum(), label)
-    return out
+
+    labels = np.full(int(inside.sum()), label, dtype=object)
+    if voxel_pc is not None and key_added in getattr(voxel_pc, "point_data", {}):
+        src_labels = np.asarray(voxel_pc.point_data[key_added])
+        near = cKDTree(np.asarray(voxel_pc.points)).query(out.points)[1]
+        labels = src_labels[near].astype(object)
+    from ..utilities.label_utils import add_model_labels
+
+    _, plot_cmap = add_model_labels(
+        out, labels=labels, key_added=key_added, where="point_data",
+        colormap=color, alphamap=alpha, inplace=True,
+    )
+    return out, plot_cmap

@@ -34,11 +34,14 @@ def construct_field(
     else:
         X = np.asarray(model.points, dtype=float)
         V = np.asarray(model.point_data["V"], dtype=float)
-    arrows, _ = construct_arrows(
-        X, V, n_sampling=n_sampling, sampling_method=sampling_method, factor=factor, key_added="V"
+    scale = None
+    if arrows_scale_key is not None and isinstance(model, AnnData) and arrows_scale_key in model.uns.get(vf_key, {}):
+        scale = np.linalg.norm(np.asarray(model.uns[vf_key][arrows_scale_key], float), axis=1)
+    arrows, plot_cmap = construct_arrows(
+        X, V, arrows_scale=scale, n_sampling=n_sampling, sampling_method=sampling_method,
+        factor=factor, key_added=key_added, label=label, color=color, alpha=alpha,
     )
-    arrows.point_data["label"] = np.full(arrows.n_points, label if isinstance(label, str) else "vector field")
-    return arrows, None
+    return arrows, plot_cmap
 
 
 def construct_field_streams(
@@ -50,14 +53,19 @@ def construct_field_streams(
     tip_radius: float = 0.2,
     key_added: str = "v_streams",
     label: str = "stream lines",
+    stream_color: str = "gainsboro",
+    tip_color: str = "orangered",
+    alpha: float = 1.0,
     stream_kwargs: Optional[dict] = None,
     n_streams: int = 100,
     n_steps: int = 100,
     step_size: Optional[float] = None,
     seed: int = 0,
 ) -> Tuple[LineModel, Optional[str]]:
-    """Streamlines through the field (parity: morphofield_model.py:71):
-    RK2 integration from sampled seed points."""
+    """Streamlines through the field (parity: morphofield_model.py:71-142):
+    RK2 integration from sampled seed points; stream points labeled `label`
+    with `stream_color`, the final integration tips labeled
+    f'{label} tips' with `tip_color` (the reference's separate tip model)."""
     from ...morphometrics.morphofield_dg.GPVectorField import _field_fn_from_dict
     import jax
     import jax.numpy as jnp
@@ -86,8 +94,18 @@ def construct_field_streams(
         base = s * T
         lines.append(np.stack([np.arange(base, base + T - 1), np.arange(base + 1, base + T)], axis=1))
     model_out = LineModel(all_pts, np.concatenate(lines))
-    model_out.point_data["label"] = np.full(len(all_pts), label)
-    return model_out, None
+    # stream points vs integration tips, colored separately like the
+    # reference's streamlines + tips pair
+    labels = np.full(len(all_pts), label, dtype=object)
+    tip_rows = np.arange(traj.shape[1]) * T + (T - 1)
+    labels[tip_rows] = f"{label} tips"
+    from ..utilities.label_utils import add_model_labels
+
+    _, plot_cmap = add_model_labels(
+        model_out, labels=labels, key_added=key_added, where="point_data",
+        colormap={label: stream_color, f"{label} tips": tip_color}, alphamap=alpha, inplace=True,
+    )
+    return model_out, plot_cmap
 
 
 def construct_field_plain(

@@ -19,15 +19,23 @@ def construct_trajectory_X(
     n_sampling: Optional[int] = None,
     sampling_method: str = "random",
     key_added: str = "trajectory",
-    label: Union[str, list, np.ndarray] = "trajectory",
+    label: Optional[Union[str, list, np.ndarray]] = None,
     tip_factor: Union[int, float] = 5,
     tip_radius: float = 0.2,
+    trajectory_color: Union[str, list, dict] = "gainsboro",
+    tip_color: Union[str, list, dict] = "orangered",
+    alpha: Union[float, list, dict] = 1.0,
 ) -> Tuple[LineModel, Optional[str]]:
     """Trajectory polylines from per-cell state sequences (parity:
-    morphopath_model.py:186)."""
+    morphopath_model.py:157-271): per-trajectory index stored under
+    f'{key_added}_id'; labels under `key_added` mark path points `label`
+    (default 'trajectory') and the final states f'{label} tips', colored
+    `trajectory_color` / `tip_color` with opacity `alpha` — the
+    reference's streamline + tip-cone pair."""
     if isinstance(cells_states, np.ndarray):
         cells_states = [cells_states[:, i, :] if cells_states.ndim == 3 else cells_states for i in range(1)]
-    all_pts, all_lines, labels = [], [], []
+    base_label = label if isinstance(label, str) else "trajectory"
+    all_pts, all_lines, traj_id, labels = [], [], [], []
     offset = 0
     for i, states in enumerate(cells_states):
         states = np.asarray(states, dtype=float)
@@ -35,11 +43,19 @@ def construct_trajectory_X(
             T = states.shape[0]
             all_pts.append(states)
             all_lines.append(np.stack([np.arange(offset, offset + T - 1), np.arange(offset + 1, offset + T)], axis=1))
-            labels.extend([i] * T)
+            traj_id.extend([i] * T)
+            labels.extend([base_label] * (T - 1) + [f"{base_label} tips"])
             offset += T
     model = LineModel(np.concatenate(all_pts), np.concatenate(all_lines))
-    model.point_data[key_added] = np.asarray(labels)
-    return model, None
+    model.point_data[f"{key_added}_id"] = np.asarray(traj_id)
+    from ..utilities.label_utils import add_model_labels
+
+    _, plot_cmap = add_model_labels(
+        model, labels=np.asarray(labels, object), key_added=key_added, where="point_data",
+        colormap={base_label: trajectory_color, f"{base_label} tips": tip_color},
+        alphamap=alpha, inplace=True,
+    )
+    return model, plot_cmap
 
 
 def construct_trajectory(
@@ -48,12 +64,15 @@ def construct_trajectory(
     n_sampling: Optional[int] = None,
     sampling_method: str = "random",
     key_added: str = "trajectory",
-    label: Union[str, list, np.ndarray] = "trajectory",
+    label: Optional[Union[str, list, np.ndarray]] = None,
     tip_factor: Union[int, float] = 5,
     tip_radius: float = 0.2,
+    trajectory_color: Union[str, list, dict] = "gainsboro",
+    tip_color: Union[str, list, dict] = "orangered",
+    alpha: float = 1.0,
 ) -> Tuple[LineModel, Optional[str]]:
     """Trajectory model from `st.tdr.morphopath` output (parity:
-    morphopath_model.py:274)."""
+    morphopath_model.py:274-340)."""
     fate = adata.uns[fate_key]
     trajs = [np.asarray(p).T for p in fate["prediction"]]  # each [T, D]
     if n_sampling:
@@ -62,7 +81,10 @@ def construct_trajectory(
         starts = np.stack([t[0] for t in trajs])
         idx = sample(starts, n_sampling, method=sampling_method)
         trajs = [trajs[i] for i in idx]
-    return construct_trajectory_X(trajs, key_added=key_added, label=label)
+    return construct_trajectory_X(
+        trajs, key_added=key_added, label=label, tip_factor=tip_factor, tip_radius=tip_radius,
+        trajectory_color=trajectory_color, tip_color=tip_color, alpha=alpha,
+    )
 
 
 def construct_genesis_X(

@@ -480,3 +480,72 @@ class TestDeepInterpolationHelpers:
         best = subset_best_samples(0.8, y_hat, y, mad())
         assert len(best) == 8
         assert 3 not in best
+
+
+class TestMigrationModelLabeling:
+    """Constructor label/color contract (reference models_migration/
+    {arrow,line}_model.py + morphopath_model.py: every constructor takes
+    key_added/label/color/alpha and returns (model, plot_cmap); categorical
+    labels resolve to a f'{key_added}_rgba' column)."""
+
+    def test_arrow_line_constructors(self):
+        from matplotlib.colors import to_rgba
+
+        m, cmap = st.tdr.construct_arrow([0, 0, 0], [1, 0, 0], color="red", alpha=0.5, label="a1")
+        assert cmap is None
+        assert set(np.asarray(m.point_data["arrow"])) == {"a1"}
+        rgba = np.asarray(m.point_data["arrow_rgba"])
+        assert rgba.shape == (m.n_points, 4)
+        np.testing.assert_allclose(rgba[0], to_rgba("red", alpha=0.5), atol=1e-6)
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(size=(10, 3))
+        V = rng.normal(size=(10, 3))
+        arrows, _ = st.tdr.construct_arrows(pts, V, color="blue", label="field")
+        assert "arrow_rgba" in arrows.point_data and "vmag" in arrows.point_data
+
+        line, _ = st.tdr.construct_line([0, 0, 0], [1, 1, 1], key_added="ln", label="L", color="#00ff00")
+        assert set(np.asarray(line.point_data["ln"])) == {"L"}
+
+        # axis line spans min->max of the given points (reference :180-182)
+        axis_pts = np.array([[0, 0, 0], [0.5, 2.0, 1.0], [1, 1, 3]], float)
+        axl, _ = st.tdr.construct_axis_line(axis_pts, color="black")
+        np.testing.assert_allclose(axl.points[0], axis_pts.min(0))
+        np.testing.assert_allclose(axl.points[1], axis_pts.max(0))
+
+        al, _ = st.tdr.construct_align_lines(pts, pts + 1.0, color="gainsboro", alpha=0.3)
+        assert np.asarray(al.point_data["check_alignment_rgba"])[:, 3].max() <= 0.3 + 1e-6
+
+    def test_trajectory_tip_coloring(self):
+        from matplotlib.colors import to_rgba
+
+        t = np.linspace(0, 1, 8)
+        trajs = [np.stack([t, t * 0, t * c], 1) for c in (1.0, 2.0)]
+        model, cmap = st.tdr.construct_trajectory_X(
+            trajs, trajectory_color="gray", tip_color="orangered", alpha=1.0
+        )
+        assert cmap is None
+        labels = np.asarray(model.point_data["trajectory"])
+        assert (labels == "trajectory tips").sum() == 2  # one tip per trajectory
+        rgba = np.asarray(model.point_data["trajectory_rgba"])
+        tip_rgba = rgba[labels == "trajectory tips"][0]
+        np.testing.assert_allclose(tip_rgba, to_rgba("orangered", alpha=1.0), atol=1e-6)
+        ids = np.asarray(model.point_data["trajectory_id"])
+        assert set(ids) == {0, 1}
+
+    def test_voxelize_mesh_labels_and_density(self):
+        rng = np.random.default_rng(1)
+        pts = rng.normal(size=(200, 3))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        from spateo_tpu.tdr.models.mesh_core import Mesh, PointCloud
+
+        mesh, _, _ = st.tdr.construct_surface(PointCloud(pts * 0.95), smooth=2)
+        vox, cmap = st.tdr.voxelize_mesh(mesh, smooth=40, label="organ", color="green")
+        assert cmap is None and vox.n_points > 50
+        assert set(np.asarray(vox.point_data["groups"])) == {"organ"}
+        assert "groups_rgba" in vox.point_data
+        # voxel centers live inside the unit ball
+        assert np.linalg.norm(vox.points, axis=1).max() <= 1.05
+        # higher smooth = denser voxels
+        vox2, _ = st.tdr.voxelize_mesh(mesh, smooth=80, label="organ")
+        assert vox2.n_points > vox.n_points
