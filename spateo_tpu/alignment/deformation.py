@@ -20,7 +20,7 @@ def _polyline_model(points2d: np.ndarray, scalars: np.ndarray, key_added: str):
 
     pts = np.c_[points2d, np.zeros(len(points2d))]
     edges = np.c_[np.arange(len(pts) - 1), np.arange(1, len(pts))]
-    m = construct_lines(pts, edges)
+    m, _ = construct_lines(pts, edges)
     m.point_data[key_added] = np.asarray(scalars, dtype=float)
     return m
 
@@ -31,7 +31,7 @@ def _merge_line_models(models, key_added: str):
     pts = np.concatenate([np.asarray(m.points) for m in models])
     offsets = np.cumsum([0] + [len(m.points) for m in models[:-1]])
     edges = np.concatenate([np.asarray(m.lines) + o for m, o in zip(models, offsets)])
-    merged = construct_lines(pts, edges)
+    merged, _ = construct_lines(pts, edges)
     merged.point_data[key_added] = np.concatenate([np.asarray(m.point_data[key_added]) for m in models])
     return merged
 

@@ -376,58 +376,69 @@ def calc_expm1(X):
     return np.expm1(X)
 
 
-def select_hvf_seurat(
-    adata: AnnData,
-    n_top: int = 2000,
-    n_bins: int = 20,
-    layer: Optional[str] = None,
-) -> np.ndarray:
-    """Seurat-style highly-variable feature selection via dispersion z-scores
-    within mean bins (parity: normalize.py:646-727). Flags `adata.var['highly_variable']`."""
-    X = adata.layers[layer] if layer is not None else adata.X
-    mean, var = calc_mean_and_var(X, axis=0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        dispersion = np.where(mean > 0, var / mean, 0.0)
-    df_bins = np.digitize(mean, np.histogram(mean, bins=n_bins)[1][:-1])
-    z = np.zeros_like(dispersion)
-    for b in np.unique(df_bins):
-        m = df_bins == b
-        mu, sd = dispersion[m].mean(), dispersion[m].std()
-        z[m] = (dispersion[m] - mu) / (sd if sd > 0 else 1.0)
-    order = np.argsort(-z)
-    hv = np.zeros(adata.n_vars, dtype=bool)
-    hv[order[:n_top]] = True
-    adata.var["highly_variable"] = hv
-    adata.var["hvf_mean"] = mean
-    adata.var["hvf_dispersion"] = dispersion
-    return hv
-
-
 def select_hvf_seurat_single(
     X,
-    n_top: int = 2000,
+    n_top: Optional[int] = 2000,
     min_disp: float = 0.5,
     max_disp: float = np.inf,
     min_mean: float = 0.0125,
-    max_mean: float = 3.0,
-    n_bins: int = 20,
+    max_mean: float = 7,
 ) -> np.ndarray:
-    """Single-matrix Seurat HVF selection with mean/dispersion cutoffs
-    (parity: reference normalize.py:646 select_hvf_seurat_single). Returns a
-    boolean highly-variable mask."""
-    mean, var = calc_mean_and_var(X, axis=0)
+    """Single-matrix Seurat HVF selection (parity: reference
+    normalize.py:646-693, same statistic and return): expm1 the (logged)
+    expression, log1p the means and log the dispersions, z-score the log
+    dispersions within 20 mean bins (ddof=1), and return integer HVF ranks —
+    rank by descending z-score for the top n_top, or -1; with n_top=None all
+    features inside the min/max mean+dispersion window are ranked."""
+    import pandas as pd
+
+    Xe = calc_expm1(X)
+    mean, var = calc_mean_and_var(Xe, axis=0)
+    dispersion = np.full(np.shape(Xe)[1], np.nan)
+    idx_valid = (mean > 0.0) & (var > 0.0)
+    dispersion[idx_valid] = var[idx_valid] / mean[idx_valid]
+    mean = np.log1p(mean)
     with np.errstate(divide="ignore", invalid="ignore"):
-        dispersion = np.where(mean > 0, var / mean, 0.0)
-    df_bins = np.digitize(mean, np.histogram(mean, bins=n_bins)[1][:-1])
-    z = np.zeros_like(dispersion)
-    for b in np.unique(df_bins):
-        m = df_bins == b
-        mu, sd = dispersion[m].mean(), dispersion[m].std()
-        z[m] = (dispersion[m] - mu) / (sd if sd > 0 else 1.0)
-    ok = (mean >= min_mean) & (mean <= max_mean) & (z >= min_disp) & (z <= max_disp)
-    if n_top is not None and ok.sum() > n_top:
-        order = np.argsort(-np.where(ok, z, -np.inf))
-        keep = np.zeros(len(mean), bool)
-        keep[order[:n_top]] = True
-        return keep
-    return ok
+        dispersion = np.log(dispersion)
+
+    df = pd.DataFrame({"log_dispersion": dispersion, "bin": pd.cut(mean, bins=20)})
+    groups = df.groupby("bin", observed=False)["log_dispersion"]
+    log_disp_mean = groups.mean()
+    log_disp_std = groups.std(ddof=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = (df["log_dispersion"].values - log_disp_mean.loc[df["bin"]].values) / log_disp_std.loc[df["bin"]].values
+    z = np.asarray(z, float)
+    z[np.isnan(z)] = 0.0
+
+    hvf_rank = np.full(np.shape(Xe)[1], -1, dtype=int)
+    ords = np.argsort(z)[::-1]
+    if n_top is None:
+        hvf_rank[ords] = range(np.shape(Xe)[1])
+        idx = (mean > min_mean) & (mean < max_mean) & (z > min_disp) & (z < max_disp)
+        hvf_rank[~idx] = -1
+    else:
+        hvf_rank[ords[:n_top]] = range(min(n_top, len(ords)))
+    return hvf_rank
+
+
+def select_hvf_seurat(
+    data: AnnData,
+    n_top: Optional[int] = 2000,
+    min_disp: float = 0.5,
+    max_disp: float = np.inf,
+    min_mean: float = 0.0125,
+    max_mean: float = 7,
+) -> np.ndarray:
+    """Seurat-style highly-variable feature selection (parity: reference
+    normalize.py:695-727 — same var annotations: 'robust', 'hvf_rank',
+    'highly_variable_features'; 'highly_variable' is additionally written
+    for downstream consumers, and the boolean mask is returned)."""
+    data.var["robust"] = True
+    hvf_rank = select_hvf_seurat_single(
+        data.X, n_top=n_top, min_disp=min_disp, max_disp=max_disp, min_mean=min_mean, max_mean=max_mean
+    )
+    hvf_index = hvf_rank >= 0
+    data.var["hvf_rank"] = hvf_rank
+    data.var["highly_variable_features"] = hvf_index
+    data.var["highly_variable"] = hvf_index
+    return hvf_index

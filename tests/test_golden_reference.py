@@ -453,6 +453,29 @@ class TestMiscGolden:
             eligible = set(ref_s.get_eligible_rows(W.copy(), feat, threshold=2).tolist())
             assert set(imputed.tolist()) <= eligible
 
+    def test_select_hvf_seurat_golden(self):
+        """Seurat HVF ranks match the reference (normalize.py:646-727) up to
+        floating-point tie swaps between near-equal dispersion z-scores
+        (the reference accumulates variance in a serial loop, we use
+        pairwise summation — ranks of well-separated genes must agree
+        exactly, and the selected set must match)."""
+        ref_n = _need("spateo.preprocessing.normalize")
+        import spateo_tpu.preprocessing.normalize as my_n
+
+        rng = np.random.default_rng(0)
+        X = np.log1p(rng.poisson(3.0, (120, 50)).astype(float))
+        # plant clear HVGs
+        X[:, :5] *= rng.uniform(0.2, 3.0, (120, 5))
+        r_ref = ref_n.select_hvf_seurat_single(X, n_top=12, min_disp=0.5, max_disp=np.inf, min_mean=0.0125, max_mean=7)
+        r_my = my_n.select_hvf_seurat_single(X, n_top=12)
+        assert set(np.where(r_ref >= 0)[0]) == set(np.where(r_my >= 0)[0])
+        assert (r_ref != r_my).mean() <= 0.1  # only fp-tie swaps
+
+        # window mode (n_top=None): the eligibility window must agree
+        r_ref2 = ref_n.select_hvf_seurat_single(X, n_top=None, min_disp=0.1, max_disp=np.inf, min_mean=0.01, max_mean=7)
+        r_my2 = my_n.select_hvf_seurat_single(X, n_top=None, min_disp=0.1, min_mean=0.01)
+        np.testing.assert_array_equal(r_ref2 >= 0, r_my2 >= 0)
+
     def test_sparse_matrix_median_exact(self):
         from scipy.sparse import csr_matrix
 
