@@ -121,11 +121,18 @@ class Distribution:
     def initial_predictions(self, y):
         return (np.asarray(y, dtype=float) + np.mean(y)) / 2.0
 
-    def deviance(self, endog, mu):
+    def deviance(self, endog, fitted, freq_weights=None, scale: float = 1.0):
         raise NotImplementedError
 
-    def log_likelihood(self, endog, mu):
+    def deviance_residuals(self, endog, fitted, freq_weights=None, scale: float = 1.0):
         raise NotImplementedError
+
+    def log_likelihood(self, endog, fitted, freq_weights=None, scale: float = 1.0):
+        raise NotImplementedError
+
+    def clip(self, vals):
+        """Clip to the valid positive range (reference distributions.py clip)."""
+        return np.clip(vals, EPS, 1e8)
 
     def predict(self, eta):
         return self.link.inverse(eta)
@@ -145,14 +152,32 @@ class Gaussian(Distribution):
         self.link = link or identity()
         self.variance = constant_var()
 
-    def deviance(self, endog, mu):
-        return np.sum((endog - mu) ** 2)
+    def deviance(self, endog, fitted, freq_weights=None, scale: float = 1.0):
+        """Gaussian deviance (reference distributions.py:906-929)."""
+        if freq_weights is None:
+            freq_weights = 1.0
+        return float(np.sum(freq_weights * (np.asarray(endog, float) - fitted) ** 2) / scale)
 
-    def log_likelihood(self, endog, mu, scale: Optional[float] = None):
-        n = len(endog)
-        resid = endog - mu
-        scale = scale if scale is not None else resid.var() + EPS
-        return float(-0.5 * n * np.log(2 * np.pi * scale) - 0.5 * (resid**2).sum() / scale)
+    def deviance_residuals(self, endog, fitted, freq_weights=None, scale: float = 1.0):
+        """Gaussian deviance residuals (reference distributions.py:931-953)."""
+        if freq_weights is None:
+            freq_weights = 1.0
+        return (freq_weights * (np.asarray(endog, float) - fitted) / np.sqrt(self.variance(fitted))) / scale
+
+    def log_likelihood(self, endog, fitted, freq_weights=None, scale: Optional[float] = None):
+        """Gaussian log-likelihood (reference distributions.py:955-977;
+        scale=None estimates it from the residual variance)."""
+        if freq_weights is None:
+            freq_weights = 1.0
+        endog = np.asarray(endog, float)
+        if scale is None:
+            scale = float(np.var(endog - fitted)) + EPS
+        return float(
+            np.sum(
+                freq_weights
+                * ((endog * fitted - fitted**2 / 2) / scale - endog**2 / (2 * scale) - 0.5 * np.log(2 * np.pi * scale))
+            )
+        )
 
 
 class Poisson(Distribution):
@@ -162,15 +187,35 @@ class Poisson(Distribution):
         self.link = link or log()
         self.variance = mu_var()
 
-    def deviance(self, endog, mu):
+    def deviance(self, endog, fitted, freq_weights=None, scale: float = 1.0):
+        """Poisson deviance (reference distributions.py:801-826 — the
+        reference's form 2*sum(w*y*log(y/mu))/scale, which drops the
+        sum(y - mu) term that vanishes under a canonically-linked fit)."""
+        if freq_weights is None:
+            freq_weights = 1.0
         endog = np.asarray(endog, dtype=float)
-        mu = np.clip(mu, EPS, None)
-        ratio = np.where(endog > 0, endog * np.log(np.clip(endog, EPS, None) / mu), 0.0)
-        return float(2 * np.sum(ratio - (endog - mu)))
+        fitted = self.clip(fitted)
+        endog_fitted = self.clip(endog / fitted)
+        return float(2 * np.sum(freq_weights * endog * np.log(endog_fitted)) / scale)
 
-    def log_likelihood(self, endog, mu):
-        mu = np.clip(mu, EPS, None)
-        return float(np.sum(endog * np.log(mu) - mu - special.gammaln(endog + 1)))
+    def deviance_residuals(self, endog, fitted, freq_weights=None, scale: float = 1.0):
+        """Poisson deviance residuals (reference distributions.py:827-852)."""
+        if freq_weights is None:
+            freq_weights = 1.0
+        endog = np.asarray(endog, dtype=float)
+        fitted = self.clip(fitted)
+        endog_fitted = self.clip(endog / fitted)
+        inner = 2 * freq_weights * (endog * np.log(endog_fitted) - (endog - fitted))
+        return np.sign(endog - fitted) * np.sqrt(np.maximum(inner, 0.0)) / scale
+
+    def log_likelihood(self, endog, fitted, freq_weights=None, scale: float = 1.0):
+        """Poisson log-likelihood (reference distributions.py:854-878)."""
+        if freq_weights is None:
+            freq_weights = 1.0
+        endog = np.asarray(endog, dtype=float)
+        fitted = self.clip(fitted)
+        ll = np.sum(freq_weights * (endog * np.log(fitted) - fitted - special.gammaln(endog + 1)))
+        return float(scale * ll)
 
 
 class NegativeBinomial(Distribution):
@@ -181,25 +226,57 @@ class NegativeBinomial(Distribution):
         self.disp = disp
         self.variance = nb_var(disp)
 
-    def deviance(self, endog, mu):
+    def deviance(self, endog, fitted, freq_weights=None, scale: float = 1.0):
+        """NB deviance (reference distributions.py:1295-1331 verbatim,
+        including its use of the dispersion attribute directly)."""
+        if freq_weights is None:
+            freq_weights = 1.0
         endog = np.asarray(endog, dtype=float)
-        mu = np.clip(mu, EPS, None)
-        a = self.disp
-        t1 = np.where(endog > 0, endog * np.log(np.clip(endog, EPS, None) / mu), 0.0)
-        t2 = (endog + 1 / a) * np.log((1 + a * endog) / (1 + a * mu))
-        return float(2 * np.sum(t1 - t2))
+        fitted = self.clip(fitted)
+        endog_fitted = self.clip(endog / fitted)
+        dispersion = self.disp
+        return float(
+            2
+            * np.sum(
+                freq_weights
+                * (
+                    endog * np.log(endog_fitted + dispersion)
+                    - endog * np.log(dispersion)
+                    - np.log(1 + fitted / dispersion)
+                )
+            )
+            / scale
+        )
 
-    def log_likelihood(self, endog, mu):
-        a = self.disp
-        mu = np.clip(mu, EPS, None)
-        r = 1.0 / a
+    def deviance_residuals(self, endog, fitted, freq_weights=None, scale: float = 1.0):
+        """NB deviance residuals (reference distributions.py:1333-1345 —
+        upstream reuses the Poisson residual form here)."""
+        if freq_weights is None:
+            freq_weights = 1.0
+        endog = np.asarray(endog, dtype=float)
+        fitted = self.clip(fitted)
+        endog_fitted = self.clip(endog / fitted)
+        inner = 2 * freq_weights * (endog * np.log(endog_fitted) - (endog - fitted))
+        return np.sign(endog - fitted) * np.sqrt(np.maximum(inner, 0.0)) / scale
+
+    def log_likelihood(self, endog, fitted, freq_weights=None, scale: float = 1.0):
+        """NB log-likelihood (reference distributions.py:1347-1378 verbatim:
+        the dispersion attribute plays the size role r)."""
+        if freq_weights is None:
+            freq_weights = 1.0
+        dispersion = self.disp
+        endog = self.clip(np.asarray(endog, dtype=float))
+        fitted = self.clip(fitted)
         return float(
             np.sum(
-                special.gammaln(endog + r)
-                - special.gammaln(r)
-                - special.gammaln(endog + 1)
-                + r * np.log(r / (r + mu))
-                + endog * np.log(mu / (r + mu))
+                freq_weights
+                * (
+                    special.gammaln(dispersion + endog)
+                    - special.gammaln(dispersion)
+                    - special.gammaln(endog + 1)
+                    + dispersion * np.log(dispersion / (dispersion + fitted * scale))
+                    + endog * np.log(fitted * scale / (dispersion + fitted * scale))
+                )
             )
         )
 

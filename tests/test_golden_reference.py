@@ -519,3 +519,41 @@ class TestDistanceGolden:
                 + np.asarray(jnp.matmul(jnp.asarray(A), jnp.asarray(B).T, precision="highest"))
             )
             np.testing.assert_allclose(d_f, d_ref, rtol=1e-3, atol=1e-5)
+
+
+class TestDistributionsGolden:
+    """Family statistics vs the reference's vendored GLM distributions
+    (reference tools/CCI_effects_modeling/distributions.py)."""
+
+    def test_deviance_residuals_loglik_match(self):
+        ref_d = _need("spateo.tools.CCI_effects_modeling.distributions")
+        import spateo_tpu.tools.CCI_effects_modeling.distributions as my_d
+
+        rng = np.random.default_rng(4)
+        y = rng.poisson(3.0, 50).astype(float)
+        mu = np.clip(y + rng.normal(0, 0.7, 50), 0.2, None)
+        w = rng.uniform(0.5, 2.0, 50)
+
+        ref_p = ref_d.Poisson()
+        my_p = my_d.Poisson()
+        assert np.isclose(my_p.deviance(y, mu, w, scale=1.3), ref_p.deviance(y, mu, w, scale=1.3))
+        np.testing.assert_allclose(
+            my_p.deviance_residuals(y, mu, w), np.nan_to_num(ref_p.deviance_residuals(y, mu, w)), atol=1e-8
+        )
+        assert np.isclose(my_p.log_likelihood(y, mu, w, scale=1.1), ref_p.log_likelihood(y, mu, w, scale=1.1))
+
+        ref_g = ref_d.Gaussian()
+        my_g = my_d.Gaussian()
+        yg = rng.normal(2.0, 1.0, 50)
+        mg = yg + rng.normal(0, 0.3, 50)
+        assert np.isclose(my_g.deviance(yg, mg, w, scale=2.0), ref_g.deviance(yg, mg, w, scale=2.0))
+        np.testing.assert_allclose(my_g.deviance_residuals(yg, mg, w, scale=2.0), ref_g.deviance_residuals(yg, mg, w, scale=2.0))
+        assert np.isclose(my_g.log_likelihood(yg, mg, w, scale=1.5), ref_g.log_likelihood(yg, mg, w, scale=1.5))
+
+        ref_nb = ref_d.NegativeBinomial()
+        my_nb = my_d.NegativeBinomial(disp=float(ref_nb.variance.disp))
+        assert np.isclose(my_nb.deviance(y, mu, w), ref_nb.deviance(y, mu, w))
+        assert np.isclose(my_nb.log_likelihood(y, mu, w), ref_nb.log_likelihood(y, mu, w))
+        np.testing.assert_allclose(
+            my_nb.deviance_residuals(y, mu, w), np.nan_to_num(ref_nb.deviance_residuals(y, mu, w)), atol=1e-8
+        )
