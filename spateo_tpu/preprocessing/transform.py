@@ -87,9 +87,14 @@ def scale_array(
     return X
 
 
-def scale_sparse(X, zero_center: bool = True, max_value: Optional[float] = None, copy: bool = False):
+def scale_sparse(
+    X, zero_center: bool = True, max_value: Optional[float] = None, copy: bool = False, return_mean_std: bool = False
+):
     if zero_center:
-        return scale_array(np.asarray(X.todense()), zero_center=True, max_value=max_value)
+        # centering densifies, as in the reference (transform.py:159-164)
+        return scale_array(
+            np.asarray(X.todense()), zero_center=True, max_value=max_value, return_mean_std=return_mean_std
+        )
     X = X.copy() if copy else X
     mean, var = _get_mean_var(X)
     std = np.sqrt(var)
@@ -99,24 +104,32 @@ def scale_sparse(X, zero_center: bool = True, max_value: Optional[float] = None,
     sparsefuncs.inplace_column_scale(X, 1 / std)
     if max_value is not None:
         X.data[X.data > max_value] = max_value
+    if return_mean_std:
+        return X, mean, std
     return X
 
 
 def scale(
-    adata_or_X,
+    X,
     zero_center: bool = True,
     max_value: Optional[float] = None,
     copy: bool = False,
     layer: Optional[str] = None,
+    obsm: Optional[str] = None,
+    return_mean_std: bool = False,
 ):
-    """z-score expression per gene (dense is centered; sparse only scaled
-    unless zero_center densifies)."""
-    if isinstance(adata_or_X, AnnData):
-        return scale_anndata(adata_or_X, zero_center=zero_center, max_value=max_value, copy=copy, layer=layer)
-    X = adata_or_X
+    """Scale variables to unit variance, optionally zero mean (parity:
+    reference preprocessing/transform.py:118-146 — same AnnData/matrix
+    dispatch, layer-over-obsm priority, .var['mean']/['std'] annotations,
+    and the return_mean_std return)."""
+    if isinstance(X, AnnData):
+        return scale_anndata(
+            X, zero_center=zero_center, max_value=max_value, copy=copy,
+            layer=layer, obsm=obsm, return_mean_std=return_mean_std,
+        )
     if scipy.sparse.issparse(X):
-        return scale_sparse(X, zero_center=zero_center, max_value=max_value, copy=copy)
-    return scale_array(np.asarray(X), zero_center=zero_center, max_value=max_value, copy=copy)
+        return scale_sparse(X, zero_center=zero_center, max_value=max_value, copy=copy, return_mean_std=return_mean_std)
+    return scale_array(np.asarray(X), zero_center=zero_center, max_value=max_value, copy=copy, return_mean_std=return_mean_std)
 
 
 def scale_anndata(
@@ -125,15 +138,31 @@ def scale_anndata(
     max_value: Optional[float] = None,
     copy: bool = False,
     layer: Optional[str] = None,
+    obsm: Optional[str] = None,
+    return_mean_std: bool = False,
 ):
+    """AnnData-level scale: `layer` takes priority over `obsm`, else .X
+    (reference transform.py:135-137); means/stds land in .var when the
+    scaled matrix is feature-shaped."""
     if copy:
         adata = adata.copy()
-    X = adata.layers[layer] if layer is not None else adata.X
-    out = scale(X, zero_center=zero_center, max_value=max_value, copy=False)
+    if layer is not None:
+        X = adata.layers[layer]
+    elif obsm is not None:
+        X = adata.obsm[obsm]
+    else:
+        X = adata.X
+    out, mean, std = scale(X, zero_center=zero_center, max_value=max_value, copy=False, return_mean_std=True)
     if layer is not None:
         adata.layers[layer] = out
+    elif obsm is not None:
+        adata.obsm[obsm] = out
     else:
         adata.X = out
+        adata.var["mean"] = mean
+        adata.var["std"] = std
+    if return_mean_std:
+        return (adata, mean, std) if copy else (None, mean, std)
     return adata if copy else None
 
 

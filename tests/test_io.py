@@ -196,3 +196,30 @@ class TestConcaveHull:
         adata = read_bgi_agg(FIXTURE, binsize=30)
         rings, _ = get_concave_hull(adata, alpha=0.5)
         assert len(rings) >= 1
+
+
+class TestScaleContract:
+    def test_obsm_and_return_mean_std(self):
+        """scale() follows the reference contract (preprocessing/
+        transform.py:118-146): layer-over-obsm priority, var annotations,
+        and the (out, mean, std) return with return_mean_std."""
+        rng = np.random.default_rng(0)
+        adata = st.AnnData(X=rng.normal(3, 2, (40, 5)))
+        st.SKM.init_adata_type(adata, "UMI")
+        adata.obsm["rep"] = rng.normal(0, 4, (40, 3))
+
+        out = st.pp.scale(adata, obsm="rep")
+        assert out is None
+        scaled = np.asarray(adata.obsm["rep"])
+        np.testing.assert_allclose(scaled.mean(0), 0, atol=1e-10)
+        np.testing.assert_allclose(scaled.std(0, ddof=1), 1, atol=1e-6)
+
+        _, mean, std = st.pp.scale(adata, return_mean_std=True)
+        assert mean.shape == (5,) and std.shape == (5,)
+        assert "mean" in adata.var.columns and "std" in adata.var.columns
+        np.testing.assert_allclose(np.asarray(adata.X).mean(0), 0, atol=1e-9)
+
+        # matrix input with max_value truncation
+        X = rng.normal(0, 1, (30, 4))
+        out2, m2, s2 = st.pp.scale(X.copy(), max_value=1.0, return_mean_std=True)
+        assert out2.max() <= 1.0 and m2.shape == (4,)
