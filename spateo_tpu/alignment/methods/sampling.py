@@ -106,15 +106,27 @@ def trn(X: np.ndarray, n: int, seed: int = 0, **kwargs) -> np.ndarray:
     return trn_sample(X, n, seed, **kwargs)
 
 
-def lhsclassic(X: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
-    """Reference-named alias of lhs_sample (latin hypercube)."""
-    return lhs_sample(X, n, seed)
+def lhsclassic(n_samples: int, n_dim: int, bounds=None, seed: int = 19491001) -> np.ndarray:
+    """Classic Latin Hypercube Sampling (parity: reference
+    methods/sampling.py:263-301, the PyDOE-style generator): one stratified
+    draw per interval along every dimension, independently permuted, mapped
+    into `bounds` (an [n_dim, 2] low/high matrix; unit box when None)."""
+    rng = np.random.default_rng(seed)
+    cut = np.linspace(0, 1, n_samples + 1)
+    u = rng.random((n_samples, n_dim))
+    a, b = cut[:n_samples], cut[1 : n_samples + 1]
+    H = u * (b - a)[:, None] + a[:, None]
+    for j in range(n_dim):
+        H[:, j] = H[rng.permutation(n_samples), j]
+    if bounds is not None:
+        bounds = np.asarray(bounds, float)
+        H = bounds[:, 0][None, :] + H * (bounds[:, 1] - bounds[:, 0])[None, :]
+    return H
 
 
 class TRNET:
-    """Topology-representing network (parity surface: reference
-    methods/sampling.py:62 TRNET — the SOM training runs through
-    trn_sample)."""
+    """Topology-representing network (parity: reference
+    methods/sampling.py:62-160 TRNET — same training hyperparameters)."""
 
     def __init__(self, n_nodes: int, X: np.ndarray, seed: int = 0):
         self.n_nodes = n_nodes
@@ -122,7 +134,25 @@ class TRNET:
         self.seed = seed
         self.W: np.ndarray = None
 
-    def run(self, n_epochs: int = 3) -> np.ndarray:
-        idx = trn_sample(self.X, self.n_nodes, self.seed, n_epochs=n_epochs)
-        self.W = self.X[idx]
+    def run(
+        self, tmax: int = 200, li: float = 0.2, lf: float = 0.01, ei: float = 0.3, ef: float = 0.05, c: float = 0
+    ) -> np.ndarray:
+        """Train the SOM for `tmax` presentations with learning-rate
+        schedule ei->ef and neighborhood schedule li->lf (reference
+        sampling.py:133-160 signature; `c` accepted for parity)."""
+        rng = np.random.default_rng(self.seed)
+        X = self.X
+        N = X.shape[0]
+        n = min(self.n_nodes, N)
+        W = X[rng.choice(N, n, replace=False)].astype(float).copy()
+        lam_i, lam_f = li * n, lf
+        for t in range(int(tmax)):
+            x = X[rng.integers(0, N)]
+            frac = t / max(tmax, 1)
+            lam = lam_i * (lam_f / lam_i) ** frac
+            eps = ei * (ef / ei) ** frac
+            d = np.linalg.norm(W - x, axis=1)
+            ranks = np.argsort(np.argsort(d))
+            W += eps * np.exp(-ranks / lam)[:, None] * (x - W)
+        self.W = W
         return self.W

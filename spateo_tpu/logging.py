@@ -127,8 +127,11 @@ class LoggerManager:
     def main_exception(self, msg):
         self.main_logger.logger.exception(msg)
 
-    def main_tqdm(self, iterable, desc: str = "", total: Optional[int] = None):
-        """Progress-logged iteration (tqdm-equivalent without the dependency)."""
+    def main_tqdm(self, generator=None, desc: str = "", indent_level: int = 1, logger=None, total: Optional[int] = None, iterable=None):
+        """Progress-logged iteration (tqdm-equivalent without the
+        dependency; parity signature: reference external/lack.py:316
+        main_tqdm(generator, desc, indent_level, logger))."""
+        iterable = generator if generator is not None else iterable
         total = total if total is not None else (len(iterable) if hasattr(iterable, "__len__") else None)
         start = time.time()
         for i, item in enumerate(iterable):

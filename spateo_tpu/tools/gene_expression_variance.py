@@ -67,10 +67,14 @@ def compute_variance_decomposition(
     spatial_label_id: str,
     celltype_label_id: str,
     genes: Optional[List[str]] = None,
-    figure_location: Optional[str] = None,
+    figsize: Optional[tuple] = None,
+    save_show_or_return: str = "return",
+    save_kwargs: Optional[dict] = None,
 ) -> pd.DataFrame:
     """Decompose expression variance into intra-cell-type, inter-cell-type
-    (niche), and residual components (parity: gev.py:197)."""
+    (niche), and residual components (parity: gev.py:197-316, including the
+    figsize / save_show_or_return / save_kwargs rendering options — a
+    non-'return' mode draws the stacked fraction barplot)."""
     sub = adata if genes is None else adata[:, np.asarray(genes)]
     X = np.asarray(sub.X.todense() if issparse(sub.X) else sub.X, dtype=float)
     spatial = np.asarray(adata.obs[spatial_label_id]).astype(str)
@@ -104,12 +108,32 @@ def compute_variance_decomposition(
     )
     for col in out.columns[1:]:
         out[col.replace("_variance", "_fraction")] = out[col] / np.maximum(out["total_variance"], 1e-12)
+    if save_show_or_return != "return":
+        plot_variance_decomposition(out, figsize=figsize or (6, 4), save_show_or_return=save_show_or_return, **(save_kwargs or {}))
     return out
 
 
-def genewise_variance_decomposition(adata: AnnData, spatial_label_id: str, celltype_label_id: str, genes: List[str]) -> pd.DataFrame:
-    """Per-gene convenience wrapper (parity: gev.py:319)."""
-    return compute_variance_decomposition(adata, spatial_label_id, celltype_label_id, genes=genes)
+def genewise_variance_decomposition(
+    adata: AnnData,
+    celltype_label_id: str,
+    genes: List[str],
+    figsize: Optional[tuple] = None,
+    save_show_or_return: str = "return",
+    save_kwargs: Optional[dict] = None,
+    spatial_label_id: Optional[str] = None,
+) -> pd.DataFrame:
+    """Per-gene variance decomposition (parity: gev.py:319-... — the
+    reference's signature has no spatial key: intra- vs inter-cell-type
+    variance only; a synthetic single-region label realizes that here. An
+    optional trailing spatial_label_id keeps region-aware calls working."""
+    if spatial_label_id is None:
+        adata = adata.copy()
+        adata.obs["_one_region"] = "all"
+        spatial_label_id = "_one_region"
+    return compute_variance_decomposition(
+        adata, spatial_label_id, celltype_label_id, genes=genes, figsize=figsize,
+        save_show_or_return=save_show_or_return, save_kwargs=save_kwargs,
+    )
 
 
 def plot_variance_decomposition(decomposition_df, figsize=(6, 4), save_show_or_return: str = "return", **kwargs):
