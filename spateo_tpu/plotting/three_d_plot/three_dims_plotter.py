@@ -143,10 +143,37 @@ def create_plotter(
     return fig, axes
 
 
-def output_plotter(fig, filename: Optional[str] = None, jupyter: bool = False, dpi: int = 150):
-    """Save or return the rendered figure (parity: three_dims_plotter.py
-    output path)."""
+def output_plotter(
+    plotter,
+    filename: Optional[str] = None,
+    view_up: tuple = (0.5, 0.5, 1),
+    framerate: int = 15,
+    jupyter: bool = False,
+    dpi: int = 150,
+):
+    """Save or return the rendered figure (parity: reference
+    three_dims_plotter.py:533-600): image extensions save a still; a
+    ``.gif``/``.mp4`` filename writes a camera ORBIT of the scene at
+    `framerate` fps (the reference's orbit-on-path movie; `view_up` tips the
+    starting elevation of the mpl orbit)."""
+    fig = plotter
     if filename:
+        if str(filename).lower().endswith((".gif", ".mp4")):
+            from matplotlib import animation
+
+            axes3d = [a for a in fig.axes if hasattr(a, "view_init")]
+            elev = float(np.degrees(np.arctan2(view_up[2], np.hypot(view_up[0], view_up[1]))))
+
+            def orbit(frame):
+                for a in axes3d:
+                    a.view_init(elev=elev, azim=frame * (360 / 36))
+                return []
+
+            anim = animation.FuncAnimation(fig, orbit, frames=36, blit=False)
+            writer = animation.PillowWriter(fps=framerate) if str(filename).lower().endswith(".gif") else animation.FFMpegWriter(fps=framerate)
+            anim.save(filename, writer=writer, dpi=min(dpi, 100))
+            plt.close(fig)
+            return filename
         fig.savefig(filename, dpi=dpi, bbox_inches="tight")
         plt.close(fig)
         return filename

@@ -35,7 +35,17 @@ class InteractiveRectangleClip:
 
     Use `.onselect_extents(xmin, xmax, ymin, ymax)` to drive headless."""
 
-    def __init__(self, model, key: Optional[str] = None, plane: str = "xy", invert: bool = False):
+    def __init__(
+        self,
+        model,
+        key: Optional[str] = None,
+        plane: str = "xy",
+        invert: bool = False,
+        model_style: str = "points",
+        model_size: float = 8.0,
+        colormap: str = "Spectral",
+        bg_model=None,
+    ):
         from matplotlib.widgets import RectangleSelector
 
         self.model = model
@@ -45,11 +55,16 @@ class InteractiveRectangleClip:
         self._px, self._py = _project_axes(coords, plane)
         self.picked_models: List = []
         self.fig, self.ax = plt.subplots(figsize=(5, 5))
+        if bg_model is not None:
+            # static context model drawn underneath (reference clip.py:69)
+            bx, by = _project_axes(np.asarray(bg_model.points, float), plane)
+            self.ax.scatter(bx, by, s=2, c="gainsboro", linewidths=0, zorder=0)
         colors = None
         if key is not None and key in getattr(model, "point_data", {}):
             vals = np.asarray(model.point_data[key])
             colors = vals.astype(float) if np.issubdtype(vals.dtype, np.number) else None
-        self.ax.scatter(self._px, self._py, s=4, c=colors, linewidths=0)
+        marker = {"points": "o", "surface": "s", "wireframe": "+"}.get(model_style, "o")
+        self.ax.scatter(self._px, self._py, s=model_size, c=colors, cmap=colormap, marker=marker, linewidths=0)
         self.ax.set_aspect("equal")
         self.selector = RectangleSelector(self.ax, self._on_event, useblit=False, interactive=True)
 
@@ -133,11 +148,25 @@ class InteractiveSlicer:
         return self.current_slice
 
 
-def interactive_rectangle_clip(model, key: Optional[str] = None, plane: str = "xy", invert: bool = False, bounds=None):
-    """Front-end matching the reference clip.py API: when `bounds` is
-    given, clips immediately (headless); otherwise returns the live widget
-    loop for mouse-driven clipping."""
-    widget = InteractiveRectangleClip(model, key=key, plane=plane, invert=invert)
+def interactive_rectangle_clip(
+    model,
+    key: Optional[str] = None,
+    model_style: str = "points",
+    model_size: float = 8.0,
+    colormap: str = "Spectral",
+    invert: bool = False,
+    bg_model=None,
+    plane: str = "xy",
+    bounds=None,
+):
+    """Front-end matching the reference clip.py:62 API (key / model_style /
+    model_size / colormap / invert / bg_model): when `bounds` is given,
+    clips immediately (headless); otherwise returns the live widget loop
+    for mouse-driven clipping."""
+    widget = InteractiveRectangleClip(
+        model, key=key, plane=plane, invert=invert,
+        model_style=model_style, model_size=model_size, colormap=colormap, bg_model=bg_model,
+    )
     if bounds is not None:
         xmin, xmax, ymin, ymax = bounds
         widget.onselect_extents(xmin, xmax, ymin, ymax)

@@ -549,3 +549,41 @@ class TestMigrationModelLabeling:
         # higher smooth = denser voxels
         vox2, _ = st.tdr.voxelize_mesh(mesh, smooth=80, label="organ")
         assert vox2.n_points > vox.n_points
+
+
+class TestWidgetAndPlotterOptions:
+    def test_rectangle_clip_reference_kwargs(self):
+        """interactive_rectangle_clip carries the reference's presentation
+        kwargs (clip.py:62: model_style/model_size/colormap/bg_model) and
+        still clips correctly headless."""
+        from spateo_tpu.tdr.models.mesh_core import PointCloud
+        from spateo_tpu.tdr.widgets.interactive import interactive_rectangle_clip
+
+        rng = np.random.default_rng(0)
+        pc = PointCloud(rng.uniform(0, 10, (200, 3)))
+        pc.point_data["groups"] = rng.integers(0, 3, 200)
+        bg = PointCloud(rng.uniform(0, 10, (50, 3)))
+        sub = interactive_rectangle_clip(
+            pc, key="groups", model_style="points", model_size=4.0,
+            colormap="viridis", bg_model=bg, bounds=(2, 5, 2, 5),
+        )
+        kept = np.asarray(sub.points)
+        assert len(kept) > 0
+        assert kept[:, 0].min() >= 2 and kept[:, 0].max() <= 5
+        assert kept[:, 1].min() >= 2 and kept[:, 1].max() <= 5
+
+    def test_output_plotter_gif_orbit(self, tmp_path):
+        """output_plotter writes a camera-orbit gif for .gif filenames
+        (reference three_dims_plotter.py:533 movie path)."""
+        import matplotlib.pyplot as plt
+
+        from spateo_tpu.plotting.three_d_plot.three_dims_plotter import output_plotter
+
+        fig = plt.figure(figsize=(2, 2))
+        ax = fig.add_subplot(111, projection="3d")
+        rng = np.random.default_rng(0)
+        p = rng.normal(size=(30, 3))
+        ax.scatter(p[:, 0], p[:, 1], p[:, 2], s=2)
+        out = tmp_path / "orbit.gif"
+        res = output_plotter(fig, filename=str(out), framerate=10)
+        assert res == str(out) and out.exists() and out.stat().st_size > 1000
