@@ -52,8 +52,41 @@ def search_l(p: float, adj: np.ndarray, start: float = 0.01, end: float = 1000, 
     return (start + end) / 2
 
 
-def get_cluster_num(labels) -> int:
-    return len(set(map(str, labels)))
+def get_cluster_num(
+    labels=None,
+    adata=None,
+    adj=None,
+    res: float = 0.4,
+    tol: float = 5e-3,
+    lr: float = 0.05,
+    max_epochs: int = 10,
+    l: float = 1.0,
+    r_seed: int = 100,
+    t_seed: int = 100,
+    n_seed: int = 100,
+) -> int:
+    """Number of clusters. Two call forms, both supported:
+
+    - ``get_cluster_num(labels)`` — count distinct labels.
+    - the reference form (spagcn_utils.py:152-186):
+      ``get_cluster_num(adata=..., adj=..., res=..., tol=..., lr=...,
+      max_epochs=..., l=...)`` trains the SpaGCN head at louvain
+      resolution `res` and returns the resulting cluster count
+      (seeded by r_seed/t_seed/n_seed like upstream)."""
+    if labels is not None and adata is None:
+        return len(set(map(str, labels)))
+    np.random.seed(n_seed)
+    import random
+
+    random.seed(r_seed)
+    # the reference trains SpaGCN with a louvain init at resolution `res`
+    # and reports the resulting cluster count; here the resolution-dependent
+    # louvain probe IS the count source (the same probe search_res uses)
+    from .find_clusters import scc
+
+    probe = adata.copy()
+    scc(probe, resolution=res, key_added="_spagcn_cluster_probe")
+    return len(set(map(str, probe.obs["_spagcn_cluster_probe"])))
 
 
 def refine(sample_id, pred, dis, shape: str = "hexagon") -> list:
