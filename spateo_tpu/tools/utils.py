@@ -188,14 +188,39 @@ def create_new_coordinate(adata, spatial_key: str = "spatial", plane: str = "xy"
     return adata
 
 
-def filter_adata_spatial(adata, spatial_key: str, coords_range: List[Tuple[float, float]]):
-    """Subset by per-axis coordinate ranges (parity: reference
-    tools/utils.py filter_adata_spatial)."""
-    coords = np.asarray(adata.obsm[spatial_key], float)
-    mask = np.ones(len(coords), bool)
-    for ax, (lo, hi) in enumerate(coords_range):
-        mask &= (coords[:, ax] >= lo) & (coords[:, ax] <= hi)
-    return adata[np.flatnonzero(mask)]
+def filter_adata_spatial(adata, coords_key: str, instructions, col_alias_map: Optional[dict] = None):
+    """Filter by spatial coordinates (parity: reference tools/utils.py:257-297).
+
+    `instructions` is the reference's list of natural-language conditions,
+    executed sequentially through `parse_instruction` + pandas query, e.g.
+    ["x less than 950 and z less than or equal to 350"]; the default alias
+    map sends x/y/z to the points_x/points_y/points_z frame columns. A list
+    of per-axis (lo, hi) range tuples is also accepted as a convenience."""
+    import pandas as pd
+
+    coords = np.asarray(adata.obsm[coords_key], float)
+    # convenience form: [(xlo, xhi), (ylo, yhi), ...]
+    if len(instructions) and not isinstance(instructions[0], str):
+        mask = np.ones(len(coords), bool)
+        for ax, (lo, hi) in enumerate(instructions):
+            mask &= (coords[:, ax] >= lo) & (coords[:, ax] <= hi)
+        return adata[np.flatnonzero(mask)]
+
+    if col_alias_map is None:
+        col_alias_map = {"x": "points_x", "y": "points_y", "z": "points_z"}
+    if coords.shape[1] == 2:
+        df = pd.DataFrame(coords, index=adata.obs_names, columns=["points_x", "points_y"])
+    elif coords.shape[1] == 3:
+        df = pd.DataFrame(coords, index=adata.obs_names, columns=["points_x", "points_y", "points_z"])
+    else:
+        raise ValueError(f"Coordinates must be 2D or 3D. Given shape: {coords.shape}.")
+    for instruction in instructions:
+        df = df.query(parse_instruction(instruction, col_alias_map))
+    from ..logging import logger_manager as lm
+
+    lm.main_info(f"Filtered {adata.n_obs} cells to {len(df)} cells.")
+    keep = [list(adata.obs_names).index(i) for i in df.index]
+    return adata[np.asarray(keep, int)].copy()
 
 
 def parse_instruction(instruction: str, axis_map: Optional[dict] = None) -> str:
