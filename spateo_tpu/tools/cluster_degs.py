@@ -75,8 +75,14 @@ def find_cluster_degs(
     log2fc_thresh: float = 0,
     method: str = "multiple",
 ) -> pd.DataFrame:
-    """Markers of `test_group` vs `control_groups` (parity:
-    cluster_degs.py:109)."""
+    """Markers of `test_group` vs `control_groups` (reference-exact:
+    cluster_degs.py:109-384 — same statistics, gene skip rule, column set
+    incl. combined_score, BH domain, qval sort and final thresholds).
+
+    Statistics are vectorized over genes where exact (ratios, specificity
+    scores, JSD with scipy-entropy normalization semantics, log2fc); the
+    Mann-Whitney p-value uses scipy's mannwhitneyu per gene exactly as the
+    reference's loop does."""
     if method not in ("multiple", "pairwise"):
         raise ValueError("`method` must be 'multiple' or 'pairwise'")
     if isinstance(control_groups, str):
@@ -89,75 +95,131 @@ def find_cluster_degs(
         X_data = adata[:, np.asarray(genes)].X if layer is None else adata[:, np.asarray(genes)].layers[layer]
     X = _dense(X_data)
 
+    num_groups = len(control_groups)
     num_cells = X.shape[0]
-    num_test = test_cells.sum()
-    num_control = control_cells.sum()
+    num_test = int(test_cells.sum())
+    num_control = int(control_cells.sum())
     X_test = X[test_cells]
     X_ctrl = X[control_cells]
 
-    ratio_expr = (X_test > 0).sum(0) / num_test
-    perc_test = (X_test > 0).sum(0) / num_cells
-    percs = [perc_test] + [(X[groups == g] > 0).sum(0) / num_cells for g in control_groups]
-    perc_mat = np.stack(percs)  # [G+1, genes]
-    perc_spec = np.zeros(len(control_groups) + 1)
-    perc_spec[0] = 1.0
+    # vectorized per-gene statistics ---------------------------------------
+    ratio_expr_all = (X_test != 0).sum(0) / num_test
+    keep = ratio_expr_all >= ratio_expr_thresh  # reference :221 skip rule
 
-    # JSD to the perfect-specificity distribution, per gene
+    # JSD to the perfect-specificity distribution, with scipy.stats.entropy
+    # normalization semantics (reference :227-232: perc and M are each
+    # normalized to sum 1 INSIDE entropy, M built from the raw fractions)
+    perc_rows = [(X_test != 0).sum(0) / num_cells]
+    perc_rows += [(X[groups == g] != 0).sum(0) / num_cells for g in control_groups]
+    perc = np.stack(perc_rows)  # [G+1, genes]
+    perc_spec = np.zeros((num_groups + 1, 1))
+    perc_spec[0] = 1.0
+    M = (perc + perc_spec) / 2
     with np.errstate(divide="ignore", invalid="ignore"):
-        P = perc_mat / np.maximum(perc_mat.sum(0, keepdims=True), 1e-30)
-        Q = perc_spec[:, None]
-        M = (P + Q) / 2
-        kl_pm = np.nansum(np.where(P > 0, P * np.log(P / np.maximum(M, 1e-30)), 0.0), axis=0)
-        kl_qm = np.nansum(np.where(Q > 0, Q * np.log(Q / np.maximum(M, 1e-30)), 0.0), axis=0)
+        p_n = perc / np.maximum(perc.sum(0, keepdims=True), 1e-300)
+        q_n = np.broadcast_to(perc_spec, M.shape)
+        m_n = M / np.maximum(M.sum(0, keepdims=True), 1e-300)
+        kl_pm = np.nansum(np.where(p_n > 0, p_n * np.log(p_n / np.maximum(m_n, 1e-300)), 0.0), axis=0)
+        kl_qm = np.nansum(np.where(q_n > 0, q_n * np.log(q_n / np.maximum(m_n, 1e-300)), 0.0), axis=0)
     jsd_adj_score = 1 - 0.5 * (kl_pm + kl_qm)
 
     pearson_test, cosine_test = _specificity_scores(X, test_cells)
+    test_mean = X_test.mean(0) + 1e-9
 
+    def _scores_against(mask):
+        pearson_control, cosine_control = _specificity_scores(X, mask)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pearson_score = np.power(pearson_test, 3) / (
+                np.power(pearson_control, 2) + np.power(pearson_test, 2)
+            )
+            cosine_score = np.power(cosine_test, 3) / (
+                np.power(cosine_control, 2) + np.power(cosine_test, 2)
+            )
+        return pearson_score, cosine_score
+
+    def _pvals_against(Xg):
+        out = np.ones(X.shape[1])
+        any_nz = (Xg != 0).any(0)
+        for j in np.where(keep)[0]:
+            if any_nz[j]:
+                out[j] = stats.mannwhitneyu(X_test[:, j], Xg[:, j])[1]
+        return out
+
+    de_frames = []
     if method == "multiple":
-        test_mean = X_test.mean(0) + 1e-9
         control_mean = X_ctrl.mean(0) + 1e-9
-        log2fc = np.log2(test_mean / control_mean + 1e-4)
-        pvals = _mannwhitney_batch(X_test, X_ctrl)
-        diff_ratio_expr = ratio_expr - (X_ctrl > 0).sum(0) / num_control
-        pearson_control, _ = _specificity_scores(X, control_cells)
-        pearson_score = pearson_test**3 / np.maximum(pearson_control**2 + pearson_test**2, 1e-30)
-        df = pd.DataFrame(
-            {
-                "gene": genes,
-                "log2fc": log2fc,
-                "pval": pvals,
-                "ratio_expr": ratio_expr,
-                "diff_ratio_expr": diff_ratio_expr,
-                "person_score": pearson_score,
-                "cosine_score": cosine_test,
-                "jsd_adj_score": jsd_adj_score,
-            }
+        log2fc = np.log2(test_mean / control_mean + 10e-5)
+        pvals = _pvals_against(X_ctrl)
+        diff_ratio_expr = ratio_expr_all - (X_ctrl != 0).sum(0) / num_control
+        pearson_score, cosine_score = _scores_against(control_cells)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            combined = (
+                -log2fc * np.log(pvals) * ratio_expr_all * diff_ratio_expr
+                * pearson_score * cosine_score * jsd_adj_score
+            )
+        de_frames.append(
+            pd.DataFrame(
+                {
+                    "gene": np.asarray(genes, object),
+                    "control_group": [control_groups] * len(genes),
+                    "log2fc": log2fc,
+                    "pval": pvals,
+                    "ratio_expr": ratio_expr_all,
+                    "diff_ratio_expr": diff_ratio_expr,
+                    "person_score": pearson_score,
+                    "cosine_score": cosine_score,
+                    "jsd_adj_score": jsd_adj_score,
+                    "combined_score": combined,
+                }
+            )[keep]
         )
-        df["qval"] = multipletests_bh(df["pval"].values)
     else:
-        records = []
         for g in control_groups:
-            Xg = X[groups == g]
-            mean_g = Xg.mean(0) + 1e-9
-            log2fc = np.log2((X_test.mean(0) + 1e-9) / mean_g + 1e-4)
-            pvals = _mannwhitney_batch(X_test, Xg)
-            records.append(pd.DataFrame({
-                "gene": genes, "control_group": g, "log2fc": log2fc, "pval": pvals,
-                "ratio_expr": ratio_expr, "jsd_adj_score": jsd_adj_score,
-            }))
-        df = pd.concat(records, ignore_index=True)
-        df["qval"] = multipletests_bh(df["pval"].values)
+            mask_g = groups == g
+            Xg = X[mask_g]
+            control_mean = Xg.mean(0) + 1e-9
+            log2fc = np.log2(test_mean / control_mean + 10e-5)
+            pvals = _pvals_against(Xg)
+            diff_ratio_expr = ratio_expr_all - (Xg != 0).sum(0) / len(Xg)
+            pearson_score, cosine_score = _scores_against(mask_g)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                combined = (
+                    -log2fc * np.log(pvals) * ratio_expr_all * diff_ratio_expr
+                    * pearson_score * cosine_score * jsd_adj_score
+                )
+            de_frames.append(
+                pd.DataFrame(
+                    {
+                        "gene": np.asarray(genes, object),
+                        "control_group": g,
+                        "log2fc": log2fc,
+                        "pval": pvals,
+                        "ratio_expr": ratio_expr_all,
+                        "diff_ratio_expr": diff_ratio_expr,
+                        "person_score": pearson_score,
+                        "cosine_score": cosine_score,
+                        "jsd_adj_score": jsd_adj_score,
+                        "combined_score": combined,
+                    }
+                )[keep]
+            )
+    de = pd.concat(de_frames, ignore_index=True)
 
-    df = df[
-        (df["qval"] < qval_thresh)
-        & (df["ratio_expr"] > ratio_expr_thresh)
-        & (df["log2fc"] > log2fc_thresh)
+    if de.shape[0] > 1:
+        de["qval"] = multipletests_bh(de["pval"].values)
+    else:
+        de["qval"] = [np.nan for _ in range(de.shape[0])]
+    de["test_group"] = test_group
+    out_order = [
+        "gene", "test_group", "control_group", "ratio_expr", "diff_ratio_expr",
+        "person_score", "cosine_score", "jsd_adj_score", "log2fc",
+        "combined_score", "pval", "qval",
     ]
-    if method == "multiple" and diff_ratio_expr_thresh is not None:
-        df = df[df["diff_ratio_expr"] > diff_ratio_expr_thresh]
-    df = df.set_index("gene")
-    df["test_group"] = test_group
-    return df
+    de = de[out_order].sort_values(by="qval")
+    de = de[
+        (de.qval < qval_thresh) & (de.diff_ratio_expr > diff_ratio_expr_thresh) & (de.log2fc > log2fc_thresh)
+    ].reset_index(drop=True)
+    return de
 
 
 def find_all_cluster_degs(
@@ -183,7 +245,7 @@ def find_all_cluster_degs(
             adata, test_group, controls, genes=genes, layer=layer, X_data=X_data, group=group, **kwargs
         )
         de_tables[test_group] = table
-        de_genes[test_group] = list(table.index)
+        de_genes[test_group] = list(table["gene"])
     adata.uns["cluster_markers"] = {"deg_tables": de_tables, "de_genes": de_genes}
     return adata
 
@@ -232,18 +294,23 @@ def top_n_degs(
     if "cluster_markers" not in adata.uns:
         raise ValueError("Run `find_all_cluster_degs` with `copy=False` first.")
     tables = adata.uns["cluster_markers"]["deg_tables"]
-    out = {}
     frames = []
     for g, table in tables.items():
         t = table.copy()
         if custom_score_func is not None:
             t["custom_score"] = custom_score_func(t)
-            key = "custom_score"
-        else:
-            key = sort_by
-        t = t.sort_values(by=key, ascending=False).head(top_n_genes)
-        out[g] = list(t.index)
-        frames.append(t.assign(cluster=g))
+        frames.append(t)
+    deg_table = pd.concat(frames, ignore_index=True)
+    key = sort_by if custom_score_func is None else "custom_score"
+    # per-group nlargest (modern pandas groupby.apply drops the grouping
+    # column, so select explicitly)
+    deg_table = pd.concat(
+        [deg_table[deg_table["test_group"] == g].nlargest(top_n_genes, key) for g in deg_table["test_group"].unique()],
+        ignore_index=True,
+    )
     if only_deg_list:
-        return out
-    return pd.concat(frames)
+        return {
+            grp: deg_table[deg_table["test_group"] == grp]["gene"].to_list()
+            for grp in deg_table["test_group"].unique()
+        }
+    return deg_table

@@ -557,3 +557,50 @@ class TestDistributionsGolden:
         np.testing.assert_allclose(
             my_nb.deviance_residuals(y, mu, w), np.nan_to_num(ref_nb.deviance_residuals(y, mu, w)), atol=1e-8
         )
+
+
+class TestClusterDEGsGolden:
+    def test_find_cluster_degs_matches_reference(self):
+        """find_cluster_degs against the in-process reference
+        (cluster_degs.py:109-384): every statistic column, the gene-skip
+        rule, the BH domain, ordering and final thresholds."""
+        import pandas as pd
+
+        ref_cd = _need("spateo.tools.cluster_degs")
+        import spateo_tpu as st
+        import spateo_tpu.tools.cluster_degs as my_cd
+        from spateo_tpu.svg.utils import multipletests_bh
+
+        # statsmodels is absent from this image, so the harness stubs the
+        # reference's `multipletests` (-> NaN qvals -> empty output); give
+        # the reference the real BH correction for a meaningful comparison
+        ref_cd.multipletests = lambda p, method="fdr_bh": (None, multipletests_bh(np.asarray(p)))
+
+        rng = np.random.default_rng(5)
+        X = rng.poisson(2.0, (90, 15)).astype(float)
+        X[:30, :5] += rng.poisson(5, (30, 5))
+        X[30:60, 5:9] += rng.poisson(4, (30, 4))
+        ad = st.AnnData(X=X, var=pd.DataFrame(index=[f"g{i}" for i in range(15)]))
+        ad.obs["grp"] = ["A"] * 30 + ["B"] * 30 + ["C"] * 30
+        st.SKM.init_adata_type(ad, "UMI")
+
+        for method in ("multiple", "pairwise"):
+            dr = ref_cd.find_cluster_degs(ad, "A", ["B", "C"], group="grp", method=method)
+            dm = my_cd.find_cluster_degs(ad, "A", ["B", "C"], group="grp", method=method)
+            assert list(dr.columns) == list(dm.columns), method
+            assert len(dr) == len(dm), (method, len(dr), len(dm))
+            key = ["gene"] if method == "multiple" else ["gene", "control_group"]
+            dr2 = dr.copy()
+            dm2 = dm.copy()
+            if method == "pairwise":
+                dr2["control_group"] = dr2["control_group"].astype(str)
+                dm2["control_group"] = dm2["control_group"].astype(str)
+            dr2 = dr2.sort_values(key).reset_index(drop=True)
+            dm2 = dm2.sort_values(key).reset_index(drop=True)
+            assert list(dr2["gene"]) == list(dm2["gene"]), method
+            for col in ("ratio_expr", "diff_ratio_expr", "person_score", "cosine_score",
+                        "jsd_adj_score", "log2fc", "combined_score", "pval", "qval"):
+                np.testing.assert_allclose(
+                    dm2[col].values.astype(float), dr2[col].values.astype(float),
+                    rtol=1e-6, atol=1e-10, err_msg=f"{method}:{col}",
+                )

@@ -96,10 +96,18 @@ class TestClustering:
 class TestDEGs:
     def test_find_cluster_degs(self, spatial_adata):
         df = st.tl.find_cluster_degs(spatial_adata, "A", ["B"], group="cell_type")
+        # reference output shape: gene as a COLUMN, int index, qval-sorted
+        # (reference cluster_degs.py:364-384)
+        assert list(df.columns) == [
+            "gene", "test_group", "control_group", "ratio_expr", "diff_ratio_expr",
+            "person_score", "cosine_score", "jsd_adj_score", "log2fc",
+            "combined_score", "pval", "qval",
+        ]
         # program-A genes (g0..g9) should be among the markers
-        marker_hits = sum(1 for g in df.index if int(g[1:]) < 10)
+        marker_hits = sum(1 for g in df["gene"] if int(g[1:]) < 10)
         assert marker_hits >= 5
         assert (df["log2fc"] > 0).all()
+        assert (df["qval"].values[:-1] <= df["qval"].values[1:] + 1e-12).all()  # qval-sorted
 
     def test_find_all_cluster_degs(self, spatial_adata):
         adata = st.tl.find_all_cluster_degs(spatial_adata, group="cell_type")
