@@ -604,3 +604,95 @@ class TestClusterDEGsGolden:
                     dm2[col].values.astype(float), dr2[col].values.astype(float),
                     rtol=1e-6, atol=1e-10, err_msg=f"{method}:{col}",
                 )
+
+
+class TestMoreToolsGolden:
+    """Additional golden parity: procrustes, cell/gene filtering, spatial
+    archetypes, QC region selection — all executing the actual reference."""
+
+    def test_procrustes_exact(self):
+        ref_ca = _need("spateo.tools.coarse_align")
+        import spateo_tpu.tools.coarse_align as my_ca
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(40, 2))
+        th = 0.7
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        Y = X @ R.T * 1.3 + [2, -1]
+        for scaling in (True, False):
+            d1, Z1, t1 = ref_ca.procrustes(X, Y, scaling=scaling)
+            d2, Z2, t2 = my_ca.procrustes(X, Y, scaling=scaling)
+            assert np.isclose(d1, d2)
+            np.testing.assert_allclose(Z1, Z2, atol=1e-10)
+            np.testing.assert_allclose(t1["rotation"], t2["rotation"], atol=1e-10)
+            np.testing.assert_allclose(t1["translation"], t2["translation"], atol=1e-10)
+            assert np.isclose(t1["scale"], t2["scale"])
+
+    def test_filter_cells_genes_same_selection(self):
+        import pandas as pd
+
+        ref_f = _need("spateo.preprocessing.filter")
+        import spateo_tpu as st
+        import spateo_tpu.preprocessing.filter as my_f
+
+        rng = np.random.default_rng(2)
+        a = st.AnnData(
+            X=(rng.random((70, 40)) > 0.7) * rng.poisson(3, (70, 40)).astype(float),
+            var=pd.DataFrame(index=[f"g{i}" for i in range(40)]),
+        )
+        st.SKM.init_adata_type(a, "UMI")
+        r = ref_f.filter_cells(a.copy(), min_expr_genes=10, inplace=False)
+        m = my_f.filter_cells(a.copy(), min_expr_genes=10, inplace=False)
+        assert list(r.obs_names) == list(m.obs_names)
+        rg = ref_f.filter_genes(a.copy(), min_cells=12, inplace=False)
+        mg = my_f.filter_genes(a.copy(), min_cells=12, inplace=False)
+        assert list(rg.var_names) == list(mg.var_names)
+
+    def test_spatial_archetypes_exact(self):
+        ref_ar = _need("spateo.tools.architype")
+        import spateo_tpu.tools.architype as my_ar
+
+        rng = np.random.default_rng(0)
+        Xa = rng.poisson(3.0, (60, 15)).astype(float)
+        r = ref_ar.find_spatial_archetypes(5, Xa.T)
+        m = my_ar.find_spatial_archetypes(5, Xa.T)
+        for a, b in zip(r, m):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_select_qc_regions_same_regions(self):
+        ref_qc = _need("spateo.segmentation.qc")
+        import spateo_tpu as st
+        import spateo_tpu.segmentation.qc as my_qc
+        from spateo_tpu.configuration import SKM
+
+        rng = np.random.default_rng(3)
+
+        def fresh():
+            a = st.AnnData(X=rng.poisson(1.0, (64, 48)).astype(float))
+            st.SKM.init_adata_type(a, "AGG")
+            a.obs_names = [str(i) for i in range(64)]
+            a.var_names = [str(j) for j in range(48)]
+            return a
+
+        a_ref, a_my = fresh(), fresh()
+        np.random.seed(0)
+        ref_qc.select_qc_regions(a_ref, n=3, size=12)
+        np.random.seed(0)
+        my_qc.select_qc_regions(a_my, n=3, size=12)
+        r = np.asarray(SKM.get_uns_spatial_attribute(a_ref, SKM.UNS_SPATIAL_QC_KEY))
+        m = np.asarray(SKM.get_uns_spatial_attribute(a_my, SKM.UNS_SPATIAL_QC_KEY))
+        # random draws differ in order between implementations; the CONTRACT
+        # is the same: [n, 4] (xmin, xmax, ymin, ymax) regions of the right
+        # size inside the raster
+        for arr in (r, m):
+            assert arr.shape == (3, 4)
+            assert ((arr[:, 1] - arr[:, 0]) <= 12).all() and ((arr[:, 3] - arr[:, 2]) <= 12).all()
+            assert arr.min() >= 0 and arr[:, 1].max() <= 64 and arr[:, 3].max() <= 48
+        # explicit region list form
+        a2_ref, a2_my = fresh(), fresh()
+        ref_qc.select_qc_regions(a2_ref, regions=[(5, 5), (20, 10)], size=8)
+        my_qc.select_qc_regions(a2_my, regions=[(5, 5), (20, 10)], size=8)
+        assert np.array_equal(
+            np.asarray(SKM.get_uns_spatial_attribute(a2_ref, SKM.UNS_SPATIAL_QC_KEY)),
+            np.asarray(SKM.get_uns_spatial_attribute(a2_my, SKM.UNS_SPATIAL_QC_KEY)),
+        )
