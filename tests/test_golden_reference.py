@@ -672,6 +672,7 @@ class TestMoreToolsGolden:
             st.SKM.init_adata_type(a, "AGG")
             a.obs_names = [str(i) for i in range(64)]
             a.var_names = [str(j) for j in range(48)]
+            SKM.init_uns_spatial_namespace(a)
             return a
 
         a_ref, a_my = fresh(), fresh()
@@ -690,8 +691,10 @@ class TestMoreToolsGolden:
             assert arr.min() >= 0 and arr[:, 1].max() <= 64 and arr[:, 3].max() <= 48
         # explicit region list form
         a2_ref, a2_my = fresh(), fresh()
-        ref_qc.select_qc_regions(a2_ref, regions=[(5, 5), (20, 10)], size=8)
-        my_qc.select_qc_regions(a2_my, regions=[(5, 5), (20, 10)], size=8)
+        # use_scale=False: pixel units directly (the scale/binsize uns
+        # attributes only exist after read_bgi_agg)
+        ref_qc.select_qc_regions(a2_ref, regions=[(5, 5), (20, 10)], size=8, use_scale=False)
+        my_qc.select_qc_regions(a2_my, regions=[(5, 5), (20, 10)], size=8, use_scale=False)
         assert np.array_equal(
             np.asarray(SKM.get_uns_spatial_attribute(a2_ref, SKM.UNS_SPATIAL_QC_KEY)),
             np.asarray(SKM.get_uns_spatial_attribute(a2_my, SKM.UNS_SPATIAL_QC_KEY)),
