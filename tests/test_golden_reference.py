@@ -673,6 +673,11 @@ class TestMoreToolsGolden:
             a.obs_names = [str(i) for i in range(64)]
             a.var_names = [str(j) for j in range(48)]
             SKM.init_uns_spatial_namespace(a)
+            # the regions form reads the binsize/scale/unit attributes that
+            # read_bgi_agg normally stamps
+            SKM.set_uns_spatial_attribute(a, SKM.UNS_SPATIAL_BINSIZE_KEY, 1)
+            SKM.set_uns_spatial_attribute(a, SKM.UNS_SPATIAL_SCALE_KEY, 1.0)
+            SKM.set_uns_spatial_attribute(a, SKM.UNS_SPATIAL_SCALE_UNIT_KEY, None)
             return a
 
         a_ref, a_my = fresh(), fresh()
