@@ -339,6 +339,15 @@ def _iwls_batch_full_kernel(
     return beta, hat, fisher_inv[:, diag_idx, diag_idx], pred
 
 
+def _auto_block(q: int, n: int) -> int:
+    """Device block size for the blocked GWR loops: each extra dispatch on a
+    tunneled TPU costs a ~30 ms round trip, so blocks should be as large as
+    the [block, n] IRLS state (linear predictor + a couple of sweep
+    temporaries, ~12 bytes/entry) comfortably allows — ~2 GB of HBM."""
+    limit = int(2e9 / max(12 * n, 1))
+    return max(1024, min(q, limit))
+
+
 def iwls_batch_full(
     y: np.ndarray,
     X: np.ndarray,
@@ -348,7 +357,7 @@ def iwls_batch_full(
     ridge_lambda: float = 0.0,
     clip: float = 5.0,
     n_irls_iter: int = 25,
-    block: int = 1024,
+    block: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """All-locations GWR/GLM fits with full diagnostics, blocked on device.
 
@@ -362,6 +371,7 @@ def iwls_batch_full(
     q = W_d.shape[0]
     k = X_d.shape[1]
     focal = np.arange(q, dtype=np.int32) if focal is None else np.asarray(focal, np.int32)
+    block = _auto_block(q, X_d.shape[0]) if block is None else block
     betas = np.zeros((q, k), np.float32)
     hats = np.zeros(q, np.float32)
     inv_diag = np.zeros((q, k), np.float32)
@@ -385,7 +395,7 @@ def iwls_batch(
     ridge_lambda: float = 0.0,
     clip: float = 5.0,
     n_irls_iter: int = 25,
-    block: int = 1024,
+    block: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """All-locations GWR/GLM fits, blocked on device.
 
@@ -397,6 +407,7 @@ def iwls_batch(
     X_d = jnp.asarray(X, jnp.float32)
     W_d = jnp.asarray(W, jnp.float32)
     n = W_d.shape[0]
+    block = _auto_block(n, X_d.shape[0]) if block is None else block
     betas = np.zeros((n, X_d.shape[1]), np.float32)
     hats = np.zeros(n, np.float32)
     for s in range(0, n, block):
