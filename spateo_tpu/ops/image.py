@@ -31,8 +31,22 @@ def circle(k: int) -> np.ndarray:
     return (yy**2 + xx**2 <= r**2).astype(np.uint8)
 
 
+_CV2_FIXED_GAUSS = {
+    1: np.array([1.0]),
+    3: np.array([0.25, 0.5, 0.25]),
+    5: np.array([0.0625, 0.25, 0.375, 0.25, 0.0625]),
+    7: np.array([0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125]),
+}
+
+
 def gaussian_kernel_1d(k: int, sigma: Optional[float] = None) -> np.ndarray:
-    """1D Gaussian kernel with OpenCV's default sigma convention."""
+    """1D Gaussian kernel with OpenCV's exact conventions: for sigma<=0 and
+    k <= 7, cv2.getGaussianKernel returns FIXED binomial-style kernels (not
+    the continuous Gaussian at the default sigma) — the reference's
+    gaussian_blur is cv2.GaussianBlur(sigmaX=0), so those fixed kernels are
+    what its density/stain pipelines actually convolve with."""
+    if (sigma is None or sigma <= 0) and k in _CV2_FIXED_GAUSS:
+        return _CV2_FIXED_GAUSS[k].copy()
     if sigma is None or sigma <= 0:
         sigma = 0.3 * ((k - 1) * 0.5 - 1) + 0.8
     x = np.arange(k) - (k - 1) / 2
@@ -138,6 +152,13 @@ def conv2d(
     r = (k - 1) // 2
 
     if bins is None:
+        # boundary conventions follow the reference exactly: gauss is
+        # cv2.GaussianBlur (BORDER_REFLECT_101, edge not repeated); circle/
+        # square are scipy convolve2d(boundary='symm') (edge repeated)
+        # (reference segmentation/utils.py:81,136)
+        if mode == "gauss":
+            Xp = jnp.pad(jnp.asarray(X, jnp.float32), ((r, r), (r, r)), mode="reflect")
+            return _conv2d_kernel(Xp, kernel, k, k, "VALID")
         return _conv2d_kernel(_reflect_pad(X, r), kernel, k, k, "VALID")
 
     labels = np.unique(np.asarray(bins))
@@ -188,18 +209,21 @@ def scale_to_255(X) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # Binary morphology as boolean shift OR/AND chains (row-decomposed SE)
 # ---------------------------------------------------------------------------
-def _shift_bool(m: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift a bool [H, W] mask by (dy, dx), filling shifted-in pixels with
-    False (zero-pad border semantics for both dilation-OR and erosion-AND)."""
+def _shift_bool(m: jnp.ndarray, dy: int, dx: int, fill: bool = False) -> jnp.ndarray:
+    """Shift a bool [H, W] mask by (dy, dx). Shifted-in pixels take `fill`:
+    False for dilation-OR (cv2.dilate's default borderValue is -inf — outside
+    is background), True for erosion-AND (cv2.erode's default borderValue is
+    +inf — outside counts as foreground, so border pixels are NOT eroded by
+    the out-of-bounds region)."""
     out = jnp.roll(m, (dy, dx), (0, 1))
     if dy > 0:
-        out = out.at[:dy, :].set(False)
+        out = out.at[:dy, :].set(fill)
     elif dy < 0:
-        out = out.at[dy:, :].set(False)
+        out = out.at[dy:, :].set(fill)
     if dx > 0:
-        out = out.at[:, :dx].set(False)
+        out = out.at[:, :dx].set(fill)
     elif dx < 0:
-        out = out.at[:, dx:].set(False)
+        out = out.at[:, dx:].set(fill)
     return out
 
 
@@ -238,18 +262,18 @@ def _disk_dilate_bool(m: jnp.ndarray, k: int, square: bool = False) -> jnp.ndarr
 
 def _disk_erode_bool(m: jnp.ndarray, k: int, square: bool = False) -> jnp.ndarray:
     """Binary erosion, dual of `_disk_dilate_bool`. Out-of-bounds counts as
-    background (cv2 BORDER_CONSTANT 0): every shift fills False, so border
-    pixels whose SE pokes outside the image are eroded — matching the
-    zero-padded conv == sum(kernel) definition exactly."""
+    FOREGROUND (cv2.erode's default borderValue is morphologyDefaultBorderValue
+    = +inf): every erosion shift fills True, so border pixels are only eroded
+    by in-bounds background — exactly the reference's cv2 behavior."""
     hw = _se_row_halfwidths(k, square)
     h_by_w = {0: m}
     acc = m
     for w in range(1, max(hw.values()) + 1):
-        acc = acc & _shift_bool(m, 0, w) & _shift_bool(m, 0, -w)
+        acc = acc & _shift_bool(m, 0, w, fill=True) & _shift_bool(m, 0, -w, fill=True)
         h_by_w[w] = acc
     out = None
     for dy, w in hw.items():
-        t = _shift_bool(h_by_w[w], dy, 0)
+        t = _shift_bool(h_by_w[w], dy, 0, fill=True)
         out = t if out is None else (out & t)
     return out
 

@@ -704,3 +704,62 @@ class TestMoreToolsGolden:
             np.asarray(SKM.get_uns_spatial_attribute(a2_ref, SKM.UNS_SPATIAL_QC_KEY)),
             np.asarray(SKM.get_uns_spatial_attribute(a2_my, SKM.UNS_SPATIAL_QC_KEY)),
         )
+
+
+class TestDensityAndMorphologyGolden:
+    """Density segmentation + image-op conventions vs the actual reference:
+    cv2's fixed small Gaussian kernels, erode's +inf border, SCHC, and the
+    full blur -> SCHC -> ordered-dilation pipeline."""
+
+    def test_gauss_conv_matches_cv2_fixed_kernels(self):
+        ref_u = _need("spateo.segmentation.utils")
+        from spateo_tpu.ops.image import conv2d as my_conv
+
+        rng = np.random.default_rng(0)
+        Xn = rng.random((40, 40))
+        for k in (3, 5, 7):
+            br = np.asarray(ref_u.conv2d(Xn, k, mode="gauss"))
+            bm = np.asarray(my_conv(Xn, k, mode="gauss"))
+            np.testing.assert_allclose(bm, br, atol=1e-6, err_msg=f"gauss k={k}")
+
+    def test_erode_border_foreground_semantics(self):
+        """cv2.erode's default borderValue is +inf: border pixels are not
+        eroded by the out-of-bounds region (reference masks rely on this at
+        raster edges)."""
+        import importlib
+
+        cv2 = importlib.import_module("cv2")
+        ref_u = _need("spateo.segmentation.utils")
+        from spateo_tpu.ops.image import dilate as my_dilate, erode as my_erode
+        from spateo_tpu.segmentation.utils import mclose_mopen as my_mm
+
+        mask = np.zeros((20, 20), np.uint8)
+        mask[0:6, 0:6] = 1
+        mask[15:, 10:] = 1
+        for k in (3, 5):
+            se = np.asarray(ref_u.circle(k))
+            np.testing.assert_array_equal(
+                np.asarray(my_erode(mask.astype(bool), k)).astype(np.uint8), cv2.erode(mask, se)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(my_dilate(mask.astype(bool), k)).astype(np.uint8), cv2.dilate(mask, se)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(my_mm(mask.astype(bool), k)), np.asarray(ref_u.mclose_mopen(mask, k)) > 0
+            )
+
+    def test_schc_and_segment_densities_exact(self):
+        ref_d = _need("spateo.segmentation.density")
+        import spateo_tpu.segmentation.density as my_d
+
+        rng = np.random.default_rng(0)
+        X = rng.poisson(1.0, (40, 40)).astype(float)
+        X[5:15, 5:15] += 6
+        X[25:35, 20:35] += 3
+        r = ref_d._schc(X, distance_threshold=2.0)
+        m = my_d._schc(X, distance_threshold=2.0)
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(r))
+        for dk in (3, 5):
+            r2 = ref_d._segment_densities(X, k=3, dk=dk, distance_threshold=2.0)
+            m2 = my_d._segment_densities(X, k=3, dk=dk, distance_threshold=2.0)
+            np.testing.assert_array_equal(np.asarray(m2), np.asarray(r2), err_msg=f"dk={dk}")

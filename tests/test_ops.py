@@ -57,8 +57,11 @@ class TestImageOps:
 
     def test_morphology_scipy_parity(self, rng):
         """Boolean shift-decomposed dilate/erode == scipy.ndimage with the
-        same SE and zero border, for circle and square SEs of several radii
-        (guards the ops/image.py row-decomposition)."""
+        same SE and cv2's border conventions (dilate: outside is background;
+        erode: outside counts as FOREGROUND — cv2's default borderValue is
+        morphologyDefaultBorderValue = +inf, which the reference's
+        segmentation pipelines rely on at raster edges), for circle and
+        square SEs of several radii."""
         from scipy import ndimage
 
         mask = rng.random((64, 57)) > 0.6
@@ -69,7 +72,7 @@ class TestImageOps:
                 exp_d = ndimage.binary_dilation(mask, structure=se)
                 np.testing.assert_array_equal(got_d, exp_d, err_msg=f"dilate k={k} square={square}")
                 got_e = np.asarray(img_ops.erode(mask, k, square=square))
-                exp_e = ndimage.binary_erosion(mask, structure=se, border_value=0)
+                exp_e = ndimage.binary_erosion(mask, structure=se, border_value=1)
                 np.testing.assert_array_equal(got_e, exp_e, err_msg=f"erode k={k} square={square}")
 
     def test_mclose_mopen_removes_noise(self):
