@@ -149,6 +149,10 @@ class AnnData:
     def shape(self) -> tuple:
         return (self.n_obs, self.n_vars)
 
+    def __len__(self) -> int:
+        # anndata convention: len(adata) == n_obs (upstream AnnData.__len__)
+        return self.n_obs
+
     @property
     def obs_names(self) -> pd.Index:
         return self.obs.index

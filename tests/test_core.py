@@ -262,3 +262,13 @@ class TestSurfaceTail:
         assert matplotlib.rcParams["axes.facecolor"] == "black"
         reset_rcParams()
         assert matplotlib.rcParams["axes.facecolor"] != "black"
+
+
+class TestAnnDataLen:
+    def test_len_is_n_obs(self):
+        import pandas as pd
+
+        import spateo_tpu as st
+
+        a = st.AnnData(X=np.zeros((7, 3)), obs=pd.DataFrame(index=[f"c{i}" for i in range(7)]))
+        assert len(a) == 7 == a.n_obs  # upstream anndata convention
