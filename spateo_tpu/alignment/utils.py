@@ -41,10 +41,12 @@ def generate_label_transfer_prior(cat1, cat2, positive_pairs=None, negative_pair
     """Label transfer prior dict (parity: alignment/utils.py:51): matrix of
     transfer probabilities between categorical labels."""
     label_transfer_prior = dict()
-    if positive_pairs is None and negative_pairs is None:
-        positive_pairs = [{"left": [c], "right": [c], "value": 10.0} for c in cat2 if c in cat1]
-    positive_pairs = positive_pairs or []
-    negative_pairs = negative_pairs or []
+    positive_pairs = list(positive_pairs) if positive_pairs else []
+    negative_pairs = list(negative_pairs) if negative_pairs else []
+    # same-name pairs default in only when NO pairs of either kind were
+    # given (reference alignment/utils.py:58 checks both lists' lengths)
+    if len(positive_pairs) == 0 and len(negative_pairs) == 0:
+        positive_pairs = [{"left": [c], "right": [c], "value": 10.0} for c in cat1 if c in cat2]
     for c2 in cat2:
         cur_transfer_prior = {c1: 1.0 for c1 in cat1}
         label_transfer_prior[c2] = cur_transfer_prior

@@ -813,3 +813,40 @@ class TestScoreAndPropsGolden:
             P = pts_by_label[int(float(idx))].astype(float)
             assert cm[:, 0].min() <= P[:, 0].min() and cm[:, 0].max() >= P[:, 0].max()
             assert cm[:, 1].min() <= P[:, 1].min() and cm[:, 1].max() >= P[:, 1].max()
+
+
+class TestAlignmentUtilsGolden:
+    def test_solve_RT_by_correspondence_exact(self):
+        """Procrustes R/t from matched correspondences (reference
+        alignment/utils.py:350)."""
+        ref_au = _need("spateo.alignment.utils")
+        import spateo_tpu.alignment.utils as my_au
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(60, 2))
+        th = 0.5
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+        Y = X @ R.T + [1.0, -2.0]
+        rR, rt = ref_au.solve_RT_by_correspondence(Y, X)[:2]
+        mR, mt = my_au.solve_RT_by_correspondence(Y, X)[:2]
+        np.testing.assert_allclose(np.asarray(mR), np.asarray(rR), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(mt), np.asarray(rt), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(mR), R, atol=1e-8)
+
+    def test_generate_label_transfer_prior_exact(self):
+        ref_au = _need("spateo.alignment.utils")
+        import spateo_tpu.alignment.utils as my_au
+
+        cat1 = ["a", "b", "c"]
+        cat2 = ["a", "b", "d"]
+        # reference layout: outer key = cat2, inner = cat1 (utils.py:62-84)
+        for kwargs in (
+            dict(positive_pairs=[{"left": ["a"], "right": ["a"], "value": 10}]),
+            dict(),  # default same-name pairs
+            dict(negative_pairs=[{"left": ["b"], "right": ["d"], "value": 0.1}]),
+        ):
+            pd_ref = ref_au.generate_label_transfer_prior(cat1, cat2, **kwargs)
+            pd_my = my_au.generate_label_transfer_prior(cat1, cat2, **kwargs)
+            for c2 in cat2:
+                for c1 in cat1:
+                    assert np.isclose(pd_ref[c2][c1], pd_my[c2][c1]), (kwargs, c2, c1)
