@@ -271,10 +271,10 @@ def multi_slices(
     slices,
     slices_key: Optional[str] = None,
     label: Optional[str] = None,
-    spatial_key: str = "spatial",
+    spatial_key: str = "align_spatial",
     layer: str = "X",
     point_size: Optional[float] = None,
-    font_size: int = 10,
+    font_size: int = 20,
     color: Optional[str] = "skyblue",
     palette=None,
     alpha: float = 1.0,

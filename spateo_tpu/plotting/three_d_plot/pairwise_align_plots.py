@@ -239,7 +239,7 @@ def pairwise_iteration(
     adataA=None,
     adataB=None,
     iter_key_added: str = "iter_spatial",
-    spatial_key: str = "spatial",
+    spatial_key: str = "align_spatial",
     filename: str = "pairwise_iteration.gif",
     fps: int = 10,
     point_size: float = 3.0,
@@ -276,7 +276,7 @@ def pairwise_iteration_panel(
     adataA=None,
     adataB=None,
     iter_key_added: str = "iter_spatial",
-    spatial_key: str = "spatial",
+    spatial_key: str = "align_spatial",
     ncols: int = 4,
     point_size: float = 2.0,
     filename: Optional[str] = None,

@@ -30,50 +30,122 @@ def niches(
     spatial_neighbors: str = "spatial_neighbors",
     spatial_distances: str = "spatial_distances",
     species: str = "human",
-    system: str = "niches_n2c",
-    method: str = "Blend",
-    n_neighbors: int = 10,
+    system: str = "niches_n2n",
+    method: str = "sum",
 ) -> AnnData:
-    """Build a cell-pair x L-R-pair AnnData of niche signaling scores
-    (NICHES-style; parity: cell_communication.py:20).
+    """NICHES-style cell-cell signaling scores (reference
+    cell_communication.py:20-308, full contract):
 
-    system: 'niches_c2c' scores sender-cell ligand x receiver-cell receptor
-    over spatial-KNN pairs; 'niches_n2c' scores neighborhood(ligand) x cell
-    (receptor).
+    - ``system``: 'niches_c2c' (sender ligand x each neighbor's receptor —
+      one row per sender-neighbor PAIR), 'niches_c2n' (own ligand x
+      neighborhood-aggregated receptor), 'niches_n2c' (neighborhood ligand x
+      own receptor — realized, as upstream does, by swapping the L/R columns
+      of the database and aggregating the swapped 'receptor' side),
+      'niches_n2n' (neighborhood ligand x neighborhood receptor).
+    - ``method``: neighborhood aggregation — 'gmean' (geometric mean of
+      x + 1, upstream's formula), 'mean', or 'sum' (default).
+    - ``weighted``: inverse-spatial-distance weights on the neighborhood
+      (self-distance pinned to 1, reference :118-124).
+    - requires the spatial KNN to exist (uns[spatial_neighbors]['indices'] +
+      ['params']['n_neighbors'], obsp[spatial_distances]) exactly like the
+      reference; build it with `st.tl.neighbors(basis='spatial')`.
+
+    Returns an AnnData whose rows are cells (or sender-neighbor pairs for
+    c2c) and columns are 'ligand-receptor' mechanisms, X stored sparse.
     """
+    from scipy import sparse
+    from scipy.stats import gmean
+
     from .cci_two_cluster import _load_lr_network
 
     lr_network = _load_lr_network(path, species)
-    lr_network = lr_network[lr_network["from"].isin(adata.var_names) & lr_network["to"].isin(adata.var_names)]
+    if system == "niches_n2c":
+        # upstream swaps the columns so the aggregated side is the ligand
+        lr_network = lr_network.copy()
+        lr_network[["from", "to"]] = lr_network[["to", "from"]].values
+
     X = adata.layers[layer] if layer is not None else adata.X
     X = X.toarray() if issparse(X) else np.asarray(X, dtype=float)
+
+    expressed_ligand = set(lr_network["from"].unique()) & set(adata.var_names)
+    if not expressed_ligand:
+        raise ValueError("No intersected ligand between your adata object and lr_network dataset.")
+    lr_network = lr_network[lr_network["from"].isin(expressed_ligand)]
+    expressed_receptor = set(lr_network["to"].unique()) & set(adata.var_names)
+    if not expressed_receptor:
+        raise ValueError("No intersected receptor between your adata object and lr_network dataset.")
+    lr_network = lr_network[lr_network["to"].isin(expressed_receptor)]
+
     var_idx = {g: i for i, g in enumerate(adata.var_names)}
-    lig = X[:, [var_idx[l] for l in lr_network["from"]]]
-    rec = X[:, [var_idx[r] for r in lr_network["to"]]]
+    lig_cols = np.asarray([var_idx[g] for g in lr_network["from"]])
+    rec_cols = np.asarray([var_idx[g] for g in lr_network["to"]])
+    lig = X[:, lig_cols]  # [n, n_lr]
+    rec = X[:, rec_cols]
 
-    coords = np.asarray(adata.obsm["spatial"], dtype=float)
-    from sklearn.neighbors import NearestNeighbors
+    if spatial_neighbors not in adata.uns:
+        raise ValueError(
+            f"No spatial_key {spatial_neighbors} exists in adata; "
+            "compute the spatial neighbors first (st.tl.neighbors, basis='spatial')."
+        )
+    if spatial_distances not in adata.obsp:
+        raise ValueError(
+            f"No spatial_key {spatial_distances} exists in adata; "
+            "compute the spatial distances first (st.tl.neighbors, basis='spatial')."
+        )
+    nbrs = np.asarray(adata.uns[spatial_neighbors]["indices"])
+    k = int(adata.uns[spatial_neighbors]["params"]["n_neighbors"])
+    nbrs = nbrs[:, :k]
+    n = adata.n_obs
 
-    nn = NearestNeighbors(n_neighbors=min(n_neighbors + 1, adata.n_obs)).fit(coords)
-    _, idx = nn.kneighbors(coords)
+    if weighted:
+        D = adata.obsp[spatial_distances]
+        D = D.toarray() if issparse(D) else np.asarray(D, float)
+        D = D.copy()
+        np.fill_diagonal(D, 1.0)  # self-distance pinned to 1 (reference :119)
+        with np.errstate(divide="ignore"):
+            W = 1.0 / np.take_along_axis(D, nbrs, axis=1)  # [n, k]
+        W[~np.isfinite(W)] = 1.0
+    else:
+        W = np.ones((n, nbrs.shape[1]))
+
+    def aggregate(mat):
+        """Neighborhood aggregation of [n, n_lr] per focal cell -> [n, n_lr]."""
+        neigh = mat[nbrs]  # [n, k, n_lr]
+        w = W[:, :, None]
+        if method == "gmean":
+            return gmean((neigh + 1) * w, axis=1)
+        if method == "mean":
+            return np.mean(neigh * w, axis=1)
+        return np.sum(neigh * w, axis=1)
+
+    obs_names = np.asarray(adata.obs_names).astype(str)
+    lr_pair = (lr_network["from"] + "-" + lr_network["to"]).values
 
     if system == "niches_c2c":
-        senders = np.repeat(np.arange(adata.n_obs), n_neighbors)
-        receivers = idx[:, 1:].ravel()
-        scores = lig[senders] * rec[receivers]
-        obs_names = [f"{a}>-<{b}" for a, b in zip(np.asarray(adata.obs_names)[senders], np.asarray(adata.obs_names)[receivers])]
-    else:  # n2c: mean neighborhood ligand x own receptor
-        neigh_lig = lig[idx[:, 1:]].mean(axis=1)
-        scores = neigh_lig * rec
-        obs_names = list(adata.obs_names)
+        # one row per sender-neighbor pair: sender ligand x neighbor receptor
+        senders = np.repeat(np.arange(n), nbrs.shape[1])
+        receivers = nbrs.ravel()
+        scores = lig[senders] * rec[receivers] * W.ravel()[:, None]
+        cell_pair = [f"{obs_names[a]}-{obs_names[b]}" for a, b in zip(senders, receivers)]
+    elif system in ("niches_c2n", "niches_n2c"):
+        # own 'from' side x aggregated 'to' side (for n2c the columns were
+        # swapped above, so the aggregate IS the ligand neighborhood)
+        scores = lig * aggregate(rec)
+        cell_pair = [f"{nm}-" + ";".join(obs_names[row]) for nm, row in zip(obs_names, nbrs)]
+    elif system == "niches_n2n":
+        scores = aggregate(lig) * aggregate(rec)
+        cell_pair = [f"{nm}-" + ";".join(obs_names[row]) for nm, row in zip(obs_names, nbrs)]
+    else:
+        raise ValueError(f"Unknown system {system!r}: use niches_c2c / niches_c2n / niches_n2c / niches_n2n")
 
     out = AnnData(
-        X=scores,
-        obs=pd.DataFrame(index=obs_names),
-        var=pd.DataFrame(index=lr_network["lr_pair"].values),
+        X=sparse.csr_matrix(np.asarray(scores)),
+        obs=pd.DataFrame({"cell_pair_name": cell_pair}, index=[str(i) for i in range(len(cell_pair))]),
+        var=pd.DataFrame(index=pd.Index(lr_pair, name="lr_pair_name")),
     )
     out.uns["__type"] = "UMI"
     out.uns["system"] = system
+    out.uns["method"] = method
     return out
 
 

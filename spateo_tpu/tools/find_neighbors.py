@@ -437,12 +437,20 @@ def neighbors(
         X_data = np.asarray(adata.obsm["X_pca"])[:, :n_pca_components]
     from sklearn.neighbors import NearestNeighbors
 
-    nn = NearestNeighbors(n_neighbors=min(n_neighbors, adata.n_obs), algorithm=n_neighbors_method).fit(X_data)
+    k = min(n_neighbors, adata.n_obs)
+    nn = NearestNeighbors(n_neighbors=k, algorithm=n_neighbors_method).fit(X_data)
     dists = nn.kneighbors_graph(X_data, mode="distance")
     conns = nn.kneighbors_graph(X_data, mode="connectivity")
     prefix = "spatial_" if basis == "spatial" else "expression_"
     adata.obsp[f"{prefix}distances"] = dists
     adata.obsp[f"{prefix}connectivities"] = conns
+    # the uns record downstream consumers read (the dyn.tl.neighbors
+    # contract the reference's niches() expects: indices + params)
+    _, indices = nn.kneighbors(X_data)
+    adata.uns[f"{prefix}neighbors"] = {
+        "indices": indices,
+        "params": {"n_neighbors": k, "method": n_neighbors_method, "metric": "euclidean"},
+    }
     return conns, adata
 
 

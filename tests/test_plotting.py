@@ -94,13 +94,13 @@ class TestAlign:
         assert len(axes) == 2
         axes = pl.overlay_slices_2d([adata, b], save_show_or_return="return")
         assert len(axes) == 2  # one panel per slice (reference align.py:445)
-        axes = pl.multi_slices([adata, b], label="leiden", save_show_or_return="return")
+        axes = pl.multi_slices([adata, b], label="leiden", spatial_key="spatial", save_show_or_return="return")
         # reference semantics: one panel per slice (FacetGrid -> grid)
         assert len(axes) == 2 and all(a.collections for a in axes)
 
     def test_multi_slices_gene_colorbar(self, adata):
         b = adata.copy()
-        axes = pl.multi_slices([adata, b], label="g0", save_show_or_return="return")
+        axes = pl.multi_slices([adata, b], label="g0", spatial_key="spatial", save_show_or_return="return")
         fig = axes[0].figure
         # shared numeric colorbar beside the top-right panel: the inset
         # cax adds one axes beyond the two slice panels

@@ -1202,3 +1202,61 @@ class TestPartitionInputContract:
             calculate_leiden_partition()
         with pytest.raises(ValueError, match="graph_type"):
             calculate_leiden_partition(input_mat=np.eye(5), graph_type="nope")
+
+
+class TestNiches:
+    """NICHES scoring with the reference's full contract
+    (cell_communication.py:20-308): four systems, three aggregation
+    methods, inverse-distance weighting, and the spatial_neighbors uns
+    requirement."""
+
+    @staticmethod
+    def _adata(n=60, seed=0):
+        rng = np.random.default_rng(seed)
+        # real L-R names so the human db join hits
+        var_names = ["TGFB1", "TGFBR1_TGFBR2", "EGF", "EGFR", "g4", "g5"]
+        X = rng.poisson(2.0, (n, len(var_names))).astype(float)
+        a = st.AnnData(X=X, var=pd.DataFrame(index=var_names))
+        a.obsm["spatial"] = rng.uniform(0, 10, (n, 2))
+        st.SKM.init_adata_type(a, "UMI")
+        st.tl.neighbors(a, basis="spatial", n_neighbors=6)
+        return a
+
+    def test_systems_and_methods(self):
+        a = self._adata()
+        n = a.n_obs
+        for system, rows in (
+            ("niches_n2n", n), ("niches_c2n", n), ("niches_n2c", n), ("niches_c2c", n * 6),
+        ):
+            out = st.tl.niches(a, species="human", system=system, method="sum")
+            assert out.n_obs == rows, system
+            assert "cell_pair_name" in out.obs.columns
+            vals = np.asarray(out.X.todense())
+            assert np.isfinite(vals).all() and (vals >= 0).all()
+            # mechanisms named ligand-receptor
+            assert all("-" in v for v in out.var_names)
+
+        # aggregation methods scale as expected: sum = k * mean (all-ones weights)
+        o_sum = np.asarray(st.tl.niches(a, system="niches_c2n", method="sum").X.todense())
+        o_mean = np.asarray(st.tl.niches(a, system="niches_c2n", method="mean").X.todense())
+        np.testing.assert_allclose(o_sum, 6 * o_mean, rtol=1e-10)
+        o_gmean = np.asarray(st.tl.niches(a, system="niches_c2n", method="gmean").X.todense())
+        assert o_gmean.shape == o_sum.shape
+
+        # n2c aggregates the LIGAND side: with receptor expression zeroed in
+        # neighbors, n2c is unaffected but c2n collapses
+        assert not np.allclose(
+            np.asarray(st.tl.niches(a, system="niches_n2c", method="mean").X.todense()), o_mean
+        )
+
+    def test_weighted_and_missing_graph(self):
+        a = self._adata(seed=1)
+        unw = np.asarray(st.tl.niches(a, system="niches_n2n", method="mean").X.todense())
+        wei = np.asarray(st.tl.niches(a, system="niches_n2n", method="mean", weighted=True).X.todense())
+        assert unw.shape == wei.shape and not np.allclose(unw, wei)
+
+        b = st.AnnData(X=np.asarray(a.X).copy(), var=pd.DataFrame(index=list(a.var_names)))
+        b.obsm["spatial"] = np.asarray(a.obsm["spatial"]).copy()
+        st.SKM.init_adata_type(b, "UMI")
+        with pytest.raises(ValueError, match="spatial_neighbors"):
+            st.tl.niches(b)
