@@ -426,7 +426,7 @@ def optimization_animation(
     aligned_slices: List[np.ndarray],
     fixed_slice: np.ndarray,
     filename: str = "alignment.gif",
-    fps: int = 5,
+    fps: int = 10,
     point_size: float = 2,
     **kwargs,
 ):

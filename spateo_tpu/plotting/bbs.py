@@ -13,7 +13,7 @@ from .utils import save_return_show_fig_utils
 
 def polygon(
     concave_hull,
-    figsize=(6, 6),
+    figsize=(10, 10),
     margin: float = 0.3,
     fc: str = "#999999",
     ec: str = "#000000",
@@ -52,7 +52,7 @@ def delaunay(
     edge_points,
     figsize=(10, 10),
     pc: str = "#f16824",
-    title: str = "triangulation",
+    title: Optional[str] = None,
     fig=None,
     ax=None,
     save_show_or_return: str = "return",

@@ -401,8 +401,8 @@ class PlotNetwork:
         colorbar_title: Optional[str] = None,
         node_opacity: float = 0.8,
         arrow_size: float = 2,
-        transparent_background: bool = False,
-        highlight_neighbors_on_hover: bool = False,
+        transparent_background: bool = True,
+        highlight_neighbors_on_hover: bool = True,
         upper_margin: float = 40,
         lower_margin: float = 20,
         left_margin: float = 50,

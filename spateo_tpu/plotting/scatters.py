@@ -164,7 +164,7 @@ def scatters(
     despline_sides: Optional[List[str]] = None,
     deaxis: bool = True,
     show_arrowed_spines: bool = False,
-    alpha: float = 0.8,
+    alpha: float = 0.1,
     stack_colors: bool = False,
     stack_colors_threshold: float = 0.001,
     stack_colors_title: str = "stacked colors",

@@ -90,7 +90,7 @@ def gp_interpolation(
     keys: Union[str, list, None] = None,
     spatial_key: str = "spatial",
     layer: str = "X",
-    training_iter: int = 200,
+    training_iter: int = 50,
     device: str = "tpu",
     method: str = "SVGP",
     batch_size: int = 1024,

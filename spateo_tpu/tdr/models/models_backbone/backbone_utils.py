@@ -17,8 +17,8 @@ def map_points_to_backbone(
     backbone_model: PointCloud,
     spatial_key: str = "spatial",
     nodes_key: str = "nodes",
-    key_added: str = "backbone_nodes",
-    inplace: bool = True,
+    key_added: str = "nodes",
+    inplace: bool = False,
     **kwargs,
 ):
     """Assign each cell to its nearest backbone node."""

@@ -111,8 +111,8 @@ def construct_field_streams(
 def construct_field_plain(
     model,
     vf_key: str = "VecFld_morpho",
-    key_added: str = "v_data",
-    label: str = "field_plain",
+    key_added: str = "v_arrows",
+    label: str = "vector field",
     **kwargs,
 ):
     """Plain (unscaled) vector-field arrow model (parity: reference

@@ -60,7 +60,7 @@ def construct_trajectory_X(
 
 def construct_trajectory(
     adata: AnnData,
-    fate_key: str = "fate_morpho",
+    fate_key: str = "fate_develop",
     n_sampling: Optional[int] = None,
     sampling_method: str = "random",
     key_added: str = "trajectory",

@@ -155,9 +155,10 @@ def perform_dimensionality_reduction(
         return adata
 
 
-def find_optimal_pca_components(X, method=None, max_components: int = 50, **kwargs) -> int:
+def find_optimal_pca_components(X, method: str = "elbow", max_components: Optional[int] = None, **kwargs) -> int:
     """Elbow of the explained-variance curve (parity:
     dimensionality_reduction.py:757)."""
+    max_components = 50 if max_components is None else max_components
     X_pca, comps, expl = randomized_pca_centered(X, min(max_components, X.shape[1] - 1))
     ratios = expl / expl.sum()
     cum = np.cumsum(ratios)

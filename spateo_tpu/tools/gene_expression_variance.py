@@ -136,7 +136,7 @@ def genewise_variance_decomposition(
     )
 
 
-def plot_variance_decomposition(decomposition_df, figsize=(6, 4), save_show_or_return: str = "return", **kwargs):
+def plot_variance_decomposition(decomposition_df, figsize=(6, 2), save_show_or_return: str = "return", **kwargs):
     """Stacked barplot of per-gene variance fractions (parity: reference
     gene_expression_variance.py plot_variance_decomposition)."""
     import matplotlib.pyplot as plt
