@@ -164,15 +164,21 @@ def CAST(
 def kmeans_clustering(
     adata: AnnData,
     n_clusters: int = 10,
-    use_rep: str = "X_pca",
-    key_added: str = "kmeans",
-    random_state: int = 0,
+    use_rep: str = "X_cast",
+    random_state: int = 42,
+    cluster_key: str = "kmeans_clusters",
+    key_added: Optional[str] = None,
     copy: bool = False,
 ):
     """K-means over a representation (parity: reference
-    find_clusters.py kmeans_clustering)."""
+    find_clusters.py:438 — same defaults: the CAST embedding 'X_cast',
+    seed 42, labels under 'kmeans_clusters'; falls back to X_pca when the
+    CAST embedding is absent). `key_added` aliases `cluster_key`."""
     from sklearn.cluster import KMeans
 
+    key_added = key_added or cluster_key
+    if use_rep not in adata.obsm and use_rep == "X_cast" and "X_pca" in adata.obsm:
+        use_rep = "X_pca"
     adata_work = adata.copy() if copy else adata
     X = np.asarray(adata_work.obsm[use_rep]) if use_rep in adata_work.obsm else (
         adata_work.X.toarray() if hasattr(adata_work.X, "toarray") else np.asarray(adata_work.X)
