@@ -419,19 +419,38 @@ def config_spateo_rcParams(
 
 
 def set_figure_params(
-    dpi: int = 100,
-    dpi_save: int = 300,
-    frameon: bool = True,
-    fontsize: int = 8,
+    spateo: bool = True,
     background: str = "white",
+    fontsize: int = 8,
+    figsize: tuple = (6, 4),
+    dpi: Optional[float] = None,
+    dpi_save: Optional[int] = None,
+    frameon: Optional[bool] = None,
+    vector_friendly: bool = True,
+    color_map: Optional[str] = None,
+    format: str = "pdf",
+    transparent: bool = False,
+    ipython_format: str = "png2x",
     **kwargs,
 ) -> None:
-    """Figure-level defaults (parity: reference configuration.py:637)."""
+    """Figure-level defaults (parity: reference configuration.py:637-700 —
+    scanpy-style: None means LEAVE the current rcParam unchanged)."""
     from matplotlib import rcParams
 
-    config_spateo_rcParams(background=background, fontsize=fontsize, frameon=frameon)
-    rcParams["figure.dpi"] = dpi
-    rcParams["savefig.dpi"] = dpi_save
+    if spateo:
+        config_spateo_rcParams(background=background, fontsize=fontsize, frameon=True if frameon is None else frameon)
+    rcParams["figure.figsize"] = figsize
+    if dpi is not None:
+        rcParams["figure.dpi"] = dpi
+    if dpi_save is not None:
+        rcParams["savefig.dpi"] = dpi_save
+    if frameon is not None:
+        rcParams["axes.spines.top"] = frameon
+        rcParams["axes.spines.right"] = frameon
+    if color_map is not None:
+        rcParams["image.cmap"] = color_map
+    rcParams["savefig.format"] = format
+    rcParams["savefig.transparent"] = transparent
 
 
 def reset_rcParams() -> None:

@@ -930,7 +930,7 @@ class MuSIC_Interpreter(MuSIC):
     # :2339 effect_distribution_density — the composed z-score-along-axis
     # figures; CSV caching on disk becomes an in-memory cache on self) -----
 
-    def _positional_axis(self, position_key: str = "spatial", coord_column=0, round_pos: bool = False):
+    def _positional_axis(self, position_key: str = "spatial", coord_column=None, round_pos: bool = False):
         """(pos, x_label, save_id): integer positional coordinate per cell
         along one spatial axis plus the reference's axis labeling
         (MuSIC_downstream.py:1583-1648). `coord_column` may be a column
@@ -941,6 +941,8 @@ class MuSIC_Interpreter(MuSIC):
         nearest 10 below 1000, nearest 100 at or above)."""
         from ..utils import create_new_coordinate
 
+        if coord_column is None:  # reference default: the first coordinate
+            coord_column = 0
         x_label, save_id = "Relative position", str(position_key)
         if position_key in self.adata.obsm:
             if coord_column in ("xy", "yz", "xz", "-xy", "-yz", "-xz"):
@@ -1091,7 +1093,7 @@ class MuSIC_Interpreter(MuSIC):
         use_target_genes: bool = False,
         genes: Optional[List[str]] = None,
         position_key: str = "spatial",
-        coord_column=0,
+        coord_column=None,
         window_size: int = 3,
         recompute: bool = False,
         neatly_arrange_y: bool = True,
@@ -1179,7 +1181,7 @@ class MuSIC_Interpreter(MuSIC):
         targets=None,
         interactions=None,
         position_key: str = "spatial",
-        coord_column=0,
+        coord_column=None,
         effect_threshold: Optional[float] = None,
         check_downstream_ligand_effects: bool = False,
         check_downstream_receptor_effects: bool = False,
@@ -1189,7 +1191,7 @@ class MuSIC_Interpreter(MuSIC):
         neatly_arrange_y: bool = True,
         window_size: int = 3,
         recompute: bool = False,
-        cmap: str = "seismic",
+        cmap: str = "magma",
         title: Optional[str] = None,
         fontsize: Optional[int] = None,
         figsize=None,
@@ -1289,7 +1291,7 @@ class MuSIC_Interpreter(MuSIC):
             to_plot = to_plot.loc[sorted(to_plot.index, key=lambda x: x.split("-", 1)[-1])]
         if not hasattr(self, "_positional_dfs"):
             self._positional_dfs = {}
-        self._positional_dfs[("interaction_effects", position_key, coord_column)] = to_plot
+        self._positional_dfs[("interaction_effects", position_key, 0 if coord_column is None else coord_column)] = to_plot
         if save_show_or_return == "return":
             return to_plot
         fig, ax = self._plot_positional_heatmap(
@@ -1309,7 +1311,7 @@ class MuSIC_Interpreter(MuSIC):
         self,
         effect_names=None,
         position_key: str = "spatial",
-        coord_column=0,
+        coord_column=None,
         region_lower_bound: Optional[float] = None,
         region_upper_bound: Optional[float] = None,
         region_label: Optional[str] = None,
@@ -1322,7 +1324,7 @@ class MuSIC_Interpreter(MuSIC):
         z-scores are clipped to zero and used as density weights)."""
         import matplotlib.pyplot as plt
 
-        key = ("interaction_effects", position_key, coord_column)
+        key = ("interaction_effects", position_key, 0 if coord_column is None else coord_column)
         cached = getattr(self, "_positional_dfs", {}).get(key)
         if cached is None:
             raise ValueError(
