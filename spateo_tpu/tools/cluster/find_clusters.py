@@ -147,9 +147,9 @@ def spagcn_pyg(
 @SKM.check_adata_is_type(SKM.ADATA_UMI_TYPE)
 def CAST(
     adata: AnnData,
-    sample_key: str = "sample",
-    basis: str = "X_pca",
-    layer: Optional[str] = None,
+    sample_key: Optional[str] = None,
+    basis: str = "spatial",
+    layer: Optional[str] = "norm_1e4",
     **kwargs,
 ):
     """CAST graph-contrastive embedding wrapper (parity: find_clusters.py:369).

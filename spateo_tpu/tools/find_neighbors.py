@@ -350,11 +350,11 @@ def get_wi_batch(
 def find_bw_for_n_neighbors(
     adata: AnnData,
     coords_key: str = "spatial",
-    n_anchors: int = 100,
+    n_anchors: Optional[int] = None,
     target_n_neighbors: int = 6,
     initial_bw: Optional[float] = None,
-    chunk_size: Optional[int] = None,
-    exclude_self: bool = True,
+    chunk_size: int = 1000,
+    exclude_self: bool = False,
     normalize_distances: bool = False,
     verbose: bool = True,
     max_iterations: int = 100,
