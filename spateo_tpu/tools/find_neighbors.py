@@ -364,7 +364,9 @@ def find_bw_for_n_neighbors(
     it (parity: find_neighbors.py:215) — bisection on anchor samples."""
     coords = np.asarray(adata.obsm[coords_key], dtype=float)
     rng = np.random.default_rng(0)
-    anchors = rng.choice(len(coords), min(n_anchors, len(coords)), replace=False)
+    # n_anchors None = use every cell (the reference's default)
+    n_use = len(coords) if n_anchors is None else min(n_anchors, len(coords))
+    anchors = rng.choice(len(coords), n_use, replace=False)
     from scipy.spatial import cKDTree
 
     tree = cKDTree(coords)
