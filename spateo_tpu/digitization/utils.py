@@ -56,20 +56,42 @@ def order_borderline(borderline_img: np.ndarray) -> List[Tuple[int, int]]:
 
 def segment_bd_line(borderline_list: List, column_num: int) -> np.ndarray:
     """Split a polyline into `column_num` arclength-even segments (parity:
-    reference utils.py:193) — vectorized cumulative-arclength search."""
-    pts = np.asarray(borderline_list, dtype=float)
-    seglen = np.sqrt(((pts[1:] - pts[:-1]) ** 2).sum(1))
-    arclen = np.concatenate([[0], np.cumsum(seglen)])
-    total = arclen[-1]
+    reference utils.py:193-259 EXACTLY, including its quirks: the
+    error-compensating greedy walk over the dynamically-rebased cumulative
+    arclengths, the positive-error branch selecting the PREVIOUS point, and
+    the off-by-one between the arclength array (which accumulates to point
+    i+1) and the point it selects (point i))."""
+    pts = np.asarray(borderline_list)
+    dist_ls = np.sqrt(((np.asarray(pts[1:], float) - np.asarray(pts[:-1], float)) ** 2).sum(1))
+    arclen_ls = np.cumsum(dist_ls)
+    arclen = float(arclen_ls[-1]) if len(arclen_ls) else 0.0
+    len_per_seg = arclen / column_num
     lm.main_info(
-        f"Line total length: {round(total, 2)}. Segmenting into {column_num} columns, with "
-        f"{round(total / column_num, 2)} each."
+        f"Line total length: {round(arclen, 2)}. Segmenting into {column_num} columns, with "
+        f"{round(len_per_seg, 2)} each."
     )
-    targets = np.linspace(0, total, column_num + 1)
-    idx = np.searchsorted(arclen, targets, side="left")
-    idx = np.clip(idx, 0, len(pts) - 1)
-    idx[0], idx[-1] = 0, len(pts) - 1
-    return pts[np.unique(idx)].astype(int)
+    dynamic_arclen = np.array(arclen_ls, dtype=float)
+    seg_index = []
+    first = True
+    error_dist = 0.0
+    for i in range(len(dynamic_arclen)):
+        if i == 0 or i == len(dynamic_arclen) - 1:
+            seg_index.append(i)
+        else:
+            if (dynamic_arclen[i] >= len_per_seg) and first:
+                error_dist = dynamic_arclen[i] - len_per_seg
+                seg_index.append(i)
+                dynamic_arclen = dynamic_arclen - dynamic_arclen[i]
+                first = False
+            if (dynamic_arclen[i] >= len_per_seg) and (error_dist > 0):
+                error_dist = error_dist + dynamic_arclen[i - 1] - len_per_seg
+                seg_index.append(i - 1)
+                dynamic_arclen = dynamic_arclen - dynamic_arclen[i - 1]
+            elif (dynamic_arclen[i] >= len_per_seg) and (error_dist < 0):
+                error_dist = error_dist + dynamic_arclen[i] - len_per_seg
+                seg_index.append(i)
+                dynamic_arclen = dynamic_arclen - dynamic_arclen[i]
+    return np.array(borderline_list)[seg_index]
 
 
 def extend_layer(
@@ -140,6 +162,12 @@ def fill_grid_label(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Flood-fill layer/column ids between segment lines and assign to buckets
     (parity: utils.py:17; per-cell lookup vectorized)."""
+    # the greedy arclength segmentation can return one more/fewer point on
+    # one side of a layer than the other (reference utils.py:228-257 walk);
+    # columns pair up to the common count
+    n_pair = min(len(bdl_seg_coor_x), len(bdl_seg_coor_y))
+    bdl_seg_coor_x = np.asarray(bdl_seg_coor_x)[:n_pair]
+    bdl_seg_coor_y = np.asarray(bdl_seg_coor_y)[:n_pair]
     layer_grid_img = seg_grid_img.copy()
     layer_mask = np.zeros((layer_grid_img.shape[0] + 2, layer_grid_img.shape[1] + 2), dtype=np.uint8)
     layer_mask[1:-1, 1:-1] = layer_grid_img

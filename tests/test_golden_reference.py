@@ -850,3 +850,20 @@ class TestAlignmentUtilsGolden:
             for c2 in cat2:
                 for c1 in cat1:
                     assert np.isclose(pd_ref[c2][c1], pd_my[c2][c1]), (kwargs, c2, c1)
+
+
+class TestDigitizationUtilsGolden:
+    def test_segment_bd_line_exact(self):
+        """The borderline segmentation walk matches the reference exactly,
+        including its error-compensating previous-point quirk
+        (digitization/utils.py:193-259)."""
+        ref_d = _need("spateo.digitization.utils")
+        import spateo_tpu.digitization.utils as my_d
+
+        for seed, n, cols in ((0, 80, 5), (1, 50, 4), (2, 200, 8), (3, 120, 6)):
+            rng = np.random.default_rng(seed)
+            t = np.sort(rng.uniform(0, 3, n))
+            pts = np.stack([np.linspace(0, 30, n), 5 + 3 * np.sin(t * 2)], 1).astype(int)
+            r = ref_d.segment_bd_line(pts.tolist(), cols)
+            m = my_d.segment_bd_line(pts.tolist(), cols)
+            np.testing.assert_array_equal(np.asarray(m), np.asarray(r), err_msg=str((seed, cols)))
