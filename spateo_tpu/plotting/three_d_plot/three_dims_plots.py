@@ -165,7 +165,7 @@ def three_d_animate(
     opacity: float = 1.0,
     model_style: str = "points",
     model_size: float = 3.0,
-    framerate: int = 15,
+    framerate: int = 24,
     **kwargs,
 ):
     """Animate a sequence of models (e.g. morphopath snapshots) into a GIF
