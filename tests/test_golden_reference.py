@@ -867,3 +867,54 @@ class TestDigitizationUtilsGolden:
             r = ref_d.segment_bd_line(pts.tolist(), cols)
             m = my_d.segment_bd_line(pts.tolist(), cols)
             np.testing.assert_array_equal(np.asarray(m), np.asarray(r), err_msg=str((seed, cols)))
+
+
+class TestMorphoGuidanceGolden:
+    def test_guidance_pair_matches_reference(self):
+        """Guidance-anchored alignment (reference morpho_class.py:160-217,
+        guidance_pair + guidance_effect): transformed coordinates match the
+        reference solver with the same anchors and weight, for nonrigid and
+        rigid guidance."""
+        import pandas as pd
+
+        rm = _need("spateo.alignment.methods.morpho_class")
+        import spateo_tpu.core as core
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise as MyMorpho
+
+        rng = np.random.default_rng(2)
+        n = 250
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        X = rng.poisson(2.0, (n, 10)).astype(np.float32)
+        th = 0.35
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32)
+        ptsA = pts @ R.T + np.array([2.0, -1.0], np.float32)
+        gp = [pts[:6].copy(), ptsA[:6].copy()]  # [X_BI, X_AI]
+
+        def mk(p):
+            a = core.AnnData(
+                X=X.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                var=pd.DataFrame(index=[f"g{j}" for j in range(10)]),
+            )
+            a.obsm["spatial"] = p.copy()
+            a.uns["__type"] = "UMI"
+            return a
+
+        for effect in ("nonrigid", "rigid"):
+            ref = rm.Morpho_pairwise(
+                sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial", key_added="align",
+                max_iter=80, verbose=False, device="cpu",
+                guidance_pair=[g.copy() for g in gp], guidance_effect=effect, guidance_weight=2.0,
+            )
+            ref.run()
+            mine = MyMorpho(
+                sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial", key_added="align",
+                max_iter=80, verbose=False,
+                guidance_pair=[g.copy() for g in gp], guidance_effect=effect, guidance_weight=2.0,
+            )
+            mine.run()
+            ref_rmse = float(np.sqrt(np.mean((np.asarray(ref.XAHat) - pts) ** 2)))
+            my_rmse = float(np.sqrt(np.mean((np.asarray(mine.XAHat) - pts) ** 2)))
+            diff = float(np.sqrt(np.mean((np.asarray(ref.XAHat) - np.asarray(mine.XAHat)) ** 2)))
+            assert ref_rmse < 2e-2, (effect, ref_rmse)
+            assert my_rmse < 2e-2, (effect, my_rmse)
+            assert diff < 2e-2, (effect, diff)
