@@ -918,3 +918,47 @@ class TestMorphoGuidanceGolden:
             assert ref_rmse < 2e-2, (effect, ref_rmse)
             assert my_rmse < 2e-2, (effect, my_rmse)
             assert diff < 2e-2, (effect, diff)
+
+
+class TestMorphoSparseGolden:
+    def test_sparse_calculation_mode_matches_reference(self):
+        """Top-k sparse-P alignment (reference morpho_class.py:139-140 +
+        methods/utils.py:1369 _dense_to_sparse): the streamed per-column
+        top-k-threshold redesign lands on the same transform as the
+        reference's materialized sparse P."""
+        import pandas as pd
+
+        rm = _need("spateo.alignment.methods.morpho_class")
+        import spateo_tpu.core as core
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise as MyMorpho
+
+        rng = np.random.default_rng(3)
+        n = 240
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        X = rng.poisson(2.0, (n, 10)).astype(np.float32)
+        th = 0.3
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32)
+        ptsA = pts @ R.T + np.array([1.0, -0.5], np.float32)
+
+        def mk(p):
+            a = core.AnnData(
+                X=X.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                var=pd.DataFrame(index=[f"g{j}" for j in range(10)]),
+            )
+            a.obsm["spatial"] = p.copy()
+            a.uns["__type"] = "UMI"
+            return a
+
+        ref = rm.Morpho_pairwise(
+            sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial", key_added="align",
+            max_iter=80, verbose=False, device="cpu", sparse_calculation_mode=True, sparse_top_k=32,
+        )
+        ref.run()
+        mine = MyMorpho(
+            sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial", key_added="align",
+            max_iter=80, verbose=False, sparse_calculation_mode=True, sparse_top_k=32,
+        )
+        mine.run()
+        assert float(np.sqrt(np.mean((np.asarray(ref.XAHat) - pts) ** 2))) < 2e-2
+        assert float(np.sqrt(np.mean((np.asarray(mine.XAHat) - pts) ** 2))) < 2e-2
+        assert float(np.sqrt(np.mean((np.asarray(ref.XAHat) - np.asarray(mine.XAHat)) ** 2))) < 2e-2
