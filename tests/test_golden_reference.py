@@ -962,3 +962,46 @@ class TestMorphoSparseGolden:
         assert float(np.sqrt(np.mean((np.asarray(ref.XAHat) - pts) ** 2))) < 2e-2
         assert float(np.sqrt(np.mean((np.asarray(mine.XAHat) - pts) ** 2))) < 2e-2
         assert float(np.sqrt(np.mean((np.asarray(ref.XAHat) - np.asarray(mine.XAHat)) ** 2))) < 2e-2
+
+
+class TestMorphoDissimilarityGolden:
+    @pytest.mark.parametrize("dis", ["kl", "cos"])
+    def test_full_em_other_metrics_match_reference(self, dis):
+        """Full-EM parity under the KL and cosine expression metrics
+        (reference calc_distance dissimilarity options, methods/utils.py:866
+        feeding morpho_class.py:266)."""
+        import pandas as pd
+
+        rm = _need("spateo.alignment.methods.morpho_class")
+        import spateo_tpu.core as core
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise as MyMorpho
+
+        rng = np.random.default_rng(4)
+        n = 220
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        X = (rng.poisson(2.0, (n, 10)) + 0.1).astype(np.float32)
+        th = 0.3
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32)
+        ptsA = pts @ R.T + np.array([1.0, -0.5], np.float32)
+
+        def mk(p):
+            a = core.AnnData(
+                X=X.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                var=pd.DataFrame(index=[f"g{j}" for j in range(10)]),
+            )
+            a.obsm["spatial"] = p.copy()
+            a.uns["__type"] = "UMI"
+            return a
+
+        ref = rm.Morpho_pairwise(
+            sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial", key_added="align",
+            max_iter=80, verbose=False, device="cpu", dissimilarity=dis,
+        )
+        ref.run()
+        mine = MyMorpho(
+            sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial", key_added="align",
+            max_iter=80, verbose=False, dissimilarity=dis,
+        )
+        mine.run()
+        assert float(np.sqrt(np.mean((np.asarray(mine.XAHat) - pts) ** 2))) < 2e-2
+        assert float(np.sqrt(np.mean((np.asarray(ref.XAHat) - np.asarray(mine.XAHat)) ** 2))) < 2e-2
