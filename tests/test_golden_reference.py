@@ -1005,3 +1005,42 @@ class TestMorphoDissimilarityGolden:
         mine.run()
         assert float(np.sqrt(np.mean((np.asarray(mine.XAHat) - pts) ** 2))) < 2e-2
         assert float(np.sqrt(np.mean((np.asarray(ref.XAHat) - np.asarray(mine.XAHat)) ** 2))) < 2e-2
+
+
+class TestBATransformGolden:
+    def test_reference_transform_consumes_our_vecfld(self):
+        """Cross-implementation contract: the REFERENCE's BA_transform
+        (alignment/transform.py:61) applied to OUR solver's vecfld dict
+        produces the same warped coordinates as our BA_transform — the
+        .uns['VecFld_morpho'] schema is interchangeable between frameworks."""
+        import pandas as pd
+
+        ref_t = _need("spateo.alignment.transform")
+        import spateo_tpu.core as core
+        from spateo_tpu.alignment.methods.morpho import Morpho_pairwise as MyMorpho
+        from spateo_tpu.alignment.transform import BA_transform as my_BA
+
+        rng = np.random.default_rng(5)
+        n = 200
+        pts = rng.uniform(0, 10, (n, 2)).astype(np.float32)
+        X = rng.poisson(2.0, (n, 10)).astype(np.float32)
+        th = 0.3
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32)
+        ptsA = pts @ R.T + np.array([1.0, -0.5], np.float32)
+
+        def mk(p):
+            a = core.AnnData(
+                X=X.copy(), obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                var=pd.DataFrame(index=[f"g{j}" for j in range(10)]),
+            )
+            a.obsm["spatial"] = p.copy()
+            a.uns["__type"] = "UMI"
+            return a
+
+        m = MyMorpho(sampleA=mk(ptsA), sampleB=mk(pts), spatial_key="spatial",
+                     key_added="align", max_iter=60, verbose=False)
+        m.run()
+        new_pts = rng.uniform(0, 10, (40, 2)).astype(np.float32) @ R.T + np.array([1.0, -0.5], np.float32)
+        r_out = ref_t.BA_transform(vecfld=m.vecfld, quary_points=new_pts.copy(), device="cpu")
+        m_out = my_BA(vecfld=m.vecfld, quary_points=new_pts.copy())
+        np.testing.assert_allclose(np.asarray(m_out[0]), np.asarray(r_out[0]), atol=1e-5)
