@@ -1044,3 +1044,90 @@ class TestBATransformGolden:
         r_out = ref_t.BA_transform(vecfld=m.vecfld, quary_points=new_pts.copy(), device="cpu")
         m_out = my_BA(vecfld=m.vecfld, quary_points=new_pts.copy())
         np.testing.assert_allclose(np.asarray(m_out[0]), np.asarray(r_out[0]), atol=1e-5)
+
+
+class TestPlatformReadersGolden:
+    """Platform readers vs the in-process reference on synthetic files
+    (reference io/{slideseq,seqfish}.py — the formats are plain pandas, so
+    the reference parses them here unmodified)."""
+
+    @staticmethod
+    def _dense(X):
+        return np.asarray(X.todense() if hasattr(X, "todense") else X)
+
+    def test_read_slideseq_matches_reference(self, tmp_path):
+        import pandas as pd
+
+        ref_ss = _need("spateo.io.slideseq")
+        import spateo_tpu.io.platforms as my_p
+
+        rng = np.random.default_rng(0)
+        genes = [f"g{i}" for i in range(8)]
+        barcodes = [f"bc{i}" for i in range(30)]
+        wide = pd.DataFrame(
+            rng.poisson(1.0, (len(genes), len(barcodes))).astype(int), columns=barcodes
+        )
+        wide.insert(0, "GENE", genes)
+        counts_path = tmp_path / "dge.txt"
+        wide.to_csv(counts_path, sep="\t", index=False)
+        beads = pd.DataFrame(
+            {"barcode": barcodes, "x": rng.uniform(0, 500, 30).round(1), "y": rng.uniform(0, 500, 30).round(1)}
+        )
+        beads_path = tmp_path / "beads.csv"
+        beads.to_csv(beads_path, index=False)  # has a 'barcode' header row
+
+        for binsize in (None, 50):
+            r = ref_ss.read_slideseq(str(counts_path), str(beads_path), binsize=binsize)
+            m = my_p.read_slideseq(str(counts_path), str(beads_path), binsize=binsize)
+            assert list(r.obs_names) == list(m.obs_names), binsize
+            assert list(r.var_names) == list(m.var_names), binsize
+            assert np.array_equal(self._dense(r.X), self._dense(m.X)), binsize
+            if binsize is not None:
+                # unbinned reference spatial is broken upstream (index-label
+                # rename instead of columns); binned comes from get_bin_props
+                np.testing.assert_allclose(
+                    np.asarray(m.obsm["spatial"], float), np.asarray(r.obsm["spatial"], float)
+                )
+
+    def test_read_seqfish_contract(self, tmp_path):
+        """seqFISH reader contract on a synthetic fixture (the REFERENCE's
+        read_seqfish crashes under modern pandas — it assigns a DataFrame to
+        .obsm and a 2-D array into a DataFrame column — so the format
+        contract is pinned directly: wide uint16 counts CSV + the
+        Field of View/Cell ID/X/Y/Region metadata CSV, optional
+        per-FOV offsets with accumulation)."""
+        import pandas as pd
+
+        import spateo_tpu.io.platforms as my_p
+
+        rng = np.random.default_rng(1)
+        n, g = 25, 6
+        counts = pd.DataFrame(rng.poisson(2.0, (n, g)).astype(np.uint16), columns=[f"gene{j}" for j in range(g)])
+        counts_path = tmp_path / "counts.csv"
+        counts.to_csv(counts_path, index=False)
+        meta = pd.DataFrame(
+            {
+                "Field of View": rng.integers(0, 3, n).astype(np.uint8),
+                "Cell ID": np.arange(n, dtype=np.uint16),
+                "X": rng.uniform(0, 100, n).round(2).astype(np.float32),
+                "Y": rng.uniform(0, 100, n).round(2).astype(np.float32),
+                "Region": rng.choice(["a", "b"], n),
+            }
+        )
+        meta_path = tmp_path / "meta.csv"
+        meta.to_csv(meta_path, index=False)
+
+        m = my_p.read_seqfish(str(counts_path), str(meta_path))
+        assert np.array_equal(self._dense(m.X), counts.values)
+        assert list(m.var_names) == list(counts.columns)
+        assert list(map(int, m.obs["cell_id"])) == list(range(n))
+        sp = np.asarray(m.obsm["spatial"])
+        np.testing.assert_array_equal(sp, np.stack([meta["X"].astype(int), meta["Y"].astype(int)], 1))
+
+        # per-FOV offsets shift coordinates by the accumulated offset
+        off = pd.DataFrame({"fov": [0, 1, 2], "x_offset": [0.0, 10.0, 20.0], "y_offset": [0.0, 5.0, 10.0]})
+        m2 = my_p.read_seqfish(str(counts_path), str(meta_path), fov_offset=off.copy(), accumulate_x=True)
+        sp2 = np.asarray(m2.obsm["spatial"])
+        cum = np.array([0.0, 10.0, 30.0])  # accumulated x offsets
+        expect_x = (meta["X"].values + cum[meta["Field of View"].values]).astype(int)
+        np.testing.assert_array_equal(sp2[:, 0], expect_x)
