@@ -262,11 +262,16 @@ class AnnData:
         return self.uns.keys()
 
     def strings_to_categoricals(self):
+        def _is_stringy(s):
+            # modern pandas may infer ``str``/``string`` dtype where older
+            # versions used ``object``; anndata converts both to categorical
+            return s.dtype == object or pd.api.types.is_string_dtype(s.dtype)
+
         for col in self.obs.columns:
-            if self.obs[col].dtype == object:
+            if _is_stringy(self.obs[col]):
                 self.obs[col] = self.obs[col].astype("category")
         for col in self.var.columns:
-            if self.var[col].dtype == object:
+            if _is_stringy(self.var[col]):
                 self.var[col] = self.var[col].astype("category")
 
     def transpose(self) -> "AnnData":

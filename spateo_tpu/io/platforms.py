@@ -350,8 +350,9 @@ def read_nanostring_as_dataframe(path: str, label_columns: Optional[List[str]] =
     }
     df = pd.read_csv(path, dtype={k: v for k, v in dtype.items()}).rename(columns=rename)
     if "x" in df.columns:
-        df["x"] = df["x"].round().astype(np.int64)
-        df["y"] = df["y"].round().astype(np.int64)
+        # reference casts float px to unsigned int (truncation, nanostring.py:66)
+        df["x"] = df["x"].astype(np.int64)
+        df["y"] = df["y"].astype(np.int64)
     if label_columns:
         for col in label_columns:
             if col not in df.columns:
