@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import re
 from typing import List, NamedTuple, Optional, Union
 
 import numpy as np
@@ -82,7 +83,7 @@ def read_merfish_positions_as_dataframe(path: str) -> pd.DataFrame:
     if path.endswith((".xlsx", ".xls")):
         df_loc = pd.read_excel(path, names=["x", "y"], index_col=0, dtype=np.float32)
     else:
-        df_loc = pd.read_csv(path, names=["x", "y"], index_col=0, dtype=np.float32)
+        df_loc = pd.read_csv(path, names=["x", "y"], index_col=0, dtype={"x": np.float32, "y": np.float32})
     return df_loc - min(df_loc["x"].min(), df_loc["y"].min())
 
 
@@ -364,35 +365,79 @@ def read_nanostring_as_dataframe(path: str, label_columns: Optional[List[str]] =
     return df
 
 
+FOV_PARSER = re.compile(r"^.+_F(?P<fov>[0-9]+)\..+$")
+
+
 def stitch_images(stain_dir: str, positions_path: str, labels: bool = False) -> np.ndarray:
-    """Stitch per-FOV CosMx stain/label TIFFs into one global image
-    (reference spateo/io/nanostring.py:99)."""
+    """Stitch per-FOV CosMx stain/label images (filenames ending in ``_FXXX``)
+    into one global image (reference spateo/io/nanostring.py:99).
+
+    Placement follows the reference convention: each tile is transposed and
+    flipped (``fliplr(swapaxes(img, 0, 1))``) so the stitched canvas is
+    indexed (x_global_px, y_global_px); in ``labels`` mode per-FOV labels are
+    offset to stay globally unique. Tiles are read with cv2 (3-channel images
+    are returned RGB) and processed in sorted filename order so label offsets
+    are deterministic.
+    """
     import cv2
 
-    fov_df = pd.read_csv(positions_path, dtype={"fov": int}, index_col="fov")
-    images = {}
+    stain_fov_paths: dict = {}
     for fname in sorted(os.listdir(stain_dir)):
-        stem = os.path.splitext(fname)[0]
-        fov = int("".join(ch for ch in stem if ch.isdigit()) or -1)
-        img = cv2.imread(os.path.join(stain_dir, fname), cv2.IMREAD_UNCHANGED)
+        match = FOV_PARSER.match(fname)
+        if not match:
+            continue
+        fov = int(match["fov"])
+        if fov in stain_fov_paths:
+            raise SpateoIOError(
+                f"Multiple images for FOV {fov} were found: {stain_fov_paths[fov]}, {fname}."
+            )
+        stain_fov_paths[fov] = os.path.join(stain_dir, fname)
+
+    fov_df = pd.read_csv(positions_path, dtype={"fov": int}, index_col="fov")
+    if set(fov_df.index) != set(stain_fov_paths.keys()):
+        raise SpateoIOError(
+            f"FOVs defined in {positions_path} do not match exactly with those found in {stain_dir}."
+        )
+    fov_x = dict(fov_df["x_global_px"].astype(np.uint32))
+    fov_y = dict(fov_df["y_global_px"].astype(np.uint32))
+
+    xmin, ymin = min(fov_x.values()), min(fov_y.values())
+    xmax, ymax = 0, 0
+    extra_dims = None
+    dtype = None
+    stain_fovs = {}
+    for fov, path in stain_fov_paths.items():
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         if img is None:
-            continue
-        if img.ndim == 3:
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
-        images[fov] = img
-    if not images:
-        raise SpateoIOError(f"No readable images in {stain_dir}")
-    h, w = next(iter(images.values())).shape[:2]
-    x_max = int((fov_df["x_global_px"].max() if "x_global_px" in fov_df else fov_df.iloc[:, 0].max()) + w)
-    y_max = int((fov_df["y_global_px"].max() if "y_global_px" in fov_df else fov_df.iloc[:, 1].max()) + h)
-    canvas = np.zeros((x_max, y_max), dtype=next(iter(images.values())).dtype)
-    for fov, img in images.items():
-        if fov not in fov_df.index:
-            continue
-        row = fov_df.loc[fov]
-        x0 = int(row.get("x_global_px", row.iloc[0]))
-        y0 = int(row.get("y_global_px", row.iloc[1]))
-        canvas[x0 : x0 + img.shape[0], y0 : y0 + img.shape[1]] = img
+            raise SpateoIOError(f"Could not read image {path}")
+        if img.ndim == 3 and img.shape[2] == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        x, y = fov_x[fov], fov_y[fov]
+        xmax = max(xmax, int(x) + img.shape[1] - 1)
+        ymax = max(ymax, int(y) + img.shape[0] - 1)
+        stain_fovs[fov] = img
+
+        if extra_dims is None:
+            extra_dims = img.shape[2:]
+        elif extra_dims != img.shape[2:]:
+            raise SpateoIOError(f"FOV {path} has inconsistent non-XY dimensions.")
+        if dtype is None:
+            dtype = img.dtype
+        elif dtype != img.dtype:
+            raise SpateoIOError(f"FOV {path} has inconsistent dtype.")
+
+    if labels:
+        dtype = np.uint64
+
+    last_label = 0
+    canvas = np.zeros((xmax - int(xmin) + 1, ymax - int(ymin) + 1) + tuple(extra_dims), dtype=dtype)
+    for fov, img in stain_fovs.items():
+        x, y = int(fov_x[fov]) - int(xmin), int(fov_y[fov]) - int(ymin)
+        if labels:
+            img = img.astype(np.uint64)
+            img[img > 0] += last_label
+            last_label = int(img.max())
+        canvas[x : x + img.shape[1], y : y + img.shape[0]] = np.fliplr(np.swapaxes(img, 0, 1))
     return canvas
 
 

@@ -1321,3 +1321,89 @@ class TestPlatformReadersGolden:
         np.testing.assert_allclose(np.asarray(r.obsm["spatial"], float), np.asarray(m.obsm["spatial"], float))
         np.testing.assert_array_equal(np.asarray(r.obs["area"], float), np.asarray(m.obs["area"], float))
         assert list(m.var_names) == [f"ENSQ{j}" for j in range(gq)]  # real ids
+
+    def test_read_merfish_contract(self, tmp_path):
+        """MERFISH reader contract (the reference's positions path needs
+        openpyxl, absent in this image — merfish.py:38 — so the reference
+        cannot run; and reference read_merfish assigns the UNALIGNED
+        ``np.array(df_loc)`` to obsm after subsetting adata, merfish.py:58,
+        which we deliberately fix by aligning on obs_names)."""
+        import pandas as pd
+
+        import spateo_tpu.io.platforms as my_p
+
+        rng = np.random.default_rng(7)
+        genes = [f"gene{j}" for j in range(5)]
+        cells = [f"cell{i}" for i in range(12)]
+        # genes x cells counts CSV, reader transposes (merfish.py:22)
+        counts = pd.DataFrame(rng.poisson(2.0, (5, 12)).astype(int), index=genes, columns=cells)
+        counts_path = tmp_path / "counts.csv"
+        counts.to_csv(counts_path)
+        # positions for a shuffled superset of cells
+        pos_cells = cells[::-1] + ["extra1"]
+        pos = pd.DataFrame(
+            {"x": rng.uniform(-50, 50, len(pos_cells)), "y": rng.uniform(-50, 50, len(pos_cells))},
+            index=pos_cells,
+        )
+        pos_path = tmp_path / "positions.csv"
+        pos.to_csv(pos_path, header=False)
+
+        m = my_p.read_merfish(str(counts_path), str(pos_path))
+        assert sorted(m.obs_names) == sorted(cells)
+        assert list(m.var_names) == genes
+        # X rows follow obs_names; compare against the transposed counts
+        expect = counts.T.loc[list(m.obs_names)].values
+        assert np.array_equal(self._dense(m.X), expect)
+        # spatial is min-shifted (df_loc - min(x.min(), y.min()), merfish.py:40)
+        # and row-aligned with obs_names
+        pos32 = pos.astype(np.float32)
+        shift = min(pos32["x"].min(), pos32["y"].min())
+        expect_sp = (pos32.loc[list(m.obs_names)] - shift).values
+        np.testing.assert_allclose(np.asarray(m.obsm["spatial"], np.float32), expect_sp, rtol=1e-6)
+
+    def test_stitch_images_contract(self, tmp_path):
+        """stitch_images contract (reference io/nanostring.py:99 reads via
+        skimage, stubbed in the harness, so pinned directly): _FXXX filename
+        parsing, exact FOV-set validation, min-offset origin, the
+        fliplr(swapaxes) tile orientation, and label uniquification."""
+        import cv2
+        import pandas as pd
+
+        import spateo_tpu.io.platforms as my_p
+        from spateo_tpu.errors import IOError as SpateoIOError
+
+        sdir = tmp_path / "stains"
+        sdir.mkdir()
+        rng = np.random.default_rng(8)
+        img1 = rng.integers(1, 200, (4, 6)).astype(np.uint8)  # H=4, W=6
+        img2 = rng.integers(1, 200, (4, 6)).astype(np.uint8)
+        assert cv2.imwrite(str(sdir / "stain_F001.tif"), img1)
+        assert cv2.imwrite(str(sdir / "stain_F002.tif"), img2)
+        pos = pd.DataFrame({"fov": [1, 2], "x_global_px": [10, 10], "y_global_px": [20, 24]})
+        pos_path = tmp_path / "pos.csv"
+        pos.to_csv(pos_path, index=False)
+
+        out = my_p.stitch_images(str(sdir), str(pos_path))
+        # canvas: x extent = W = 6 (swapped axes), y extent = 24+4-20 = 8
+        assert out.shape == (6, 8)
+        np.testing.assert_array_equal(out[:, 0:4], np.fliplr(img1.swapaxes(0, 1)))
+        np.testing.assert_array_equal(out[:, 4:8], np.fliplr(img2.swapaxes(0, 1)))
+
+        # labels mode: per-FOV labels offset to stay globally unique
+        lab1 = np.zeros((4, 6), np.uint8)
+        lab1[1:3, 1:3] = 1
+        lab2 = np.zeros((4, 6), np.uint8)
+        lab2[1:3, 1:3] = 1
+        ldir = tmp_path / "labels"
+        ldir.mkdir()
+        assert cv2.imwrite(str(ldir / "lab_F001.tif"), lab1)
+        assert cv2.imwrite(str(ldir / "lab_F002.tif"), lab2)
+        lout = my_p.stitch_images(str(ldir), str(pos_path), labels=True)
+        assert set(np.unique(lout)) == {0, 1, 2}  # FOV2's label got offset
+
+        # FOV set mismatch must raise
+        bad = pd.DataFrame({"fov": [1], "x_global_px": [10], "y_global_px": [20]})
+        bad_path = tmp_path / "bad.csv"
+        bad.to_csv(bad_path, index=False)
+        with pytest.raises(SpateoIOError):
+            my_p.stitch_images(str(sdir), str(bad_path))
