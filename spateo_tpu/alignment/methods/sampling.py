@@ -73,8 +73,10 @@ def lhs_sample(X: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
     return np.unique(idx)
 
 
-def sample(X: np.ndarray, n: int, method: str = "random", seed: int = 0) -> np.ndarray:
-    """Dispatch downsampling (indices into X)."""
+def sample_indices(X: np.ndarray, n: int, method: str = "random", seed: int = 0) -> np.ndarray:
+    """Dispatch downsampling, returning INDICES into X (internal form; the
+    public `sample` below follows the reference's return-the-subarray
+    contract)."""
     X = np.asarray(X)
     if method == "random":
         return random_sample(X, n, seed)
@@ -87,23 +89,63 @@ def sample(X: np.ndarray, n: int, method: str = "random", seed: int = 0) -> np.n
     raise ValueError(f"Unknown sampling method {method}")
 
 
-def sample_by_kmeans(X: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
-    """Reference-named alias of kmeans_sample (methods/sampling.py)."""
-    return kmeans_sample(X, n, seed)
+def sample(
+    arr: np.ndarray,
+    n: int,
+    method: str = "random",
+    X: Optional[np.ndarray] = None,
+    V: Optional[np.ndarray] = None,
+    seed: int = 19491001,
+    **kwargs,
+) -> np.ndarray:
+    """A collection of various sampling methods (parity: reference
+    methods/sampling.py:17-59 — same signature; returns the SAMPLED
+    SUBARRAY of ``arr``, with auxiliary coordinates ``X`` for trn/kmeans
+    and velocities ``V`` for velocity sampling)."""
+    arr = np.asarray(arr)
+    if method == "random":
+        idx = random_sample(arr, n, seed)
+    elif method == "velocity" and V is not None:
+        idx = sample_by_velocity(V=V, n=n, seed=seed, **kwargs)
+    elif method == "trn":
+        idx = trn(X=arr if X is None else np.asarray(X), n=n, return_index=True, seed=seed, **kwargs)
+    elif method == "kmeans":
+        idx = sample_by_kmeans(arr if X is None else np.asarray(X), n, return_index=True)
+    elif method in ("lhs", "LHS"):
+        idx = lhs_sample(arr if X is None else np.asarray(X), n, seed)
+    else:
+        raise NotImplementedError(
+            f"The sampling method {method} is not implemented or relevant data are not provided."
+        )
+    return arr[np.asarray(idx)]
 
 
-def sample_by_velocity(X: np.ndarray, V: np.ndarray, n: int, seed: int = 0) -> np.ndarray:
-    """Velocity-magnitude-weighted sampling (parity: reference
-    methods/sampling.py sample_by_velocity)."""
+def sample_by_kmeans(X: np.ndarray, n: int, return_index: bool = False, seed: int = 0) -> np.ndarray:
+    """K-means sampling (parity: reference methods/sampling.py:243-260 —
+    `return_index=True` gives indices, else the sampled points)."""
+    idx = kmeans_sample(np.asarray(X), n, seed)
+    return idx if return_index else np.asarray(X)[idx]
+
+
+def sample_by_velocity(V: np.ndarray, n: int, seed: int = 19491001, **kwargs) -> np.ndarray:
+    """Velocity-magnitude-weighted index sampling (parity: reference
+    methods/sampling.py:225-240 — same argument order: velocities first)."""
     rng = np.random.default_rng(seed)
-    mag = np.linalg.norm(np.asarray(V), axis=1) + 1e-12
+    V = np.asarray(V)
+    mag = np.linalg.norm(V, axis=1) + 1e-12
     p = mag / mag.sum()
-    return rng.choice(len(X), min(n, len(X)), replace=False, p=p)
+    return rng.choice(len(V), min(n, len(V)), replace=False, p=p)
 
 
-def trn(X: np.ndarray, n: int, seed: int = 0, **kwargs) -> np.ndarray:
-    """Reference-named alias of trn_sample (topology-representing network)."""
-    return trn_sample(X, n, seed, **kwargs)
+def trn(X: np.ndarray, n: int, return_index: bool = True, seed: int = 19491001, **kwargs) -> np.ndarray:
+    """Topology-representing-network sampling (parity: reference
+    methods/sampling.py:196-210 — `return_index=False` returns the sample
+    graph / codebook positions instead of data indices)."""
+    if return_index:
+        return trn_sample(np.asarray(X), n, seed, **kwargs)
+    trnet = TRNET(n, np.asarray(X), seed)
+    trnet.run()
+    return trnet.W
 
 
 def lhsclassic(n_samples: int, n_dim: int, bounds=None, seed: int = 19491001) -> np.ndarray:

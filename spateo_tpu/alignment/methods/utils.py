@@ -8,6 +8,7 @@ from typing import List, Optional, Union
 
 import numpy as np
 
+from ...logging import logger_manager as lm
 from ..utils import generate_label_transfer_dict  # noqa: F401
 from .math import (  # noqa: F401
     calc_distance,
@@ -138,14 +139,42 @@ def construct_knn_graph(coords: np.ndarray, knn: int = 10):
 from .morpho import filter_common_genes, get_rep  # noqa: E402,F401
 
 
-def normalize_exps(exps: List[np.ndarray]) -> List[np.ndarray]:
-    """Row-normalize expression matrices to unit norm (parity:
-    methods/utils.py normalize_exps)."""
-    out = []
-    for e in exps:
-        e = np.asarray(e, float)
-        out.append(e / (np.linalg.norm(e, axis=1, keepdims=True) + 1e-12))
-    return out
+def normalize_exps(
+    nx=None,
+    exp_layers=None,
+    rep_field="layer",
+    verbose: bool = True,
+):
+    """Joint RMS-scale normalization of expression matrices across samples
+    (parity: methods/utils.py:588-640 — per layer slot, scale = mean over
+    samples of sqrt(sum(E*E)/n_rows); applied only to 'layer' rep fields).
+    ``nx`` is accepted for signature parity (the reference's backend shim);
+    computation is NumPy. Also accepts the short form
+    ``normalize_exps([E_A, E_B])`` — a flat list is treated as one layer
+    slot per sample."""
+    if exp_layers is None and nx is not None and not hasattr(nx, "einsum"):
+        # called positionally as normalize_exps(exp_layers)
+        exp_layers, nx = nx, None
+    flat = exp_layers and not isinstance(exp_layers[0], (list, tuple))
+    if flat:
+        exp_layers = [[np.asarray(e, float)] for e in exp_layers]
+    else:
+        exp_layers = [[np.asarray(e, float) for e in sample] for sample in exp_layers]
+    if isinstance(rep_field, str):
+        rep_field = [rep_field] * len(exp_layers[0])
+    for l, rep_f in enumerate(rep_field):
+        if rep_f != "layer":
+            continue
+        scale = 0.0
+        for sample in exp_layers:
+            E = sample[l]
+            scale += np.sqrt(np.einsum("ij,ij->", E, E) / E.shape[0])
+        scale /= len(exp_layers)
+        for sample in exp_layers:
+            sample[l] = sample[l] / (scale + 1e-300)
+        if verbose:
+            lm.main_info(f"Gene expression normalization params: scale {scale}.")
+    return [s[0] for s in exp_layers] if flat else exp_layers
 
 
 def sparse_tensor_to_scipy(tensor):

@@ -23,7 +23,7 @@ def morpho_align(
     genes: Optional[List[str]] = None,
     spatial_key: str = "spatial",
     key_added: str = "align_spatial",
-    iter_key_added: Optional[str] = None,
+    iter_key_added: Optional[str] = "iter_spatial",
     vecfld_key_added: str = "VecFld_morpho",
     mode: str = "SN-S",
     dissimilarity: Union[str, List[str]] = "kl",
@@ -85,7 +85,7 @@ def morpho_align_ref(
     genes: Optional[List[str]] = None,
     spatial_key: str = "spatial",
     key_added: str = "align_spatial",
-    iter_key_added: Optional[str] = None,
+    iter_key_added: Optional[str] = "iter_spatial",
     vecfld_key_added: str = "VecFld_morpho",
     mode: str = "SN-S",
     dissimilarity: Union[str, List[str]] = "kl",
@@ -164,7 +164,7 @@ def morpho_align_transformation(
     genes: Optional[List[str]] = None,
     spatial_key: str = "spatial",
     key_added: str = "align_spatial",
-    iter_key_added: Optional[str] = None,
+    iter_key_added: Optional[str] = "iter_spatial",
     vecfld_key_added: str = "VecFld_morpho",
     dissimilarity: Union[str, List[str]] = "kl",
     max_iter: int = 200,

@@ -67,7 +67,7 @@ def paste_align_ref(
     models: List[AnnData],
     models_ref: Optional[List[AnnData]] = None,
     n_sampling: Optional[int] = 2000,
-    sampling_method: str = "random",
+    sampling_method: str = "trn",
     layer: str = "X",
     genes: Optional[List[str]] = None,
     spatial_key: str = "spatial",

@@ -94,18 +94,31 @@ def get_P_chunk(
     X_A: np.ndarray,
     X_B: np.ndarray,
     sigma2: float,
-    gamma: float,
+    beta2: Optional[float] = None,
     alpha: Optional[np.ndarray] = None,
+    gamma: float = 0.5,
     Sigma: Optional[np.ndarray] = None,
     samples_s: Optional[float] = None,
-    sigma2_variance: float = 1.0,
+    outlier_variance: Optional[float] = None,
+    chunk_size: int = 5000,
     dissimilarity: str = "kl",
+    sigma2_variance: Optional[float] = None,
     probability_type: str = "gauss",
     probability_parameter: Optional[float] = None,
-    chunk_size: int = 5000,
 ) -> np.ndarray:
     """Full NA x NB assignment computed in column chunks (parity:
-    reference transform.py:206) — each chunk one fused device call."""
+    reference transform.py:206-275 — same positional parameter order incl.
+    ``beta2``, the expression-kernel bandwidth exp(-d_gene/(2 beta2)), and
+    ``outlier_variance``, which sharpens the spatial inlier weighting to
+    exp(-d/(2 sigma2/outlier_variance))). Each chunk is one fused device
+    call; chunk_size defaults larger than the reference's 1000 because a
+    TPU prefers fewer, bigger dispatches (results are chunk-invariant)."""
+    if beta2 is not None:
+        probability_parameter = float(beta2)
+    if outlier_variance is not None:
+        sigma2_variance = float(outlier_variance)
+    if sigma2_variance is None:
+        sigma2_variance = 1.0
     NA = XnAHat.shape[0]
     NB = XnB.shape[0]
     D = XnAHat.shape[1]

@@ -26,13 +26,13 @@ def downsampling(
 ) -> Union[List[AnnData], AnnData]:
     """Downsample AnnData(s) by spatial sampling (parity: reference
     alignment/utils.py:25; 'trn'/'kmeans'/'random' from methods.sampling)."""
-    from .methods.sampling import sample
+    from .methods.sampling import sample_indices
 
     models = models if isinstance(models, list) else [models]
     out = []
     for m in models:
         n = min(n_sampling, m.n_obs)
-        idx = sample(np.asarray(m.obsm[spatial_key]), n, method=sampling_method, seed=seed)
+        idx = sample_indices(np.asarray(m.obsm[spatial_key]), n, method=sampling_method, seed=seed)
         out.append(m[idx, :])
     return out
 

@@ -18,9 +18,39 @@ def euclidean_dist(point_x, point_y) -> float:
     return math.sqrt((point_x[0] - point_y[0]) ** 2 + (point_x[1] - point_y[1]) ** 2)
 
 
-def order_borderline(borderline_img: np.ndarray) -> List[Tuple[int, int]]:
+def order_borderline(
+    borderline_img: np.ndarray,
+    pt_start: Optional[Tuple[int, int]] = None,
+    pt_end: Optional[Tuple[int, int]] = None,
+):
     """Order borderline pixels into a connected sequence (parity:
-    reference utils.py:105) via nearest-neighbor chaining."""
+    reference utils.py:105-142).
+
+    With ``pt_start``/``pt_end`` given, follows the reference exactly:
+    cv2 contour trace, slice between the two points' contour indices
+    (min..max+2), and return ``(ordered_bdl_list, ordered_bdl_img)`` with
+    the segment re-rendered as 255-valued lines. Without them, orders ALL
+    borderline pixels by nearest-neighbor chaining and returns the list.
+    """
+    if pt_start is not None and pt_end is not None:
+        import cv2
+
+        lm.main_info(
+            f"Reorder the coordinates along the borderline with the givien start {pt_start} and end {pt_end} points."
+        )
+        ctrs, _ = cv2.findContours(
+            np.asarray(borderline_img, np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_NONE
+        )
+        ordered_bdl_img = np.zeros_like(borderline_img, dtype=np.uint8)
+        ctrs_pt_list = [(pt[0][0], pt[0][1]) for pt in ctrs[0]]
+        start_idx = ctrs_pt_list.index(tuple(pt_start))
+        end_idx = ctrs_pt_list.index(tuple(pt_end))
+        ordered_bdl_list = ctrs_pt_list[min(start_idx, end_idx) : max(start_idx, end_idx) + 2]
+        for i in range(len(ordered_bdl_list) - 1):
+            cv2.line(ordered_bdl_img, ordered_bdl_list[i], ordered_bdl_list[i + 1], 255, 1)
+        lm.main_info(f"Extracted boundary line length: {len(ordered_bdl_list)}.")
+        return ordered_bdl_list, ordered_bdl_img
+
     pts = np.argwhere(borderline_img != 0)[:, ::-1]  # (x, y) order
     if len(pts) == 0:
         return []

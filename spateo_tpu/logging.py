@@ -82,9 +82,11 @@ class Logger:
                 if saved_terminator is not None:
                     h.terminator = saved_terminator
 
-    def finish_progress(self, progress_name: str = ""):
+    def finish_progress(self, progress_name: str = "", time_unit: str = "s", indent_level: int = 1):
+        """Parity signature: reference external/lack.py:211."""
         self.log_time()
-        self.logger.info(f"{progress_name} finished [{self.time_passed:.4f}s]")
+        t = self.time_passed if time_unit == "s" else self.time_passed * 1e3
+        self.logger.info(f"{progress_name} finished [{t:.4f}{time_unit}]")
 
 
 class LoggerManager:
@@ -124,8 +126,9 @@ class LoggerManager:
     def main_critical(self, msg, indent_level: int = 1):
         self.main_logger.critical(msg)
 
-    def main_exception(self, msg):
-        self.main_logger.logger.exception(msg)
+    def main_exception(self, message, indent_level: int = 1):
+        """Parity signature: reference external/lack.py:310."""
+        self.main_logger.logger.exception(message)
 
     def main_tqdm(self, generator=None, desc: str = "", indent_level: int = 1, logger=None, total: Optional[int] = None, iterable=None):
         """Progress-logged iteration (tqdm-equivalent without the
@@ -140,7 +143,8 @@ class LoggerManager:
                 elapsed = time.time() - start
                 self.main_logger.info(f"{desc} [{i + 1}/{total}] ({elapsed:.1f}s)")
 
-    def progress_logger(self, generator, progress_name: str = ""):
+    def progress_logger(self, generator, logger=None, progress_name: str = "", indent_level: int = 1):
+        """Parity signature: reference external/lack.py:279."""
         self.main_logger.info(f"<start> {progress_name}")
         t0 = time.time()
         for item in generator:

@@ -368,7 +368,7 @@ def plot_dendrogram(
     adata,
     cat_key,
     dendrogram_key: Optional[str] = None,
-    orientation: str = "top",
+    orientation: str = "right",
     remove_labels: bool = True,
     ticks: Optional[Sequence[float]] = None,
 ):

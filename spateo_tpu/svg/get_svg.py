@@ -25,7 +25,7 @@ from .utils import (
     cal_wass_dis,
     cal_wass_dis_batch,
     loess_1d,
-    multipletests_bh,
+    multipletests_hs,
     scale_to,
     shuffle_adata,
 )
@@ -160,7 +160,7 @@ def svg_iden_reg(
     w0["std_reg"] = np.maximum(std_yout, 1e-12)
     w0["zscore"] = (w0["Wasserstein_distance"] - w0["expectation_reg"]) / w0["std_reg"]
     w0["pvalue"] = norm.sf(w0["zscore"])
-    w0["adj_pvalue"] = multipletests_bh(w0["pvalue"].values)
+    w0["adj_pvalue"] = multipletests_hs(w0["pvalue"].values)
     return w0
 
 
@@ -217,11 +217,11 @@ def cal_wass_dist_bs(
         w_df["pvalue"] = norm.cdf(z)
     else:
         w_df["pvalue"] = 2 * norm.sf(np.abs(z))
-    w_df["adj_pvalue"] = multipletests_bh(np.nan_to_num(w_df["pvalue"].values, nan=1.0))
+    w_df["adj_pvalue"] = multipletests_hs(np.nan_to_num(w_df["pvalue"].values, nan=1.0))
     if rank_p:
         rp, _ = cal_rank_p(boot_genes, boot_ws, w_df, bin_num=bin_num)
         w_df["rank_p"] = rp
-        w_df["adj_rank_p"] = multipletests_bh(w_df["rank_p"].values)
+        w_df["adj_rank_p"] = multipletests_hs(w_df["rank_p"].values)
     return w_df, b_adata
 
 
@@ -273,10 +273,10 @@ def smoothing_and_sampling(
     """Optionally smooth expression and downsample cells (parity:
     get_svg.py:137)."""
     adata_smoothed = smooth(adata) if smoothing else adata.copy()
-    from ..alignment.methods.sampling import sample
+    from ..alignment.methods.sampling import sample_indices
 
     n = min(downsampling, adata_smoothed.n_obs)
-    idx = sample(np.asarray(adata_smoothed.obsm["spatial"]), n, method="random")
+    idx = sample_indices(np.asarray(adata_smoothed.obsm["spatial"]), n, method="random")
     return adata_smoothed[idx, :], adata_smoothed
 
 
@@ -298,7 +298,7 @@ smoothing = smooth
 
 def downsampling(adata: AnnData, downsampling: int = 400) -> AnnData:
     """Random spatial downsample (parity: get_svg.py:190)."""
-    from ..alignment.methods.sampling import sample
+    from ..alignment.methods.sampling import sample_indices
 
-    idx = sample(np.asarray(adata.obsm["spatial"]), min(downsampling, adata.n_obs), method="random")
+    idx = sample_indices(np.asarray(adata.obsm["spatial"]), min(downsampling, adata.n_obs), method="random")
     return adata[idx, :]

@@ -359,9 +359,32 @@ def multipletests_bh(pvals: np.ndarray) -> np.ndarray:
     return out
 
 
-def loess_reg(x: np.ndarray, y: np.ndarray, frac: float = 0.5):
-    """Reference-named loess front end (reference svg/utils.py loess_reg):
-    returns the smoothed y on the sorted x grid."""
+def multipletests_hs(pvals: np.ndarray) -> np.ndarray:
+    """Holm-Sidak adjusted p-values — the statsmodels ``multipletests``
+    DEFAULT method, which is what the reference calls without a ``method=``
+    argument at svg/get_svg.py:106,348,358 and get_svg_between_slice.py:119.
+    Step-down: sort ascending, raw_i = 1-(1-p_(i))^(n-i), cumulative max."""
+    pvals = np.asarray(pvals, float)
+    n = len(pvals)
+    order = np.argsort(pvals)
+    raw = 1.0 - np.power(1.0 - pvals[order], np.arange(n, 0, -1))
+    adj = np.maximum.accumulate(raw)
+    out = np.empty(n)
+    out[order] = np.clip(adj, 0, 1)
+    return out
+
+
+def loess_reg(x, y: np.ndarray = None, frac: float = 0.5):
+    """Reference-named front end (reference svg/utils.py:322-333).
+
+    Called with an AnnData (the reference signature ``loess_reg(adata,
+    layers='X')``), performs the row-total rescaling the reference intends
+    — its body references a free variable ``N`` (svg/utils.py:330) that
+    only exists inside ``scale_to``, so we realize it as
+    ``scale_to(adata, to_median=True)``. Called with (x, y) arrays,
+    returns the loess-smoothed y on the sorted x grid."""
+    if y is None or hasattr(x, "n_obs"):
+        return scale_to(x, to_median=True)
     order = np.argsort(np.asarray(x, float))
     xs, ys, _ = loess_1d(np.asarray(x, float)[order], np.asarray(y, float)[order], frac=frac)
     return xs, ys

@@ -148,13 +148,17 @@ class Imputation_GPR:
     def train(self, method: str = "SVGP", **kwargs):
         return self  # training happens lazily inside inference (jitted SGPR)
 
-    def inference(self, target_points=None):
+    def inference(self, training_iter: int = 50, verbose: bool = True, target_points=None):
+        """Fit + impute (parity signature: reference
+        interpolation_gp.py:115 — training_iter bounds the optimizer)."""
         tp = target_points if target_points is not None else self.target_points
+        kwargs = dict(self.kwargs)
+        kwargs.setdefault("training_iter", training_iter)
         return gp_interpolation(
             source_adata=self.source_adata,
             target_points=tp,
             keys=self.keys,
             spatial_key=self.spatial_key,
             layer=self.layer,
-            **self.kwargs,
+            **kwargs,
         )

@@ -51,7 +51,7 @@ def smooth_mesh(mesh: Mesh, n_iter: int = 100, lam: float = 0.5) -> Mesh:
     return _smooth_mesh(mesh, n_iter=n_iter, lam=lam)
 
 
-def uniform_mesh(mesh: Mesh, nsub: int = 5, nclus: int = 20000) -> Mesh:
+def uniform_mesh(mesh: Mesh, nsub: int = 3, nclus: int = 20000) -> Mesh:
     """Uniform remesh by midpoint subdivision then vertex clustering
     (parity surface: mesh_utils.py uniform_mesh / pyacvd)."""
     m = clean_mesh(mesh)
@@ -84,7 +84,7 @@ def _subdivide_once(mesh: Mesh) -> Mesh:
     return Mesh(np.concatenate([pts, mids]), new_faces)
 
 
-def uniform_larger_pc(pc, alpha: float = 0.0, nsub: int = 3, nclus: int = 20000) -> PointCloud:
+def uniform_larger_pc(pc, alpha: float = 0.0, nsub: int = 5, nclus: int = 20000) -> PointCloud:
     """Densify a point cloud by surface subdivision (parity:
     mesh_utils.py uniform_larger_pc)."""
     from .mesh_methods import alpha_shape_mesh

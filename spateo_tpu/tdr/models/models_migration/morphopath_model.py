@@ -76,10 +76,10 @@ def construct_trajectory(
     fate = adata.uns[fate_key]
     trajs = [np.asarray(p).T for p in fate["prediction"]]  # each [T, D]
     if n_sampling:
-        from ....alignment.methods.sampling import sample
+        from ....alignment.methods.sampling import sample_indices
 
         starts = np.stack([t[0] for t in trajs])
-        idx = sample(starts, n_sampling, method=sampling_method)
+        idx = sample_indices(starts, n_sampling, method=sampling_method)
         trajs = [trajs[i] for i in idx]
     return construct_trajectory_X(
         trajs, key_added=key_added, label=label, tip_factor=tip_factor, tip_radius=tip_radius,
@@ -92,14 +92,24 @@ def construct_genesis_X(
     n_spacing: Optional[int] = None,
     key_added: str = "genesis",
     label: Optional[list] = None,
+    color: Union[str, list, dict] = "skyblue",
+    alpha: Union[float, list, dict] = 1.0,
 ) -> Tuple[List[PointCloud], Optional[str]]:
-    """Time-lapse point-cloud series (parity: morphopath_model.py:24)."""
+    """Time-lapse point-cloud series (parity: morphopath_model.py:24-81 —
+    per-stage labels resolved to RGBA via the same color/alpha contract as
+    every other model constructor)."""
+    from ..utilities.label_utils import add_model_labels
+
     models = []
+    plot_cmap = None
     for i, X in enumerate(stages_X):
         pc = PointCloud(np.asarray(X, dtype=float))
-        pc.point_data[key_added] = np.full(len(X), label[i] if label else f"stage_{i}")
+        labels = np.full(len(X), label[i] if label else f"stage_{i}")
+        _, plot_cmap = add_model_labels(
+            pc, labels, key_added=key_added, colormap=color, alphamap=alpha, inplace=True
+        )
         models.append(pc)
-    return models, None
+    return models, plot_cmap
 
 
 def construct_genesis(
@@ -110,9 +120,12 @@ def construct_genesis(
     t_end: Optional[float] = None,
     key_added: str = "genesis",
     label: Optional[list] = None,
+    color: Union[str, list, dict] = "skyblue",
+    alpha: Union[float, list, dict] = 1.0,
 ) -> Tuple[List[PointCloud], Optional[str]]:
     """Time-lapse of the developmental process from trajectories (parity:
-    morphopath_model.py:84)."""
+    morphopath_model.py:84-114, incl. the color/alpha model-paint
+    options)."""
     fate = adata.uns[fate_key]
     trajs = np.stack([np.asarray(p).T for p in fate["prediction"]])  # [N, T, D]
     T = trajs.shape[1]
@@ -121,4 +134,4 @@ def construct_genesis(
     else:
         steps = np.linspace(0, T - 1, n_steps).astype(int)
     stages = [trajs[:, s, :] for s in steps]
-    return construct_genesis_X(stages, key_added=key_added, label=label)
+    return construct_genesis_X(stages, key_added=key_added, label=label, color=color, alpha=alpha)

@@ -118,9 +118,9 @@ def construct_arrows(
     start_points = np.asarray(start_points, float)
     direction = np.asarray(direction, float)
     if n_sampling:
-        from ....alignment.methods.sampling import sample
+        from ....alignment.methods.sampling import sample_indices
 
-        idx = sample(start_points, n_sampling, method=sampling_method)
+        idx = sample_indices(start_points, n_sampling, method=sampling_method)
         start_points, direction = start_points[idx], direction[idx]
     scale = np.ones(len(start_points)) if arrows_scale is None else np.asarray(arrows_scale, float)
     all_pts, all_lines, vmag = [], [], []

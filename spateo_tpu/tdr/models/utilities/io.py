@@ -9,15 +9,27 @@ import numpy as np
 from ..mesh_core import Mesh, PointCloud
 
 
-def save_model(model, filename: str) -> str:
-    """Serialize a PointCloud/Mesh/LineModel to .npz."""
+def save_model(model, filename: str, binary: bool = True, texture=None) -> str:
+    """Serialize a PointCloud/Mesh/LineModel to .npz (parity signature:
+    reference tdr/models/utilities/io.py:26 — there ``binary`` toggles
+    VTK ascii/binary encoding and ``texture`` names the active texture
+    array; npz is always binary, and a string ``texture`` is recorded as
+    the active point-data key in the archive)."""
     payload = {"points": np.asarray(model.points)}
+    if texture is not None:
+        if isinstance(texture, str):
+            payload["active_texture"] = np.asarray(texture)
+        else:
+            payload["pd__texture"] = np.asarray(texture)
     if hasattr(model, "faces"):
         payload["faces"] = np.asarray(model.faces)
     if hasattr(model, "lines"):
         payload["lines"] = np.asarray(model.lines)
     for k, v in getattr(model, "point_data", {}).items():
-        payload[f"pd__{k}"] = np.asarray(v)
+        arr = np.asarray(v)
+        if arr.dtype == object:
+            arr = arr.astype(str)  # fixed-width unicode loads without pickle
+        payload[f"pd__{k}"] = arr
     if not filename.endswith(".npz"):
         filename = filename + ".npz"
     np.savez_compressed(filename, **payload)

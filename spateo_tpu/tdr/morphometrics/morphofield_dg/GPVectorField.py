@@ -107,21 +107,30 @@ def compute_curl(f_jac, X):
 
 
 def compute_torsion(vf, f_jac, X):
-    """tau = (v x a) . (J a) / |v x a|^2 (parity: GPVectorField.py:74)."""
+    """Per-cell torsion matrices (parity: GPVectorField.py:74-95 — the
+    reference's tau_i = outer(v,a)·(J a)/||outer(v,a)||² vector row-broadcast
+    into a [D, D] block; we reproduce that output contract exactly)."""
     X = np.asarray(X, np.float32)
+    if X.shape[1] != 3:
+        raise ValueError("torsion is only defined in 3 dimensions.")
     V = vf(X)
     J = f_jac(X)
     a = np.einsum("nij,nj->ni", J, V)
     Ja = np.einsum("nij,nj->ni", J, a)
-    cross = np.cross(V, a)
-    denom = np.maximum(np.sum(cross**2, axis=1), 1e-12)
-    tau = np.sum(cross * Ja, axis=1) / denom
-    return tau
+    outer = V[:, :, None] * a[:, None, :]  # outer(v, a) per cell
+    vec = np.einsum("nij,nj->ni", outer, Ja)  # outer(v,a) @ (J a)
+    denom = np.maximum(np.sum(outer**2, axis=(1, 2)), 1e-12)  # ||outer||_F^2
+    tau_vec = vec / denom[:, None]
+    # row-broadcast [n, 3] -> [n, 3, 3], matching tor[i] = vec in the reference
+    return np.broadcast_to(tau_vec[:, None, :], (len(X), 3, 3)).copy()
 
 
-def compute_divergence(f_jac, X: np.ndarray, Js=None, vectorize_size: int = 1000) -> np.ndarray:
-    """div = tr(J) (parity: GPVectorField.py:97), blocked."""
+def compute_divergence(f_jac, X: np.ndarray, Js=None, vectorize_size: Optional[int] = 1000) -> np.ndarray:
+    """div = tr(J) (parity: GPVectorField.py:97), blocked.
+    vectorize_size=None vectorizes all samples at once (reference contract)."""
     X = np.asarray(X, np.float32)
+    if vectorize_size is None:
+        vectorize_size = len(X)
     out = np.zeros(len(X), np.float32)
     for s in range(0, len(X), vectorize_size):
         J = f_jac(X[s : s + vectorize_size])
@@ -180,28 +189,50 @@ class GPVectorField:
         return np.asarray(self._vf(jnp.asarray(np.atleast_2d(X), jnp.float32)))
 
     def get_Jacobian(self, method: str = "analytical", **kwargs) -> Callable:
+        """'analytical' = forward-mode autodiff (exact for any kernel);
+        'numerical' = vmapped central finite differences — the reference's
+        numdifftools route (GPVectorField.py:236-249), kept so results can be
+        cross-checked between independent differentiation schemes."""
+        if method == "numerical":
+            fn = self._fn
+            step = kwargs.get("step", 1e-2)
+
+            def num_jac_single(x):
+                # TPUs lower f32 matmuls to bf16 by default — fatal for
+                # finite differences (the bf16 rounding noise, ~1e-2
+                # relative, divides by 2*step). Force true f32 here.
+                with jax.default_matmul_precision("highest"):
+                    eye = jnp.eye(x.shape[0], dtype=x.dtype) * step
+                    plus = jax.vmap(lambda e: fn(x + e))(eye)   # rows: f(x+h e_j)
+                    minus = jax.vmap(lambda e: fn(x - e))(eye)
+                    return ((plus - minus) / (2 * step)).T      # J_ij = d f_i / d x_j
+
+            num_jac = _batched(num_jac_single)
+            return lambda X: np.asarray(num_jac(jnp.asarray(np.atleast_2d(X), jnp.float32)))
         return lambda X: np.asarray(self._jac(jnp.asarray(np.atleast_2d(X), jnp.float32)))
 
-    def compute_acceleration(self, X: Optional[np.ndarray] = None, **kwargs):
+    def compute_acceleration(self, X: Optional[np.ndarray] = None, method: str = "analytical", **kwargs):
         X = self.data["X"] if X is None else X
-        return compute_acceleration(self.compute_velocity, self.get_Jacobian(), X, **kwargs)
+        return compute_acceleration(self.compute_velocity, self.get_Jacobian(method=method), X, **kwargs)
 
-    def compute_curvature(self, X: Optional[np.ndarray] = None, formula: int = 2, **kwargs):
+    def compute_curvature(
+        self, X: Optional[np.ndarray] = None, formula: int = 2, method: str = "analytical", **kwargs
+    ):
         X = self.data["X"] if X is None else X
-        return compute_curvature(self.compute_velocity, self.get_Jacobian(), X, formula=formula, **kwargs)
+        return compute_curvature(self.compute_velocity, self.get_Jacobian(method=method), X, formula=formula, **kwargs)
 
-    def compute_curl(self, X: Optional[np.ndarray] = None, **kwargs):
+    def compute_curl(self, X: Optional[np.ndarray] = None, method: str = "analytical", **kwargs):
         X = self.data["X"] if X is None else X
-        return compute_curl(self.get_Jacobian(), X)
+        return compute_curl(self.get_Jacobian(method=method), X)
 
-    def compute_torsion(self, X: Optional[np.ndarray] = None, **kwargs) -> np.ndarray:
+    def compute_torsion(self, X: Optional[np.ndarray] = None, method: str = "analytical", **kwargs) -> np.ndarray:
         X = self.data["X"] if X is None else X
-        return compute_torsion(self.compute_velocity, self.get_Jacobian(), X)
+        return compute_torsion(self.compute_velocity, self.get_Jacobian(method=method), X)
 
-    def compute_divergence(self, X: Optional[np.ndarray] = None, **kwargs) -> np.ndarray:
+    def compute_divergence(self, X: Optional[np.ndarray] = None, method: str = "analytical", **kwargs) -> np.ndarray:
         X = self.data["X"] if X is None else X
-        return compute_divergence(self.get_Jacobian(), X, **kwargs)
+        return compute_divergence(self.get_Jacobian(method=method), X, **kwargs)
 
-    def compute_sensitivity(self, X: Optional[np.ndarray] = None, **kwargs) -> np.ndarray:
+    def compute_sensitivity(self, X: Optional[np.ndarray] = None, method: str = "analytical", **kwargs) -> np.ndarray:
         X = self.data["X"] if X is None else X
-        return compute_sensitivity(self.get_Jacobian(), X)
+        return compute_sensitivity(self.get_Jacobian(method=method), X)

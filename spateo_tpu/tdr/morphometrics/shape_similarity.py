@@ -46,11 +46,14 @@ def dist_global_centroid_to_subspace(centroid: np.ndarray, pcs: np.ndarray) -> f
     return float(np.linalg.norm(np.asarray(centroid) - np.asarray(pcs).mean(0)))
 
 
-def cos_global_centroid_to_subspace(centroid: np.ndarray, pcs: np.ndarray) -> np.ndarray:
-    """Direction cosine from global centroid to subspace centroid (parity:
-    shape_similarity.py:123)."""
-    d = np.asarray(pcs).mean(0) - np.asarray(centroid)
-    return d / (np.linalg.norm(d) + 1e-12)
+def cos_global_centroid_to_subspace(global_centroid, subspace_pcs: np.ndarray) -> float:
+    """|cos| of the angle between the centroid->subspace vector and the
+    z-axis (parity: shape_similarity.py:123-133 — same formula:
+    (subspace_z - global_z) / ||subspace_centroid - global_centroid||)."""
+    global_centroid = np.asarray(global_centroid, float)
+    subspace_centroid = np.asarray(subspace_pcs, float).mean(axis=0)
+    denom = np.linalg.norm(subspace_centroid - global_centroid) + 1e-300
+    return float(np.abs((subspace_centroid[-1] - global_centroid[-1]) / denom))
 
 
 def calculate_eigenvector(vetorspaces: np.ndarray, m: int = 10, s: int = 5) -> Tuple[np.ndarray, np.ndarray]:
@@ -82,7 +85,7 @@ def model_eigenvector(model_pcs: np.ndarray, n_subspace: int = 20, m: int = 10, 
             coef = subspace_surface_fitting(sub, order="linear")
             d = dist_global_centroid_to_subspace(centroid, sub)
             cosv = cos_global_centroid_to_subspace(centroid, sub)
-            feats.append(np.concatenate([coef, [d], cosv]))
+            feats.append(np.concatenate([coef, [d], [cosv]]))
         if len(feats) >= max(m, 8):
             break
         n //= 2

@@ -175,9 +175,18 @@ def interactive_rectangle_clip(
     return widget
 
 
-def interactive_pick(model, key: Optional[str] = None, plane: str = "xy", polygon=None):
-    """Front-end matching the reference pick.py API: with `polygon`, picks
-    immediately; otherwise returns the live lasso loop."""
+def interactive_pick(
+    model,
+    key: Optional[str] = None,
+    checkbox_size: int = 27,
+    label_size: int = 12,
+    plane: str = "xy",
+    polygon=None,
+):
+    """Front-end matching the reference pick.py:14-95 API (checkbox_size/
+    label_size are the reference's pyvista widget-geometry knobs, accepted
+    for signature parity — the mpl lasso loop has no checkboxes): with
+    `polygon`, picks immediately; otherwise returns the live lasso loop."""
     widget = InteractiveLassoPick(model, key=key, plane=plane)
     if polygon is not None:
         widget.onselect(polygon)

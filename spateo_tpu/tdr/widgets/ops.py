@@ -8,6 +8,7 @@ from typing import Callable, List, Optional, Tuple, Union
 
 import numpy as np
 
+from ...logging import logger_manager as lm
 from ..models.mesh_core import Mesh, PointCloud
 
 
@@ -148,9 +149,14 @@ def overlap_pick(main_mesh, other_mesh, main_pc=None, other_pc=None):
     return select_mesh, merge_models(picked)
 
 
-def three_d_slice(model, method: str = "axis", n_slices: int = 10, axis: str = "x", center=None):
-    """Slice a model into bands along an axis or around a center
-    (parity: reference widgets/slice.py three_d_slice)."""
+def three_d_slice(
+    model, method: str = "axis", n_slices: int = 10, axis: str = "x", vec=(1, 0, 0), center=None
+):
+    """Slice a model into bands along an axis, three orthogonal slabs, or
+    perpendicular to an arbitrary vector (parity: reference
+    widgets/slice.py:124-186 — 'axis'/'orthogonal'/'line' methods; the
+    'line' method returns ``(slices, line_points, line)`` with empty
+    slices dropped, like the reference)."""
     pts = np.asarray(model.points, float)
     ax = {"x": 0, "y": 1, "z": 2}[axis]
     if method == "axis":
@@ -163,7 +169,27 @@ def three_d_slice(model, method: str = "axis", n_slices: int = 10, axis: str = "
             half_w = np.ptp(pts[:, a]) / max(n_slices, 1) / 2
             out.append(_subset(model, np.abs(pts[:, a] - c[a]) <= half_w))
         return out
-    raise ValueError(f"unknown method {method}; use 'axis' or 'orthogonal'")
+    if method == "line":
+        v = np.asarray(vec, float)
+        v = v / (np.linalg.norm(v) + 1e-300)
+        t = pts @ v
+        positions = np.linspace(t.min(), t.max(), n_slices)
+        c = np.asarray(center, float) if center is not None else pts.mean(0)
+        base = c - (c @ v) * v
+        line = base[None, :] + positions[:, None] * v[None, :]
+        half_w = (t.max() - t.min()) / max(n_slices, 1) / 2
+        slices, line_points = [], []
+        for p_t, p in zip(positions, line):
+            mask = np.abs(t - p_t) <= half_w
+            if mask.any():
+                slices.append(_subset(model, mask))
+                line_points.append(p)
+        lm.main_info(
+            f"Slice the model uniformly along the vector `vec` and generate {n_slices} slices. "
+            f"There are {n_slices - len(slices)} empty slices, {len(slices)} valid slices in all slices."
+        )
+        return slices, np.asarray(line_points), line
+    raise ValueError("`method` value is wrong. \nAvailable `method` are: `'axis'`, `'orthogonal'`, `'line'`.")
 
 
 def interactive_slice(model, key: str = "groups", method: str = "axis", axis: str = "x"):

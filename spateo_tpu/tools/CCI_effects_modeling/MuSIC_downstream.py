@@ -2655,7 +2655,15 @@ class MuSIC_Interpreter(MuSIC):
         lm.main_info(f"pathway `{pathway}`: aggregated {len(used)} interactions")
         return total, norm_sent, norm_received
 
-    def define_effect_vf(self, effect_potential, normalized_effect_potential_sum_sent, normalized_effect_potential_sum_received, sig: str, target: str, max_val: float = 0.05):
+    def define_effect_vf(
+        self,
+        effect_potential,
+        normalized_effect_potential_sum_sender,
+        normalized_effect_potential_sum_receiver,
+        sig: str,
+        target: str,
+        max_val: float = 0.05,
+    ):
         """Sender/receiver vector fields from the potential matrix: each
         cell's sender vector points at the weighted centroid of its
         receivers (parity: :5894). Stored in
@@ -2676,10 +2684,10 @@ class MuSIC_Interpreter(MuSIC):
         with np.errstate(invalid="ignore", divide="ignore"):
             # sender j: toward weighted centroid of receivers
             cent_r = (Pd @ coords) / np.maximum(row_sum, 1e-12)
-            sender_vf = (cent_r - coords) * normalized_effect_potential_sum_sent[:, None]
+            sender_vf = (cent_r - coords) * normalized_effect_potential_sum_sender[:, None]
             # receiver i: from weighted centroid of senders
             cent_s = (Pd.T @ coords) / np.maximum(col_sum.T, 1e-12)
-            receiver_vf = (coords - cent_s) * normalized_effect_potential_sum_received[:, None]
+            receiver_vf = (coords - cent_s) * normalized_effect_potential_sum_receiver[:, None]
         norm = np.linalg.norm(sender_vf, axis=1, keepdims=True)
         span = float(np.ptp(coords, axis=0).max())
         cap = max_val * span

@@ -89,7 +89,7 @@ def get_cluster_num(
     return len(set(map(str, probe.obs["_spagcn_cluster_probe"])))
 
 
-def refine(sample_id, pred, dis, shape: str = "hexagon") -> list:
+def refine(sample_id, pred, dis, shape: str = "square") -> list:
     """Majority-vote label refinement over spatial neighbors
     (parity: spagcn_utils.py refine)."""
     num_nbs = 6 if shape == "hexagon" else 4
@@ -109,12 +109,33 @@ def refine(sample_id, pred, dis, shape: str = "hexagon") -> list:
     return refined
 
 
-def search_res(adata, adj, l: float, target_num: int, start: float = 0.4, step: float = 0.1, tol: float = 5e-3, lr: float = 0.05, max_epochs: int = 10, r_seed: int = 100, max_run: int = 10) -> float:
+def search_res(
+    adata,
+    adj,
+    l: float,
+    target_num: int,
+    start: float = 0.4,
+    step: float = 0.1,
+    tol: float = 5e-3,
+    lr: float = 0.05,
+    max_epochs: int = 10,
+    r_seed: int = 100,
+    t_seed: int = 100,
+    n_seed: int = 100,
+    max_run: int = 10,
+) -> float:
     """Search the louvain resolution yielding target_num clusters
-    (parity: spagcn_utils.py search_res; the GCN embedding step is the
-    framework's spagcn_pyg)."""
+    (parity: spagcn_utils.py:193-207, incl. the reference's three seed
+    knobs — r_seed/t_seed/n_seed seed python/torch/numpy there; here the
+    probe clustering is deterministic given n_seed, and t_seed is accepted
+    for signature parity). The GCN embedding step is the framework's
+    spagcn_pyg."""
+    import random
+
     from .find_clusters import scc
 
+    random.seed(r_seed)
+    np.random.seed(n_seed)
     res = start
     for _ in range(max_run):
         try:

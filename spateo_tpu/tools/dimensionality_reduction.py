@@ -142,7 +142,7 @@ def perform_dimensionality_reduction(
         except ImportError:
             # native implementation (jax SGD layout) — umap-learn not needed
             _, _, _, emb = umap_conn_indices_dist_embedding(
-                X, n_neighbors=n_neighbors, n_components=n_components, **kwargs
+                X, n_neighbors=n_neighbors, n_components=n_components, return_mapper=False, **kwargs
             )
     elif reduction_method in ("tsne", "t-sne"):
         from sklearn.manifold import TSNE
@@ -201,14 +201,19 @@ def umap_conn_indices_dist_embedding(
     max_iter: Optional[int] = None,
     alpha: float = 1.0,
     random_state: int = 0,
-    return_mapper: bool = False,
+    return_mapper: bool = True,
     **kwargs,
 ):
     """UMAP graph + embedding (parity surface: reference
-    dimensionality_reduction.py umap_conn_indices_dist_embedding).
+    dimensionality_reduction.py:258-345).
 
-    Returns (graph, knn_indices, knn_dists, embedding): the fuzzy simplicial
-    set as a csr matrix, the kNN structure, and the [n, n_components] layout.
+    With ``return_mapper=True`` (the reference default) returns
+    ``(mapper, graph, knn_indices, knn_dists, embedding)`` — the mapper is
+    a lightweight fitted object with ``.embedding_`` and a
+    nearest-neighbor-barycentric ``.transform(X_new)``, playing the role of
+    the reference's ``umap.UMAP`` instance stored in
+    ``adata.uns['umap_fit']['fit']``. Otherwise returns
+    ``(graph, knn_indices, knn_dists, embedding)``.
     """
     import jax
     import jax.numpy as jnp
@@ -284,8 +289,29 @@ def umap_conn_indices_dist_embedding(
 
     emb = np.asarray(layout(jnp.asarray(init, jnp.float32), key, int(n_epochs)))
     if return_mapper:
-        return graph, knn_indices, knn_dists, emb, None
+        mapper = _FittedUMAP(X, emb, n_neighbors=min(5, k))
+        return mapper, graph, knn_indices, knn_dists, emb
     return graph, knn_indices, knn_dists, emb
+
+
+class _FittedUMAP:
+    """Minimal fitted-UMAP stand-in: holds the training embedding and maps
+    new points by barycentric interpolation of their nearest training
+    neighbors (the role the reference's umap.UMAP object plays in
+    adata.uns['umap_fit'], dimensionality_reduction.py:241-247)."""
+
+    def __init__(self, X_train: np.ndarray, embedding_: np.ndarray, n_neighbors: int = 5):
+        self.X_train_ = np.asarray(X_train, np.float32)
+        self.embedding_ = np.asarray(embedding_)
+        self.n_neighbors = n_neighbors
+
+    def transform(self, X_new: np.ndarray) -> np.ndarray:
+        from scipy.spatial import cKDTree
+
+        d, idx = cKDTree(self.X_train_).query(np.asarray(X_new, np.float32), k=self.n_neighbors)
+        w = 1.0 / np.maximum(d, 1e-12)
+        w = w / w.sum(axis=1, keepdims=True)
+        return np.einsum("nk,nkd->nd", w, self.embedding_[idx])
 
 
 def find_optimal_n_umap_components(X, max_components: int = 10, **kwargs) -> int:
@@ -299,7 +325,7 @@ def find_optimal_n_umap_components(X, max_components: int = 10, **kwargs) -> int
     scores = []
     dims = list(range(2, max_components + 1, 2))
     for d in dims:
-        _, _, _, emb = umap_conn_indices_dist_embedding(X, n_components=d, max_iter=150, **kwargs)
+        _, _, _, emb = umap_conn_indices_dist_embedding(X, n_components=d, max_iter=150, return_mapper=False, **kwargs)
         emb_nbrs = cKDTree(emb).query(emb, k=k + 1)[1][:, 1:]
         overlap = np.mean([len(set(a) & set(b)) / k for a, b in zip(true_nbrs, emb_nbrs)])
         scores.append(overlap)

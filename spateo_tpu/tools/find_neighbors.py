@@ -379,18 +379,27 @@ def find_bw_for_n_neighbors(
 
 def find_threshold_distance(
     adata: AnnData,
-    coords_key: str = "spatial",
+    coords_key: str = "X_pca",
     n_neighbors: int = 10,
-    percentile: float = 99,
+    chunk_size: int = 1000,
+    normalize_distances: bool = False,
 ) -> float:
-    """Distance threshold below which `n_neighbors` neighbors are captured
-    for most cells (parity: find_neighbors.py:336)."""
+    """Distance beyond which there is a dramatic increase in the average
+    distance to the remaining nearest neighbors (parity:
+    find_neighbors.py:336-387 — max over cells of mean + 3*std of the
+    n_neighbors smallest distances, self-distance included, with the
+    optional shared-nonzero-column normalization)."""
     coords = np.asarray(adata.obsm[coords_key], dtype=float)
-    from scipy.spatial import cKDTree
-
-    tree = cKDTree(coords)
-    kth = tree.query(coords, k=n_neighbors + 1)[0][:, -1]
-    return float(np.percentile(kth, percentile))
+    if normalize_distances:
+        n_nonzeros = {i: set(np.nonzero(coords[i, :])[0]) for i in range(coords.shape[0])}
+    else:
+        n_nonzeros = None
+    chunks = []
+    for i in range(0, coords.shape[0], chunk_size):
+        chunks.append(calculate_distances_chunk(coords[i : i + chunk_size], i, coords, n_nonzeros=n_nonzeros))
+    distances = np.concatenate(chunks, axis=0)
+    k_nearest = np.sort(distances)[:, :n_neighbors]
+    return float(np.max(k_nearest.mean(axis=1) + 3 * k_nearest.std(axis=1)))
 
 
 def construct_nn_graph(
@@ -466,14 +475,40 @@ def calculate_affinity(position: np.ndarray, dist_metric: str = "euclidean", n_n
     return aff
 
 
-def calculate_distances_chunk(coords_chunk: np.ndarray, coords: np.ndarray) -> np.ndarray:
+def calculate_distances_chunk(
+    coords_chunk: np.ndarray,
+    chunk_start_idx: int = 0,
+    coords: np.ndarray = None,
+    n_nonzeros: Optional[dict] = None,
+    metric: str = "euclidean",
+) -> np.ndarray:
     """Pairwise distances of one chunk vs all (parity: reference
-    find_neighbors.py calculate_distances_chunk)."""
-    import jax.numpy as jnp
+    find_neighbors.py:182-211 — same signature, incl. the optional
+    shared-nonzero-column normalization). The euclidean path runs on
+    device; other metrics go through scipy cdist."""
+    if coords is None:  # back-compat: (chunk, coords) positional form
+        coords, chunk_start_idx = chunk_start_idx, 0
+    if metric == "euclidean":
+        import jax.numpy as jnp
 
-    from ..alignment.methods.math import euc_dist
+        from ..alignment.methods.math import euc_dist
 
-    return np.asarray(euc_dist(jnp.asarray(coords_chunk, jnp.float32), jnp.asarray(coords, jnp.float32), squared=False))
+        distances_chunk = np.asarray(
+            euc_dist(jnp.asarray(coords_chunk, jnp.float32), jnp.asarray(coords, jnp.float32), squared=False)
+        )
+    else:
+        from scipy.spatial.distance import cdist
+
+        distances_chunk = cdist(np.asarray(coords_chunk, float), np.asarray(coords, float), metric=metric)
+    if n_nonzeros is not None:
+        paired = np.zeros_like(distances_chunk)
+        for i in range(distances_chunk.shape[0]):
+            row_nz = n_nonzeros[chunk_start_idx + i]
+            for j in range(distances_chunk.shape[1]):
+                paired[i, j] = len(row_nz & n_nonzeros[j])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            distances_chunk = np.where(paired > 0, distances_chunk / paired, np.inf)
+    return distances_chunk
 
 
 def compute_distances_and_connectivities(knn_indices: np.ndarray, distances: np.ndarray):

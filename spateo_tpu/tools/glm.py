@@ -71,8 +71,14 @@ class _FitResult:
         self.df_model = df_model
 
 
-def glm_test(data: pd.DataFrame, full_formula: str, reduced_formula: str):
-    """Fit NB2 GLMs for the full and reduced formulas (parity: glm.py:142)."""
+def glm_test(
+    data: pd.DataFrame,
+    fullModelFormulaStr: str = "~cr(time, df=3)",
+    reducedModelFormulaStr: str = "~1",
+):
+    """Fit NB2 GLMs for the full and reduced formulas (parity: glm.py:142-156
+    — same parameter names and defaults; statsmodels GLM is replaced by the
+    in-house IWLS + NegativeBinomial family)."""
     y = np.asarray(data["expression"], dtype=float).ravel()
     fam = NegativeBinomial()
 
@@ -83,7 +89,7 @@ def glm_test(data: pd.DataFrame, full_formula: str, reduced_formula: str):
         llf = fam.log_likelihood(y, mu)
         return _FitResult(llf, mu, X.shape[1])
 
-    return fit(full_formula), fit(reduced_formula)
+    return fit(fullModelFormulaStr), fit(reducedModelFormulaStr)
 
 
 def zinb_test(data, full_count_formula: str, reduced_count_formula: str, zero_infl_formula: Optional[str] = None):

@@ -13,7 +13,7 @@ import scipy.sparse
 from ..logging import logger_manager as lm
 
 
-def row_normalize(graph: scipy.sparse.csr_matrix, copy: bool = False, verbose: bool = False) -> scipy.sparse.csr_matrix:
+def row_normalize(graph: scipy.sparse.csr_matrix, copy: bool = False, verbose: bool = True) -> scipy.sparse.csr_matrix:
     """Row-normalize a CSR matrix (parity: labels.py:18) — vectorized over
     rows instead of a per-row pointer loop."""
     if copy:

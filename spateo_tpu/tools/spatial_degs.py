@@ -110,17 +110,58 @@ def moran_i(
     return res
 
 
-def cellbin_morani(
-    adata: AnnData,
-    binsize: int = 50,
-    spatial_key: str = "spatial",
-    layer: Optional[str] = None,
-    k: int = 5,
-    permutations: int = 199,
-) -> pd.DataFrame:
-    """Moran's I on spatially binned pseudo-cells (parity:
-    spatial_degs.py:125)."""
-    from ..preprocessing.aggregate import bin_adata
+def _lattice_moran(raster: np.ndarray):
+    """Moran's I on a 2D lattice with rook (lat2W) weights + its one-tailed
+    normal-approximation p-value (the reference's esda `Moran(…, lat2W)`
+    statistics, spatial_degs.py:150-168)."""
+    from scipy.stats import norm as _norm
 
-    binned = bin_adata(adata, bin_size=binsize, coords_key=spatial_key)
-    return moran_i(binned, spatial_key=spatial_key, layer=layer, k=k, permutations=permutations)
+    x = np.asarray(raster, float)
+    n = x.size
+    z = x - x.mean()
+    # rook adjacency: Σ w_ij z_i z_j = 2 * (horizontal + vertical products)
+    num_pairs = (z[:, 1:] * z[:, :-1]).sum() + (z[1:, :] * z[:-1, :]).sum()
+    E_edges = z[:, 1:].size + z[1:, :].size  # unordered edge count
+    S0 = 2.0 * E_edges
+    I = (n / S0) * (2.0 * num_pairs) / np.maximum((z**2).sum(), 1e-300)
+    # normality-assumption variance (esda Moran.VI_norm)
+    deg = np.full(x.shape, 4.0)
+    deg[0, :] -= 1; deg[-1, :] -= 1; deg[:, 0] -= 1; deg[:, -1] -= 1
+    S1 = 4.0 * E_edges
+    S2 = float((4.0 * deg**2).sum())
+    EI = -1.0 / (n - 1)
+    VI = (n * n * S1 - n * S2 + 3 * S0 * S0) / ((n * n - 1) * S0 * S0) - EI * EI
+    zscore = (I - EI) / np.sqrt(max(VI, 1e-300))
+    p_norm = float(1.0 - _norm.cdf(abs(zscore)))
+    return float(I), p_norm
+
+
+def cellbin_morani(
+    adata_cellbin: AnnData,
+    binsize: int,
+    cluster_key: str = "Celltype",
+) -> pd.DataFrame:
+    """Moran's I score per CELLTYPE from binned cell counts (parity:
+    spatial_degs.py:125-174 — same raster construction: grid shape from
+    ``obsm['X_spatial']`` extents, counts accumulated from
+    ``obsm['spatial'] // binsize``; rook lattice weights; columns
+    cluster/moran_i/moran_i_p_norm sorted by moran_i descending)."""
+    lm.main_info("Calculating cell counts in each bin, using binsize " + str(binsize))
+    shape_coords = np.asarray(
+        adata_cellbin.obsm["X_spatial" if "X_spatial" in adata_cellbin.obsm else "spatial"], float
+    )
+    H = int(max(shape_coords[:, 0] // binsize)) + 1
+    W = int(max(shape_coords[:, 1] // binsize)) + 1
+    coords = np.asarray(adata_cellbin.obsm["spatial"], float) // binsize
+    labels = np.asarray(adata_cellbin.obs[cluster_key])
+    lm.main_info("Calculating Moran's I score for each celltype")
+    mi, mi_norm, clusters = [], [], np.unique(labels)
+    for c in clusters:
+        raster = np.zeros((H, W))
+        for j in coords[labels == c]:
+            raster[int(j[0]), int(j[1])] += 1
+        I, p = _lattice_moran(raster)
+        mi.append(I)
+        mi_norm.append(p)
+    mi_df = pd.DataFrame({"cluster": clusters, "moran_i": mi, "moran_i_p_norm": mi_norm})
+    return mi_df.sort_values(by="moran_i", ascending=False)

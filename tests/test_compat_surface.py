@@ -60,11 +60,20 @@ class TestNativeUMAP:
         rng = np.random.default_rng(0)
         X = np.concatenate([rng.normal(c, 0.3, (80, 8)) for c in (0, 6)])
         labels = np.repeat([0, 1], 80)
-        graph, ki, kd, emb = umap_conn_indices_dist_embedding(X, n_neighbors=10, max_iter=200)
+        # reference default (return_mapper=True): mapper comes FIRST
+        mapper, graph, ki, kd, emb = umap_conn_indices_dist_embedding(X, n_neighbors=10, max_iter=200)
         assert emb.shape == (160, 2)
         c0, c1 = emb[labels == 0].mean(0), emb[labels == 1].mean(0)
         intra = np.linalg.norm(emb[labels == 0] - c0, axis=1).mean()
         assert np.linalg.norm(c0 - c1) > 3 * intra
+        # the mapper projects new points near their cluster
+        proj = mapper.transform(X[:5] + 0.01)
+        assert np.linalg.norm(proj - c0, axis=1).mean() < np.linalg.norm(proj - c1, axis=1).mean()
+        # 4-tuple form preserved
+        graph2, ki2, kd2, emb2 = umap_conn_indices_dist_embedding(
+            X, n_neighbors=10, max_iter=200, return_mapper=False
+        )
+        assert emb2.shape == (160, 2)
 
 
 class TestRegressionHelpers:

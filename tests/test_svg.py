@@ -175,3 +175,83 @@ class TestShardedSVG:
         serial = cal_wass_dis_batch(M, A)
         shard = cal_wass_dis_batch_sharded(M, A, mesh=create_mesh())
         np.testing.assert_allclose(serial, shard, rtol=1e-4, atol=1e-6)
+
+
+class TestHolmSidak:
+    def test_hs_matches_statsmodels_algorithm(self):
+        """multipletests_hs reproduces statsmodels' DEFAULT method ('hs'),
+        which the reference calls bare at svg/get_svg.py:106,348,358 and
+        get_svg_between_slice.py:119. Expected values are the statsmodels
+        step-down recursion computed by hand."""
+        from spateo_tpu.svg.utils import multipletests_hs
+
+        p = np.array([0.01, 0.04, 0.03, 0.005])
+        n = 4
+        srt = np.sort(p)
+        raw = 1 - (1 - srt) ** np.arange(n, 0, -1)
+        expect_sorted = np.maximum.accumulate(raw)
+        got = multipletests_hs(p)
+        np.testing.assert_allclose(np.sort(got), expect_sorted, rtol=1e-12)
+        # monotone and >= raw p
+        assert (got >= p - 1e-15).all()
+
+    def test_hs_differs_from_bh_where_it_should(self):
+        from spateo_tpu.svg.utils import multipletests_bh, multipletests_hs
+
+        p = np.array([0.01, 0.02, 0.03, 0.5])
+        assert not np.allclose(multipletests_hs(p), multipletests_bh(p))
+
+
+class TestCrossSliceGW:
+    def test_cal_gro_wass_bs_reference_contract(self, svg_adata):
+        """Reference I/O contract (between_slice.py:25-128): tuple return
+        (gw_df, adata1, adata2), reference column set, gene_set required,
+        only slice 2 shuffled in the bootstrap."""
+        ad2 = svg_adata.copy()
+        rng = np.random.default_rng(1)
+        ad2.X = np.asarray(ad2.X) + rng.poisson(1.0, ad2.X.shape)
+
+        with pytest.raises(ValueError):
+            st.svg.cal_gro_wass_bs(
+                svg_adata, ad2, cell_distance_method="euclidean", min_dis_cutoff=2.0, max_dis_cutoff=50.0
+            )
+
+        gw_df, b1, b2 = st.svg.cal_gro_wass_bs(
+            svg_adata,
+            ad2,
+            cell_distance_method="euclidean",
+            min_dis_cutoff=2.0,
+            max_dis_cutoff=50.0,
+            gene_set=["g0", "g1", "g2"],
+            bootstrap=3,
+        )
+        for col in (
+            "Gromov-wasserstein_distance",
+            "positive_ratio1",
+            "positive_ratio2",
+            "mean",
+            "std",
+            "zscore",
+            "pvalue",
+            "adj_pvalue",
+            "fc",
+            "log2fc",
+            "-log10adjp",
+        ):
+            assert col in gw_df.columns, col
+        assert list(gw_df.index) == ["g0", "g1", "g2"]
+        assert np.isfinite(gw_df.values.astype(float)).all()
+        # binned slices come back (reference returns them for reuse)
+        assert b1.n_obs > 0 and b2.n_obs > 0
+
+    def test_gene_set_must_be_shared(self, svg_adata):
+        ad2 = svg_adata[:, [f"g{i}" for i in range(6)]].copy()
+        with pytest.raises(ValueError):
+            st.svg.cal_gro_wass_bs(
+                svg_adata,
+                ad2,
+                cell_distance_method="euclidean",
+                min_dis_cutoff=2.0,
+                max_dis_cutoff=50.0,
+                gene_set=["g0", "g11"],
+            )

@@ -104,7 +104,37 @@ class TestDifferentialGeometry:
         assert vf_adata.obsm["acceleration"].shape[1] == 3
         assert "curvature" in vf_adata.obs
         assert "torsion" in vf_adata.obs
+        # reference contract: per-cell torsion MATRICES live in .uns
+        # (differential_geometry.py:205-247)
+        assert vf_adata.uns["torsion"].shape == (vf_adata.n_obs, 3, 3)
         assert vf_adata.uns["jacobian"].shape[1:] == (3, 3)
+
+    def test_numerical_method_matches_analytical(self, vf_adata):
+        """The reference exposes method='numerical' (numdifftools); our
+        central-difference route must agree with autodiff on a smooth RBF
+        field."""
+        from spateo_tpu.tdr.morphometrics.morphofield_dg.GPVectorField import GPVectorField
+
+        vf = GPVectorField()
+        vf.from_adata(vf_adata, vf_key="VecFld_morpho")
+        X = vf.get_X()[:50]
+        J_an = vf.get_Jacobian(method="analytical")(X)
+        J_num = vf.get_Jacobian(method="numerical")(X)
+        np.testing.assert_allclose(J_num, J_an, rtol=0.05, atol=5e-3)
+        # and the wrapper accepts it end-to-end
+        st.tdr.morphofield_divergence(vf_adata, key_added="div_num", method="numerical", vectorize_size=None)
+        np.testing.assert_allclose(
+            np.asarray(vf_adata.obs["div_num"], float),
+            np.asarray(vf_adata.obs["divergence"], float),
+            atol=2e-2,
+        )
+
+    def test_nonrigid_only_kwarg_plumbs_through(self, vf_adata):
+        """nonrigid_only reaches the field construction (sparsevfc fields
+        have no rigid part, so results are identical — the kwarg must be
+        accepted and produce a valid field either way)."""
+        st.tdr.morphofield_velocity(vf_adata, key_added="vel_nr", nonrigid_only=True)
+        assert vf_adata.obsm["vel_nr"].shape == (vf_adata.n_obs, 3)
 
     def test_morphopath_trajectories(self, vf_adata):
         st.tdr.morphopath(vf_adata, vf_key="VecFld_morpho", interpolation_num=50)

@@ -1260,3 +1260,73 @@ class TestNiches:
         st.SKM.init_adata_type(b, "UMI")
         with pytest.raises(ValueError, match="spatial_neighbors"):
             st.tl.niches(b)
+
+
+class TestReferenceContractSweep:
+    """Round-3 signature/semantics parity batch (kwarg_audit2 findings)."""
+
+    def test_cellbin_morani_reference_contract(self):
+        """Reference spatial_degs.py:125-174: per-CELLTYPE Moran's I from
+        binned count rasters, rook lattice weights, cluster/moran_i/
+        moran_i_p_norm columns sorted descending."""
+        rng = np.random.default_rng(3)
+        n = 400
+        coords = rng.uniform(0, 100, (n, 2))
+        labels = np.where(coords[:, 0] < 50, "A", "B").astype(object)
+        # type C: randomly scattered (low Moran)
+        labels[rng.choice(n, 100, replace=False)] = "C"
+        ad = st.AnnData(X=np.ones((n, 3)))
+        ad.obsm["spatial"] = coords
+        ad.obsm["X_spatial"] = coords
+        ad.obs["Celltype"] = labels
+        st.SKM.init_adata_type(ad, "UMI")
+        df = st.tl.cellbin_morani(ad, binsize=10)
+        assert list(df.columns) == ["cluster", "moran_i", "moran_i_p_norm"]
+        assert (df["moran_i"].values[:-1] >= df["moran_i"].values[1:]).all()
+        # spatially-coherent halves beat the scattered type
+        morans = df.set_index("cluster")["moran_i"]
+        assert morans["A"] > morans["C"] and morans["B"] > morans["C"]
+
+    def test_glm_test_reference_param_names(self):
+        import pandas as pd
+
+        from spateo_tpu.tools.glm import glm_test
+
+        rng = np.random.default_rng(0)
+        t = rng.uniform(0, 1, 200)
+        y = rng.poisson(np.exp(1 + 2 * t))
+        data = pd.DataFrame({"time": t, "expression": y})
+        full, null = glm_test(data, fullModelFormulaStr="~time", reducedModelFormulaStr="~1")
+        assert full.llf > null.llf
+
+    def test_sample_returns_subarray(self):
+        """Reference methods/sampling.py:17-59 contract: sample() returns
+        the sampled SUBARRAY; velocity needs V, trn/kmeans coordinates."""
+        from spateo_tpu.alignment.methods.sampling import sample
+
+        rng = np.random.default_rng(0)
+        arr = rng.normal(size=(300, 5))
+        V = rng.normal(size=(300, 3))
+        out = sample(arr, 40)
+        assert out.shape == (40, 5)
+        out_v = sample(arr, 40, method="velocity", V=V)
+        assert out_v.shape == (40, 5)
+        out_k = sample(arr, 20, method="kmeans", X=arr[:, :2])
+        assert out_k.shape[1] == 5
+        with pytest.raises(NotImplementedError):
+            sample(arr, 10, method="nope")
+
+    def test_normalize_exps_joint_scale(self):
+        """Reference methods/utils.py:588-640: one joint RMS scale across
+        samples per layer slot."""
+        from spateo_tpu.alignment.methods.utils import normalize_exps
+
+        rng = np.random.default_rng(0)
+        A, B = rng.normal(size=(50, 8)) * 3, rng.normal(size=(70, 8)) * 5
+        outA, outB = normalize_exps([A, B], verbose=False)
+        s = 0.5 * (np.sqrt((A * A).sum() / 50) + np.sqrt((B * B).sum() / 70))
+        np.testing.assert_allclose(outA, A / s, rtol=1e-12)
+        np.testing.assert_allclose(outB, B / s, rtol=1e-12)
+        # 'obsm' rep fields pass through untouched
+        (outA2,), (outB2,) = normalize_exps(exp_layers=[[A], [B]], rep_field="obsm", verbose=False)
+        np.testing.assert_allclose(outA2, A)
