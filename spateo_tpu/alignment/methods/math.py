@@ -367,11 +367,19 @@ def init_guess_sigma2(XA: np.ndarray, XB: np.ndarray, subsample: int = 20000) ->
     """Initial sigma2 guess (parity: methods/utils.py:1339). The whole
     distance + square + sum runs as one fused device program; only the
     scalar crosses the tunnel."""
+    return float(init_guess_sigma2_dev(XA, XB, subsample=subsample))
+
+
+def init_guess_sigma2_dev(XA: np.ndarray, XB: np.ndarray, subsample: int = 20000) -> jnp.ndarray:
+    """init_guess_sigma2 without the host pull: returns the DEVICE scalar so
+    a downstream jitted consumer (the Morpho EM) chains on it asynchronously
+    — the blocking float() costs a full tunnel round trip before the EM can
+    even be dispatched."""
     rng = np.random.default_rng(0)
     NA, NB, D = XA.shape[0], XB.shape[0], XA.shape[1]
     sa = rng.choice(NA, subsample, replace=False) if NA > subsample else np.arange(NA)
     sb = rng.choice(NB, subsample, replace=False) if NB > subsample else np.arange(NB)
-    return float(_sigma2_sum(jnp.asarray(XA[sa]), jnp.asarray(XB[sb]))) / (D * len(sa) * len(sa))
+    return _sigma2_sum(jnp.asarray(XA[sa]), jnp.asarray(XB[sb])) / (D * len(sa) * len(sa))
 
 
 def normalize_coords(

@@ -793,7 +793,9 @@ class Morpho_pairwise:
         idx = unique_idx[pick]
         self.inducing_variables = self.coordsA[idx, :]
         if self.kernel_type == "euc":
-            self.GammaSparse = np.asarray(con_K(self.inducing_variables, self.inducing_variables, self.beta))
+            # device-resident: np.asarray here was a blocking K x K pull in
+            # __init__ whose only consumer re-uploaded it into the EM
+            self.GammaSparse = con_K(self.inducing_variables, self.inducing_variables, self.beta)
             self._U_precomputed = None
         elif self.kernel_type == "geodist":
             # geodesic deformation kernel (reference morpho_class.py:865 +
@@ -865,7 +867,10 @@ class Morpho_pairwise:
                     exp_B_dev = exp_B_dev[jnp.asarray(self.rng.choice(self.NB, subsample, replace=False))]
                 kth = int(exp_A_dev.shape[0] * 0.05)
                 stat = min_dist_order_stat(exp_A_dev, exp_B_dev, kth, metric=d_s)
-                self.probability_parameters[i] = max(float(stat) / 5, 0.01)
+                # keep the estimate ON DEVICE: float(stat) would block on a
+                # tunnel round trip before the EM dispatch; every consumer
+                # is a jitted program that takes it as a traced scalar
+                self.probability_parameters[i] = jnp.maximum(stat / 5, 0.01)
             else:
                 self.probability_parameters[i] = 0.0  # unused by 'prob'/'cos'
 
@@ -908,8 +913,13 @@ class Morpho_pairwise:
             metric="kl" if self.init_field == "layer" else "euc",
             allow_flip=bool(self.allow_flip),
         )
-        R, t, flipped = jax.device_get((R, t, flipped))
-        if self.allow_flip and bool(flipped):
+        # NO host sync here: R/t stay device-resident and every consumer —
+        # the coarse transform below, init_guess_sigma2_dev, con_K, the EM —
+        # is a device program that chains on them asynchronously. The old
+        # blocking device_get cost a full tunnel round trip (~60-80 ms)
+        # between the coarse program and the EM dispatch. The flip flag is
+        # pulled only when allow_flip actually asked for the hypothesis.
+        if self.allow_flip and bool(jax.device_get(flipped)):
             lm.main_info("Flipping detected in coarse rigid alignment.")
         # device-resident: consumed as jnp arrays by the EM; sub-threshold
         # rows carry P = 0, which is exactly neutral in every weighted term
@@ -917,12 +927,12 @@ class Morpho_pairwise:
         self.inlier_A = train_x
         self.inlier_B = train_y
         self.inlier_P = inlier_P
-        self.init_R, self.init_t = np.asarray(R), np.asarray(t)
+        self.init_R, self.init_t = R, t  # device; np-ified in _wrap_output
         if self.init_transform:
-            self.inlier_A = self.inlier_A @ jnp.asarray(R.T) + jnp.asarray(t)
-            self.coordsA = self.coordsA @ R.T + t
+            self.inlier_A = self.inlier_A @ R.T + t
+            self.coordsA = jnp.asarray(self.coordsA) @ R.T + t
             # inducing points / U follow the transformed coordinates
-            self.inducing_variables = self.inducing_variables @ R.T + t
+            self.inducing_variables = jnp.asarray(self.inducing_variables) @ R.T + t
 
     # -- main ---------------------------------------------------------------
     def run(self) -> np.ndarray:
@@ -935,10 +945,14 @@ class Morpho_pairwise:
             self.inlier_P = np.ones((1, 1), np.float32)
 
         self._init_probability_parameters()
-        sigma2_init = self.sigma2_init_scale * init_guess_sigma2(self.coordsA, self.coordsB)
-        samples_s = max(
-            float(np.prod(self.coordsA.max(0) - self.coordsA.min(0))),
-            float(np.prod(self.coordsB.max(0) - self.coordsB.min(0))),
+        from .math import init_guess_sigma2_dev
+
+        sigma2_init = self.sigma2_init_scale * init_guess_sigma2_dev(self.coordsA, self.coordsB)
+        # jnp.maximum instead of python max(): coordsA may be a device
+        # array chained on the (async) coarse program — float() would block
+        samples_s = jnp.maximum(
+            jnp.prod(jnp.asarray(self.coordsA).max(0) - jnp.asarray(self.coordsA).min(0)),
+            jnp.prod(jnp.asarray(self.coordsB).max(0) - jnp.asarray(self.coordsB).min(0)),
         )
 
         # device-resident: con_K returns a device array; pulling it to host
@@ -963,7 +977,7 @@ class Morpho_pairwise:
             if self.normalize_c:
                 X_AI = (X_AI - self.normalize_means[0]) / self.normalize_scales[0]
                 X_BI = (X_BI - self.normalize_means[1]) / self.normalize_scales[1]
-            X_AI = X_AI @ np.asarray(self.init_R).T + np.asarray(self.init_t)
+            X_AI = np.asarray(X_AI @ jnp.asarray(self.init_R).T + jnp.asarray(self.init_t))
             U_I = np.asarray(con_K(X_AI, self.inducing_variables, self.beta))
             guidance_effect = self.guidance_effect
         else:
@@ -996,8 +1010,10 @@ class Morpho_pairwise:
             batch_size = self.NB
         perm = self.rng.permutation(self.NB).astype(np.int32)
 
-        probability_parameters = np.asarray(
-            [p if p is not None else 0.0 for p in self.probability_parameters], dtype=np.float32
+        # jnp.stack keeps device-resident estimates async (np.asarray on a
+        # device scalar is a blocking pull)
+        probability_parameters = jnp.stack(
+            [jnp.asarray(p if p is not None else 0.0, jnp.float32) for p in self.probability_parameters]
         )
 
         # multi-chip: shard the NA axis of the moving slice over the mesh's
@@ -1239,6 +1255,12 @@ class Morpho_pairwise:
             "scale_transformed": self.normalize_scales[0],
             "scale_fixed": self.normalize_scales[1],
         }
+        # one batched pull for any still-device coarse-init state (each
+        # separate np.asarray costs its own tunnel round trip)
+        self.init_R, self.init_t, self.inducing_variables = (
+            np.asarray(x)
+            for x in jax.device_get((self.init_R, self.init_t, self.inducing_variables))
+        )
         self.vecfld = {
             "R": self.R,
             "t": self.t,
