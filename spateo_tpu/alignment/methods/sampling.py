@@ -176,25 +176,57 @@ class TRNET:
         self.seed = seed
         self.W: np.ndarray = None
 
+    def draw_sample(self, n_samples: int) -> np.ndarray:
+        """Initialize codebook positions from random data points
+        (parity: reference sampling.py:88-101)."""
+        rng = np.random.default_rng(self.seed)
+        idx = rng.integers(0, self.X.shape[0], n_samples)
+        return self.X[idx].astype(float).copy()
+
+    def runOnce(self, p: np.ndarray, l: float, ep: float, c: float = 0) -> None:
+        """One TRN presentation: rank codebook vectors by distance to `p`
+        and pull them toward it with neighborhood decay exp(-rank/l)
+        (parity: reference sampling.py:103-131; `c` truncates the update to
+        the c nearest ranks when > 0)."""
+        d = np.linalg.norm(self.W - np.asarray(p, float), axis=1)
+        ranks = np.argsort(np.argsort(d)).astype(float)
+        coef = np.exp(-ranks / max(l, 1e-12))
+        if c > 0:
+            coef = np.where(ranks < c, coef, 0.0)
+        self.W += ep * coef[:, None] * (np.asarray(p, float) - self.W)
+
     def run(
         self, tmax: int = 200, li: float = 0.2, lf: float = 0.01, ei: float = 0.3, ef: float = 0.05, c: float = 0
     ) -> np.ndarray:
         """Train the SOM for `tmax` presentations with learning-rate
         schedule ei->ef and neighborhood schedule li->lf (reference
-        sampling.py:133-160 signature; `c` accepted for parity)."""
-        rng = np.random.default_rng(self.seed)
+        sampling.py:133-160 signature)."""
+        self.run_n_pause(0, int(tmax), tmax=tmax, li=li, lf=lf, ei=ei, ef=ef, c=c)
+        return self.W
+
+    def run_n_pause(
+        self,
+        k0: int,
+        k: int,
+        tmax: float = 200,
+        li: float = 0.2,
+        lf: float = 0.01,
+        ei: float = 0.3,
+        ef: float = 0.05,
+        c: float = 0,
+    ) -> None:
+        """Run presentations k0..k of the schedule then stop — the
+        reference's resumable form (sampling.py:157-194); run() is
+        run_n_pause(0, tmax)."""
+        rng = np.random.default_rng(self.seed + k0)
         X = self.X
         N = X.shape[0]
         n = min(self.n_nodes, N)
-        W = X[rng.choice(N, n, replace=False)].astype(float).copy()
+        if self.W is None:
+            self.W = X[rng.choice(N, n, replace=False)].astype(float).copy()
         lam_i, lam_f = li * n, lf
-        for t in range(int(tmax)):
-            x = X[rng.integers(0, N)]
+        for t in range(int(k0), int(k)):
             frac = t / max(tmax, 1)
             lam = lam_i * (lam_f / lam_i) ** frac
             eps = ei * (ef / ei) ** frac
-            d = np.linalg.norm(W - x, axis=1)
-            ranks = np.argsort(np.argsort(d))
-            W += eps * np.exp(-ranks / lam)[:, None] * (x - W)
-        self.W = W
-        return self.W
+            self.runOnce(X[rng.integers(0, N)], lam, eps, c)

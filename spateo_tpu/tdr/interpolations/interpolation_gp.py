@@ -148,6 +148,15 @@ class Imputation_GPR:
     def train(self, method: str = "SVGP", **kwargs):
         return self  # training happens lazily inside inference (jitted SGPR)
 
+    def interpolate(self, use_chunk: bool = False, chunk_num: int = 20, target_points=None):
+        """Predict at the target points (parity signature: reference
+        interpolation_gp.py:149 — there this is the eval-mode pass after
+        `inference` trained the GP; here training is fused into the same
+        jitted SGPR program, so interpolate == inference. use_chunk/
+        chunk_num are accepted for parity; the kernel is already blocked
+        internally)."""
+        return self.inference(target_points=target_points)
+
     def inference(self, training_iter: int = 50, verbose: bool = True, target_points=None):
         """Fit + impute (parity signature: reference
         interpolation_gp.py:115 — training_iter bounds the optimizer)."""

@@ -378,3 +378,81 @@ class Power_Variance(VarianceFunction):
 
     def deriv(self, mu):
         return self.power * np.power(np.abs(np.asarray(mu, float)), self.power - 1)
+
+
+# ---------------------------------------------------------------------------
+# Reference-named link / variance classes (distributions.py:80 Logit,
+# :288 Log, :480 Binomial_Variance, :542 Negative_Binomial_Variance — the
+# statsmodels-style capitalized API the reference exposes alongside the
+# family classes). second_deriv is analytic here (the reference numerically
+# differentiates deriv with statsmodels' complex-step helper).
+# ---------------------------------------------------------------------------
+MAX = np.finfo(np.float32).max
+
+
+class Logit(logit):
+    """Logit link with the reference's clip/second_deriv surface
+    (reference distributions.py:80-238)."""
+
+    def clip(self, vals: np.ndarray) -> np.ndarray:
+        return np.clip(vals, EPS, 1 - EPS)
+
+    def second_deriv(self, p: np.ndarray) -> np.ndarray:
+        # d/dp [1/(p(1-p))] = (2p - 1) / (p^2 (1-p)^2)
+        p = self.clip(np.asarray(p, float))
+        return (2 * p - 1) / (p**2 * (1 - p) ** 2)
+
+
+class Log(log):
+    """Log link with the reference's clip/second_deriv surface
+    (reference distributions.py:288-360)."""
+
+    def clip(self, vals: np.ndarray) -> np.ndarray:
+        return np.clip(vals, EPS, MAX)
+
+    def second_deriv(self, y: np.ndarray) -> np.ndarray:
+        # d/dy [1/y] = -1/y^2
+        y = self.clip(np.asarray(y, float))
+        return -1.0 / y**2
+
+
+class Binomial_Variance:
+    """V(fitted) = p (1 - p) n with p = fitted / n
+    (reference distributions.py:480-530)."""
+
+    def __init__(self, n: int = 1):
+        self.n = n
+
+    def clip(self, vals: np.ndarray) -> np.ndarray:
+        return np.clip(vals, EPS, 1 - EPS)
+
+    def __call__(self, fitted: np.ndarray) -> np.ndarray:
+        p = self.clip(np.asarray(fitted, float) / self.n)
+        return p * (1 - p) * self.n
+
+    def deriv(self, fitted: np.ndarray) -> np.ndarray:
+        return 1 - 2 * self.clip(np.asarray(fitted, float)) / self.n
+
+
+binom_variance = Binomial_Variance()
+
+
+class Negative_Binomial_Variance:
+    """V(fitted) = fitted + disp * fitted**2
+    (reference distributions.py:542-597)."""
+
+    def __init__(self, disp: float = 0.5):
+        self.disp = disp
+
+    def clip(self, vals: np.ndarray) -> np.ndarray:
+        return np.clip(vals, EPS, MAX)
+
+    def __call__(self, fitted: np.ndarray) -> np.ndarray:
+        fitted = self.clip(np.asarray(fitted, float))
+        return fitted + self.disp * fitted**2
+
+    def deriv(self, fitted: np.ndarray) -> np.ndarray:
+        return 1 + self.disp * 2 * self.clip(np.asarray(fitted, float))
+
+
+nbinom_variance = Negative_Binomial_Variance()

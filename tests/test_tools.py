@@ -1330,3 +1330,33 @@ class TestReferenceContractSweep:
         # 'obsm' rep fields pass through untouched
         (outA2,), (outB2,) = normalize_exps(exp_layers=[[A], [B]], rep_field="obsm", verbose=False)
         np.testing.assert_allclose(outA2, A)
+
+
+class TestReferenceNamedGLMClasses:
+    def test_logit_log_second_deriv_analytic(self):
+        from spateo_tpu.tools.CCI_effects_modeling.distributions import Log, Logit
+
+        h = 1e-6
+        L = Logit()
+        p = np.array([0.2, 0.5, 0.8])
+        num = (L.deriv(p + h) - L.deriv(p - h)) / (2 * h)
+        np.testing.assert_allclose(L.second_deriv(p), num, rtol=1e-4)
+        G = Log()
+        y = np.array([0.5, 2.0, 10.0])
+        num = (G.deriv(y + h) - G.deriv(y - h)) / (2 * h)
+        np.testing.assert_allclose(G.second_deriv(y), num, rtol=1e-4)
+
+    def test_variance_classes_reference_formulas(self):
+        from spateo_tpu.tools.CCI_effects_modeling.distributions import (
+            Binomial_Variance,
+            Negative_Binomial_Variance,
+            binom_variance,
+            nbinom_variance,
+        )
+
+        # reference distributions.py:480: V = p(1-p)n with p = fitted/n
+        np.testing.assert_allclose(Binomial_Variance(3)(np.array([1.5])), 0.5 * 0.5 * 3)
+        np.testing.assert_allclose(binom_variance(np.array([0.25])), 0.25 * 0.75)
+        # reference :542: V = fitted + disp fitted^2 (default disp 0.5)
+        np.testing.assert_allclose(nbinom_variance(np.array([2.0])), 2.0 + 0.5 * 4.0)
+        np.testing.assert_allclose(Negative_Binomial_Variance(1.0).deriv(np.array([2.0])), 1 + 2 * 2.0)
