@@ -1407,3 +1407,120 @@ class TestPlatformReadersGolden:
         bad.to_csv(bad_path, index=False)
         with pytest.raises(SpateoIOError):
             my_p.stitch_images(str(sdir), str(bad_path))
+
+
+class TestBPOracleGolden:
+    """Pin loopy-BP marginals to an executable ground truth.
+
+    The reference's BP is the compiled C++ `fbgbp` extension
+    (/root/reference/spateo/segmentation/bp.py:74-92), which is not
+    installable in this image; tests/bp_oracle.py re-implements its
+    documented sum-product contract (Potts [[p,q],[q,p]] pairwise,
+    synchronous message flooding, per-message normalization, L2
+    message-delta convergence) as a slow, independent pure-Python oracle.
+    These tests pin `ops/bp.py` and `ops/bp_pallas.py` to that oracle.
+
+    Documented tolerance (also recorded in PARITY.md): marginal
+    max-abs-diff <= 1e-4 on converged problems, <= 2e-5 at a fixed
+    iteration count (f32 device kernel vs f64 oracle).
+    """
+
+    def _potentials(self, h, w, seed):
+        rng = np.random.default_rng(seed)
+        cell = np.clip(rng.beta(2.0, 2.0, (h, w)), 0.01, 0.99)
+        # a couple of coherent blobs so BP has real structure to smooth
+        yy, xx = np.mgrid[0:h, 0:w]
+        for cy, cx, r in ((h // 3, w // 3, 3), (2 * h // 3, 2 * w // 3, 4)):
+            cell[(yy - cy) ** 2 + (xx - cx) ** 2 <= r * r] = 0.95
+        return 1.0 - cell, cell
+
+    @pytest.mark.parametrize(
+        "kind,k,hw",
+        [("circle", 3, (16, 20)), ("square", 3, (16, 20)), ("circle", 5, (10, 12))],
+    )
+    def test_bp_matches_oracle_fixed_iters(self, kind, k, hw):
+        """Fixed iteration count (precision below reach) — tight tolerance."""
+        from bp_oracle import sum_product_grid_bp
+
+        from spateo_tpu.ops import bp as bp_ops
+        from spateo_tpu.ops.image import circle
+
+        bg, cell = self._potentials(*hw, seed=hash((kind, k)) % 2**31)
+        neigh = np.ones((k, k)) if kind == "square" else circle(k)
+        offsets = bp_ops.create_neighbor_offsets(np.asarray(neigh).astype(bool))
+        n_iter = 25
+        want = sum_product_grid_bp(bg, cell, offsets, p=0.6, q=0.4, precision=1e-12, max_iter=n_iter)
+        got = bp_ops.run_bp(bg, cell, k=k, square=(kind == "square"), p=0.6, q=0.4, precision=1e-12, max_iter=n_iter)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_bp_matches_oracle_converged(self):
+        """Run both to L2 convergence; marginals must agree to 1e-4."""
+        from bp_oracle import sum_product_grid_bp
+
+        from spateo_tpu.ops import bp as bp_ops
+        from spateo_tpu.ops.image import circle
+
+        bg, cell = self._potentials(14, 18, seed=7)
+        offsets = bp_ops.create_neighbor_offsets(circle(3).astype(bool))
+        want, n_iter = sum_product_grid_bp(
+            bg, cell, offsets, p=0.7, q=0.3, precision=1e-6, max_iter=300, return_n_iter=True
+        )
+        assert n_iter < 300, "oracle did not converge — test problem is degenerate"
+        got = bp_ops.run_bp(bg, cell, k=3, p=0.7, q=0.3, precision=1e-6, max_iter=300)
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_pallas_bp_matches_oracle(self):
+        """The Pallas message kernel (interpret mode) against the oracle."""
+        import jax.numpy as jnp
+
+        from bp_oracle import sum_product_grid_bp
+
+        from spateo_tpu.ops import bp as bp_ops
+        from spateo_tpu.ops.bp_pallas import bp_kernel_pallas
+        from spateo_tpu.ops.image import circle
+
+        bg, cell = self._potentials(12, 16, seed=11)
+        offsets = bp_ops.create_neighbor_offsets(circle(3).astype(bool))
+        want = sum_product_grid_bp(bg, cell, offsets, p=0.6, q=0.4, precision=1e-12, max_iter=20)
+        phi = np.stack([bg, cell], axis=-1).astype(np.float32)
+        phi = phi / phi.sum(axis=-1, keepdims=True)
+        got = np.asarray(bp_kernel_pallas(jnp.asarray(phi), 0.6, 0.4, 1e-12, 20, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_em_bp_mask_parity_vs_oracle(self, nb_raster):
+        """End-to-end EM+BP: masks from our BP vs oracle BP must agree.
+
+        Shares the EM conditionals (pinned to the reference by
+        TestEMGolden) and the threshold+morphology tail; only the BP stage
+        differs. This is the acceptance test VERDICT r3 asked for: the
+        flagship Starro EM+BP mask cannot silently diverge from sum-product
+        semantics.
+        """
+        from bp_oracle import sum_product_grid_bp
+
+        from spateo_tpu.ops import bp as bp_ops
+        from spateo_tpu.ops.threshold import threshold_otsu
+        from spateo_tpu.ops.image import circle
+        from spateo_tpu.segmentation import em as my_em
+        from spateo_tpu.segmentation import utils as seg_utils
+        from spateo_tpu.segmentation.utils import conv2d
+
+        k, mk = 3, 5
+        res = np.asarray(conv2d(nb_raster.astype(float), k, mode="circle"))
+        params = ((0.6, 0.4), (2.157, 10.314), (0.7285, 0.3042))
+        bg_cond, cell_cond = (np.asarray(c) for c in my_em.conditionals(res, em_results=params))
+
+        mine = np.asarray(bp_ops.run_bp(bg_cond, cell_cond, k=3, p=0.6, q=0.4, precision=1e-6, max_iter=100))
+        offsets = bp_ops.create_neighbor_offsets(circle(3).astype(bool))
+        want = sum_product_grid_bp(bg_cond, cell_cond, offsets, p=0.6, q=0.4, precision=1e-6, max_iter=100)
+
+        assert np.max(np.abs(mine - want)) <= 1e-4
+
+        def mask_from(scores):
+            thr = threshold_otsu(scores)
+            return np.asarray(seg_utils.apply_threshold(scores, mk, thr))
+
+        m_mine, m_want = mask_from(mine), mask_from(want)
+        inter = np.logical_and(m_mine, m_want).sum()
+        union = np.logical_or(m_mine, m_want).sum()
+        assert union > 0 and inter / union >= 0.999
