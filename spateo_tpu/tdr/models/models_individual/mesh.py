@@ -90,9 +90,12 @@ def construct_surface(
 ) -> Tuple[Mesh, PointCloud, Optional[str]]:
     """Surface mesh from a 3D point cloud (parity: mesh.py:95).
 
-    cs_method: 'alpha_shape' (default, native 3D alpha shape),
-    'marching_cube' (voxelize + native marching cubes), others fall back to
-    alpha shape with a warning.
+    cs_method: 'alpha_shape' (default, native 3D alpha shape), 'pyvista'
+    (Delaunay-3D alpha surface, same construction), 'ball_pivoting'
+    (advancing-front BPA), 'poisson' (screened Poisson indicator-field
+    reconstruction), 'marching_cube' (voxelize + native marching cubes) —
+    the reference's five cs_method options (reference mesh.py:95); unknown
+    methods fall back to alpha shape with a warning.
     """
     points = np.asarray(pc.points, dtype=float)
     cs_args = cs_args or {}
@@ -100,8 +103,16 @@ def construct_surface(
         from .voxel import marching_cubes_mesh
 
         mesh = marching_cubes_mesh(points, **cs_args)
+    elif cs_method == "ball_pivoting":
+        from .reconstruction import ball_pivoting_reconstruction
+
+        mesh = ball_pivoting_reconstruction(points, radii=cs_args.get("radii"))
+    elif cs_method == "poisson":
+        from .reconstruction import poisson_reconstruction
+
+        mesh = poisson_reconstruction(points, **cs_args)
     else:
-        if cs_method not in ("alpha_shape",):
+        if cs_method not in ("alpha_shape", "pyvista"):
             lm.main_warning(f"cs_method '{cs_method}' uses the native alpha-shape path in this build.")
         mesh = _alpha_shape_3d(points, alpha=cs_args.get("alpha", alpha))
     if smooth:

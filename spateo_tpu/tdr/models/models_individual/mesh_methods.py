@@ -11,7 +11,7 @@ from typing import Optional
 import numpy as np
 
 from ..mesh_core import Mesh
-from .mesh import _alpha_shape_3d, _smooth_mesh
+from .mesh import _alpha_shape_3d
 
 
 def alpha_shape_mesh(pc, alpha: float = 2.0) -> Mesh:
@@ -22,26 +22,43 @@ def alpha_shape_mesh(pc, alpha: float = 2.0) -> Mesh:
 
 
 def ball_pivoting_mesh(pc, radii=None) -> Mesh:
-    """Ball-pivoting reconstruction (parity surface: mesh_methods.py
-    ball_pivoting_mesh; open3d is unavailable, so the radius parameter maps
-    to the alpha of the equivalent alpha-shape surface — both keep triangles
-    whose circumscribing ball fits the sampling density)."""
+    """True ball-pivoting reconstruction (parity: mesh_methods.py:289
+    ball_pivoting_mesh / open3d create_from_point_cloud_ball_pivoting):
+    advancing-front pivoting with the empty-ball invariant over one or more
+    radii; see `reconstruction.ball_pivoting_reconstruction`."""
+    from .reconstruction import ball_pivoting_reconstruction
+
     pts = np.asarray(pc.points if hasattr(pc, "points") else pc, float)
-    if radii is None:
-        from scipy.spatial import cKDTree
-
-        d, _ = cKDTree(pts).query(pts, k=2)
-        radii = float(np.median(d[:, 1])) * 3
-    r = float(np.mean(np.atleast_1d(radii)))
-    return _alpha_shape_3d(pts, alpha=1.0 / max(r, 1e-9))
+    return ball_pivoting_reconstruction(pts, radii=radii)
 
 
-def poisson_mesh(pc, depth: int = 8, **kwargs) -> Mesh:
-    """Poisson surface reconstruction (parity surface: mesh_methods.py
-    poisson_mesh; realized by a smoothed alpha-shape — the watertight,
-    smoothed closed surface is the deliverable)."""
-    m = alpha_shape_mesh(pc)
-    return _smooth_mesh(m, n_iter=max(depth, 5))
+def poisson_mesh(
+    pc,
+    depth: int = 8,
+    width: float = 0,
+    scale: float = 1.1,
+    linear_fit: bool = False,
+    density_threshold: Optional[float] = None,
+    **kwargs,
+) -> Mesh:
+    """Screened Poisson surface reconstruction (parity: mesh_methods.py:343
+    poisson_mesh / open3d create_from_point_cloud_poisson): oriented-normal
+    field integrated into an indicator function on a density-adapted grid
+    (depth bounds the resolution at 2^depth), isosurface at the sample mean,
+    low-density vertices removed by `density_threshold` quantile; see
+    `reconstruction.poisson_reconstruction`."""
+    from .reconstruction import poisson_reconstruction
+
+    pts = np.asarray(pc.points if hasattr(pc, "points") else pc, float)
+    return poisson_reconstruction(
+        pts,
+        depth=depth,
+        width=width,
+        scale=scale,
+        linear_fit=linear_fit,
+        density_threshold=density_threshold,
+        **kwargs,
+    )
 
 
 def marching_cube_mesh(voxel_or_pc, levelset: float = 0.0, **kwargs) -> Mesh:
@@ -53,10 +70,13 @@ def marching_cube_mesh(voxel_or_pc, levelset: float = 0.0, **kwargs) -> Mesh:
     return marching_cubes_mesh(voxel_or_pc, levelset=levelset, **kwargs)
 
 
-def pv_mesh(pc, n_surf: int = 10000) -> Mesh:
-    """2D-projected surface triangulation (parity surface:
-    mesh_methods.py pv_mesh / pyvista delaunay_2d)."""
-    return alpha_shape_mesh(pc)
+def pv_mesh(pc, alpha: float = 2.0) -> Mesh:
+    """Surface of the alpha-filtered 3D Delaunay tetrahedralization
+    (parity: mesh_methods.py:29 pv_mesh / pyvista
+    `delaunay_3d(alpha).extract_surface()` — `_alpha_shape_3d` performs
+    exactly that construction: Delaunay tets, circumradius alpha filter,
+    boundary-face extraction)."""
+    return alpha_shape_mesh(pc, alpha=alpha)
 
 
 def rigid_transform(coords: np.ndarray, coords_refA: np.ndarray, coords_refB: np.ndarray) -> np.ndarray:
