@@ -160,6 +160,158 @@ def _narrow_upload(X: np.ndarray) -> np.ndarray:
     return X
 
 
+# --- lossless tile upload codec -------------------------------------------
+#
+# The serialized host->device transfer is the only Starro pipeline stage
+# that does not run at the device ceiling (VERDICT r3: 23 Mpix/s benched vs
+# the ~34 Mpix/s compute ceiling, gap = dense-int8 upload through a tunnel
+# whose bandwidth swings). UMI rasters compress losslessly:
+#   * 'packed4'  — counts clipped to 4 bits, two pixels per byte, plus a
+#     COO exception list for the rare pixels > 15 (bin1 GEM tiles top out
+#     near 14 counts/px — the test fixture's max IS 14 — so exceptions are
+#     empty or tiny). ~0.5-0.65 bytes/px at any occupancy.
+#   * 'coo'      — flat uint32 index + narrow value per nonzero pixel;
+#     wins on sparse tiles (occupancy < ~11%), e.g. chip background
+#     regions (reference reads these as sparse COO too, io/bgi.py:162).
+#   * 'dense'    — the narrow dense raster (fallback; always correct).
+# encode_tile picks whichever is smallest; the matching _decode_* program
+# reconstructs the exact int raster on device (bit-lossless), so masks are
+# identical to the dense path. Exception/COO lengths are padded to
+# power-of-two buckets so streams of varying tiles reuse compiled decoders.
+
+
+def _pad_bucket(idx: np.ndarray, val: np.ndarray, fill_idx: int, fill_val: int):
+    """Pad (idx, val) to the next power-of-two length with an idempotent
+    entry (scatter uses .set, so repeating a real assignment is a no-op)."""
+    n = len(idx)
+    if n == 0:
+        cap = 1
+    else:
+        cap = 1 << (max(int(n) - 1, 0)).bit_length()
+        cap = max(cap, 16)
+    pad = cap - n
+    if pad:
+        idx = np.concatenate([idx, np.full(pad, fill_idx, idx.dtype)])
+        val = np.concatenate([val, np.full(pad, fill_val, val.dtype)])
+    return idx, val
+
+
+def encode_tile(X) -> tuple:
+    """Choose the cheapest lossless upload encoding for a UMI tile.
+
+    Accepts a dense array or a scipy sparse matrix (never densified when
+    COO wins). Returns one of:
+      ('dense',   X_narrow, shape)
+      ('packed4', packed_u8, exc_idx_u32, exc_val, shape)
+      ('coo',     idx_u32, val, shape)
+    """
+    from scipy import sparse as sp
+
+    if sp.issparse(X):
+        coo = X.tocoo()
+        shape = coo.shape
+        size = shape[0] * shape[1]
+        vmax = float(coo.data.max()) if coo.nnz else 0.0
+        integral = np.all(coo.data == np.round(coo.data)) if coo.nnz else True
+        if integral and 0 <= vmax < 65536:
+            vdt = np.uint8 if vmax < 256 else np.uint16
+            idx = (coo.row.astype(np.int64) * shape[1] + coo.col.astype(np.int64)).astype(np.uint32)
+            val = coo.data.astype(vdt)
+            coo_bytes = _pad_bucket(idx, val, 0, 0)[0].nbytes + val.nbytes
+            if coo_bytes < size + size // 2:  # beats dense and likely packed4
+                idx, val = _pad_bucket(idx, val, int(idx[0]) if len(idx) else 0, int(val[0]) if len(val) else 0)
+                return ("coo", idx, val, shape)
+        X = np.asarray(X.todense())
+
+    X = np.asarray(X)
+    shape = X.shape
+    size = X.size
+    # one narrow cast + lossless check (cheaper than _narrow_upload's
+    # round()+abs() chain: this runs per tile on the stream's host path)
+    if size == 0:
+        return ("dense", _narrow_upload(X), shape)
+    if np.issubdtype(X.dtype, np.floating):
+        flat = X.ravel().astype(np.int16)
+        if not np.array_equal(flat, X.ravel()):  # non-integral or overflow
+            return ("dense", X, shape)
+    elif np.issubdtype(X.dtype, np.integer):
+        flat = X.ravel()
+        if flat.min() < 0 or flat.max() > 32766:
+            return ("dense", _narrow_upload(X), shape)
+        flat = flat.astype(np.int16, copy=False)
+    else:
+        return ("dense", X, shape)
+    if flat.min() < 0:
+        return ("dense", _narrow_upload(X), shape)
+
+    vmax = int(flat.max())
+    nnz = int(np.count_nonzero(flat))
+    n_exc = int(np.count_nonzero(flat > 15))
+    vdt = np.uint8 if vmax < 256 else np.uint16
+    vsize = np.dtype(vdt).itemsize
+
+    dense_bytes = size * (1 if vmax < 127 else 2)
+    coo_bytes = nnz * (4 + vsize)
+    pack_bytes = (size + 1) // 2 + n_exc * (4 + vsize)
+
+    best = min(dense_bytes, coo_bytes, pack_bytes)
+    if best == dense_bytes:
+        return ("dense", flat.astype(np.int8 if vmax < 127 else np.int16, copy=False).reshape(shape), shape)
+    if best == coo_bytes:
+        nnz_idx = np.flatnonzero(flat).astype(np.uint32)
+        coo_val = flat[nnz_idx.astype(np.int64)].astype(vdt)
+        idx, val = _pad_bucket(nnz_idx, coo_val, int(nnz_idx[0]) if len(nnz_idx) else 0,
+                               int(coo_val[0]) if len(coo_val) else 0)
+        return ("coo", idx, val, shape)
+    exc_idx = np.flatnonzero(flat > 15).astype(np.uint32)
+    exc_val = flat[exc_idx.astype(np.int64)].astype(vdt)
+    base = np.minimum(flat, 15).astype(np.uint8)
+    if size % 2:
+        base = np.concatenate([base, np.zeros(1, np.uint8)])
+    packed = base[0::2] | (base[1::2] << 4)
+    if len(exc_idx):
+        # pad with a REAL exception entry: re-setting the same idx/val is a
+        # no-op regardless of scatter ordering
+        exc_idx, exc_val = _pad_bucket(exc_idx, exc_val, int(exc_idx[0]), int(exc_val[0]))
+    else:
+        # no exceptions: pad with pixel 0's clipped value (also a no-op)
+        fill_val = int(min(int(flat[0]), 15)) if size else 0
+        exc_idx, exc_val = _pad_bucket(exc_idx, exc_val, 0, fill_val)
+    return ("packed4", packed, exc_idx, exc_val, shape)
+
+
+@partial(jax.jit, static_argnames=("H", "W"))
+def _decode_packed4(packed, exc_idx, exc_val, H: int, W: int):
+    lo = (packed & 15).astype(jnp.int16)
+    hi = (packed >> 4).astype(jnp.int16)
+    flat = jnp.stack([lo, hi], axis=1).reshape(-1)[: H * W]
+    flat = flat.at[exc_idx].set(exc_val.astype(jnp.int16))
+    return flat.reshape(H, W)
+
+
+@partial(jax.jit, static_argnames=("H", "W"))
+def _decode_coo(idx, val, H: int, W: int):
+    return jnp.zeros((H * W,), jnp.int16).at[idx].set(val.astype(jnp.int16)).reshape(H, W)
+
+
+def _upload_encoded(enc) -> jnp.ndarray:
+    """Ship an `encode_tile` result to the device and decode it there."""
+    if enc[0] == "dense":
+        return jnp.asarray(enc[1])
+    if enc[0] == "coo":
+        _, idx, val, (H, W) = enc
+        return _decode_coo(jnp.asarray(idx), jnp.asarray(val), int(H), int(W))
+    _, packed, exc_idx, exc_val, (H, W) = enc
+    return _decode_packed4(jnp.asarray(packed), jnp.asarray(exc_idx), jnp.asarray(exc_val), int(H), int(W))
+
+
+def upload_tile(X) -> jnp.ndarray:
+    """Upload a tile with the cheapest lossless encoding and decode it on
+    device; returns the device-resident int raster (dispatch is async, so a
+    caller streaming tiles overlaps this with in-flight compute)."""
+    return _upload_encoded(encode_tile(X))
+
+
 def starro_em_bp(
     X: np.ndarray,
     k: int = 5,
@@ -190,11 +342,19 @@ def starro_em_bp(
     traffic for a measured 15% end-to-end speedup with a bit-identical
     mask (IoU 1.000000 vs bp_msg_dtype='float32' on the benchmark raster).
     Pass ``bp_msg_dtype='float32'`` to store full-precision messages.
+
+    ``X`` may be dense or a scipy sparse matrix; either way the upload uses
+    the cheapest lossless encoding (see `encode_tile`) and is reconstructed
+    bit-exactly on device, so masks are identical to a dense upload.
     """
-    X = np.asarray(X)
-    X_up = _narrow_upload(X)
+    from scipy import sparse as _sp
+
+    if not _sp.issparse(X):
+        X = np.asarray(X)
+    shape = X.shape
+    dev = upload_tile(X)
     mk = mk or k + 2
-    n = X.size
+    n = int(shape[0]) * int(shape[1])
     # floor of 1000 samples: the fractional downsample degenerates on small
     # rasters (0.001 of 128^2 = 16 samples -> unstable NB fits); at the
     # production raster sizes this path targets (>=1 Mpixel) the floor is
@@ -205,7 +365,7 @@ def starro_em_bp(
     offsets = tuple(map(tuple, create_neighbor_offsets(neighborhood.astype(bool)).tolist()))
     key = jax.random.PRNGKey(0 if seed is None else seed)
     scores, mask = _starro_em_bp_fused(
-        jnp.asarray(X_up),
+        dev,
         key,
         k,
         mk,
@@ -222,7 +382,7 @@ def starro_em_bp(
         str(bp_msg_dtype),
     )
     if mask_only:
-        mask = np.unpackbits(np.asarray(mask))[: X.size].reshape(X.shape).astype(bool)
+        mask = np.unpackbits(np.asarray(mask))[:n].reshape(shape).astype(bool)
     return scores, mask
 
 
@@ -258,9 +418,17 @@ def starro_em_bp_stream(
     triggers one recompile (or a compile-cache hit). Each tile uses the
     same ``seed``, so outputs are bit-identical to per-tile calls.
     """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from scipy import sparse as _sp
+
+    def _as_tile(t):
+        return t if _sp.issparse(t) else np.asarray(t)
+
     it = iter(tiles)
     try:
-        X = np.asarray(next(it))
+        X = _as_tile(next(it))
     except StopIteration:
         return
     mk_eff = mk or k + 2
@@ -283,15 +451,40 @@ def starro_em_bp_stream(
             mask = np.unpackbits(np.asarray(mask))[:size].reshape(shape).astype(bool)
         return scores, mask
 
-    dev = jnp.asarray(_narrow_upload(X))
-    shape, size = X.shape, X.size
-    for nxt in it:
-        out = dispatch(dev, size)  # async: compute runs while we upload
-        X2 = np.asarray(nxt)
-        dev2 = jnp.asarray(_narrow_upload(X2))  # overlaps the compute above
-        yield finalize(out, shape, size)  # blocks on tile i only
-        dev, shape, size = dev2, X2.shape, X2.size
-    yield finalize(dispatch(dev, size), shape, size)
+    # three-stage pipeline: a worker thread ENCODES tile i+2 while the main
+    # thread UPLOADS tile i+1 and the device COMPUTES tile i. Encode is
+    # always one tile ahead of its upload, so the steady-state host chain is
+    # just upload(i+1) + pull(i) — both overlapped with compute(i).
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        pending = deque()  # (encode_future, shape)
+        pending.append((ex.submit(encode_tile, X), X.shape))
+        nxt = next(it, None)
+        if nxt is not None:
+            X2 = _as_tile(nxt)
+            pending.append((ex.submit(encode_tile, X2), X2.shape))
+
+        fut, shape = pending.popleft()
+        dev = _upload_encoded(fut.result())
+        size = int(shape[0]) * int(shape[1])
+        while True:
+            out = dispatch(dev, size)  # async: device computes tile i
+            nxt = next(it, None)
+            if nxt is not None:
+                X3 = _as_tile(nxt)
+                pending.append((ex.submit(encode_tile, X3), X3.shape))  # encode i+2
+            if pending:
+                fut2, shape2 = pending.popleft()
+                dev2 = _upload_encoded(fut2.result())  # upload i+1 over compute i
+            else:
+                dev2 = None
+            yield finalize(out, shape, size)  # blocks on tile i only
+            if dev2 is None:
+                break
+            dev, shape = dev2, shape2
+            size = int(shape[0]) * int(shape[1])
+    finally:
+        ex.shutdown(wait=False)
 
 
 def starro_em_bp_sharded(
