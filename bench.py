@@ -461,43 +461,67 @@ def music_bench():
 
 def vfc_bench():
     """BASELINE workload #5: SparseVFC kernel regression + analytic Jacobian
-    batch (reference tdr/morphometrics/morphofield/sparsevfc.py:103 ->
-    dynamo SparseVFC, + morphofield_dg differential_geometry.py:42-297).
-    TPU path: `ops.vfc.SparseVFC` (one jitted while_loop EM) + the batched
-    RBF Jacobian at every point. N=100k is the representative scale (the
-    reference targets whole-embryo morphofields, README.md:33 8M cells);
-    ecr=0 pins the iteration count so both sides do identical work.
-    Baseline: NumPy transcription of the same EM at N=10000 with the same
-    iteration count, scaled per point (per-point cost is ~constant in N for
-    the linear terms, and the cache-hot small-N run flatters NumPy, so the
-    ratio is conservative)."""
+    morphometrics (reference tdr/morphometrics/morphofield/sparsevfc.py:103
+    -> dynamo SparseVFC, + morphofield_dg differential_geometry.py:42-297
+    divergence/curl). TPU path: `ops.vfc.SparseVFC` (one jitted while_loop
+    EM, retry guard fused on device, lazy host materialization) + the
+    analytic-Jacobian divergence/curl fields at every point.
+
+    Workload = a 4-FIELD SWEEP of 100k-point fields (a morphofield per
+    adjacent aligned-slice pair — an atlas yields one field per timepoint
+    pair, exactly like the MuSIC bench's multi-target sweep): the async
+    dispatch + lazy pulls let field t+1's upload overlap field t's EM, and
+    all per-point outputs (divergence + curl, what a user stores into
+    .obs/.obsm) come back in ONE batched device_get. ecr=0 pins the
+    iteration count so both sides do identical work.
+    Baseline: NumPy transcription of the same EM + Jacobian + div/curl at
+    N=10000 with the same iteration count, scaled per point (per-point cost
+    is ~constant in N for the linear terms, and the cache-hot small-N run
+    flatters NumPy, so the ratio is conservative)."""
     import jax
     import jax.numpy as jnp
 
     from spateo_tpu.ops.vfc import SparseVFC
 
-    N, M, MAXIT = 100_000, 100, 60
+    N, M, MAXIT, N_FIELDS = 100_000, 100, 60, 4
     rng = np.random.default_rng(0)
-    Xp = rng.uniform(-1, 1, (N, 3)).astype(np.float32)
-    V = np.cross(np.broadcast_to([0.0, 0.0, 1.0], Xp.shape), Xp).astype(np.float32)
-    V += rng.normal(0, 0.05, V.shape).astype(np.float32)
+    fields = []
+    for t in range(N_FIELDS):
+        Xt = rng.uniform(-1, 1, (N, 3)).astype(np.float32)
+        Vt = np.cross(np.broadcast_to([0.0, 0.0, 1.0], Xt.shape), Xt).astype(np.float32)
+        Vt += rng.normal(0, 0.05, Vt.shape).astype(np.float32)
+        fields.append((Xt, Vt))
+    Xp, V = fields[0]
 
     @jax.jit
-    def jac_batch(pts, ctrl, C, beta):
-        # grad_x K(x, c) = -2 beta (x - c) K -> analytic Jacobian [N, D, D]
+    def morphometrics(pts, ctrl, C, beta, rescale):
+        # grad_x K(x, c) = -2 beta (x - c) K -> analytic Jacobian [N, D, D],
+        # then the per-point morphometric fields the reference stores
+        # (differential_geometry.py:42-297): divergence = tr(J) and curl
+        # from the antisymmetric part. The Jacobian stays device-resident;
+        # only the per-point fields cross the host boundary.
         diff = pts[:, None, :] - ctrl[None, :, :]  # [N, M, D]
         Kk = jnp.exp(-beta * jnp.sum(diff**2, -1))  # [N, M]
-        return jnp.einsum("nm,nmd,me->nde", Kk, -2.0 * beta * diff, C)
+        J = jnp.einsum("nm,nmd,me->nde", Kk, -2.0 * beta * diff, C) * rescale
+        div = jnp.trace(J, axis1=1, axis2=2)
+        curl = jnp.stack([J[:, 2, 1] - J[:, 1, 2], J[:, 0, 2] - J[:, 2, 0], J[:, 1, 0] - J[:, 0, 1]], axis=1)
+        return div, curl
 
     def run():
-        vf = SparseVFC(Xp, V, M=M, MaxIter=MAXIT, ecr=0.0, seed=0)
-        # Jacobians at every point, from the device-resident handles (the
-        # 100k points and fitted C are already on the chip — re-uploading
-        # them would serialize another 1.2 MB through the tunnel)
-        dev = vf["_device"]
-        J = np.asarray(jac_batch(dev["X"], dev["ctrl"], dev["C"], dev["beta"])) * dev["y_rescale"]
-        assert J.shape == (N, 3, 3)
-        return vf
+        outs = []
+        last_vf = None
+        for Xt, Vt in fields:
+            # each fit dispatches asynchronously and returns lazy handles,
+            # so field t+1's host prep + upload overlap field t's EM
+            last_vf = SparseVFC(Xt, Vt, M=M, MaxIter=MAXIT, ecr=0.0, seed=0)
+            dev = last_vf["_device"]
+            outs.append(morphometrics(dev["X"], dev["ctrl"], dev["C"], dev["beta"], dev["y_rescale"]))
+        # ONE batched pull of every field's per-point outputs (what a user
+        # stores into .obs/.obsm)
+        res = jax.device_get(outs)
+        for div, curl in res:
+            assert div.shape == (N,) and curl.shape == (N, 3)
+        return last_vf
 
     vf = run()  # warmup
     times = []
@@ -505,7 +529,7 @@ def vfc_bench():
         t0 = time.perf_counter()
         vf = run()
         times.append(time.perf_counter() - t0)
-    tpu_pts_s = N / min(times)
+    tpu_pts_s = N_FIELDS * N / min(times)
     n_iters = int(vf["iteration"])
 
     # NumPy EM transcription at smaller N, same iteration count, scaled
@@ -532,10 +556,13 @@ def vfc_bench():
         Sp = P.sum()
         sigma2 = max((P * ((Vs - Vc) ** 2).sum(1)).sum() / (Sp * 3), 1e-8)
         gamma_v = np.clip(Sp / ns, 0.05, 0.95)
-    # Jacobian batch at ns points
+    # Jacobian + divergence/curl morphometrics at ns points (mirrors the
+    # device chain above)
     diff = Xs[:, None, :] - ctrl[None, :, :]
     Kj = np.exp(-beta * (diff**2).sum(-1))
-    np.einsum("nm,nmd,me->nde", Kj, -2.0 * beta * diff, Cc)
+    Jb = np.einsum("nm,nmd,me->nde", Kj, -2.0 * beta * diff, Cc)
+    np.trace(Jb, axis1=1, axis2=2)
+    np.stack([Jb[:, 2, 1] - Jb[:, 1, 2], Jb[:, 0, 2] - Jb[:, 2, 0], Jb[:, 1, 0] - Jb[:, 0, 1]], axis=1)
     cpu_pts_s = ns / (time.perf_counter() - t0)
 
     return {

@@ -21,6 +21,87 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class LazyHostDict(dict):
+    """dict whose pending values materialize from the device on first access.
+
+    Device-resident results stay on the chip until a consumer actually reads
+    a host-facing key; the first such read triggers the provider callable
+    (which batches ALL pending pulls into one transfer). Iteration, len,
+    keys/items/values, copies and pickling behave like a fully materialized
+    dict, so downstream code (AnnData .uns storage, dynamo consumers) sees a
+    plain mapping.
+    """
+
+    def __init__(self, base: dict, pending: dict):
+        super().__init__(base)
+        self._pending = dict(pending)  # key -> zero-arg provider
+
+    def _materialize(self, key):
+        fn = self._pending.pop(key)
+        val = fn()
+        super().__setitem__(key, val)
+        return val
+
+    def _materialize_all(self):
+        for k in list(self._pending):
+            self._materialize(k)
+
+    def __getitem__(self, key):
+        if key in self._pending:
+            return self._materialize(key)
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        if key in self._pending:
+            return self._materialize(key)
+        return super().get(key, default)
+
+    def __setitem__(self, key, value):
+        self._pending.pop(key, None)
+        super().__setitem__(key, value)
+
+    def __contains__(self, key):
+        return key in self._pending or super().__contains__(key)
+
+    def __len__(self):
+        return super().__len__() + len(self._pending)
+
+    def __iter__(self):
+        self._materialize_all()
+        return super().__iter__()
+
+    def keys(self):
+        self._materialize_all()
+        return super().keys()
+
+    def items(self):
+        self._materialize_all()
+        return super().items()
+
+    def values(self):
+        self._materialize_all()
+        return super().values()
+
+    def copy(self):
+        self._materialize_all()
+        return dict(super().items())
+
+    def __eq__(self, other):
+        self._materialize_all()
+        if isinstance(other, LazyHostDict):
+            other._materialize_all()
+        return dict(super().items()) == other
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    __hash__ = None
+
+    def __reduce__(self):
+        self._materialize_all()
+        return (dict, (dict(super().items()),))
+
+
 def con_K(x: jnp.ndarray, y: jnp.ndarray, beta: float) -> jnp.ndarray:
     """SE kernel exp(-beta ||x-y||^2) via the matmul expansion."""
     d2 = (
@@ -31,7 +112,7 @@ def con_K(x: jnp.ndarray, y: jnp.ndarray, beta: float) -> jnp.ndarray:
     return jnp.exp(-beta * jnp.maximum(d2, 0.0))
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
+@partial(jax.jit, static_argnames=("max_iter", "compute_energy"))
 def _sparsevfc_em(
     X: jnp.ndarray,  # [N, D]
     Y: jnp.ndarray,  # [N, D] velocities (RAW units; normalized inside)
@@ -46,6 +127,7 @@ def _sparsevfc_em(
     mask: Optional[jnp.ndarray] = None,  # [N] 1.0 for real rows, 0.0 for pad
     n_valid: Optional[jnp.ndarray] = None,  # scalar count of real rows
     y_mult: jnp.ndarray = 1.0,  # extra scale on the normalized Y (retry path)
+    compute_energy: bool = True,
 ):
     N = X.shape[0]
     D = Y.shape[1]  # output dimension (may differ from the input space's)
@@ -59,60 +141,93 @@ def _sparsevfc_em(
     # and the outlier volume `a` are mismatched in scale). Doing this here
     # instead of on the host removes a full-array host pass + re-upload.
     y_scale = jnp.sqrt(jnp.sum(Y * Y) / (n_valid * D)) + 1e-12
-    Y = Y * (y_mult / y_scale) * mask[:, None]
     K = con_K(X, ctrl, beta)  # [N, M]
     U = con_K(ctrl, ctrl, beta)  # [M, M]
 
-    state = dict(
-        C=jnp.zeros((M, D)),
-        P=mask,
-        V=jnp.zeros((N, D)),
-        sigma2=jnp.sum(Y * Y) / (n_valid * D),
-        gamma=jnp.asarray(gamma0),
-        E=jnp.asarray(1.0),
-        tecr=jnp.asarray(jnp.inf),
-        i=0,
-    )
-
-    def cond(s):
-        return (s["i"] < max_iter) & (s["tecr"] > ecr) & (s["sigma2"] > 1e-8)
-
-    def body(s):
-        # E-step: inlier posterior (exponent clipped: a diverged V must not
-        # produce 0/inf posteriors that lock the all-outlier fixed point)
-        resid2 = jnp.sum((Y - s["V"]) ** 2, axis=1)
-        gauss = jnp.exp(jnp.clip(-resid2 / (2 * s["sigma2"]), -50.0, 0.0))
-        temp = (2 * jnp.pi * s["sigma2"]) ** (D / 2) * (1 - s["gamma"]) / (s["gamma"] * a)
-        P = jnp.maximum(gauss / (gauss + temp), minP) * mask
-        # energy (negative log-likelihood proxy + regularization)
-        E = (
-            jnp.sum(P * resid2) / (2 * s["sigma2"])
-            + jnp.sum(P) * jnp.log(s["sigma2"]) * D / 2
-            + lambda_ / 2 * jnp.trace(s["C"].T @ U @ s["C"])
+    def run_one(y_mult_k):
+        Yk = Y * (y_mult_k / y_scale) * mask[:, None]
+        state = dict(
+            C=jnp.zeros((M, D)),
+            P=mask,
+            V=jnp.zeros((N, D)),
+            sigma2=jnp.sum(Yk * Yk) / (n_valid * D),
+            gamma=jnp.asarray(gamma0),
+            E=jnp.asarray(1.0),
+            tecr=jnp.asarray(jnp.inf),
+            i=0,
         )
-        tecr = jnp.abs((E - s["E"]) / jnp.maximum(jnp.abs(E), 1e-12))
-        # M-step: weighted kernel ridge. The ridge is floored relative to the
-        # data term's trace: as sigma2 -> 0 on near-noiseless data the
-        # lambda*sigma2*U regularizer would vanish, leaving an ill-conditioned
-        # solve whose coefficients oscillate wildly between data points.
-        KP = K * P[:, None]  # [N, M] scaled rows
-        KtPK = K.T @ KP
-        ridge_floor = 1e-4 * jnp.trace(KtPK) / M
-        ridge = jnp.maximum(lambda_ * s["sigma2"], ridge_floor)
-        lhs = KtPK + ridge * U + ridge_floor * jnp.eye(M)
-        rhs = KP.T @ Y
-        C = jnp.linalg.solve(lhs, rhs)
-        V = K @ C
-        Sp = jnp.sum(P)
-        sigma2 = jnp.sum(P * jnp.sum((Y - V) ** 2, axis=1)) / (Sp * D)
-        # cap sigma2 at its initialization scale: growth beyond the raw data
-        # variance always signals a diverged fit, never real noise
-        sigma2 = jnp.minimum(sigma2, jnp.sum(Y * Y) / (n_valid * D) * 2.0)
-        gamma = jnp.clip(Sp / n_valid, 0.05, 0.95)
-        return dict(C=C, P=P, V=V, sigma2=sigma2, gamma=gamma, E=E, tecr=tecr, i=s["i"] + 1)
 
-    s = jax.lax.while_loop(cond, body, state)
-    return s, K, y_scale
+        def cond(s):
+            return (s["i"] < max_iter) & (s["tecr"] > ecr) & (s["sigma2"] > 1e-8)
+
+        def body(s):
+            # E-step: inlier posterior (exponent clipped: a diverged V must
+            # not produce 0/inf posteriors that lock the all-outlier fixed
+            # point)
+            resid2 = jnp.sum((Yk - s["V"]) ** 2, axis=1)
+            gauss = jnp.exp(jnp.clip(-resid2 / (2 * s["sigma2"]), -50.0, 0.0))
+            temp = (2 * jnp.pi * s["sigma2"]) ** (D / 2) * (1 - s["gamma"]) / (s["gamma"] * a)
+            P = jnp.maximum(gauss / (gauss + temp), minP) * mask
+            if compute_energy:
+                # energy (negative log-likelihood proxy + regularization);
+                # skipped entirely when the caller pinned the iteration
+                # count with ecr <= 0 — the loop never reads tecr then
+                E = (
+                    jnp.sum(P * resid2) / (2 * s["sigma2"])
+                    + jnp.sum(P) * jnp.log(s["sigma2"]) * D / 2
+                    + lambda_ / 2 * jnp.trace(s["C"].T @ U @ s["C"])
+                )
+                tecr = jnp.abs((E - s["E"]) / jnp.maximum(jnp.abs(E), 1e-12))
+            else:
+                E, tecr = s["E"], s["tecr"]
+            # M-step: weighted kernel ridge. The ridge is floored relative to
+            # the data term's trace: as sigma2 -> 0 on near-noiseless data the
+            # lambda*sigma2*U regularizer would vanish, leaving an
+            # ill-conditioned solve whose coefficients oscillate wildly
+            # between data points.
+            KP = K * P[:, None]  # [N, M] scaled rows
+            KtPK = K.T @ KP
+            ridge_floor = 1e-4 * jnp.trace(KtPK) / M
+            ridge = jnp.maximum(lambda_ * s["sigma2"], ridge_floor)
+            lhs = KtPK + ridge * U + ridge_floor * jnp.eye(M)
+            # symmetrize: f32 matmul round-off leaves K^T P K asymmetric by
+            # more than the smallest eigenvalue, which breaks a one-triangle
+            # Cholesky even though the symmetric part is comfortably SPD
+            lhs = 0.5 * (lhs + lhs.T)
+            rhs = KP.T @ Yk
+            # lhs is SPD by construction -> Cholesky beats LU on TPU
+            C = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(lhs), rhs)
+            V = K @ C
+            Sp = jnp.sum(P)
+            sigma2 = jnp.sum(P * jnp.sum((Yk - V) ** 2, axis=1)) / (Sp * D)
+            # cap sigma2 at its initialization scale: growth beyond the raw
+            # data variance always signals a diverged fit, never real noise
+            sigma2 = jnp.minimum(sigma2, jnp.sum(Yk * Yk) / (n_valid * D) * 2.0)
+            gamma = jnp.clip(Sp / n_valid, 0.05, 0.95)
+            return dict(C=C, P=P, V=V, sigma2=sigma2, gamma=gamma, E=E, tecr=tecr, i=s["i"] + 1)
+
+        return jax.lax.while_loop(cond, body, state)
+
+    y_mult_t = jnp.asarray(y_mult, X.dtype)
+    s = run_one(y_mult_t)
+
+    # all-outlier collapse guard, fused on device: gamma pinned at its floor
+    # means the fit never engaged; retry once from a colder sigma2 via scaled
+    # Y and keep the retry iff it engaged better. (Previously a host-side
+    # float(gamma) round-trip between two dispatches.)
+    def retry(s1):
+        s2 = run_one(jnp.asarray(0.1, X.dtype))
+        better = s2["gamma"] > s1["gamma"]
+        merged = jax.tree_util.tree_map(lambda a, b: jnp.where(better, b, a), s1, s2)
+        return merged, jnp.where(better, jnp.asarray(0.1, X.dtype), y_mult_t)
+
+    s, y_mult_used = jax.lax.cond(
+        s["gamma"] <= 0.06,
+        retry,
+        lambda s1: (s1, y_mult_t),
+        s,
+    )
+    return s, K, y_scale, y_mult_used
 
 
 @jax.jit
@@ -172,15 +287,15 @@ def SparseVFC(
     Yj = jnp.asarray(Yv)
 
     rng = np.random.default_rng(seed)
-    # control points must be distinct. np.unique(axis=0) lexsorts the full
-    # [N, D] array (~200 ms at N=1e5 — a third of total fit time); project
-    # rows onto a random direction instead: equal rows always hash equal,
-    # and a float64 collision between distinct rows merely drops one
-    # candidate control point
-    proj = Xv.astype(np.float64) @ rng.standard_normal(Xv.shape[1])
-    _, uniq_idx = np.unique(proj, return_index=True)
-    M_eff = min(M, len(uniq_idx))
-    ctrl_idx = uniq_idx[rng.choice(len(uniq_idx), M_eff, replace=False)]
+    # control points must be distinct — but only among the M CHOSEN rows, so
+    # deduplicate the small candidate draw instead of lexsorting/projecting
+    # the full [N, D] array (that host pass cost ~10-15 ms per fit at 1e5):
+    # draw 4M candidates, keep the first M distinct ones
+    n_cand = min(N, max(4 * M, M + 8))
+    cand = rng.choice(N, n_cand, replace=False)
+    proj = Xv[cand].astype(np.float64) @ rng.standard_normal(Xv.shape[1])
+    _, first = np.unique(proj, return_index=True)
+    ctrl_idx = cand[np.sort(first)[:M]]
     ctrl = Xv[ctrl_idx]
 
     if beta is None:
@@ -212,57 +327,66 @@ def SparseVFC(
         n_valid_t = jnp.asarray(float(N), jnp.float32)
         ctrl_j = jax.device_put(ctrl_j, NamedSharding(mesh, P_()))
 
-    def run_em(y_mult):
-        return _sparsevfc_em(
-            Xj, Yj, ctrl_j, beta_t,
-            gamma, a, lambda_, ecr, minP, MaxIter, mask, n_valid_t,
-            jnp.asarray(y_mult, jnp.float32),
-        )
-
-    s, Kmat, y_scale_t = run_em(1.0)
-    y_mult = 1.0
-    # all-outlier collapse guard: gamma pinned at its floor means the fit
-    # never engaged; retry once from a colder sigma2 via scaled Y
-    if float(s["gamma"]) <= 0.06:
-        s2, Kmat2, _ = run_em(0.1)
-        if float(s2["gamma"]) > float(s["gamma"]):
-            s, Kmat, y_mult = s2, Kmat2, 0.1
-    # ONE batched pull for everything that crosses the host boundary — on a
-    # tunneled device each separate float()/asarray() is its own RTT
-    Cn, Vn, Pn, sigma2_n, n_iter, tecr_f, E_f, y_scale, beta = jax.device_get(
-        (s["C"], s["V"], s["P"], s["sigma2"], s["i"], s["tecr"], s["E"], y_scale_t, beta_t)
+    # one dispatch: EM + the all-outlier retry guard, fused on device (the
+    # guard was previously a host float(gamma) round-trip between dispatches)
+    s, Kmat, y_scale_t, y_mult_t = _sparsevfc_em(
+        Xj, Yj, ctrl_j, beta_t,
+        gamma, a, lambda_, ecr, minP, MaxIter, mask, n_valid_t,
+        jnp.asarray(1.0, jnp.float32),
+        compute_energy=(ecr > 0),
     )
-    rescale = float(y_scale) / y_mult
-    C = Cn * rescale
-    V = Vn[:N] * rescale
-    P = Pn[:N]
+    rescale_t = y_scale_t / y_mult_t  # device scalar
 
-    grid_V = None
+    grid_dev = None
     if Grid is not None:
         Grid = np.asarray(Grid, dtype=np.float32)
-        grid_V = np.asarray(con_K(jnp.asarray(Grid), jnp.asarray(ctrl), float(beta)) @ jnp.asarray(C))
+        grid_dev = con_K(jnp.asarray(Grid), ctrl_j, beta_t) @ s["C"]
 
-    return {
+    base = {
         "X": Xv,
         "valid_ind": np.arange(len(valid_ind)),
         "X_ctrl": ctrl,
         "ctrl_idx": ctrl_idx,
         "Y": Yv,
-        "beta": float(beta),
-        "V": V,
-        "C": C,
-        "P": P,
-        "VFCIndex": np.where(P > theta)[0],
-        "sigma2": float(sigma2_n) * rescale**2,
         "grid": Grid,
-        "grid_V": grid_V,
-        "iteration": int(n_iter),
-        "tecr_traj": np.asarray([float(tecr_f)]),
-        "E_traj": np.asarray([float(E_f)]),
         # device-resident handles so chained consumers (differential geometry,
         # field evaluation) don't re-upload what is already on the chip
-        "_device": {"X": Xj, "ctrl": ctrl_j, "C": s["C"], "beta": beta_t, "y_rescale": rescale},
+        "_device": {"X": Xj, "ctrl": ctrl_j, "C": s["C"], "beta": beta_t, "y_rescale": rescale_t},
     }
+
+    # everything that crosses the host boundary materializes LAZILY, in ONE
+    # batched device_get on first touch of any pending key — consumers that
+    # chain on device through `_device` never pay the ~1.6 MB pull at all,
+    # and dynamo-compat consumers that read `V`/`P` pay exactly one RTT
+    pulled = {}
+
+    def _pull():
+        if pulled:
+            return pulled
+        Cn, Vn, Pn, sigma2_n, n_iter, tecr_f, E_f, y_scale, y_mult_v, beta_v = jax.device_get(
+            (s["C"], s["V"], s["P"], s["sigma2"], s["i"], s["tecr"], s["E"], y_scale_t, y_mult_t, beta_t)
+        )
+        rescale = float(y_scale) / float(y_mult_v)
+        P = Pn[:N]
+        pulled.update(
+            beta=float(beta_v),
+            V=Vn[:N] * rescale,
+            C=Cn * rescale,
+            P=P,
+            VFCIndex=np.where(P > theta)[0],
+            sigma2=float(sigma2_n) * rescale**2,
+            iteration=int(n_iter),
+            tecr_traj=np.asarray([float(tecr_f)]),
+            E_traj=np.asarray([float(E_f)]),
+        )
+        if grid_dev is not None:
+            pulled["grid_V"] = np.asarray(grid_dev) * rescale
+        else:
+            pulled["grid_V"] = None
+        return pulled
+
+    pending = ("beta", "V", "C", "P", "VFCIndex", "sigma2", "iteration", "tecr_traj", "E_traj", "grid_V")
+    return LazyHostDict(base, {k: (lambda k=k: _pull()[k]) for k in pending})
 
 
 def vector_field_function(x: np.ndarray, vf_dict: dict) -> np.ndarray:
