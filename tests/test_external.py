@@ -119,8 +119,19 @@ class TestMERFISHVIDepth:
         corr = np.corrcoef(sample.mean(0).sum(1), np.asarray(adata.X).sum(1))[0, 1]
         assert corr > 0.6, f"library correlation {corr}"
         de = model.differential_expression("pop", "A", "B")
-        top = set(de.head(10).index)
-        assert len(top & {f"g{i}" for i in range(10)}) >= 7, f"A-program genes not enriched: {sorted(top)}"
+        # scvi change-mode contract: sorted by proba_de, carries Bayes factors
+        for col in ("proba_de", "bayes_factor", "lfc_mean", "lfc_median", "lfc_std"):
+            assert col in de.columns
+        # both programs (g0-g9 up in A, g10-g19 up in B) are true DE genes
+        true_de = {f"g{i}" for i in range(20)}
+        assert len(set(de.head(20).index) & true_de) >= 14, f"DE genes not enriched: {sorted(de.head(20).index)}"
+        # A-program genes must carry positive lfc, B-program negative
+        top_up = set(de.sort_values("lfc_mean", ascending=False).head(10).index)
+        assert len(top_up & {f"g{i}" for i in range(10)}) >= 7, f"A-program genes not enriched: {sorted(top_up)}"
+        # bayes_factor is the logit of proba_de
+        np.testing.assert_allclose(
+            de["bayes_factor"], np.log(de["proba_de"] / (1 - de["proba_de"])), rtol=1e-6
+        )
 
     def test_zinb_and_poisson_likelihoods(self, two_pop_adata):
         from spateo_tpu.external import MERFISHVI
@@ -181,3 +192,115 @@ class TestMERFISHVISharded:
         l_mesh = m2.train(max_epochs=8, mesh=mesh)
         np.testing.assert_allclose(l_single, l_mesh, rtol=2e-4, atol=2e-4)
         assert np.isfinite(l_mesh).all() and l_mesh[-1] < l_mesh[0]
+
+
+class TestMERFISHVIDeepScope:
+    """Reference-depth capabilities added in round 4 (VERDICT r3 #5):
+    batch registration with latent mixing, gene-batch dispersion,
+    covariate registration, and the multimodal RNA+protein mode
+    (parity: reference external/MERFISHVI/_module.py:1069 batch/dispersion
+    options, scvi_spatial_module.py:941 multimodal VAE)."""
+
+    @pytest.fixture(scope="class")
+    def two_batch_adata(self):
+        """Two biological populations × two batches with a strong
+        multiplicative batch effect on half the genes."""
+        rng = np.random.default_rng(7)
+        n, G = 400, 30
+        pop = np.repeat([0, 1], n // 2)
+        batch = np.tile([0, 1], n // 2)
+        base = rng.poisson(2, (n, G)).astype(float)
+        base[pop == 0, :10] += rng.poisson(8, (n // 2, 10))
+        base[pop == 1, 10:20] += rng.poisson(8, (n // 2, 10))
+        # batch effect: batch 1 triples genes 15:30
+        base[batch == 1, 15:] = rng.poisson(3 * (base[batch == 1, 15:] + 1))
+        adata = st.AnnData(X=base, var=pd.DataFrame(index=[f"g{i}" for i in range(G)]))
+        adata.obs["pop"] = np.where(pop == 0, "A", "B")
+        adata.obs["batch"] = np.where(batch == 0, "b1", "b2")
+        adata.obs["depth"] = base.sum(1)
+        st.SKM.init_adata_type(adata, "UMI")
+        return adata
+
+    @staticmethod
+    def _knn_same_label_frac(z, labels, k=10):
+        from scipy.spatial import cKDTree
+
+        _, knn = cKDTree(z).query(z, k=k + 1)
+        same = labels[knn[:, 1:]] == labels[:, None]
+        return float(same.mean())
+
+    def test_batch_key_mixes_batches_in_latent(self, two_batch_adata):
+        """With batch_key registered, same-batch kNN fraction in the latent
+        must drop toward the 0.5 chance level, while population structure
+        is preserved (the scvi batch-correction contract)."""
+        from spateo_tpu.external import MERFISHVI
+
+        ad1 = two_batch_adata.copy()
+        m_no = MERFISHVI(ad1, n_latent=8, n_hidden=64, seed=0)
+        m_no.train(max_epochs=400)
+        z_no = m_no.get_latent_representation()
+
+        ad2 = two_batch_adata.copy()
+        MERFISHVI.setup_anndata(ad2, batch_key="batch")
+        m_yes = MERFISHVI(ad2, n_latent=8, n_hidden=64, seed=0)
+        assert m_yes.batch_categories == ["b1", "b2"]
+        m_yes.train(max_epochs=400)
+        z_yes = m_yes.get_latent_representation()
+
+        b = np.asarray(two_batch_adata.obs["batch"])
+        p = np.asarray(two_batch_adata.obs["pop"])
+        mix_no = self._knn_same_label_frac(z_no, b)
+        mix_yes = self._knn_same_label_frac(z_yes, b)
+        assert mix_yes < mix_no, f"batch conditioning did not mix batches: {mix_yes} vs {mix_no}"
+        assert mix_yes < 0.75
+        # biology survives the correction
+        assert self._knn_same_label_frac(z_yes, p) > 0.85
+
+    def test_gene_batch_dispersion_and_covariates(self, two_batch_adata):
+        from spateo_tpu.external import MERFISHVI
+
+        ad = two_batch_adata.copy()
+        MERFISHVI.setup_anndata(
+            ad, batch_key="batch", categorical_covariate_keys=["pop"],
+            continuous_covariate_keys=["depth"],
+        )
+        m = MERFISHVI(ad, n_latent=4, n_hidden=32, dispersion="gene-batch", seed=0)
+        # theta table: one row per batch category
+        assert m.params["log_theta"].shape == (2, ad.n_vars)
+        # covariate block: 2 batch + 2 pop one-hots + 1 continuous
+        assert m.cov.shape[1] == 5
+        losses = m.train(max_epochs=150)
+        assert losses[-1] < losses[0]
+        s = m.posterior_predictive_sample(n_samples=2, seed=0)
+        assert s.shape == (2, ad.n_obs, ad.n_vars)
+        with pytest.raises(ValueError, match="dispersion"):
+            MERFISHVI(ad, dispersion="cell")
+
+    def test_multimodal_protein_mode(self, two_batch_adata):
+        """RNA+protein joint model (reference multimodal VAE): the protein
+        head must reconstruct per-population protein signals."""
+        from spateo_tpu.external import MERFISHVI
+
+        rng = np.random.default_rng(3)
+        ad = two_batch_adata.copy()
+        pop = (np.asarray(ad.obs["pop"]) == "B").astype(int)
+        P = 6
+        prot = rng.poisson(3.0, (ad.n_obs, P)).astype(np.float32)
+        prot[pop == 0, 0] += rng.poisson(25.0, (pop == 0).sum())
+        prot[pop == 1, 1] += rng.poisson(25.0, (pop == 1).sum())
+        ad.obsm["protein_expression"] = prot
+        MERFISHVI.setup_anndata(ad, protein_expression_obsm_key="protein_expression")
+        m = MERFISHVI(ad, n_latent=8, n_hidden=64, seed=0)
+        assert m._multimodal and "pro_dec" in m.params
+        losses = m.train(max_epochs=400)
+        assert losses[-1] < losses[0]
+        mu_y = m.get_protein_expression()
+        assert mu_y.shape == prot.shape and (mu_y >= 0).all()
+        # decoded protein 0 should be higher in pop A, protein 1 in pop B
+        assert mu_y[pop == 0, 0].mean() > 2 * mu_y[pop == 1, 0].mean()
+        assert mu_y[pop == 1, 1].mean() > 2 * mu_y[pop == 0, 1].mean()
+        # unimodal model refuses the protein accessor
+        m_uni = MERFISHVI(two_batch_adata.copy(), n_latent=4, n_hidden=16, seed=0)
+        with pytest.raises(ValueError, match="protein"):
+            m_uni._trained = True
+            m_uni.get_protein_expression()
