@@ -313,3 +313,66 @@ class TestStarroStream:
         X = rng.negative_binomial(1, 0.5, (64, 64)).astype(np.float32)
         out = list(starro_em_bp_stream([X], k=3, seed=0, bp_max_iter=5, mask_only=True))
         assert len(out) == 1 and out[0][1].shape == X.shape
+
+
+class TestTileUploadCodec:
+    """Lossless upload encodings for UMI tiles (round-4: the transfer was
+    the only Starro stage off the device ceiling)."""
+
+    def test_packed4_roundtrip_with_exceptions(self):
+        from spateo_tpu.segmentation.starro import encode_tile, upload_tile
+
+        rng = np.random.default_rng(0)
+        X = rng.negative_binomial(1, 0.5, (123, 77)).astype(np.float32)
+        X[10, 10] = 90.0  # exception value
+        X[0, 0] = 16.0  # exception at pixel 0 (pad-entry edge case)
+        X[5, 5] = 15.0  # exactly the clip value: NOT an exception
+        enc = encode_tile(X)
+        assert enc[0] == "packed4"
+        packed, exc_idx, exc_val = enc[1], enc[2], enc[3]
+        assert sum(a.nbytes for a in (packed, exc_idx, exc_val)) < X.size  # beats dense int8
+        np.testing.assert_array_equal(np.asarray(upload_tile(X)), X.astype(np.int16))
+
+    def test_coo_wins_on_sparse_tiles(self):
+        from scipy import sparse
+
+        from spateo_tpu.segmentation.starro import encode_tile, upload_tile
+
+        rng = np.random.default_rng(1)
+        X = np.zeros((200, 150), np.int32)
+        idx = rng.choice(X.size, 900, replace=False)
+        X.flat[idx] = rng.integers(1, 300, 900)  # values need uint16
+        assert encode_tile(X)[0] == "coo"
+        np.testing.assert_array_equal(np.asarray(upload_tile(X)), X.astype(np.int16))
+        # scipy sparse input never densifies on the COO path
+        S = sparse.csr_matrix(X)
+        assert encode_tile(S)[0] == "coo"
+        np.testing.assert_array_equal(np.asarray(upload_tile(S)), X.astype(np.int16))
+
+    def test_dense_fallbacks(self):
+        from spateo_tpu.segmentation.starro import encode_tile, upload_tile
+
+        # non-integral floats cannot be narrowed -> dense passthrough
+        Xf = np.random.default_rng(2).uniform(0, 3, (20, 20)).astype(np.float32)
+        assert encode_tile(Xf)[0] == "dense"
+        # negative values -> dense
+        Xn = np.array([[-1, 2], [3, 4]], np.int32)
+        assert encode_tile(Xn)[0] == "dense"
+        # odd-size and all-zero tiles roundtrip
+        np.testing.assert_array_equal(np.asarray(upload_tile(np.zeros((7, 9)))), np.zeros((7, 9), np.int16))
+        X3 = np.random.default_rng(3).integers(0, 14, (33, 35))
+        assert encode_tile(X3)[0] == "packed4"
+        np.testing.assert_array_equal(np.asarray(upload_tile(X3)), X3.astype(np.int16))
+
+    def test_sparse_input_mask_identical_to_dense(self):
+        from scipy import sparse
+
+        from spateo_tpu.segmentation.starro import starro_em_bp
+
+        rng = np.random.default_rng(4)
+        X = rng.negative_binomial(1, 0.5, (96, 96)).astype(np.float32)
+        X[20:50, 20:50] += rng.negative_binomial(8, 0.35, (30, 30)).astype(np.float32)
+        s1, m1 = starro_em_bp(X, k=3, seed=0, bp_max_iter=15)
+        s2, m2 = starro_em_bp(sparse.csr_matrix(X), k=3, seed=0, bp_max_iter=15)
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=0)

@@ -742,3 +742,52 @@ class TestSurfaceReconstruction:
         for method in ("ball_pivoting", "poisson"):
             mesh, _, _ = construct_surface(pc, cs_method=method, smooth=None)
             assert mesh.n_faces > 50
+
+
+class TestLazyVFCDict:
+    """SparseVFC returns a LazyHostDict: device handles first, host values
+    materialized in one batched pull on first touch (round-4 host-overhead
+    fix)."""
+
+    def _fit(self):
+        from spateo_tpu.ops.vfc import SparseVFC
+
+        rng = np.random.default_rng(0)
+        X = rng.uniform(-1, 1, (400, 2)).astype(np.float32)
+        V = np.stack([-X[:, 1], X[:, 0]], 1).astype(np.float32) + rng.normal(0, 0.05, (400, 2)).astype(np.float32)
+        return SparseVFC(X, V, M=30, MaxIter=40, seed=0), X, V
+
+    def test_mapping_protocol_and_values(self):
+        vf, X, V = self._fit()
+        # pending keys are visible before materialization
+        assert "V" in vf and "beta" in vf and "_device" in vf
+        assert len(vf) > 10
+        # first touch materializes; values are host numpy
+        Vh = vf["V"]
+        assert isinstance(Vh, np.ndarray) and Vh.shape == V.shape
+        assert np.corrcoef(Vh.ravel(), V.ravel())[0, 1] > 0.9
+        assert isinstance(vf["sigma2"], float) and vf["sigma2"] > 0
+        assert 0 < vf["iteration"] <= 40  # ecr convergence may stop early
+        # full-dict views behave like a plain mapping
+        keys = set(vf.keys())
+        assert {"V", "P", "C", "beta", "X_ctrl", "VFCIndex"} <= keys
+        d = vf.copy()
+        assert isinstance(d, dict) and set(d) == keys
+
+    def test_pickling_materializes(self):
+        import pickle
+
+        vf, _, _ = self._fit()
+        blob = pickle.dumps(vf)
+        back = pickle.loads(blob)
+        assert isinstance(back, dict)
+        np.testing.assert_array_equal(back["V"], vf["V"])
+
+    def test_device_handles_chain_without_pull(self):
+        import jax.numpy as jnp
+
+        vf, X, _ = self._fit()
+        d = vf["_device"]
+        K = jnp.exp(-d["beta"] * jnp.sum((d["X"][:, None, :] - d["ctrl"][None, :, :]) ** 2, -1))
+        V_dev = np.asarray(K @ d["C"] * d["y_rescale"])
+        np.testing.assert_allclose(V_dev, vf["V"], rtol=1e-4, atol=1e-5)
