@@ -53,3 +53,15 @@ def random_adata():
 @pytest.fixture
 def random_agg_adata():
     return make_random_adata(shape=(64, 64), adata_type="AGG", sparse_x=False)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Mark tests listed in tests/_slow_manifest.py as slow (>= 3 s on the
+    CI host) so `-m "not slow"` gives a <3-minute fast path. The manifest is
+    regenerated from `--durations=0` output; parametrized tests match by
+    their bracket-free base node id."""
+    from _slow_manifest import SLOW_TESTS
+
+    for item in items:
+        if item.nodeid.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
