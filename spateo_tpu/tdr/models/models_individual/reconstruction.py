@@ -80,21 +80,29 @@ def estimate_normals(points: np.ndarray, k: int = 16) -> np.ndarray:
     mst = minimum_spanning_tree(g)
     mst = mst + mst.T
 
-    # propagate orientation by BFS over the MST from the highest point,
-    # whose normal is forced to point up (+z)
-    root = int(np.argmax(pts[:, 2]))
-    if normals[root, 2] < 0:
-        normals[root] = -normals[root]
-    order, preds = breadth_first_order(mst, root, directed=False, return_predecessors=True)
-    for i in order[1:]:
-        p = preds[i]
-        if p >= 0 and np.dot(normals[i], normals[p]) < 0:
-            normals[i] = -normals[i]
+    # propagate orientation by BFS over the MST, one pass per connected
+    # component (a kNN graph over separated structures can be disconnected;
+    # orienting only the first component would leave the rest with
+    # arbitrary PCA signs). Each component roots at its highest point,
+    # whose normal is forced to point up (+z).
+    from scipy.sparse.csgraph import connected_components
 
-    # global outward flip
-    centroid = pts.mean(0)
-    if np.mean(np.einsum("ij,ij->i", pts - centroid, normals)) < 0:
-        normals = -normals
+    n_comp, comp = connected_components(mst, directed=False)
+    for c in range(n_comp):
+        members = np.where(comp == c)[0]
+        root = int(members[np.argmax(pts[members, 2])])
+        if normals[root, 2] < 0:
+            normals[root] = -normals[root]
+        order, preds = breadth_first_order(mst, root, directed=False, return_predecessors=True)
+        for i in order[1:]:
+            p = preds[i]
+            if p >= 0 and np.dot(normals[i], normals[p]) < 0:
+                normals[i] = -normals[i]
+        # per-component outward flip (a global flip would mis-orient every
+        # component whose majority vote disagrees with the overall one)
+        centroid = pts[members].mean(0)
+        if np.mean(np.einsum("ij,ij->i", pts[members] - centroid, normals[members])) < 0:
+            normals[members] = -normals[members]
     return normals / np.maximum(np.linalg.norm(normals, axis=1, keepdims=True), 1e-12)
 
 

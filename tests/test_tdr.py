@@ -791,3 +791,20 @@ class TestLazyVFCDict:
         K = jnp.exp(-d["beta"] * jnp.sum((d["X"][:, None, :] - d["ctrl"][None, :, :]) ** 2, -1))
         V_dev = np.asarray(K @ d["C"] * d["y_rescale"])
         np.testing.assert_allclose(V_dev, vf["V"], rtol=1e-4, atol=1e-5)
+
+
+def test_estimate_normals_disconnected_components():
+    """Orientation propagation handles a disconnected kNN graph (two
+    separated structures): every component gets its own MST pass and
+    outward flip."""
+    from spateo_tpu.tdr.models.models_individual.reconstruction import estimate_normals
+
+    rng = np.random.default_rng(0)
+    v1 = rng.normal(size=(400, 3))
+    v1 /= np.linalg.norm(v1, axis=1, keepdims=True)
+    v2 = rng.normal(size=(400, 3))
+    v2 /= np.linalg.norm(v2, axis=1, keepdims=True)
+    pts = np.concatenate([v1 * 3.0, v2 * 3.0 + np.array([100.0, 0.0, 0.0])])
+    nrm = estimate_normals(pts, k=12)
+    assert (np.einsum("ij,ij->i", v1, nrm[:400]) > 0).all()
+    assert (np.einsum("ij,ij->i", v2, nrm[400:]) > 0).all()
