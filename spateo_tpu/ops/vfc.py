@@ -25,39 +25,60 @@ class LazyHostDict(dict):
     """dict whose pending values materialize from the device on first access.
 
     Device-resident results stay on the chip until a consumer actually reads
-    a host-facing key; the first such read triggers the provider callable
-    (which batches ALL pending pulls into one transfer). Iteration, len,
-    keys/items/values, copies and pickling behave like a fully materialized
-    dict, so downstream code (AnnData .uns storage, dynamo consumers) sees a
-    plain mapping.
+    a host-facing key; the first such read runs the single batch `provider`
+    (ONE transfer fills every pending key), after which the provider
+    reference is dropped — releasing the device buffers it closed over.
+    Every dict operation that can observe a pending key (getitem/get/pop/
+    setdefault/popitem/delitem, iteration, views, copies, union, equality,
+    pickling) materializes first, so downstream code (AnnData .uns storage,
+    dynamo consumers) sees a plain mapping.
     """
 
-    def __init__(self, base: dict, pending: dict):
+    def __init__(self, base: dict, pending_keys, provider):
         super().__init__(base)
-        self._pending = dict(pending)  # key -> zero-arg provider
-
-    def _materialize(self, key):
-        fn = self._pending.pop(key)
-        val = fn()
-        super().__setitem__(key, val)
-        return val
+        self._pending = set(pending_keys)
+        self._provider = provider  # zero-arg -> {key: value} for ALL pending
 
     def _materialize_all(self):
-        for k in list(self._pending):
-            self._materialize(k)
+        if not self._pending:
+            return
+        values = self._provider()
+        for k in self._pending:
+            super().__setitem__(k, values[k])
+        self._pending = set()
+        self._provider = None  # release the device buffers the closure pins
 
     def __getitem__(self, key):
         if key in self._pending:
-            return self._materialize(key)
+            self._materialize_all()
         return super().__getitem__(key)
 
     def get(self, key, default=None):
         if key in self._pending:
-            return self._materialize(key)
+            self._materialize_all()
         return super().get(key, default)
 
+    def pop(self, key, *default):
+        if key in self._pending:
+            self._materialize_all()
+        return super().pop(key, *default)
+
+    def popitem(self):
+        self._materialize_all()
+        return super().popitem()
+
+    def setdefault(self, key, default=None):
+        if key in self._pending:
+            self._materialize_all()
+        return super().setdefault(key, default)
+
+    def __delitem__(self, key):
+        if key in self._pending:
+            self._materialize_all()
+        super().__delitem__(key)
+
     def __setitem__(self, key, value):
-        self._pending.pop(key, None)
+        self._pending.discard(key)
         super().__setitem__(key, value)
 
     def __contains__(self, key):
@@ -85,6 +106,14 @@ class LazyHostDict(dict):
     def copy(self):
         self._materialize_all()
         return dict(super().items())
+
+    def __or__(self, other):
+        self._materialize_all()
+        return dict(super().items()) | dict(other)
+
+    def __ror__(self, other):
+        self._materialize_all()
+        return dict(other) | dict(super().items())
 
     def __eq__(self, other):
         self._materialize_all()
@@ -206,7 +235,20 @@ def _sparsevfc_em(
             gamma = jnp.clip(Sp / n_valid, 0.05, 0.95)
             return dict(C=C, P=P, V=V, sigma2=sigma2, gamma=gamma, E=E, tecr=tecr, i=s["i"] + 1)
 
-        return jax.lax.while_loop(cond, body, state)
+        s = jax.lax.while_loop(cond, body, state)
+        if not compute_energy:
+            # the loop skipped the per-iteration energy; evaluate it ONCE at
+            # the fixed point so the returned E_traj stays meaningful for
+            # dynamo-compat consumers (tecr has no previous-E reference and
+            # reports NaN — 'not tracked'). Yk is in scope from above.
+            resid2 = jnp.sum((Yk - s["V"]) ** 2, axis=1)
+            s["E"] = (
+                jnp.sum(s["P"] * resid2) / (2 * s["sigma2"])
+                + jnp.sum(s["P"]) * jnp.log(s["sigma2"]) * D / 2
+                + lambda_ / 2 * jnp.trace(s["C"].T @ U @ s["C"])
+            )
+            s["tecr"] = jnp.asarray(jnp.nan)
+        return s
 
     y_mult_t = jnp.asarray(y_mult, X.dtype)
     s = run_one(y_mult_t)
@@ -293,9 +335,19 @@ def SparseVFC(
     # draw 4M candidates, keep the first M distinct ones
     n_cand = min(N, max(4 * M, M + 8))
     cand = rng.choice(N, n_cand, replace=False)
-    proj = Xv[cand].astype(np.float64) @ rng.standard_normal(Xv.shape[1])
+    direction = rng.standard_normal(Xv.shape[1])
+    proj = Xv[cand].astype(np.float64) @ direction
     _, first = np.unique(proj, return_index=True)
-    ctrl_idx = cand[np.sort(first)[:M]]
+    if len(first) < min(M, N) and n_cand < N:
+        # duplicate-heavy data (e.g. binned coordinates): the cheap draw
+        # found too few distinct rows — fall back to the global dedup so M
+        # control points are delivered whenever M distinct rows exist
+        proj_all = Xv.astype(np.float64) @ direction
+        _, uniq_idx = np.unique(proj_all, return_index=True)
+        M_eff = min(M, len(uniq_idx))
+        ctrl_idx = uniq_idx[rng.choice(len(uniq_idx), M_eff, replace=False)]
+    else:
+        ctrl_idx = cand[np.sort(first)[:M]]
     ctrl = Xv[ctrl_idx]
 
     if beta is None:
@@ -386,7 +438,7 @@ def SparseVFC(
         return pulled
 
     pending = ("beta", "V", "C", "P", "VFCIndex", "sigma2", "iteration", "tecr_traj", "E_traj", "grid_V")
-    return LazyHostDict(base, {k: (lambda k=k: _pull()[k]) for k in pending})
+    return LazyHostDict(base, pending, _pull)
 
 
 def vector_field_function(x: np.ndarray, vf_dict: dict) -> np.ndarray:

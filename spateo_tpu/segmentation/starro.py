@@ -208,12 +208,15 @@ def encode_tile(X) -> tuple:
     from scipy import sparse as sp
 
     if sp.issparse(X):
-        coo = X.tocoo()
+        coo = X.tocoo(copy=True)  # copy: sum_duplicates mutates in place
+        coo.sum_duplicates()  # the device decode SETs per pixel; scipy SUMS duplicates
         shape = coo.shape
         size = shape[0] * shape[1]
         vmax = float(coo.data.max()) if coo.nnz else 0.0
+        vmin = float(coo.data.min()) if coo.nnz else 0.0
         integral = np.all(coo.data == np.round(coo.data)) if coo.nnz else True
-        if integral and 0 <= vmax < 65536:
+        # the decoded raster is int16: negatives and counts > 32766 would wrap
+        if integral and vmin >= 0 and vmax <= 32766:
             vdt = np.uint8 if vmax < 256 else np.uint16
             idx = (coo.row.astype(np.int64) * shape[1] + coo.col.astype(np.int64)).astype(np.uint32)
             val = coo.data.astype(vdt)

@@ -76,7 +76,12 @@ def estimate_normals(points: np.ndarray, k: int = 16) -> np.ndarray:
     cols = knn[:, 1:].ravel()
     w = 1.0 - np.abs(np.einsum("ij,ij->i", normals[rows], normals[cols])) + 1e-9
     g = coo_matrix((w, (rows, cols)), shape=(n, n))
-    g = g.minimum(g.T) + g.maximum(g.T) - g.maximum(g.T)  # symmetrize (min weight)
+    # symmetrize as the UNION of directed kNN edges (maximum keeps an edge
+    # present in either direction; the weight 1-|n_i.n_j| is symmetric, so
+    # max of the two directed entries is the true weight). minimum() would
+    # DROP every non-mutual edge against the implicit zero, fragmenting the
+    # graph on uneven-density clouds.
+    g = g.maximum(g.T)
     mst = minimum_spanning_tree(g)
     mst = mst + mst.T
 
@@ -381,12 +386,13 @@ def ball_pivoting_reconstruction(
         used[[i, j, k]] = True
         return True
 
-    def find_seed(r):
+    def find_seed(r, tried):
         for i in range(n):
-            if used[i]:
+            if used[i] or tried[i]:
                 continue
             cand = [j for j in tree.query_ball_point(pts[i], 2 * r) if j != i]
             if len(cand) < 2:
+                tried[i] = True  # isolated point: never seedable at this r
                 continue
             cand.sort(key=lambda j: float(np.sum((pts[j] - pts[i]) ** 2)))
             for a_idx in range(len(cand)):
@@ -407,6 +413,10 @@ def ball_pivoting_reconstruction(
                         continue
                     if add_triangle(i, j, k, nt):
                         return (i, j, k, c, nt)
+            # no seed triangle at this radius from point i — skip it on
+            # every later rescan (otherwise fragmented clouds re-test all
+            # permanently un-seedable points per reseed: quadratic)
+            tried[i] = True
         return None
 
     def pivot(a, b, opp, c_old, r):
@@ -461,9 +471,11 @@ def ball_pivoting_reconstruction(
         return best[1], best[2], best[3]
 
     for r in radii:
-        # re-seed + expand until no seeds remain at this radius
+        # re-seed + expand until no seeds remain at this radius; a larger
+        # radius gets a fresh chance at points that failed a smaller one
+        tried = np.zeros(n, bool)
         while True:
-            seed = find_seed(r)
+            seed = find_seed(r, tried)
             if seed is None:
                 break
             i, j, k, c0, nt0 = seed

@@ -349,6 +349,21 @@ class TestTileUploadCodec:
         assert encode_tile(S)[0] == "coo"
         np.testing.assert_array_equal(np.asarray(upload_tile(S)), X.astype(np.int16))
 
+    def test_sparse_guards_and_duplicates(self):
+        from scipy import sparse
+
+        from spateo_tpu.segmentation.starro import encode_tile, upload_tile
+
+        # negative / overflowing sparse values would wrap in the int16
+        # decode -> must fall back to dense
+        S = sparse.coo_matrix(([-3.0, 5.0], ([0, 1], [0, 1])), shape=(4, 4))
+        assert encode_tile(S)[0] == "dense"
+        S2 = sparse.coo_matrix(([40000.0], ([0], [0])), shape=(50, 50))
+        assert encode_tile(S2)[0] == "dense"
+        # duplicate COO coordinates must SUM (scipy semantics), not race
+        S3 = sparse.coo_matrix(([2.0, 3.0], ([1, 1], [2, 2])), shape=(30, 40))
+        assert np.asarray(upload_tile(S3))[1, 2] == 5
+
     def test_dense_fallbacks(self):
         from spateo_tpu.segmentation.starro import encode_tile, upload_tile
 

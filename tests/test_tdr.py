@@ -774,6 +774,39 @@ class TestLazyVFCDict:
         d = vf.copy()
         assert isinstance(d, dict) and set(d) == keys
 
+    def test_pop_union_and_provider_release(self):
+        vf, _, _ = self._fit()
+        v = vf.pop("V")  # pop on a pending key must materialize, not KeyError
+        assert v.shape[1] == 2 and "V" not in vf
+        merged = vf | {"extra": 1}  # dict union must carry pending keys
+        assert "beta" in merged and "extra" in merged
+        assert vf.setdefault("P").shape[0] == 400
+        assert vf._provider is None  # device buffers released after the pull
+
+    def test_energy_reported_with_pinned_iterations(self):
+        """ecr<=0 skips per-iteration energy but the returned E_traj must
+        still hold the real fixed-point energy (tecr reports NaN: untracked)."""
+        from spateo_tpu.ops.vfc import SparseVFC
+
+        rng = np.random.default_rng(0)
+        X = rng.uniform(-1, 1, (200, 2)).astype(np.float32)
+        V = np.stack([-X[:, 1], X[:, 0]], 1).astype(np.float32)
+        vf = SparseVFC(X, V, M=20, MaxIter=10, ecr=0.0, seed=0)
+        assert np.isfinite(vf["E_traj"]).all()
+        assert np.isnan(vf["tecr_traj"]).all()
+
+    def test_ctrl_count_on_duplicate_heavy_data(self):
+        """Binned coordinates (many duplicate rows): the dedup must still
+        deliver M distinct control points when M distinct rows exist."""
+        from spateo_tpu.ops.vfc import SparseVFC
+
+        rng = np.random.default_rng(0)
+        Xd = np.repeat(rng.uniform(-1, 1, (40, 2)).astype(np.float32), 10, axis=0)
+        Vd = np.stack([-Xd[:, 1], Xd[:, 0]], 1).astype(np.float32)
+        vf = SparseVFC(Xd, Vd, M=30, MaxIter=5, seed=0)
+        assert vf["X_ctrl"].shape[0] == 30
+        assert len({tuple(r) for r in vf["X_ctrl"].tolist()}) == 30
+
     def test_pickling_materializes(self):
         import pickle
 
