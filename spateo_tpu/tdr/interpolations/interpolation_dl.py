@@ -135,6 +135,97 @@ class SineLayer:
         return jnp.sin(self.omega_0 * (jnp.asarray(x) @ p["W"] + p["b"]))
 
 
+class _LeakyMLP:
+    """Shared machinery for the reference's A/B lift/head blocks
+    (interpolation_nn.py:10 `A`, :49 `B`): Linear -> hidden Linears ->
+    out Linear with leaky-relu activations, as parameter-dict callables."""
+
+    def __init__(self, in_dim: int, out_dim: int, hidden_features: int, hidden_layers: int, seed: int):
+        keys = jax.random.split(jax.random.PRNGKey(seed), hidden_layers + 2)
+        sizes = [in_dim] + [hidden_features] * (hidden_layers + 1) + [out_dim]
+        self.params = [
+            {
+                "W": jax.random.normal(k, (a, b)) * (2.0 / (a + b)) ** 0.5,
+                "b": jnp.zeros(b),
+            }
+            for k, a, b in zip(keys, sizes[:-1], sizes[1:])
+        ]
+
+    def __call__(self, x, params=None):
+        p = params or self.params
+        out = jnp.asarray(x)
+        for i, layer in enumerate(p):
+            out = out @ layer["W"] + layer["b"]
+            if i < len(p) - 1:
+                out = jax.nn.leaky_relu(out, negative_slope=0.2)
+        return out
+
+
+class A(_LeakyMLP):
+    """Input lift data_dim -> network_dim (parity surface: reference
+    interpolation_nn.py:10 `A`; defaults match: 256 hidden features, one
+    hidden layer, leaky-relu)."""
+
+    def __init__(self, network_dim: int, data_dim: int, hidden_features: int = 256, hidden_layers: int = 1, seed: int = 0):
+        super().__init__(data_dim, network_dim, hidden_features, hidden_layers, seed)
+        self.name = "model/A"
+
+
+class B(_LeakyMLP):
+    """Output head network_dim -> data_dim (parity surface: reference
+    interpolation_nn.py:49 `B`; defaults match: 256 hidden features, three
+    hidden layers, leaky-relu)."""
+
+    def __init__(self, network_dim: int, data_dim: int, hidden_features: int = 256, hidden_layers: int = 3, seed: int = 0):
+        super().__init__(network_dim, data_dim, hidden_features, hidden_layers, seed)
+        self.name = "model/B"
+
+
+class h:
+    """The main coordinate network (parity surface: reference
+    interpolation_nn.py:132 `h`): SIREN sine layers when ``sirens=True``
+    (first layer at first_omega_0), otherwise a leaky-relu MLP."""
+
+    def __init__(
+        self,
+        input_network_dim: int,
+        output_network_dim: int,
+        hidden_features: int = 256,
+        hidden_layers: int = 3,
+        sirens: bool = False,
+        first_omega_0: float = 30.0,
+        hidden_omega_0: float = 30.0,
+        seed: int = 0,
+    ):
+        self.sirens = bool(sirens)
+        self.name = "model/h"
+        if self.sirens:
+            self.layers = [SineLayer(input_network_dim, hidden_features, is_first=True, omega_0=first_omega_0, seed=seed)]
+            self.layers += [
+                SineLayer(hidden_features, hidden_features, is_first=False, omega_0=hidden_omega_0, seed=seed + 1 + i)
+                for i in range(hidden_layers)
+            ]
+            key = jax.random.PRNGKey(seed + 99)
+            bound = float(jnp.sqrt(6.0 / hidden_features)) / hidden_omega_0
+            self.out = {
+                "W": jax.random.uniform(key, (hidden_features, output_network_dim), minval=-bound, maxval=bound),
+                "b": jnp.zeros(output_network_dim),
+            }
+        else:
+            self._mlp = _LeakyMLP(input_network_dim, output_network_dim, hidden_features, hidden_layers, seed)
+
+    def __call__(self, x):
+        return self.forward(x)
+
+    def forward(self, x):
+        if not self.sirens:
+            return self._mlp(x)
+        out = jnp.asarray(x)
+        for layer in self.layers:
+            out = layer(out)
+        return out @ self.out["W"] + self.out["b"]
+
+
 class MainFlow:
     """The A -> h -> B composed flow of the deep interpolator (parity
     surface: reference interpolation_nn.py:220 `MainFlow`: optional input

@@ -841,3 +841,20 @@ def test_estimate_normals_disconnected_components():
     nrm = estimate_normals(pts, k=12)
     assert (np.einsum("ij,ij->i", v1, nrm[:400]) > 0).all()
     assert (np.einsum("ij,ij->i", v2, nrm[400:]) > 0).all()
+
+
+def test_interpolation_nn_blocks_surface():
+    """Reference-named network blocks A/B/h compose through MainFlow
+    (parity: reference interpolation_nn.py:10,:49,:132,:220)."""
+    from spateo_tpu.tdr.interpolations.interpolation_dl import A, B, MainFlow, h
+
+    a = A(network_dim=8, data_dim=3)
+    b = B(network_dim=8, data_dim=5)
+    hh = h(input_network_dim=8, output_network_dim=8, sirens=True, hidden_layers=2)
+    flow = MainFlow(hh, A=a, B=b)
+    x = np.random.default_rng(0).normal(size=(10, 3)).astype(np.float32)
+    out = np.asarray(flow(t=None, x=x))
+    assert out.shape == (10, 5) and np.isfinite(out).all()
+    # non-siren h is a leaky-relu MLP
+    h2 = h(input_network_dim=3, output_network_dim=4, sirens=False)
+    assert np.asarray(h2(x)).shape == (10, 4)
