@@ -304,3 +304,63 @@ class TestMERFISHVIDeepScope:
         with pytest.raises(ValueError, match="protein"):
             m_uni._trained = True
             m_uni.get_protein_expression()
+
+
+class TestSTAGATEReferenceAPI:
+    """The STAGATE_pyG user-facing names the reference tutorials call
+    (parity: reference external/STAGATE_pyG/utils.py:60,:122,:196,:210 +
+    Train_STAGATE.py:16), resolvable through the reference module path."""
+
+    @pytest.fixture()
+    def spatial_adata(self):
+        rng = np.random.default_rng(0)
+        n, G = 150, 20
+        coords = rng.uniform(0, 10, (n, 2))
+        X = rng.poisson(3, (n, G)).astype(float)
+        X[coords[:, 0] > 5, :8] += rng.poisson(5, ((coords[:, 0] > 5).sum(), 8))
+        ad = st.AnnData(X=X, obs=pd.DataFrame(index=[f"c{i}" for i in range(n)]),
+                        var=pd.DataFrame(index=[f"g{i}" for i in range(G)]))
+        ad.obsm["spatial"] = coords
+        st.SKM.init_adata_type(ad, "UMI")
+        return ad
+
+    def test_cal_spatial_net_and_training_flow(self, spatial_adata):
+        from spateo_tpu.external.STAGATE_pyG import (
+            Cal_Spatial_Net,
+            Stats_Spatial_Net,
+            mclust_R,
+            train_STAGATE,
+        )
+
+        ad = spatial_adata
+        Cal_Spatial_Net(ad, k_cutoff=6, model="KNN", verbose=False)
+        net = ad.uns["Spatial_Net"]
+        assert list(net.columns) == ["Cell1", "Cell2", "Distance"]
+        assert net.shape[0] == ad.n_obs * 6 and (np.asarray(net["Distance"]) > 0).all()
+        Cal_Spatial_Net(ad, rad_cutoff=1.5, verbose=False)
+        assert (np.asarray(ad.uns["Spatial_Net"]["Distance"]) <= 1.5).all()
+        fig, _ = Stats_Spatial_Net(ad)
+        assert fig is not None
+
+        train_STAGATE(ad, hidden_dims=(32, 8), n_epochs=60, verbose=False,
+                      save_reconstrction=True, save_loss=True)
+        assert ad.obsm["STAGATE"].shape == (ad.n_obs, 8)
+        assert "STAGATE_ReX" in ad.layers and "STAGATE_loss" in ad.uns
+        mclust_R(ad, num_cluster=2)
+        labels = np.asarray(ad.obs["mclust"]).astype(int)
+        assert set(labels) == {1, 2}  # 1-based like R's Mclust
+
+    def test_cal_spatial_net_3d_sections(self, spatial_adata):
+        from spateo_tpu.external.STAGATE_pyG import Cal_Spatial_Net_3D
+
+        ad = spatial_adata
+        ad.obs["Section_id"] = np.where(np.arange(ad.n_obs) < ad.n_obs // 2, "S1", "S2")
+        Cal_Spatial_Net_3D(ad, rad_cutoff_2D=1.5, rad_cutoff_Zaxis=2.0,
+                           section_order=["S1", "S2"], verbose=False)
+        net = ad.uns["Spatial_Net"]
+        assert {"Spatial_Net_2D", "Spatial_Net_Zaxis"} <= set(ad.uns)
+        assert net.shape[0] == ad.uns["Spatial_Net_2D"].shape[0] + ad.uns["Spatial_Net_Zaxis"].shape[0]
+        # every Z-axis edge crosses sections
+        sec = dict(zip(np.asarray(ad.obs_names), np.asarray(ad.obs["Section_id"])))
+        z = ad.uns["Spatial_Net_Zaxis"]
+        assert all(sec[a] != sec[b] for a, b in zip(z["Cell1"], z["Cell2"]))
