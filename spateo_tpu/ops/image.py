@@ -73,6 +73,49 @@ def _conv2d_unrolled(X: jnp.ndarray, taps, kh: int, kw: int, padding: str) -> jn
     return out
 
 
+@partial(jax.jit, static_argnames=("rows", "kh", "kw", "padding"))
+def _conv2d_rowsum(X: jnp.ndarray, rows, kh: int, kw: int, padding: str) -> jnp.ndarray:
+    """Cross-correlation with a BINARY kernel whose rows are contiguous runs
+    of ones (circle/box structuring elements): one horizontal prefix sum +
+    two window-difference reads per kernel ROW, instead of one shifted add
+    per kernel TAP (13 taps -> 5 rows for the 5-circle; measured ~2 ms vs
+    ~27 ms at 2048^2). `rows` is a static tuple of (dy, lo, hi) column-run
+    bounds in kernel coordinates. EXACT (bit-identical to the tap unroll)
+    whenever X is integer-valued with row prefix sums below 2^24 — true for
+    UMI count rasters and 0/1 masks; for arbitrary float images the result
+    differs only by f32 summation order."""
+    rh, rw = kh // 2, kw // 2
+    Xp = X.astype(jnp.float32)
+    if padding == "SAME":
+        Xp = jnp.pad(Xp, ((rh, rh), (rw, rw)))
+    H = Xp.shape[0] - kh + 1
+    W = Xp.shape[1] - kw + 1
+    csz = jnp.pad(jnp.cumsum(Xp, axis=1), ((0, 0), (1, 0)))
+    out = jnp.zeros((H, W), jnp.float32)
+    for dy, lo, hi in rows:
+        out = out + (
+            lax.dynamic_slice(csz, (dy, hi), (H, W)) - lax.dynamic_slice(csz, (dy, lo), (H, W))
+        )
+    return out
+
+
+def _binary_row_runs(kern_np: np.ndarray):
+    """Return static (dy, lo, hi) run bounds if the kernel is 0/1-valued and
+    every nonzero row is one contiguous run of ones, else None."""
+    if not np.all((kern_np == 0.0) | (kern_np == 1.0)):
+        return None
+    rows = []
+    for dy in range(kern_np.shape[0]):
+        (nz,) = np.nonzero(kern_np[dy])
+        if nz.size == 0:
+            continue
+        lo, hi = int(nz[0]), int(nz[-1]) + 1
+        if hi - lo != nz.size:  # gap in the run
+            return None
+        rows.append((dy, lo, hi))
+    return tuple(rows) if rows else None
+
+
 @partial(jax.jit, static_argnames=("kh", "kw", "padding"))
 def _conv2d_lax(X: jnp.ndarray, kernel: jnp.ndarray, kh: int, kw: int, padding: str) -> jnp.ndarray:
     lhs = X[None, None, :, :].astype(jnp.float32)
