@@ -323,7 +323,9 @@ class TestTileUploadCodec:
         from spateo_tpu.segmentation.starro import encode_tile, upload_tile
 
         rng = np.random.default_rng(0)
-        X = rng.negative_binomial(1, 0.5, (123, 77)).astype(np.float32)
+        # counts 3-15 common (uniform) -> the 2-bit escape stream is too
+        # expensive and packed4 wins
+        X = rng.integers(0, 15, (123, 77)).astype(np.float32)
         X[10, 10] = 90.0  # exception value
         X[0, 0] = 16.0  # exception at pixel 0 (pad-entry edge case)
         X[5, 5] = 15.0  # exactly the clip value: NOT an exception
@@ -332,6 +334,39 @@ class TestTileUploadCodec:
         packed, exc_idx, exc_val = enc[1], enc[2], enc[3]
         assert sum(a.nbytes for a in (packed, exc_idx, exc_val)) < X.size  # beats dense int8
         np.testing.assert_array_equal(np.asarray(upload_tile(X)), X.astype(np.int16))
+
+    def test_packed2_roundtrip_with_escapes(self):
+        from spateo_tpu.segmentation.starro import encode_tile, upload_tile
+
+        rng = np.random.default_rng(0)
+        # geometric-ish counts (most pixels 0-2): the Stereo-seq profile
+        # where the 2-bit plane + escape stream is the cheapest encoding
+        X = rng.negative_binomial(1, 0.5, (123, 77)).astype(np.float32)
+        X[10, 10] = 90.0  # escape value
+        X[11, 11] = 300.0  # > 255: needs the COO exception tier
+        X[5, 5] = 3.0  # exactly the escape threshold: escapes with value 3
+        X[6, 6] = 2.0  # largest direct crumb: NOT an escape
+        enc = encode_tile(X)
+        assert enc[0] == "packed2"
+        packed, esc_val, exc_idx, exc_val = enc[1], enc[2], enc[3], enc[4]
+        total = sum(a.nbytes for a in (packed, esc_val, exc_idx, exc_val))
+        assert total < X.size // 2  # beats packed4's 0.5 bytes/px floor
+        np.testing.assert_array_equal(np.asarray(upload_tile(X)), X.astype(np.int16))
+
+    def test_packed2_no_exceptions_and_odd_sizes(self):
+        from spateo_tpu.segmentation.starro import encode_tile, upload_tile
+
+        rng = np.random.default_rng(7)
+        for shape in [(13, 5), (33, 3), (2, 2)]:
+            X = rng.negative_binomial(1, 0.35, shape).astype(np.int32)
+            X[0, 0] = 4  # at least one escape, no >255 exceptions
+            enc = encode_tile(X)
+            if enc[0] == "packed2":
+                np.testing.assert_array_equal(np.asarray(upload_tile(X)), X.astype(np.int16))
+        # all pixels escape (constant high value <= 255)
+        Xc = np.full((40, 41), 200, np.int32)
+        enc = encode_tile(Xc)
+        np.testing.assert_array_equal(np.asarray(upload_tile(Xc)), Xc.astype(np.int16))
 
     def test_coo_wins_on_sparse_tiles(self):
         from scipy import sparse
