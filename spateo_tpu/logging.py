@@ -198,3 +198,34 @@ def timeit(fn):
             return fn(*args, **kwargs)
 
     return wrapper
+
+
+def silence_logger(name: str) -> None:
+    """Silence a named stdlib logger completely (parity: reference
+    external/lack.py:30)."""
+    package_logger = logging.getLogger(name)
+    package_logger.setLevel(logging.CRITICAL + 100)
+    package_logger.propagate = False
+
+
+def set_logger_level(name: str, level) -> None:
+    """Set a named stdlib logger's level (parity: external/lack.py:41)."""
+    logging.getLogger(name).setLevel(level)
+
+
+def format_logging_message(msg, logging_level, indent_level: int = 1, indent_space_num: int = 6) -> str:
+    """The lack arrow-prefix message format (parity: external/lack.py:51):
+    ``|----->`` info, ``|-----?`` warning, ``|-----!!`` critical,
+    ``|----->>>`` debug."""
+    indent_str = "-" * indent_space_num
+    prefix = indent_str * indent_level
+    prefix = "|" + prefix[1:]
+    if logging_level == logging.INFO:
+        prefix += ">"
+    elif logging_level == logging.WARNING:
+        prefix += "?"
+    elif logging_level == logging.CRITICAL:
+        prefix += "!!"
+    elif logging_level == logging.DEBUG:
+        prefix += ">>>"
+    return prefix + " " + str(msg)

@@ -364,3 +364,156 @@ class TestSTAGATEReferenceAPI:
         sec = dict(zip(np.asarray(ad.obs_names), np.asarray(ad.obs["Section_id"])))
         z = ad.uns["Spatial_Net_Zaxis"]
         assert all(sec[a] != sec[b] for a, b in zip(z["Cell1"], z["Cell2"]))
+
+
+class TestCASTHelperSurface:
+    """Reference CAST utils/visualize/stack helper surface (reference
+    external/CAST/{utils,visualize,CAST_Stack}.py)."""
+
+    def test_delta_cell_cal_exact(self):
+        import pandas as pd
+        from sklearn.metrics import pairwise_distances
+
+        from spateo_tpu.external import delta_cell_cal
+
+        rng = np.random.default_rng(0)
+        ct = rng.normal(size=(120, 2)) * 50
+        cr = rng.normal(size=(150, 2)) * 50 + 5
+        ctype_t = rng.choice(["A", "B", "C"], 120)
+        ctype_r = rng.choice(["A", "B", "C"], 150)
+        dt, dr, dd = delta_cell_cal(ct, cr, ctype_t, ctype_r, radius_px=30.0)
+        mask_t = pairwise_distances(ct, ct) < 30.0
+        mask_r = pairwise_distances(ct, cr) < 30.0
+        oh = pd.get_dummies(np.hstack([ctype_t, ctype_r]))
+        ref_t = mask_t.astype(int) @ oh.values[:120].astype(int)
+        ref_r = mask_r.astype(int) @ oh.values[120:].astype(int)
+        np.testing.assert_array_equal(dt.values, ref_t)
+        np.testing.assert_array_equal(dr.values, ref_r)
+        np.testing.assert_array_equal(dd.values, ref_t - ref_r)
+
+    def test_delta_exp_cal_and_statistics(self):
+        from sklearn.metrics import pairwise_distances
+
+        from spateo_tpu.external import delta_exp_cal
+        from spateo_tpu.external.cast_utils import delta_exp_statistics
+
+        rng = np.random.default_rng(1)
+        ct = rng.normal(size=(100, 2)) * 40
+        cr = rng.normal(size=(110, 2)) * 40
+        exp_t = rng.poisson(2.0, (100, 6)).astype(float)
+        exp_r = rng.poisson(2.0, (110, 6)).astype(float)
+        et, er, ed = delta_exp_cal(ct, cr, exp_t, exp_r, radius_px=25.0)
+        mask_t = pairwise_distances(ct, ct) < 25.0
+        den = mask_t @ exp_t / np.maximum(mask_t.sum(1)[:, None], 1e-12)
+        np.testing.assert_allclose(et, np.nan_to_num(den), rtol=2e-5, atol=1e-5)
+        p, avg = delta_exp_statistics(et, er)
+        assert len(p) == 6 and len(avg) == 6
+        np.testing.assert_allclose(avg, (et - er).mean(0), rtol=1e-6)
+
+    def test_graph_subsample_preprocess(self):
+        from spateo_tpu.core.anndata import AnnData
+        from spateo_tpu.external import coords2adjacentmat, sub_node_sum
+        from spateo_tpu.external.cast_utils import (
+            detect_highly_variable_genes,
+            extract_coords_exp,
+            non_zero_center_scale,
+            preprocess_fast,
+        )
+
+        rng = np.random.default_rng(2)
+        ct = rng.normal(size=(200, 2)) * 50
+        A = coords2adjacentmat(ct, output_mode="adjacent_sparse", strategy_t="delaunay")
+        assert A.shape == (200, 200) and (A != A.T).nnz == 0
+        Ac = coords2adjacentmat(ct, output_mode="adjacent_sparse", strategy_t="convex")
+        assert Ac.nnz <= A.nnz  # convex prunes long edges
+        exp = rng.poisson(2.0, (200, 8)).astype(float)
+        es, idx = sub_node_sum(ct, exp, nodenum=40, vis=False)
+        np.testing.assert_allclose(np.asarray(es.sum()), exp.sum())  # mass conserved
+        assert len(idx) == 40
+        s = non_zero_center_scale(exp)
+        np.testing.assert_allclose(np.sqrt((s**2).sum(0) / (len(s) - 1)), 1.0, rtol=1e-9)
+
+        X = rng.poisson(1.5, (80, 30)).astype(np.float32)
+        ad = AnnData(X=X.copy())
+        ad.obs["batch"] = np.repeat(["s1", "s2"], 40)
+        ad.obsm["spatial"] = rng.normal(size=(80, 2))
+        hv = detect_highly_variable_genes(ad, batch_key="batch", n_top_genes=10, count_layer=".X")
+        assert hv.shape == (30,) and hv.dtype == bool
+        coords, exps = extract_coords_exp(ad, batch_key="batch", count_layer=".X", data_format="log2_norm1e4")
+        assert set(coords) == {"s1", "s2"} and exps["s1"].shape == (40, 30)
+        ad2 = AnnData(X=X.copy())
+        out = preprocess_fast(ad2, mode="customized")
+        assert "log2_norm1e4_scaled" in out.layers and "raw" in out.layers
+
+    def test_visualize_and_stack_helpers(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from spateo_tpu.external import CAST
+        from spateo_tpu.external.cast_stack import CAST_STACK_rough, coords_minus_mean, get_range, rescale_coords
+        from spateo_tpu.external.cast_visualize import dsplot, kmeans_plot_multiple, link_plot, plot_mid
+
+        rng = np.random.default_rng(3)
+        ct = rng.normal(size=(60, 2)) * 50
+        cr = rng.normal(size=(50, 2)) * 50
+        lab = kmeans_plot_multiple(
+            {"a": rng.normal(size=(60, 8)), "b": rng.normal(size=(50, 8))},
+            ["a", "b"], {"a": ct, "b": cr}, "t", str(tmp_path), k=4,
+        )
+        assert lab.shape == (110,)
+        stats = link_plot(rng.integers(0, 50, (60, 2)), ct, cr, k=2)
+        assert stats[0] == 50 and 0 < int(stats[1]) <= 50
+        dsplot(ct, None, col_cell=rng.normal(size=60))
+        plot_mid(ct, cr, str(tmp_path), filename="mid")
+        assert (tmp_path / "mid.pdf").exists()
+        plt.close("all")
+
+        scaled = CAST_STACK_rough([ct, cr])
+        assert len(scaled) == 2
+        spans = [np.ptp(s, axis=0).max() for s in scaled]
+        np.testing.assert_allclose(spans[0], spans[1], rtol=1e-6)  # common span
+        xr, yr = get_range(ct)
+        assert xr > 0 and yr > 0
+        np.testing.assert_allclose(coords_minus_mean(ct).mean(0), 0.0, atol=1e-9)
+        cdict, f = rescale_coords({"a": ct, "b": cr}, ["a", "b"], rescale=True)
+        np.testing.assert_allclose(np.abs(cdict["a"]).max(), 22340, rtol=1e-6)
+        # package-level mirror of the reference CAST __init__ surface
+        assert CAST.delta_cell_cal is not None and CAST.kmeans_plot_multiple is not None
+
+    def test_merfishvi_likelihood_helpers(self):
+        from scipy import stats as ss
+
+        from spateo_tpu.external.merfishvi import log_nb_positive, log_normal, log_poisson, log_zinb_positive
+
+        x = np.array([0.0, 1.0, 5.0, 12.0])
+        mu = np.array([2.0, 3.0, 1.0, 8.0])
+        th = np.array([1.5, 2.0, 4.0, 0.7])
+        ref = ss.nbinom.logpmf(x, th, th / (th + mu))
+        np.testing.assert_allclose(np.asarray(log_nb_positive(x, mu, th)), ref, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(log_poisson(x, mu)), ss.poisson.logpmf(x, mu), rtol=2e-4)
+        var = np.array([1.0, 2.0, 3.0, 4.0])
+        np.testing.assert_allclose(
+            np.asarray(log_normal(x, mu, var)), ss.norm.logpdf(x, mu, np.sqrt(var)), rtol=2e-4
+        )
+        pi = np.array([0.3, 0.2, 0.1, 0.05])
+        z = np.asarray(log_zinb_positive(x, mu, th, pi))
+        np.testing.assert_allclose(z[0], np.log(pi[0] + (1 - pi[0]) * np.exp(ref[0])), rtol=2e-4)
+        np.testing.assert_allclose(z[1:], np.log(1 - pi[1:]) + ref[1:], rtol=2e-4)
+
+
+def test_lack_logger_helpers():
+    import logging as pylogging
+
+    from spateo_tpu.logging import format_logging_message, set_logger_level, silence_logger
+
+    assert format_logging_message("hi", pylogging.INFO) == "|-----> hi"
+    assert format_logging_message("w", pylogging.WARNING, indent_level=2) == "|-----------? w"
+    assert format_logging_message("c", pylogging.CRITICAL).startswith("|-----!!")
+    assert format_logging_message("d", pylogging.DEBUG).startswith("|----->>>")
+    silence_logger("spateo_test_dummy")
+    lg = pylogging.getLogger("spateo_test_dummy")
+    assert lg.level > pylogging.CRITICAL and not lg.propagate
+    set_logger_level("spateo_test_dummy", pylogging.INFO)
+    assert lg.level == pylogging.INFO
