@@ -517,3 +517,83 @@ def test_lack_logger_helpers():
     assert lg.level > pylogging.CRITICAL and not lg.propagate
     set_logger_level("spateo_test_dummy", pylogging.INFO)
     assert lg.level == pylogging.INFO
+
+
+class TestCASTProjectionMarkHelpers:
+    """Projection evaluation + Mark graph/augmentation helper surface
+    (reference CAST_Projection.py:203-618, CAST_Mark.py:14-117, model/aug.py)."""
+
+    def test_cosine_idw_and_group_shift(self):
+        from spateo_tpu.external.cast_projection import IDW, cosine_IDW, group_shift
+
+        rng = np.random.default_rng(0)
+        d = rng.random(20)
+        idx, w, cd = cosine_IDW(d, k2=5)
+        assert len(idx) == 5 and len(w) == 5
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-9)
+        # the k2 selected distances are the smallest ones
+        assert set(np.asarray(idx)) == set(np.argsort(d)[:5])
+        # IDW weights are inversely ordered with distance
+        order = np.argsort(cd)
+        assert (np.diff(w[order]) <= 1e-12).all()
+        x = rng.normal(size=(80, 6))
+        # identical features, shifted coords -> shift equals median offset
+        shift = group_shift(x, x, rng.normal(size=(80, 2)) + 10.0, rng.normal(size=(80, 2)), pencentile_t=1.0)
+        assert shift.shape == (2,)
+
+    def test_evaluation_plots(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from spateo_tpu.external.cast_projection import (
+            cdist_hist,
+            confusion_mat_plot,
+            evaluation_project,
+            link_plot_3d,
+        )
+
+        rng = np.random.default_rng(1)
+        ct = rng.random((60, 2)) * 100
+        cr = rng.random((50, 2)) * 100
+        y = rng.choice(["A", "B", "C"], 60)
+        cdist_hist(rng.random(200), range_t=[0, 1])
+        confusion_mat_plot(y, y, fig_x=6, fig_y=2)
+        ax = link_plot_3d(rng.integers(0, 50, (60, 1)), ct, cr, k=1, sample_n=20)
+        assert ax is not None
+        evaluation_project(
+            physical_dist=rng.random((60, 1)) * 100,
+            project_ind=rng.integers(0, 50, (60, 1)),
+            coords_target=ct, coords_source=cr,
+            y_true_t=y, y_pred_t=y, y_source=rng.choice(["A", "B", "C"], 50),
+            output_path=str(tmp_path), source_sample_ctype_col="ct", cdists=rng.random((60, 1)),
+        )
+        assert (tmp_path / "cdist_hist.pdf").exists()
+        assert (tmp_path / "link_plot.pdf").exists()
+        plt.close("all")
+
+    def test_mark_graph_and_augmentation(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from spateo_tpu.external.cast import delaunay_dgl, drop_feature, mask_edge, random_aug, standardize, train_seq
+
+        rng = np.random.default_rng(2)
+        coords = rng.normal(size=(80, 2)) * 10
+        A = delaunay_dgl("s", coords, str(tmp_path), if_plot=True)
+        assert (tmp_path / "delaunay_s.png").exists()
+        assert A.shape == (80, 80) and (A != A.T).nnz == 0
+        x = rng.normal(size=(80, 12)).astype(np.float32)
+        xd = np.asarray(drop_feature(x, 0.5))
+        # whole columns are either zeroed or untouched
+        assert (((xd == 0).all(0)) | ((xd == x).all(0))).all()
+        keep = mask_edge(A.todense(), 0.4)
+        assert len(keep) <= (np.asarray(A.todense()) != 0).sum()
+        ng, feat = random_aug(A.todense(), x, 0.2, 0.3)
+        assert ng.shape == (80, 80) and feat.shape == x.shape
+        s = np.asarray(standardize(x))
+        np.testing.assert_allclose(s.mean(0), 0, atol=1e-5)
+        np.testing.assert_allclose(s.std(0), 1, atol=1e-4)
+        emb = train_seq([("s", A, x)], None, [], "", model=None)
+        assert emb["s"].shape[0] == 80 and np.isfinite(emb["s"]).all()
