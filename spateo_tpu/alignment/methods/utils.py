@@ -192,3 +192,7 @@ def torch_like_split(arr, size: int, dim: int = 0) -> List[np.ndarray]:
     arr = np.asarray(arr)
     n = arr.shape[dim]
     return [np.take(arr, np.arange(s, min(s + size, n)), axis=dim) for s in range(0, n, size)]
+
+
+# parity: reference alignment/methods/utils.py:21
+intersect_lsts = lambda *lsts: list(set(lsts[0]).intersection(*lsts[1:]))  # noqa: E731

@@ -547,3 +547,23 @@ def set_pub_style(scaler: float = 1) -> None:
             "axes.labelpad": 1 * scaler,
         }
     )
+
+
+# named colormap surface (parity: reference configuration.py:300-460 —
+# defined in spateo_tpu.colormaps, re-exported here to match the reference's
+# import location `spateo.configuration.fire_cmap` etc.)
+from .colormaps import (  # noqa: E402,F401
+    cyc_10,
+    cyc_20,
+    darkblue_cmap,
+    darkgreen_cmap,
+    darkpurple_cmap,
+    darkred_cmap,
+    div_blue_black_red_cmap,
+    div_blue_red_cmap,
+    fire_cmap,
+    glasbey_dark_cmap,
+    glasbey_white_cmap,
+    zebrafish_256,
+    zebrafish_colors,
+)

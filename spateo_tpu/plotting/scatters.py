@@ -218,14 +218,16 @@ def scatters(
         "blue": ("Blues", "tab20"),
         "red": ("Reds", "tab20"),
         "green": ("Greens", "tab20"),
-        "fire": ("inferno", "tab20"),
+        "fire": ("fire", "tab20"),
         "viridis": ("viridis", "tab20"),
         "inferno": ("inferno", "tab20"),
-        "div_blue_red": ("RdBu_r", "tab20"),
-        "div_blue_black_red": ("RdBu_r", "tab20"),
-        "glasbey_dark": ("viridis", "tab20"),
-        "glasbey_white": ("viridis", "tab20b"),
+        "div_blue_red": ("div_blue_red", "tab20"),
+        "div_blue_black_red": ("div_blue_black_red", "tab20"),
+        "glasbey_dark": ("viridis", "glasbey_dark"),
+        "glasbey_white": ("viridis", "glasbey_white"),
     }
+    # the named maps register at import (spateo_tpu.colormaps)
+    from .. import colormaps as _cmaps  # noqa: F401
     if theme is not None and cmap is None:
         cmap = themes.get(theme, (None, None))[0]
 

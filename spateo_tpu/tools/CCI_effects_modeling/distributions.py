@@ -456,3 +456,12 @@ class Negative_Binomial_Variance:
 
 
 nbinom_variance = Negative_Binomial_Variance()
+
+
+# module-level variance instances (parity: reference distributions.py:458-477)
+fitted = Power_Variance()
+fitted.__doc__ = "Variance equal in magnitude to the mean: V(mu) = |mu|."
+fitted_squared = Power_Variance(power=2)
+fitted_squared.__doc__ = "Variance equal to the squared mean: V(mu) = |mu|**2."
+fitted_cubed = Power_Variance(power=3)
+fitted_cubed.__doc__ = "Variance equal to the cubed mean: V(mu) = |mu|**3."

@@ -272,3 +272,59 @@ class TestAnnDataLen:
 
         a = st.AnnData(X=np.zeros((7, 3)), obs=pd.DataFrame(index=[f"c{i}" for i in range(7)]))
         assert len(a) == 7 == a.n_obs  # upstream anndata convention
+
+
+class TestColormapSurface:
+    """Named colormap constants (reference configuration.py:300-460)."""
+
+    def test_registered_names(self):
+        import matplotlib as mpl
+
+        import spateo_tpu.colormaps  # noqa: F401
+
+        for name in [
+            "fire", "darkblue", "darkgreen", "darkred", "darkpurple",
+            "div_blue_black_red", "div_blue_red", "glasbey_white", "glasbey_dark",
+        ]:
+            assert name in mpl.colormaps(), name
+
+    def test_configuration_reexports(self):
+        from spateo_tpu.configuration import (
+            cyc_10,
+            cyc_20,
+            fire_cmap,
+            glasbey_dark_cmap,
+            glasbey_white_cmap,
+            zebrafish_256,
+            zebrafish_colors,
+        )
+
+        assert fire_cmap.name == "fire"
+        assert len(zebrafish_colors) == 12 and len(zebrafish_256) == 12
+        assert len(cyc_10) == 10 and len(cyc_20) == 20
+        # fire runs dark -> bright (luminance increases)
+        import numpy as np
+
+        lo = np.array(fire_cmap(0.0)[:3]).sum()
+        hi = np.array(fire_cmap(1.0)[:3]).sum()
+        assert hi > lo
+
+    def test_glasbey_generator_constraints(self):
+        import matplotlib
+        import numpy as np
+
+        from spateo_tpu.colormaps import _srgb_to_lab, glasbey_palette
+
+        # exact Lab conversion at known points
+        lab = _srgb_to_lab(np.array([[1.0, 1.0, 1.0], [0.0, 0.0, 0.0], [1.0, 0.0, 0.0]]))
+        np.testing.assert_allclose(lab[0], [100, 0, 0], atol=0.01)
+        np.testing.assert_allclose(lab[2], [53.24, 80.09, 67.20], atol=0.1)
+        p = glasbey_palette(48, min_chroma=20.0, max_lightness=70.0)
+        assert len(set(p)) == 48
+        labp = _srgb_to_lab(np.array([matplotlib.colors.to_rgb(c) for c in p]))
+        assert labp[:, 0].max() <= 70.01  # dark-background lightness cap
+        assert np.hypot(labp[:, 1], labp[:, 2]).min() >= 19.9  # chroma floor
+        # distinctness: min pairwise Lab distance stays useful
+        d = np.linalg.norm(labp[:, None] - labp[None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        assert d.min() > 10.0
