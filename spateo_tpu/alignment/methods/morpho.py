@@ -936,6 +936,7 @@ class Morpho_pairwise:
 
     # -- main ---------------------------------------------------------------
     def run(self) -> np.ndarray:
+        self._phase_times = None
         if self.nn_init:
             self._coarse_rigid_alignment()
         else:
@@ -944,6 +945,7 @@ class Morpho_pairwise:
             self.inlier_B = np.zeros((1, self.D), np.float32)
             self.inlier_P = np.ones((1, 1), np.float32)
 
+        _phase_mark(self, 'initp_done')
         self._init_probability_parameters()
         from .math import init_guess_sigma2_dev
 
@@ -957,6 +959,7 @@ class Morpho_pairwise:
 
         # device-resident: con_K returns a device array; pulling it to host
         # only to re-upload into the EM costs a [NA, K] tunnel round-trip
+        _phase_mark(self, 'sigma2_samples_done')
         U = (
             self._U_precomputed
             if getattr(self, "_U_precomputed", None) is not None
@@ -989,6 +992,7 @@ class Morpho_pairwise:
         # expression distances factorized once as a_i + b_j + A @ B.T per
         # layer; the EM evaluates minibatch distances on the fly (no
         # [L, NA, NB] tensor)
+        _phase_mark(self, 'U_guidance_done')
         from .math import factorize_distance
 
         exp_A_src = getattr(self, "_exp_A_dev", None) or [jnp.asarray(a) for a in self.exp_layers_A]
@@ -1002,6 +1006,7 @@ class Morpho_pairwise:
         exp_A_feats = tuple(f[2] for f in factors)
         exp_B_feats = tuple(f[3] for f in factors)
 
+        _phase_mark(self, 'factorize_done')
         if self.batch_size is None:
             batch_size = min(max(int(self.NB / 10), 1000), self.NB)
         else:
@@ -1032,6 +1037,7 @@ class Morpho_pairwise:
             exp_a_rows_dev = tuple(jax.device_put(jnp.asarray(a), vec) for a in exp_a_rows)
             exp_A_feats_dev = tuple(jax.device_put(jnp.asarray(A), rows) for A in exp_A_feats)
 
+        _phase_mark(self, 'preem_done')
         s, optimal_R, optimal_t, optimal_RnA = _morpho_em(
             coordsA_dev,
             jnp.asarray(self.coordsB),
@@ -1099,12 +1105,21 @@ class Morpho_pairwise:
         # (alpha, SigmaDiag, batch_idx, M-step accumulators) stays on device
         # — the lazy P rebuild consumes it there, and each [NA]-sized pull
         # costs real tunnel time.
-        host_keys = ("sigma2", "gamma", "R", "t", "Coff", "XAHat", "RnA", "VnA",
-                     "sigma2_variance", "sigma2_traces")
+        _phase_mark(self, 'em_dispatched')
+        host_keys = ("sigma2", "gamma", "R", "t", "Coff", "XAHat", "sigma2_variance")
+        if self.iter_key_added:
+            host_keys = host_keys + ("sigma2_traces",)
         small = {k: s[k] for k in host_keys}
+        # RnA/VnA are NOT in the eager pull: nothing downstream reads them by
+        # default, and each is a [NA, D] tunnel transfer — they materialize
+        # lazily via the properties below. The coarse-init state
+        # (init_R/init_t/inducing_variables) rides the same single pull
+        # instead of a second round trip inside _wrap_output.
         pulled = jax.device_get((small, optimal_R, optimal_t, optimal_RnA,
-                                 s["traces"] if self.iter_key_added else jnp.zeros(())))
-        small_np, optimal_R, optimal_t, optimal_RnA, traces_np = pulled
+                                 s["traces"] if self.iter_key_added else jnp.zeros(()),
+                                 (self.init_R, self.init_t, self.inducing_variables)))
+        small_np, optimal_R, optimal_t, optimal_RnA, traces_np, coarse_np = pulled
+        self.init_R, self.init_t, self.inducing_variables = (np.asarray(x) for x in coarse_np)
         small_np = {**{k: v for k, v in s.items() if k not in ("P", "traces")}, **small_np}
         self.iter_sigma2 = np.asarray(small_np["sigma2_traces"]) if self.iter_key_added else None
         self._state = small_np  # Morton-sorted row space (internal: P rebuild)
@@ -1119,8 +1134,8 @@ class Morpho_pairwise:
         self.t = small_np["t"]
         self.Coff = small_np["Coff"]
         self.XAHat = small_np["XAHat"][inv]
-        self.RnA = small_np["RnA"][inv]
-        self.VnA = small_np["VnA"][inv]
+        self._RnA_host = None
+        self._VnA_host = None
         self.optimal_R = np.asarray(optimal_R)
         self.optimal_t = np.asarray(optimal_t)
         self.optimal_RnA = np.asarray(optimal_RnA)
@@ -1137,8 +1152,11 @@ class Morpho_pairwise:
         self._norm_XAHat = np.asarray(small_np["XAHat"]).copy()
         self._norm_coordsB = np.asarray(self.coordsB).copy()
         self._exp_factors = list(zip(exp_a_rows, exp_b_cols, exp_A_feats, exp_B_feats))
-        self._samples_s = float(samples_s)
+        # device scalar: float() here would block on the upload chain before
+        # the batched pull below even dispatches
+        self._samples_s = samples_s
 
+        _phase_mark(self, 'pull_done')
         if self.return_mapping:
             # full NA x NB assignment (sorted row space; rows unsorted below)
             model_mul = (self._state["alpha"] * np.exp(-self._state["SigmaDiag"] / self.sigma2))[:, None]
@@ -1163,6 +1181,35 @@ class Morpho_pairwise:
 
         self._wrap_output()
         return self.P
+
+    @property
+    def RnA(self):
+        """Non-rigid-transformed source coordinates [NA, D], pulled from
+        device on first access (lazy: the EM keeps them device-resident so
+        the post-solve pull ships only what a caller actually reads)."""
+        if getattr(self, "_RnA_host", None) is None:
+            arr = np.asarray(self._state["RnA"])[self._invA]
+            if self.normalize_c and getattr(self, "_output_denormalized", False):
+                arr = arr * self.normalize_scales[1] + self.normalize_means[1]
+            self._RnA_host = arr
+        return self._RnA_host
+
+    @RnA.setter
+    def RnA(self, value):
+        self._RnA_host = value
+
+    @property
+    def VnA(self):
+        """Per-point non-rigid displacement field [NA, D] (lazy pull, same
+        contract as :attr:`RnA`; the reference stores VnA on the solver,
+        morpho_class.py:1471)."""
+        if getattr(self, "_VnA_host", None) is None:
+            self._VnA_host = np.asarray(self._state["VnA"])[self._invA]
+        return self._VnA_host
+
+    @VnA.setter
+    def VnA(self, value):
+        self._VnA_host = value
 
     @property
     def P(self):
@@ -1208,9 +1255,13 @@ class Morpho_pairwise:
         rows, so they are permutation-invariant) — permuting the [NA, B]
         output instead would double-buffer a 15 GB array at 200k x 20k."""
         inv = jnp.asarray(self._invA)
-        batch_idx = jnp.asarray(np.asarray(self.batch_idx))
-        model_mul = (self._state["alpha"] * np.exp(-self._state["SigmaDiag"] / max(self.sigma2, 1e-12)))[:, None]
-        model_mul = jnp.asarray(model_mul, jnp.float32)[inv]
+        # keep alpha/SigmaDiag/batch_idx device-resident: np.exp / np.asarray
+        # on a jax array is a BLOCKING [NA] pull each (serialized tunnel RTTs)
+        batch_idx = jnp.asarray(self.batch_idx)
+        alpha = jnp.asarray(self._state["alpha"], jnp.float32)
+        sigma_diag = jnp.asarray(self._state["SigmaDiag"], jnp.float32)
+        model_mul = (alpha * jnp.exp(-sigma_diag / max(self.sigma2, 1e-12)))[:, None]
+        model_mul = model_mul[inv]
         a_rows = tuple(jnp.asarray(f[0])[inv] for f in self._exp_factors)
         b_cols = tuple(jnp.asarray(f[1]) for f in self._exp_factors)
         A_feats = tuple(jnp.asarray(f[2])[inv] for f in self._exp_factors)
@@ -1235,7 +1286,12 @@ class Morpho_pairwise:
         if self.normalize_c:
             scale_B, mean_B = self.normalize_scales[1], self.normalize_means[1]
             self.XAHat = self.XAHat * scale_B + mean_B
-            self.RnA = self.RnA * scale_B + mean_B
+            # RnA denormalizes inside its lazy property; flag that outputs
+            # are now in the denormalized frame (if RnA already materialized,
+            # denormalize it in place)
+            if getattr(self, "_RnA_host", None) is not None:
+                self._RnA_host = self._RnA_host * scale_B + mean_B
+            self._output_denormalized = True
             self.optimal_RnA = self.optimal_RnA * scale_B + mean_B
             if getattr(self, "iter_traces", None) is not None:
                 self.iter_traces = self.iter_traces * scale_B + mean_B
@@ -1255,12 +1311,14 @@ class Morpho_pairwise:
             "scale_transformed": self.normalize_scales[0],
             "scale_fixed": self.normalize_scales[1],
         }
-        # one batched pull for any still-device coarse-init state (each
-        # separate np.asarray costs its own tunnel round trip)
-        self.init_R, self.init_t, self.inducing_variables = (
-            np.asarray(x)
-            for x in jax.device_get((self.init_R, self.init_t, self.inducing_variables))
-        )
+        # coarse-init state (init_R/init_t/inducing_variables) was np-ified
+        # inside run()'s single batched pull; when run() was bypassed (e.g.
+        # transform-only paths) fall back to a batched pull here
+        if not isinstance(self.init_R, np.ndarray):
+            self.init_R, self.init_t, self.inducing_variables = (
+                np.asarray(x)
+                for x in jax.device_get((self.init_R, self.init_t, self.inducing_variables))
+            )
         self.vecfld = {
             "R": self.R,
             "t": self.t,
@@ -1296,3 +1354,14 @@ class Morpho_pairwise:
                 "first_node_idx": self._geodesic_first_node,
                 "kernel_graph_distance": self._geodesic_distance,
             }
+
+
+def _phase_mark(self, name):
+    import time as _t
+    d = getattr(self, "_phase_times", None)
+    if d is None:
+        d = self._phase_times = {}
+        self._phase_t0 = _t.perf_counter()
+    d[name] = _t.perf_counter() - self._phase_t0
+
+
