@@ -92,3 +92,68 @@ def report() -> List[Tuple[str, int, float, float]]:
         rows.append((name, len(ts), sum(ts), sum(ts) / len(ts)))
         lm.main_info(f"{name}: {len(ts)} calls, total {sum(ts):.3f} s, mean {sum(ts)/len(ts):.3f} s")
     return rows
+
+
+@contextlib.contextmanager
+def sync_audit(log: bool = True, capture_stacks: bool = False) -> Iterator[dict]:
+    """Count blocking device->host materializations inside a block.
+
+    On a tunneled TPU every implicit pull (``np.asarray`` on a jax array,
+    ``float(x)``, ``if device_scalar:``) costs a full round trip, and
+    *sequential* pulls dominate pipeline fixed cost. This context manager
+    wraps ``jax.Array.__array__`` / ``__float__`` / ``__int__`` /
+    ``__bool__`` and ``jax.device_get`` to count them:
+
+        with st.profiler.sync_audit() as audit:
+            model.run()
+        audit  # {"array": 3, "float": 1, "device_get": 1, "stacks": [...]}
+
+    ``capture_stacks=True`` additionally records a short traceback per event
+    so the offending line can be found. Only use for diagnosis (the wrapper
+    adds per-call overhead)."""
+    import traceback
+
+    import jax
+
+    counts = {"array": 0, "float": 0, "int": 0, "bool": 0, "device_get": 0, "stacks": []}
+    cls = type(jax.numpy.zeros(()))
+    originals = {}
+
+    def _wrap(name, key):
+        orig = getattr(cls, name, None)
+        if orig is None:  # pragma: no cover
+            return
+        originals[name] = orig
+
+        def wrapped(self, *a, **k):
+            counts[key] += 1
+            if capture_stacks:
+                counts["stacks"].append((key, "".join(traceback.format_stack(limit=8)[:-1])))
+            return orig(self, *a, **k)
+
+        setattr(cls, name, wrapped)
+
+    for name, key in (("__array__", "array"), ("__float__", "float"), ("__int__", "int"), ("__bool__", "bool")):
+        _wrap(name, key)
+    orig_get = jax.device_get
+
+    def wrapped_get(x):
+        counts["device_get"] += 1
+        if capture_stacks:
+            counts["stacks"].append(("device_get", "".join(traceback.format_stack(limit=8)[:-1])))
+        return orig_get(x)
+
+    jax.device_get = wrapped_get
+    try:
+        yield counts
+    finally:
+        jax.device_get = orig_get
+        for name, orig in originals.items():
+            setattr(cls, name, orig)
+        if log:
+            total = sum(v for k, v in counts.items() if k != "stacks")
+            lm.main_info(
+                f"sync_audit: {total} blocking materializations "
+                f"(array={counts['array']} float={counts['float']} int={counts['int']} "
+                f"bool={counts['bool']} device_get={counts['device_get']})"
+            )

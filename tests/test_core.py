@@ -202,6 +202,22 @@ class TestProfiler:
         f(jnp.ones(4))
         assert "anno" in st.profiler.timings()
 
+    def test_sync_audit_counts_and_restores(self):
+        import jax
+        import jax.numpy as jnp
+
+        import spateo_tpu as st
+
+        cls = type(jnp.zeros(()))
+        orig_float, orig_get = cls.__float__, jax.device_get
+        with st.profiler.sync_audit(log=False, capture_stacks=True) as audit:
+            float(jnp.ones(()).sum())
+            jax.device_get(jnp.arange(3))
+        assert audit["float"] == 1 and audit["device_get"] == 1
+        assert audit["stacks"] and audit["stacks"][0][0] in {"float", "device_get"}
+        # wrappers must be unwound on exit
+        assert cls.__float__ is orig_float and jax.device_get is orig_get
+
 
 class TestSurfaceTail:
     """Round-3 closure of the last public names (package-wide AST sweep vs
