@@ -394,6 +394,15 @@ def SparseVFC(
         Grid = np.asarray(Grid, dtype=np.float32)
         grid_dev = con_K(jnp.asarray(Grid), ctrl_j, beta_t) @ s["C"]
 
+    # cosine-correlation gate scalar, computed ON DEVICE: restart drivers
+    # (reference sparsevfc.py:178-232 gates each trial on this) read one
+    # scalar instead of materializing the full fit for every losing seed.
+    # The positive `rescale` factor cancels in the row-wise cosine.
+    tn = Yj / (jnp.linalg.norm(Yj, axis=1, keepdims=True) + 1e-20)
+    pn = s["V"] / (jnp.linalg.norm(s["V"], axis=1, keepdims=True) + 1e-20)
+    per_row = jnp.sum(tn * pn, axis=1)
+    res_t = jnp.sum(per_row * mask) / n_valid_t if mask is not None else jnp.mean(per_row)
+
     base = {
         "X": Xv,
         "valid_ind": np.arange(len(valid_ind)),
@@ -403,7 +412,7 @@ def SparseVFC(
         "grid": Grid,
         # device-resident handles so chained consumers (differential geometry,
         # field evaluation) don't re-upload what is already on the chip
-        "_device": {"X": Xj, "ctrl": ctrl_j, "C": s["C"], "beta": beta_t, "y_rescale": rescale_t},
+        "_device": {"X": Xj, "ctrl": ctrl_j, "C": s["C"], "beta": beta_t, "y_rescale": rescale_t, "res": res_t},
     }
 
     # everything that crosses the host boundary materializes LAZILY, in ONE

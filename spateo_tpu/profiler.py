@@ -118,6 +118,10 @@ def sync_audit(log: bool = True, capture_stacks: bool = False) -> Iterator[dict]
     counts = {"array": 0, "float": 0, "int": 0, "bool": 0, "device_get": 0, "stacks": []}
     cls = type(jax.numpy.zeros(()))
     originals = {}
+    # A batched jax.device_get(tree) is ONE round trip regardless of leaf
+    # count; suppress the per-leaf __array__ events it triggers internally so
+    # counts reflect actual sync points.
+    in_get = [False]
 
     def _wrap(name, key):
         orig = getattr(cls, name, None)
@@ -126,9 +130,10 @@ def sync_audit(log: bool = True, capture_stacks: bool = False) -> Iterator[dict]
         originals[name] = orig
 
         def wrapped(self, *a, **k):
-            counts[key] += 1
-            if capture_stacks:
-                counts["stacks"].append((key, "".join(traceback.format_stack(limit=8)[:-1])))
+            if not in_get[0]:
+                counts[key] += 1
+                if capture_stacks:
+                    counts["stacks"].append((key, "".join(traceback.format_stack(limit=8)[:-1])))
             return orig(self, *a, **k)
 
         setattr(cls, name, wrapped)
@@ -141,7 +146,11 @@ def sync_audit(log: bool = True, capture_stacks: bool = False) -> Iterator[dict]
         counts["device_get"] += 1
         if capture_stacks:
             counts["stacks"].append(("device_get", "".join(traceback.format_stack(limit=8)[:-1])))
-        return orig_get(x)
+        in_get[0] = True
+        try:
+            return orig_get(x)
+        finally:
+            in_get[0] = False
 
     jax.device_get = wrapped_get
     try:

@@ -101,11 +101,17 @@ def _morphofield_sparsevfc(
                 X=X, Y=V, Grid=predict_X, M=M, lstsq_method=lstsq_method, lambda_=lambda_,
                 seed=int(restart_seed[counter]), **kwargs,
             )
-            reference = cur["Y"][cur["valid_ind"]]
-            prediction = cur["V"][cur["valid_ind"]]
-            tn = reference / (np.linalg.norm(reference, axis=1, keepdims=True) + 1e-20)
-            pn = prediction / (np.linalg.norm(prediction, axis=1, keepdims=True) + 1e-20)
-            res = float(np.mean(tn * pn) * prediction.shape[1])
+            dev = dict.get(cur, "_device")
+            if dev is not None and "res" in dev:
+                # one scalar RTT per trial; only the WINNING fit ever pays the
+                # full device->host materialization (losing seeds stay lazy)
+                res = float(np.asarray(dev["res"]))
+            else:
+                reference = cur["Y"][cur["valid_ind"]]
+                prediction = cur["V"][cur["valid_ind"]]
+                tn = reference / (np.linalg.norm(reference, axis=1, keepdims=True) + 1e-20)
+                pn = prediction / (np.linalg.norm(prediction, axis=1, keepdims=True) + 1e-20)
+                res = float(np.mean(tn * pn) * prediction.shape[1])
             cur_vf_list.append(cur)
             res_list.append(res)
             if res >= min_vel_corr:
