@@ -597,3 +597,84 @@ class TestCASTProjectionMarkHelpers:
         np.testing.assert_allclose(s.std(0), 1, atol=1e-4)
         emb = train_seq([("s", A, x)], None, [], "", model=None)
         assert emb["s"].shape[0] == 80 and np.isfinite(emb["s"]).all()
+
+
+class TestSTAGATEModuleCompat:
+    """Module-level STAGATE_pyG compat surface (parity: reference
+    gat_conv.py:14 GATConv, utils.py:10 Transfer_pytorch_Data, utils.py:34
+    Batch_Data, STAGATE.py:13 module)."""
+
+    @pytest.fixture()
+    def net_adata(self):
+        rng = np.random.default_rng(1)
+        n, G = 80, 12
+        coords = rng.uniform(0, 100, (n, 2))
+        X = rng.poisson(3, (n, G)).astype(np.float32)
+        ad = st.AnnData(
+            X=X,
+            obs=pd.DataFrame({"X": coords[:, 0], "Y": coords[:, 1]}, index=[f"c{i}" for i in range(n)]),
+            var=pd.DataFrame(index=[f"g{i}" for i in range(G)]),
+        )
+        ad.obsm["spatial"] = coords
+        st.SKM.init_adata_type(ad, "UMI")
+        from spateo_tpu.external.STAGATE_pyG import Cal_Spatial_Net
+
+        Cal_Spatial_Net(ad, k_cutoff=5, model="KNN", verbose=False)
+        return ad
+
+    def test_transfer_pytorch_data(self, net_adata):
+        import torch
+
+        from spateo_tpu.external.STAGATE_pyG import Transfer_pytorch_Data
+
+        d = Transfer_pytorch_Data(net_adata)
+        assert isinstance(d.x, torch.Tensor) and d.x.shape == (80, 12)
+        assert d.edge_index.dtype == torch.long and d.edge_index.shape[0] == 2
+        src, dst = d.edge_index.numpy()
+        # self loops present (G + I in the reference)
+        assert np.isin(np.arange(80), src[src == dst]).all()
+
+    def test_batch_data_tiles_cover_all_cells(self, net_adata):
+        from spateo_tpu.external.STAGATE_pyG import Batch_Data
+
+        batches = Batch_Data(net_adata, 2, 3, spatial_key=["X", "Y"])
+        assert len(batches) == 6
+        # percentile tiles overlap on boundaries, so the union covers everything
+        covered = set()
+        for b in batches:
+            covered.update(np.asarray(b.obs_names).tolist())
+        assert len(covered) == net_adata.n_obs
+
+    def test_gatconv_attention_softmax_rows(self, net_adata):
+        from spateo_tpu.external.STAGATE_pyG import GATConv, Transfer_pytorch_Data
+
+        d = Transfer_pytorch_Data(net_adata)
+        conv = GATConv(12, 6, heads=1, concat=False, add_self_loops=False, bias=False)
+        out, (_, att) = conv(d.x.numpy(), d.edge_index.numpy(), return_attention_weights=True)
+        att = np.asarray(att)
+        assert out.shape == (80, 6)
+        np.testing.assert_allclose(att.sum(1), 1.0, atol=1e-5)
+        # attention=False short-circuits to the linear transform
+        lin = np.asarray(conv(d.x.numpy(), d.edge_index.numpy(), attention=False))
+        np.testing.assert_allclose(lin, np.asarray(d.x.numpy() @ conv.lin_src), rtol=1e-4, atol=1e-5)
+
+    def test_stagate_module_forward_ties_weights(self, net_adata):
+        from spateo_tpu.external.STAGATE_pyG import STAGATE_Module, Transfer_pytorch_Data
+
+        d = Transfer_pytorch_Data(net_adata)
+        m = STAGATE_Module([12, 10, 4])
+        h2, h4 = m(d.x.numpy(), d.edge_index.numpy())
+        assert np.asarray(h2).shape == (80, 4) and np.asarray(h4).shape == (80, 12)
+        np.testing.assert_array_equal(np.asarray(m.conv3.lin_src), np.asarray(m.conv2.lin_src).T)
+        np.testing.assert_array_equal(np.asarray(m.conv4.lin_src), np.asarray(m.conv1.lin_src).T)
+        # conv3 reused conv1's attention rather than its own
+        assert m.conv1.attentions is not None and m.conv3.attentions is None
+
+    def test_reference_module_paths_importable(self):
+        from spateo_tpu.external.CAST.model.model_GCNII import CCA_SSG as C1
+        from spateo_tpu.external.STAGATE_pyG.gat_conv import GATConv as G1
+        from spateo_tpu.external.STAGATE_pyG.utils import Transfer_pytorch_Data as T1
+
+        from spateo_tpu.external import CCA_SSG, GATConv, Transfer_pytorch_Data
+
+        assert C1 is CCA_SSG and G1 is GATConv and T1 is Transfer_pytorch_Data
