@@ -141,6 +141,90 @@ def con_K(x: jnp.ndarray, y: jnp.ndarray, beta: float) -> jnp.ndarray:
     return jnp.exp(-beta * jnp.maximum(d2, 0.0))
 
 
+def _run_em(K, U, Y, y_scale, mask, n_valid, lambda_, gamma0, a, ecr, minP, max_iter, compute_energy, y_mult_k):
+    """One EM run over precomputed RBF features — the shared core of the
+    single-field jit (`_sparsevfc_em`) and the vmapped multi-field batch
+    (`_sparsevfc_em_batch`)."""
+    D = Y.shape[1]
+    M = U.shape[0]
+    N = Y.shape[0]
+    Yk = Y * (y_mult_k / y_scale) * mask[:, None]
+    state = dict(
+        C=jnp.zeros((M, D)),
+        P=mask,
+        V=jnp.zeros((N, D)),
+        sigma2=jnp.sum(Yk * Yk) / (n_valid * D),
+        gamma=jnp.asarray(gamma0),
+        E=jnp.asarray(1.0),
+        tecr=jnp.asarray(jnp.inf),
+        i=0,
+    )
+
+    def cond(s):
+        return (s["i"] < max_iter) & (s["tecr"] > ecr) & (s["sigma2"] > 1e-8)
+
+    def body(s):
+        # E-step: inlier posterior (exponent clipped: a diverged V must
+        # not produce 0/inf posteriors that lock the all-outlier fixed
+        # point)
+        resid2 = jnp.sum((Yk - s["V"]) ** 2, axis=1)
+        gauss = jnp.exp(jnp.clip(-resid2 / (2 * s["sigma2"]), -50.0, 0.0))
+        temp = (2 * jnp.pi * s["sigma2"]) ** (D / 2) * (1 - s["gamma"]) / (s["gamma"] * a)
+        P = jnp.maximum(gauss / (gauss + temp), minP) * mask
+        if compute_energy:
+            # energy (negative log-likelihood proxy + regularization);
+            # skipped entirely when the caller pinned the iteration
+            # count with ecr <= 0 — the loop never reads tecr then
+            E = (
+                jnp.sum(P * resid2) / (2 * s["sigma2"])
+                + jnp.sum(P) * jnp.log(s["sigma2"]) * D / 2
+                + lambda_ / 2 * jnp.trace(s["C"].T @ U @ s["C"])
+            )
+            tecr = jnp.abs((E - s["E"]) / jnp.maximum(jnp.abs(E), 1e-12))
+        else:
+            E, tecr = s["E"], s["tecr"]
+        # M-step: weighted kernel ridge. The ridge is floored relative to
+        # the data term's trace: as sigma2 -> 0 on near-noiseless data the
+        # lambda*sigma2*U regularizer would vanish, leaving an
+        # ill-conditioned solve whose coefficients oscillate wildly
+        # between data points.
+        KP = K * P[:, None]  # [N, M] scaled rows
+        KtPK = K.T @ KP
+        ridge_floor = 1e-4 * jnp.trace(KtPK) / M
+        ridge = jnp.maximum(lambda_ * s["sigma2"], ridge_floor)
+        lhs = KtPK + ridge * U + ridge_floor * jnp.eye(M)
+        # symmetrize: f32 matmul round-off leaves K^T P K asymmetric by
+        # more than the smallest eigenvalue, which breaks a one-triangle
+        # Cholesky even though the symmetric part is comfortably SPD
+        lhs = 0.5 * (lhs + lhs.T)
+        rhs = KP.T @ Yk
+        # lhs is SPD by construction -> Cholesky beats LU on TPU
+        C = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(lhs), rhs)
+        V = K @ C
+        Sp = jnp.sum(P)
+        sigma2 = jnp.sum(P * jnp.sum((Yk - V) ** 2, axis=1)) / (Sp * D)
+        # cap sigma2 at its initialization scale: growth beyond the raw
+        # data variance always signals a diverged fit, never real noise
+        sigma2 = jnp.minimum(sigma2, jnp.sum(Yk * Yk) / (n_valid * D) * 2.0)
+        gamma = jnp.clip(Sp / n_valid, 0.05, 0.95)
+        return dict(C=C, P=P, V=V, sigma2=sigma2, gamma=gamma, E=E, tecr=tecr, i=s["i"] + 1)
+
+    s = jax.lax.while_loop(cond, body, state)
+    if not compute_energy:
+        # the loop skipped the per-iteration energy; evaluate it ONCE at
+        # the fixed point so the returned E_traj stays meaningful for
+        # dynamo-compat consumers (tecr has no previous-E reference and
+        # reports NaN — 'not tracked')
+        resid2 = jnp.sum((Yk - s["V"]) ** 2, axis=1)
+        s["E"] = (
+            jnp.sum(s["P"] * resid2) / (2 * s["sigma2"])
+            + jnp.sum(s["P"]) * jnp.log(s["sigma2"]) * D / 2
+            + lambda_ / 2 * jnp.trace(s["C"].T @ U @ s["C"])
+        )
+        s["tecr"] = jnp.asarray(jnp.nan)
+    return s
+
+
 @partial(jax.jit, static_argnames=("max_iter", "compute_energy"))
 def _sparsevfc_em(
     X: jnp.ndarray,  # [N, D]
@@ -160,7 +244,6 @@ def _sparsevfc_em(
 ):
     N = X.shape[0]
     D = Y.shape[1]  # output dimension (may differ from the input space's)
-    M = ctrl.shape[0]
     if mask is None:
         mask = jnp.ones(N, X.dtype)
     if n_valid is None:
@@ -174,81 +257,7 @@ def _sparsevfc_em(
     U = con_K(ctrl, ctrl, beta)  # [M, M]
 
     def run_one(y_mult_k):
-        Yk = Y * (y_mult_k / y_scale) * mask[:, None]
-        state = dict(
-            C=jnp.zeros((M, D)),
-            P=mask,
-            V=jnp.zeros((N, D)),
-            sigma2=jnp.sum(Yk * Yk) / (n_valid * D),
-            gamma=jnp.asarray(gamma0),
-            E=jnp.asarray(1.0),
-            tecr=jnp.asarray(jnp.inf),
-            i=0,
-        )
-
-        def cond(s):
-            return (s["i"] < max_iter) & (s["tecr"] > ecr) & (s["sigma2"] > 1e-8)
-
-        def body(s):
-            # E-step: inlier posterior (exponent clipped: a diverged V must
-            # not produce 0/inf posteriors that lock the all-outlier fixed
-            # point)
-            resid2 = jnp.sum((Yk - s["V"]) ** 2, axis=1)
-            gauss = jnp.exp(jnp.clip(-resid2 / (2 * s["sigma2"]), -50.0, 0.0))
-            temp = (2 * jnp.pi * s["sigma2"]) ** (D / 2) * (1 - s["gamma"]) / (s["gamma"] * a)
-            P = jnp.maximum(gauss / (gauss + temp), minP) * mask
-            if compute_energy:
-                # energy (negative log-likelihood proxy + regularization);
-                # skipped entirely when the caller pinned the iteration
-                # count with ecr <= 0 — the loop never reads tecr then
-                E = (
-                    jnp.sum(P * resid2) / (2 * s["sigma2"])
-                    + jnp.sum(P) * jnp.log(s["sigma2"]) * D / 2
-                    + lambda_ / 2 * jnp.trace(s["C"].T @ U @ s["C"])
-                )
-                tecr = jnp.abs((E - s["E"]) / jnp.maximum(jnp.abs(E), 1e-12))
-            else:
-                E, tecr = s["E"], s["tecr"]
-            # M-step: weighted kernel ridge. The ridge is floored relative to
-            # the data term's trace: as sigma2 -> 0 on near-noiseless data the
-            # lambda*sigma2*U regularizer would vanish, leaving an
-            # ill-conditioned solve whose coefficients oscillate wildly
-            # between data points.
-            KP = K * P[:, None]  # [N, M] scaled rows
-            KtPK = K.T @ KP
-            ridge_floor = 1e-4 * jnp.trace(KtPK) / M
-            ridge = jnp.maximum(lambda_ * s["sigma2"], ridge_floor)
-            lhs = KtPK + ridge * U + ridge_floor * jnp.eye(M)
-            # symmetrize: f32 matmul round-off leaves K^T P K asymmetric by
-            # more than the smallest eigenvalue, which breaks a one-triangle
-            # Cholesky even though the symmetric part is comfortably SPD
-            lhs = 0.5 * (lhs + lhs.T)
-            rhs = KP.T @ Yk
-            # lhs is SPD by construction -> Cholesky beats LU on TPU
-            C = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(lhs), rhs)
-            V = K @ C
-            Sp = jnp.sum(P)
-            sigma2 = jnp.sum(P * jnp.sum((Yk - V) ** 2, axis=1)) / (Sp * D)
-            # cap sigma2 at its initialization scale: growth beyond the raw
-            # data variance always signals a diverged fit, never real noise
-            sigma2 = jnp.minimum(sigma2, jnp.sum(Yk * Yk) / (n_valid * D) * 2.0)
-            gamma = jnp.clip(Sp / n_valid, 0.05, 0.95)
-            return dict(C=C, P=P, V=V, sigma2=sigma2, gamma=gamma, E=E, tecr=tecr, i=s["i"] + 1)
-
-        s = jax.lax.while_loop(cond, body, state)
-        if not compute_energy:
-            # the loop skipped the per-iteration energy; evaluate it ONCE at
-            # the fixed point so the returned E_traj stays meaningful for
-            # dynamo-compat consumers (tecr has no previous-E reference and
-            # reports NaN — 'not tracked'). Yk is in scope from above.
-            resid2 = jnp.sum((Yk - s["V"]) ** 2, axis=1)
-            s["E"] = (
-                jnp.sum(s["P"] * resid2) / (2 * s["sigma2"])
-                + jnp.sum(s["P"]) * jnp.log(s["sigma2"]) * D / 2
-                + lambda_ / 2 * jnp.trace(s["C"].T @ U @ s["C"])
-            )
-            s["tecr"] = jnp.asarray(jnp.nan)
-        return s
+        return _run_em(K, U, Y, y_scale, mask, n_valid, lambda_, gamma0, a, ecr, minP, max_iter, compute_energy, y_mult_k)
 
     y_mult_t = jnp.asarray(y_mult, X.dtype)
     s = run_one(y_mult_t)
@@ -283,6 +292,217 @@ def _median_positive_sqdist(sub: jnp.ndarray) -> jnp.ndarray:
     )
     d2 = jnp.where(d2 > 0.0, d2, jnp.nan)
     return jnp.nanmedian(d2)
+
+
+def _field_jacobian(pts, ctrl, C, beta, rescale):
+    """Analytic Jacobian of the learned RBF field at `pts` and the derived
+    per-point morphometric fields (reference morphofield_dg/
+    differential_geometry.py:42-297: divergence = tr(J), curl from the
+    antisymmetric part). grad_x K(x, c) = -2 beta (x - c) K."""
+    diff = pts[:, None, :] - ctrl[None, :, :]  # [N, M, D]
+    Kk = jnp.exp(-beta * jnp.sum(diff**2, -1))  # [N, M]
+    # J[n, e, d] = dV_e/dx_d — the standard convention jax.jacfwd uses
+    # (GPVectorField.py's compute_curl assumes it)
+    J = jnp.einsum("nm,nmd,me->ned", Kk, -2.0 * beta * diff, C) * rescale
+    div = jnp.trace(J, axis1=1, axis2=2)
+    if pts.shape[1] == 3:
+        curl = jnp.stack(
+            [J[:, 2, 1] - J[:, 1, 2], J[:, 0, 2] - J[:, 2, 0], J[:, 1, 0] - J[:, 0, 1]], axis=1
+        )
+    else:  # 2-D: scalar curl (z component)
+        curl = J[:, 1, 0] - J[:, 0, 1]
+    return J, div, curl
+
+
+@partial(jax.jit, static_argnames=("max_iter", "compute_energy", "with_morphometrics"))
+def _sparsevfc_em_batch(
+    Xs: jnp.ndarray,  # [F, N, D]
+    Ys: jnp.ndarray,  # [F, N, D]
+    ctrls: jnp.ndarray,  # [F, M, D]
+    betas: jnp.ndarray,  # [F]
+    gamma0: float,
+    a: float,
+    lambda_: float,
+    ecr: float,
+    minP: float,
+    max_iter: int,
+    compute_energy: bool = False,
+    with_morphometrics: bool = True,
+):
+    """All F fields in ONE device program: the per-field EMs vmap into
+    batched [F, N, M] matmuls (better MXU utilization than F sequential
+    100-wide GEMMs) and the analytic-Jacobian div/curl chain is fused onto
+    the fixed point, so a multi-field morphometrics sweep costs one
+    dispatch + one pull instead of 2F.
+
+    The all-outlier retry guard is NOT fused here: `lax.cond` under vmap
+    lowers to `select` (both branches execute for every field), which
+    would double the EM cost; collapsed fields are re-run individually by
+    the caller instead."""
+    N, D = Xs.shape[1], Xs.shape[2]
+    n_valid = jnp.asarray(float(N), Xs.dtype)
+    mask = jnp.ones(N, Xs.dtype)
+
+    def one(X, Y, ctrl, beta):
+        y_scale = jnp.sqrt(jnp.sum(Y * Y) / (n_valid * D)) + 1e-12
+        K = con_K(X, ctrl, beta)
+        U = con_K(ctrl, ctrl, beta)
+        s = _run_em(K, U, Y, y_scale, mask, n_valid, lambda_, gamma0, a, ecr, minP,
+                    max_iter, compute_energy, jnp.asarray(1.0, Xs.dtype))
+        out = dict(s, y_scale=y_scale)
+        if with_morphometrics:
+            J, div, curl = _field_jacobian(X, ctrl, s["C"], beta, y_scale)
+            out.update(div=div, curl=curl)
+            del J  # device-resident consumers recompute from C when needed
+        return out
+
+    return jax.vmap(one)(Xs, Ys, ctrls, betas)
+
+
+def _select_ctrl(Xv: np.ndarray, M: int, rng) -> np.ndarray:
+    """Pick M distinct control-point rows (cheap candidate draw first,
+    global dedup fallback for duplicate-heavy data)."""
+    N = Xv.shape[0]
+    n_cand = min(N, max(4 * M, M + 8))
+    cand = rng.choice(N, n_cand, replace=False)
+    direction = rng.standard_normal(Xv.shape[1])
+    proj = Xv[cand].astype(np.float64) @ direction
+    _, first = np.unique(proj, return_index=True)
+    if len(first) < min(M, N) and n_cand < N:
+        proj_all = Xv.astype(np.float64) @ direction
+        _, uniq_idx = np.unique(proj_all, return_index=True)
+        M_eff = min(M, len(uniq_idx))
+        return uniq_idx[rng.choice(len(uniq_idx), M_eff, replace=False)]
+    return cand[np.sort(first)[:M]]
+
+
+def SparseVFC_batch(
+    Xs,
+    Ys,
+    M: int = 100,
+    a: float = 5.0,
+    beta: Optional[float] = None,
+    ecr: float = 1e-5,
+    gamma: float = 0.9,
+    lambda_: float = 3.0,
+    minP: float = 1e-5,
+    MaxIter: int = 500,
+    theta: float = 0.75,
+    seed: int = 0,
+    morphometrics: bool = True,
+) -> list:
+    """Fit MANY vector fields in one fused device program.
+
+    Production morphometrics sweeps fit one field per adjacent
+    aligned-slice pair (reference tdr/morphometrics/morphofield/
+    sparsevfc.py:103 runs dynamo's SparseVFC serially per pair); here the
+    F fields batch into a single vmapped EM — [F, N, M] matmuls on the
+    MXU, one host->device upload, one dispatch, ONE batched pull — with
+    the analytic-Jacobian divergence/curl fused onto the fixed point when
+    ``morphometrics=True``.
+
+    All fields must share N (pad or subsample upstream). Returns a list
+    of per-field dicts in the `SparseVFC` format (plus ``div``/``curl``
+    when requested); every host-facing value materializes lazily in one
+    batched transfer on first touch. Fields whose inlier fraction
+    collapsed (gamma at its floor) are automatically re-fit individually
+    through `SparseVFC`'s fused retry guard.
+    """
+    Xs = np.asarray(Xs, dtype=np.float32)
+    Ys = np.asarray(Ys, dtype=np.float32)
+    if Xs.ndim != 3 or Xs.shape != Ys.shape:
+        raise ValueError(f"Xs/Ys must be matching [F, N, D] stacks, got {Xs.shape} / {Ys.shape}")
+    F, N, D = Xs.shape
+
+    # upload first: async device_put overlaps the host-side control-point
+    # selection below
+    Xj = jnp.asarray(Xs)
+    Yj = jnp.asarray(Ys)
+
+    rng = np.random.default_rng(seed)
+    ctrl_idx = [_select_ctrl(Xs[f], M, rng) for f in range(F)]
+    M_eff = min(len(ci) for ci in ctrl_idx)
+    ctrl_idx = [ci[:M_eff] for ci in ctrl_idx]
+    ctrls = np.stack([Xs[f][ctrl_idx[f]] for f in range(F)])
+
+    if beta is None:
+        subs = np.stack([Xs[f][rng.choice(N, min(N, 2000), replace=False)] for f in range(F)])
+        h2 = jax.vmap(_median_positive_sqdist)(jnp.asarray(subs))
+        betas = jnp.where(jnp.isfinite(h2) & (h2 > 0.0), 1.0 / h2, 1.0).astype(jnp.float32)
+    else:
+        betas = jnp.full((F,), float(beta), jnp.float32)
+
+    out = _sparsevfc_em_batch(
+        Xj, Yj, jnp.asarray(ctrls), betas,
+        gamma, a, lambda_, ecr, minP, MaxIter,
+        compute_energy=(ecr > 0), with_morphometrics=morphometrics,
+    )
+
+    pulled = {}
+
+    def _pull():
+        if pulled:
+            return pulled
+        host, betas_h = jax.device_get((out, betas))
+        pulled.update(host)
+        pulled["_betas"] = betas_h
+        return pulled
+
+    results = []
+    for f in range(F):
+        base = {
+            "X": Xs[f],
+            "valid_ind": np.arange(N),
+            "X_ctrl": ctrls[f],
+            "ctrl_idx": ctrl_idx[f],
+            "Y": Ys[f],
+            "grid": None,
+            "grid_V": None,
+            "_device": {
+                "X": Xj[f], "ctrl": jnp.asarray(ctrls[f]), "C": out["C"][f],
+                "beta": betas[f], "y_rescale": out["y_scale"][f],
+            },
+        }
+
+        def _field_pull(f=f):
+            host = _pull()
+            rescale = float(host["y_scale"][f])
+            P = host["P"][f]
+            res = {
+                "beta": float(host["_betas"][f]),
+                "V": host["V"][f] * rescale,
+                "C": host["C"][f] * rescale,
+                "P": P,
+                "VFCIndex": np.where(P > theta)[0],
+                "sigma2": float(host["sigma2"][f]) * rescale**2,
+                "gamma": float(host["gamma"][f]),
+                "iteration": int(host["i"][f]),
+                "tecr_traj": np.asarray([float(host["tecr"][f])]),
+                "E_traj": np.asarray([float(host["E"][f])]),
+            }
+            if morphometrics:
+                res["div"] = host["div"][f] * 1.0
+                res["curl"] = host["curl"][f] * 1.0
+            # collapsed fit (inlier fraction pinned at the floor): re-run
+            # this field alone through the fused retry guard
+            if res["gamma"] <= 0.06:
+                single = SparseVFC(Xs[f], Ys[f], M=M_eff, a=a,
+                                   beta=None if beta is None else beta, ecr=ecr,
+                                   gamma=gamma, lambda_=lambda_, minP=minP,
+                                   MaxIter=MaxIter, theta=theta, seed=seed + 1 + f)
+                for k in ("beta", "V", "C", "P", "VFCIndex", "sigma2", "iteration", "tecr_traj", "E_traj"):
+                    res[k] = single[k]
+                if morphometrics:
+                    dev = single["_device"]
+                    _, div, curl = _field_jacobian(dev["X"], dev["ctrl"], dev["C"], dev["beta"], dev["y_rescale"])
+                    res["div"], res["curl"] = np.asarray(div), np.asarray(curl)
+            return res
+
+        pending = ["beta", "V", "C", "P", "VFCIndex", "sigma2", "gamma", "iteration", "tecr_traj", "E_traj"]
+        if morphometrics:
+            pending += ["div", "curl"]
+        results.append(LazyHostDict(base, pending, _field_pull))
+    return results
 
 
 def SparseVFC(

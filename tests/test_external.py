@@ -678,3 +678,213 @@ class TestSTAGATEModuleCompat:
         from spateo_tpu.external import CCA_SSG, GATConv, Transfer_pytorch_Data
 
         assert C1 is CCA_SSG and G1 is GATConv and T1 is Transfer_pytorch_Data
+
+
+class TestMERFISHVIModuleFamily:
+    """The reference-named module surface (external/MERFISHVI/_module.py:30,909,
+    scvi_spatial_module.py:85,211, multimodal_spatial_vae.py:57): VAE, LDVAE
+    (+get_loadings), SpatialEncoder (learned GATv2 spatial module), SpatialVAE,
+    MultiModalSpatialVAE."""
+
+    @pytest.fixture(scope="class")
+    def planted(self):
+        """Counts generated by 4 sparse gene programs over disjoint gene
+        blocks — the ground truth an LDVAE's loadings should recover."""
+        rng = np.random.default_rng(0)
+        n, G, L = 150, 28, 4
+        load = np.zeros((L, G))
+        for l in range(L):
+            load[l, l * 7 : (l + 1) * 7] = rng.uniform(1, 2, 7)
+        z = rng.normal(0, 1, (n, L))
+        X = rng.poisson(np.exp(0.5 + 0.5 * (z @ load))).astype(float)
+        coords = rng.uniform(0, 10, (n, 2))
+        return X, coords, load
+
+    @pytest.fixture(scope="class")
+    def spatial_domains(self):
+        """Two spatial domains with distinct programs: data where a LEARNED
+        spatial module has signal to exploit."""
+        rng = np.random.default_rng(1)
+        n, G = 160, 24
+        coords = rng.uniform(0, 10, (n, 2))
+        left = coords[:, 0] < 5
+        X = rng.poisson(2.0, (n, G)).astype(float)
+        X[left, :12] += rng.poisson(6.0, (int(left.sum()), 12))
+        X[~left, 12:] += rng.poisson(6.0, (int((~left).sum()), 12))
+        return X, coords, left
+
+    def test_reference_module_paths_importable(self):
+        from spateo_tpu.external.MERFISHVI import LDVAE as L1, VAE as V1
+        from spateo_tpu.external.MERFISHVI._model import MERFISHVI as M1, SpatialVI as S0
+        from spateo_tpu.external.MERFISHVI._module import LDVAE as L2, VAE as V2
+        from spateo_tpu.external.MERFISHVI.multimodal_spatial_vae import (
+            MultiModalSpatialVAE as MM1,
+            log_nb_positive,
+            log_normal,
+            log_poisson,
+            log_zinb_positive,
+        )
+        from spateo_tpu.external.MERFISHVI.scvi_spatial_module import SpatialEncoder as SE1, SpatialVAE as SV1
+
+        from spateo_tpu.external import LDVAE, VAE, MERFISHVI, MultiModalSpatialVAE, SpatialEncoder, SpatialVAE
+
+        assert V1 is V2 is VAE and L1 is L2 is LDVAE
+        assert M1 is MERFISHVI and S0 is MERFISHVI
+        assert MM1 is MultiModalSpatialVAE and SE1 is SpatialEncoder and SV1 is SpatialVAE
+        # the likelihood helpers agree with scipy on a point
+        from scipy import stats
+
+        x, mu, theta = 3.0, 2.0, 1.5
+        ref = stats.nbinom(theta, theta / (theta + mu)).logpmf(x)
+        np.testing.assert_allclose(float(log_nb_positive(x, mu, theta)), ref, rtol=1e-5)
+        np.testing.assert_allclose(float(log_poisson(x, mu)), stats.poisson(mu).logpmf(x), rtol=1e-5)
+        np.testing.assert_allclose(float(log_normal(x, mu, 2.0)), stats.norm(mu, np.sqrt(2.0)).logpdf(x), rtol=1e-5)
+        assert float(log_zinb_positive(0.0, mu, theta, 0.3)) > float(log_nb_positive(0.0, mu, theta))
+
+    def test_vae_module_trains(self, planted):
+        from spateo_tpu.external import VAE
+
+        X, _, _ = planted
+        v = VAE(n_input=X.shape[1], n_latent=5, n_hidden=32, seed=0)
+        losses = v.train(X, n_epochs=80)
+        assert losses[-1] < losses[0]
+        z = v.get_latent_representation(X)
+        assert z.shape == (X.shape[0], 5) and np.isfinite(z).all()
+        inf = v.inference(X)
+        gen = v.generative(inf["z"], X.sum(1))
+        np.testing.assert_allclose(np.asarray(gen["px_scale"]).sum(1), 1.0, atol=1e-4)
+
+    def test_ldvae_loadings_recover_planted_programs(self, planted):
+        from spateo_tpu.external import LDVAE
+
+        X, _, load = planted
+        L = load.shape[0]
+        ld = LDVAE(n_input=X.shape[1], n_latent=L, n_hidden=32, seed=0)
+        losses = ld.train(X, n_epochs=400)
+        assert losses[-1] < losses[0]
+        Lo = np.abs(ld.get_loadings())  # [G, L]
+        assert Lo.shape == (X.shape[1], L)
+        # every planted program's genes must load more strongly on SOME
+        # factor than the out-of-program genes do on that factor
+        for l in range(L):
+            in_prog = load[l] > 0
+            contrast = Lo[in_prog].mean(0) - Lo[~in_prog].mean(0)
+            assert contrast.max() > 0.05, f"program {l} not recovered (contrast {contrast.max():.4f})"
+
+    def test_spatial_encoder_shapes_and_kl(self, spatial_domains):
+        import jax
+
+        from spateo_tpu.external import SpatialEncoder
+        from spateo_tpu.external.merfishvi_modules import knn_mask
+
+        X, coords, _ = spatial_domains
+        n = X.shape[0]
+        enc = SpatialEncoder(n_latent=6, n_spatial=4, seed=0)
+        z = np.random.default_rng(2).normal(0, 1, (n, 6)).astype(np.float32)
+        mask = knn_mask(coords, 8)
+        mean, var, sample = enc(z, mask, key=jax.random.PRNGKey(0))
+        assert np.asarray(mean).shape == (n, 4)
+        assert (np.asarray(var) > 0).all()
+        # deterministic without a key
+        m2, _, s2 = enc(z, mask)
+        np.testing.assert_array_equal(np.asarray(m2), np.asarray(s2))
+
+    def test_spatialvae_trains_and_separates_domains(self, spatial_domains):
+        from spateo_tpu.external import SpatialVAE
+        from spateo_tpu.external.merfishvi_modules import knn_mask
+
+        X, coords, left = spatial_domains
+        sv = SpatialVAE(n_input=X.shape[1], n_latent=6, n_spatial=4, n_hidden=32,
+                        adjacency=knn_mask(coords, 8), seed=0)
+        losses = sv.train(X, n_epochs=150)
+        assert losses[-1] < losses[0]
+        s = sv.get_spatial_representation(X)
+        assert s.shape == (X.shape[0], 4)
+        # the learned spatial features separate the two domains
+        centroid_gap = np.linalg.norm(s[left].mean(0) - s[~left].mean(0))
+        spread = s[left].std(0).mean() + s[~left].std(0).mean()
+        assert centroid_gap > 0.5 * spread
+
+    def test_multimodal_spatialvae(self, spatial_domains):
+        from spateo_tpu.external import MultiModalSpatialVAE
+        from spateo_tpu.external.merfishvi_modules import knn_mask
+
+        X, coords, _ = spatial_domains
+        rng = np.random.default_rng(3)
+        Y = rng.poisson(3.0, (X.shape[0], 10)).astype(float)
+        mm = MultiModalSpatialVAE(n_input_spatial=X.shape[1], n_input_nonspatial=10,
+                                  n_latent=5, n_spatial=4, n_hidden=32,
+                                  adjacency=knn_mask(coords, 8), seed=0)
+        losses = mm.train(X, Y, n_epochs=60)
+        assert losses[-1] < losses[0]
+        fused = mm.get_fused_representation(X, Y)
+        zs = mm.get_latent_representation_by_modality("spatial", X)
+        zn = mm.get_latent_representation_by_modality("nonspatial", Y)
+        assert fused.shape == zs.shape == zn.shape == (X.shape[0], 5)
+        # the fusion is a precision-weighted average: fused lies between the
+        # two modality means coordinate-wise up to variance weighting
+        resid = mm.get_nonspatial_specific_features(X, Y)
+        np.testing.assert_allclose(resid, zn - fused, atol=1e-6)
+
+    def test_frontend_linear_decoder_and_loadings(self, planted):
+        import pandas as pd
+
+        import spateo_tpu as st
+        from spateo_tpu.external import MERFISHVI
+
+        X, coords, load = planted
+        adata = st.AnnData(X=X, var=pd.DataFrame(index=[f"g{i}" for i in range(X.shape[1])]))
+        adata.obsm["spatial"] = coords
+        st.SKM.init_adata_type(adata, "UMI")
+        m = MERFISHVI(adata, n_latent=load.shape[0], n_hidden=32, linear_decoder=True, seed=0)
+        m.train(max_epochs=400)
+        Lo = np.abs(m.get_loadings())
+        assert Lo.shape == (X.shape[1], load.shape[0])
+        for l in range(load.shape[0]):
+            in_prog = load[l] > 0
+            assert (Lo[in_prog].mean(0) - Lo[~in_prog].mean(0)).max() > 0.05
+
+    def test_frontend_nonlinear_decoder_rejects_loadings(self, planted):
+        import pandas as pd
+
+        import spateo_tpu as st
+        from spateo_tpu.external import MERFISHVI
+
+        X, coords, _ = planted
+        adata = st.AnnData(X=X, var=pd.DataFrame(index=[f"g{i}" for i in range(X.shape[1])]))
+        adata.obsm["spatial"] = coords
+        st.SKM.init_adata_type(adata, "UMI")
+        m = MERFISHVI(adata, n_latent=4, n_hidden=16, seed=0)
+        with pytest.raises(ValueError, match="linear_decoder"):
+            m.get_loadings()
+
+    def test_frontend_spatial_encoder_beats_fixed_penalty(self, spatial_domains):
+        """The learned spatial module (GATv2 features conditioning the
+        decoder) must reconstruct spatially-structured data better than the
+        fixed KNN-smoothness penalty it replaces — the round-5 acceptance
+        criterion for the reference SpatialVAE parity."""
+        import pandas as pd
+
+        import spateo_tpu as st
+        from spateo_tpu.external import MERFISHVI
+
+        X, coords, left = spatial_domains
+
+        def mk():
+            adata = st.AnnData(X=X.copy(), var=pd.DataFrame(index=[f"g{i}" for i in range(X.shape[1])]))
+            adata.obsm["spatial"] = coords
+            st.SKM.init_adata_type(adata, "UMI")
+            return adata
+
+        enc = MERFISHVI(mk(), n_latent=6, n_hidden=32, spatial_encoder=True, n_spatial=4, seed=0)
+        enc.train(max_epochs=200)
+        pen = MERFISHVI(mk(), n_latent=6, n_hidden=32, spatial_weight=1.0, seed=0)
+        pen.train(max_epochs=200)
+        # get_reconstruction_error returns the mean reconstruction
+        # log-likelihood (higher = better)
+        assert enc.get_reconstruction_error() > pen.get_reconstruction_error()
+        # and the learned spatial features separate the domains
+        s = enc.get_spatial_representation()
+        gap = np.linalg.norm(s[left].mean(0) - s[~left].mean(0))
+        spread = s[left].std(0).mean() + s[~left].std(0).mean()
+        assert gap > 0.5 * spread
