@@ -32,35 +32,58 @@ class LazyHostDict(dict):
     setdefault/popitem/delitem, iteration, views, copies, union, equality,
     pickling) materializes first, so downstream code (AnnData .uns storage,
     dynamo consumers) sees a plain mapping.
+
+    Keys may be split into independent GROUPS, each with its own provider:
+    touching a key materializes only its group's transfer, so a consumer
+    reading the small per-point outputs (div/curl) never pays for the bulky
+    V/P/C pull. Whole-dict operations (iteration, views, equality, pickling)
+    still materialize every group.
     """
 
-    def __init__(self, base: dict, pending_keys, provider):
+    def __init__(self, base: dict, pending_keys, provider, extra_groups=()):
         super().__init__(base)
-        self._pending = set(pending_keys)
-        self._provider = provider  # zero-arg -> {key: value} for ALL pending
+        # groups: list of [set(keys), provider]; provider is zero-arg ->
+        # {key: value} covering at least its group's keys
+        self._groups = [[set(pending_keys), provider]]
+        for keys, prov in extra_groups:
+            self._groups.append([set(keys), prov])
+
+    @property
+    def _pending(self):
+        out = set()
+        for keys, _ in self._groups:
+            out |= keys
+        return out
+
+    def _materialize_group(self, gi):
+        keys, provider = self._groups[gi]
+        if not keys:
+            return
+        values = provider()
+        for k in keys:
+            super().__setitem__(k, values[k])
+        self._groups[gi] = [set(), None]  # release the pinned device buffers
+
+    def _materialize_key(self, key):
+        for gi, (keys, _) in enumerate(self._groups):
+            if key in keys:
+                self._materialize_group(gi)
+                return
 
     def _materialize_all(self):
-        if not self._pending:
-            return
-        values = self._provider()
-        for k in self._pending:
-            super().__setitem__(k, values[k])
-        self._pending = set()
-        self._provider = None  # release the device buffers the closure pins
+        for gi in range(len(self._groups)):
+            self._materialize_group(gi)
 
     def __getitem__(self, key):
-        if key in self._pending:
-            self._materialize_all()
+        self._materialize_key(key)
         return super().__getitem__(key)
 
     def get(self, key, default=None):
-        if key in self._pending:
-            self._materialize_all()
+        self._materialize_key(key)
         return super().get(key, default)
 
     def pop(self, key, *default):
-        if key in self._pending:
-            self._materialize_all()
+        self._materialize_key(key)
         return super().pop(key, *default)
 
     def popitem(self):
@@ -68,17 +91,16 @@ class LazyHostDict(dict):
         return super().popitem()
 
     def setdefault(self, key, default=None):
-        if key in self._pending:
-            self._materialize_all()
+        self._materialize_key(key)
         return super().setdefault(key, default)
 
     def __delitem__(self, key):
-        if key in self._pending:
-            self._materialize_all()
+        self._materialize_key(key)
         super().__delitem__(key)
 
     def __setitem__(self, key, value):
-        self._pending.discard(key)
+        for keys, _ in self._groups:
+            keys.discard(key)
         super().__setitem__(key, value)
 
     def __contains__(self, key):
@@ -438,14 +460,30 @@ def SparseVFC_batch(
         compute_energy=(ecr > 0), with_morphometrics=morphometrics,
     )
 
+    # two transfer groups per field: the small per-point outputs a
+    # morphometrics consumer stores into .obs (div/curl + per-field scalars)
+    # pull in ONE batched transfer shared by every field; the bulky V/P/C
+    # arrays (5x the bytes at D=3) transfer per field only when touched.
     pulled = {}
+    refit = {}  # field -> single-field SparseVFC re-fit (collapse recovery)
+    small_keys = ["sigma2", "gamma", "i", "tecr", "E", "y_scale"]
+    if morphometrics:
+        small_keys += ["div", "curl"]
 
-    def _pull():
+    def _pull_small():
         if pulled:
             return pulled
-        host, betas_h = jax.device_get((out, betas))
+        host, betas_h = jax.device_get(({k: out[k] for k in small_keys}, betas))
         pulled.update(host)
         pulled["_betas"] = betas_h
+        # collapsed fits (inlier fraction pinned at the floor): re-run those
+        # fields individually through the fused retry guard
+        for f in range(F):
+            if float(host["gamma"][f]) <= 0.06:
+                refit[f] = SparseVFC(Xs[f], Ys[f], M=M_eff, a=a,
+                                     beta=None if beta is None else beta, ecr=ecr,
+                                     gamma=gamma, lambda_=lambda_, minP=minP,
+                                     MaxIter=MaxIter, theta=theta, seed=seed + 1 + f)
         return pulled
 
     results = []
@@ -464,44 +502,43 @@ def SparseVFC_batch(
             },
         }
 
-        def _field_pull(f=f):
-            host = _pull()
-            rescale = float(host["y_scale"][f])
-            P = host["P"][f]
-            res = {
-                "beta": float(host["_betas"][f]),
-                "V": host["V"][f] * rescale,
-                "C": host["C"][f] * rescale,
-                "P": P,
-                "VFCIndex": np.where(P > theta)[0],
-                "sigma2": float(host["sigma2"][f]) * rescale**2,
-                "gamma": float(host["gamma"][f]),
-                "iteration": int(host["i"][f]),
-                "tecr_traj": np.asarray([float(host["tecr"][f])]),
-                "E_traj": np.asarray([float(host["E"][f])]),
-            }
-            if morphometrics:
-                res["div"] = host["div"][f] * 1.0
-                res["curl"] = host["curl"][f] * 1.0
-            # collapsed fit (inlier fraction pinned at the floor): re-run
-            # this field alone through the fused retry guard
-            if res["gamma"] <= 0.06:
-                single = SparseVFC(Xs[f], Ys[f], M=M_eff, a=a,
-                                   beta=None if beta is None else beta, ecr=ecr,
-                                   gamma=gamma, lambda_=lambda_, minP=minP,
-                                   MaxIter=MaxIter, theta=theta, seed=seed + 1 + f)
-                for k in ("beta", "V", "C", "P", "VFCIndex", "sigma2", "iteration", "tecr_traj", "E_traj"):
-                    res[k] = single[k]
+        def _g1(f=f):
+            h = _pull_small()
+            if f in refit:
+                single = refit[f]
+                res = {k: single[k] for k in ("beta", "sigma2", "iteration", "tecr_traj", "E_traj")}
+                res["gamma"] = single.get("gamma", float(h["gamma"][f]))
                 if morphometrics:
                     dev = single["_device"]
                     _, div, curl = _field_jacobian(dev["X"], dev["ctrl"], dev["C"], dev["beta"], dev["y_rescale"])
                     res["div"], res["curl"] = np.asarray(div), np.asarray(curl)
+                return res
+            rescale = float(h["y_scale"][f])
+            res = {
+                "beta": float(h["_betas"][f]),
+                "sigma2": float(h["sigma2"][f]) * rescale**2,
+                "gamma": float(h["gamma"][f]),
+                "iteration": int(h["i"][f]),
+                "tecr_traj": np.asarray([float(h["tecr"][f])]),
+                "E_traj": np.asarray([float(h["E"][f])]),
+            }
+            if morphometrics:
+                res["div"], res["curl"] = h["div"][f], h["curl"][f]
             return res
 
-        pending = ["beta", "V", "C", "P", "VFCIndex", "sigma2", "gamma", "iteration", "tecr_traj", "E_traj"]
+        def _g2(f=f):
+            h = _pull_small()  # decides collapse refits first
+            if f in refit:
+                single = refit[f]
+                return {k: single[k] for k in ("V", "C", "P", "VFCIndex")}
+            Vf, Cf, Pf = jax.device_get((out["V"][f], out["C"][f], out["P"][f]))
+            rescale = float(h["y_scale"][f])
+            return {"V": Vf * rescale, "C": Cf * rescale, "P": Pf, "VFCIndex": np.where(Pf > theta)[0]}
+
+        g1_keys = ["beta", "sigma2", "gamma", "iteration", "tecr_traj", "E_traj"]
         if morphometrics:
-            pending += ["div", "curl"]
-        results.append(LazyHostDict(base, pending, _field_pull))
+            g1_keys += ["div", "curl"]
+        results.append(LazyHostDict(base, g1_keys, _g1, extra_groups=[(["V", "C", "P", "VFCIndex"], _g2)]))
     return results
 
 
@@ -644,13 +681,14 @@ def SparseVFC(
     def _pull():
         if pulled:
             return pulled
-        Cn, Vn, Pn, sigma2_n, n_iter, tecr_f, E_f, y_scale, y_mult_v, beta_v = jax.device_get(
-            (s["C"], s["V"], s["P"], s["sigma2"], s["i"], s["tecr"], s["E"], y_scale_t, y_mult_t, beta_t)
+        Cn, Vn, Pn, sigma2_n, n_iter, tecr_f, E_f, y_scale, y_mult_v, beta_v, gamma_v = jax.device_get(
+            (s["C"], s["V"], s["P"], s["sigma2"], s["i"], s["tecr"], s["E"], y_scale_t, y_mult_t, beta_t, s["gamma"])
         )
         rescale = float(y_scale) / float(y_mult_v)
         P = Pn[:N]
         pulled.update(
             beta=float(beta_v),
+            gamma=float(gamma_v),
             V=Vn[:N] * rescale,
             C=Cn * rescale,
             P=P,
@@ -666,7 +704,7 @@ def SparseVFC(
             pulled["grid_V"] = None
         return pulled
 
-    pending = ("beta", "V", "C", "P", "VFCIndex", "sigma2", "iteration", "tecr_traj", "E_traj", "grid_V")
+    pending = ("beta", "gamma", "V", "C", "P", "VFCIndex", "sigma2", "iteration", "tecr_traj", "E_traj", "grid_V")
     return LazyHostDict(base, pending, _pull)
 
 

@@ -854,7 +854,8 @@ class TestLazyVFCDict:
         merged = vf | {"extra": 1}  # dict union must carry pending keys
         assert "beta" in merged and "extra" in merged
         assert vf.setdefault("P").shape[0] == 400
-        assert vf._provider is None  # device buffers released after the pull
+        # device buffers released after the pull: every group's provider dropped
+        assert all(prov is None for _, prov in vf._groups)
 
     def test_energy_reported_with_pinned_iterations(self):
         """ecr<=0 skips per-iteration energy but the returned E_traj must
