@@ -606,6 +606,292 @@ def vfc_bench():
     ]
 
 
+# ---------------------------------------------------------------------------
+# Atlas-scale end-to-end capstone (the reference's reason to exist: an 8M-cell
+# whole-embryo 3D atlas, /root/reference/README.md:33). A multi-slice stack
+# runs the WHOLE production pipeline on one chip:
+#   segmentation stream -> labeling -> per-cell centroids (device segment sums)
+#   -> serial `st.align.morpho_align` chain -> batched morphofield
+#   (SparseVFC_batch, fused div/curl) -> digitization PDE + per-cell layer
+# with per-stage wall-clock, peak HBM and a cell-slices/min headline.
+# Shared by bench main() (8 x 2048^2, ~115k cells/slice) and the @slow test
+# (tiny shapes, tests/test_atlas_e2e.py).
+# ---------------------------------------------------------------------------
+
+
+def _atlas_centers(tile: int, spacing: float, n_slices: int, seed: int):
+    """A jittered-lattice 'tissue' shared by all slices; each slice sees it
+    under a small known rigid transform (sections rotate/shift on the stage).
+    Returns (per-slice centers [C, 2] in pixel coords, transforms [(R, t)])."""
+    rng = np.random.default_rng(seed)
+    m = 12  # margin: disk radius + jitter (transform clipping is tolerated)
+    g = np.arange(m, tile - m, spacing, dtype=np.float32)
+    base = np.stack(np.meshgrid(g, g, indexing="ij"), -1).reshape(-1, 2)
+    c = np.array([tile / 2, tile / 2], np.float32)
+    out, transforms = [], []
+    for i in range(n_slices):
+        th = 0.01 * i
+        R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32)
+        t = np.array([1.5 * i, -1.0 * i], np.float32)
+        jit = rng.uniform(-0.5, 0.5, base.shape).astype(np.float32)
+        out.append((base - c) @ R.T + c + t + jit)
+        transforms.append((R, t))
+    return out, transforms
+
+
+def _atlas_paint(tile: int, centers: np.ndarray, seed: int) -> np.ndarray:
+    """Stereo-seq-like UMI raster: sparse background + radius-2 disks of
+    elevated counts at each cell center (vectorized shift-paints — no
+    per-cell python loop)."""
+    rng = np.random.default_rng(seed)
+    X = rng.poisson(0.2, (tile, tile)).astype(np.float32)
+    cy = np.round(centers[:, 0]).astype(int)
+    cx = np.round(centers[:, 1]).astype(int)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            if dy * dy + dx * dx <= 4:
+                yy, xx = cy + dy, cx + dx
+                ok = (yy >= 0) & (yy < tile) & (xx >= 0) & (xx < tile)
+                np.add.at(X, (yy[ok], xx[ok]), rng.poisson(4.0, int(ok.sum())).astype(np.float32))
+    return X
+
+
+def _atlas_expression(tissue_pts: np.ndarray, n_genes: int, seed: int) -> np.ndarray:
+    """Per-cell counts from smooth spatial gene programs of the TISSUE
+    coordinates — adjacent slices see consistent expression, which is what
+    gives Morpho's expression-KL term its signal."""
+    rng = np.random.default_rng(seed)
+    w = rng.uniform(0.002, 0.012, (n_genes, 2)).astype(np.float32)
+    ph = rng.uniform(0, 2 * np.pi, (n_genes, 2)).astype(np.float32)
+    logits = np.sin(tissue_pts[:, 0:1] * w[None, :, 0] + ph[None, :, 0]) + np.cos(
+        tissue_pts[:, 1:2] * w[None, :, 1] + ph[None, :, 1]
+    )
+    return rng.poisson(np.exp(0.4 + 0.7 * logits)).astype(np.float32)
+
+
+def _label_centroids(labels: np.ndarray) -> np.ndarray:
+    """Per-label centroid via device segment sums (labels 1..L; 0 = bg)."""
+    import jax.numpy as jnp
+
+    H, W = labels.shape
+    lab = jnp.asarray(labels.ravel().astype(np.int32))
+    n = int(labels.max()) + 1
+    yy = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None], (H, W)).ravel()
+    xx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :], (H, W)).ravel()
+    cnt = jnp.zeros(n).at[lab].add(1.0)
+    sy = jnp.zeros(n).at[lab].add(yy)
+    sx = jnp.zeros(n).at[lab].add(xx)
+    cent = jnp.stack([sy, sx], 1) / jnp.maximum(cnt[:, None], 1.0)
+    cent, cnt = np.asarray(cent), np.asarray(cnt)
+    return cent[1:][cnt[1:] > 0]  # drop background + empty ids
+
+
+def atlas_e2e(
+    n_slices: int = 8,
+    tile: int = 4096,
+    spacing: float = 10.0,
+    n_genes: int = 50,
+    align_max_iter: int = 100,
+    svi_batch: int = 2000,
+    vfc_M: int = 100,
+    vfc_iters: int = 60,
+    pde_max_itr: int = 20000,
+    n_layers: int = 10,
+    seed: int = 0,
+    verbose: bool = False,
+) -> dict:
+    """Run the atlas pipeline end-to-end on the current default device.
+
+    Default shape: 8 slices x 4096^2 px, ~165k planted / ~140k segmented
+    cells per slice
+    (>= the reference's 'hundreds of thousands of cells' per-slice headline,
+    docs/technicals/spatial_transcriptomics_alignment.md:7, x8 slices toward
+    the 8M-cell atlas scale of README.md:33). Data synthesis (raster
+    painting, expression draws) is excluded from the clock; every pipeline
+    stage — segmentation, labeling, centroid extraction, serial alignment,
+    morphofield + div/curl, digitization PDE + per-cell layers — is timed.
+    """
+    import pandas as pd
+
+    import jax
+    import jax.numpy as jnp
+
+    import spateo_tpu as st
+    from spateo_tpu.ops.stencil import jacobi_solve
+    from spateo_tpu.ops.vfc import SparseVFC_batch
+    from spateo_tpu.segmentation.starro import starro_em_bp_stream
+
+    def log(msg):
+        if verbose:
+            print(msg, flush=True)
+
+    centers, transforms = _atlas_centers(tile, spacing, n_slices, seed)
+    rasters = [_atlas_paint(tile, centers[i], seed + 100 + i) for i in range(n_slices)]
+    log(f"synthesized {n_slices} slices x {tile}^2 ({len(centers[0])} planted cells each)")
+
+    stages = {}
+
+    def _label_slice(i):
+        agg = st.AnnData(X=rasters[i])
+        st.SKM.init_adata_type(agg, "AGG")
+        agg.layers["X_mask"] = masks[i]
+        st.cs.find_peaks_from_mask(agg, "X", min_distance=3)
+        st.cs.watershed(agg, "X")
+        return _label_centroids(np.asarray(agg.layers["X_labels"]))
+
+    # ---- stage 1: segmentation stream + labeling + centroids -------------
+    # warmup: one tile through the stream compiles every program at the
+    # working shape (stage clocks report steady-state throughput; the
+    # persistent XLA cache makes later processes start warm)
+    masks = [m for _, m in starro_em_bp_stream(rasters[:1], k=5, seed=seed, bp_max_iter=50, mask_only=True)]
+    jax.effects_barrier()
+    t0 = time.perf_counter()
+    masks = [m for _, m in starro_em_bp_stream(rasters, k=5, seed=seed, bp_max_iter=50, mask_only=True)]
+    jax.effects_barrier()
+    stages["segmentation_stream"] = time.perf_counter() - t0
+
+    _label_slice(0)  # warmup (labeling kernels at this shape)
+    t0 = time.perf_counter()
+    cents = [_label_slice(i) for i in range(n_slices)]
+    stages["labeling_centroids"] = time.perf_counter() - t0
+    n_found = [len(c) for c in cents]
+    log(f"segmented cells per slice: {n_found}")
+
+    # one shape for the whole chain: truncate every slice to the common cell
+    # budget (atlas practice — and one XLA compile for all 7 pairs)
+    N = min(n_found)
+    rng = np.random.default_rng(seed + 7)
+    cents = [c[rng.choice(len(c), N, replace=False)] for c in cents]
+
+    # data synthesis (not timed): per-cell expression from tissue coords
+    c_mid = np.array([tile / 2, tile / 2], np.float32)
+    slices = []
+    for i in range(n_slices):
+        R, t = transforms[i]
+        tissue = (cents[i] - c_mid - t) @ R + c_mid
+        X = _atlas_expression(tissue, n_genes, seed)
+        a = st.AnnData(
+            X=X,
+            obs=pd.DataFrame(index=np.arange(N).astype(str)),
+            var=pd.DataFrame(index=[f"g{j}" for j in range(n_genes)]),
+        )
+        a.obsm["spatial"] = cents[i].astype(np.float32)
+        # ground truth for the accuracy check: slice 0's frame IS the tissue
+        # frame (identity transform), so a perfect chain maps every slice's
+        # cells back onto their tissue coordinates
+        a.obsm["tissue_true"] = tissue.astype(np.float32)
+        st.SKM.init_adata_type(a, "UMI")
+        slices.append(a)
+
+    # ---- stage 2: serial non-rigid alignment chain (public driver) -------
+    # warmup: one pair at the common (N, G) shape compiles the EM once for
+    # the whole chain (every pair shares the shape by construction)
+    st.align.morpho_align(
+        models=[slices[0].copy(), slices[1].copy()],
+        spatial_key="spatial", key_added="align_spatial", iter_key_added=None,
+        max_iter=align_max_iter, SVI_mode=True, batch_size=svi_batch, verbose=False,
+    )
+    t0 = time.perf_counter()
+    aligned, _ = st.align.morpho_align(
+        models=slices,
+        spatial_key="spatial",
+        key_added="align_spatial",
+        iter_key_added=None,
+        max_iter=align_max_iter,
+        SVI_mode=True,
+        batch_size=svi_batch,
+        verbose=False,
+    )
+    jax.effects_barrier()
+    np.asarray(aligned[-1].obsm["align_spatial"])
+    stages["alignment_chain"] = time.perf_counter() - t0
+    log(f"aligned {n_slices - 1} pairs in {stages['alignment_chain']:.1f}s")
+
+    # ---- stage 3: morphofields (batched) + fused div/curl ----------------
+    t0 = time.perf_counter()
+    Xs = np.stack([np.asarray(aligned[i + 1].obsm["spatial"], np.float32) for i in range(n_slices - 1)])
+    Vs = np.stack(
+        [
+            np.asarray(aligned[i + 1].obsm["align_spatial_nonrigid"], np.float32)
+            - np.asarray(aligned[i + 1].obsm["spatial"], np.float32)
+            for i in range(n_slices - 1)
+        ]
+    )
+    _ = SparseVFC_batch(Xs, Vs, M=vfc_M, MaxIter=vfc_iters, ecr=0.0, seed=seed, morphometrics=True)[0]["div"]  # warmup
+    t0 = time.perf_counter()
+    fields = SparseVFC_batch(Xs, Vs, M=vfc_M, MaxIter=vfc_iters, ecr=0.0, seed=seed, morphometrics=True)
+    for i, f in enumerate(fields):
+        aligned[i + 1].obs["divergence"] = f["div"]
+        aligned[i + 1].obs["curl"] = f["curl"]
+    stages["morphofield_divcurl"] = time.perf_counter() - t0
+
+    # ---- stage 4: digitization (layer PDE + per-cell layer bins) ---------
+    # the digitize compute core (st.dd grid.py drives this same jacobi
+    # kernel): a layer field across the tissue with Dirichlet isolines on
+    # two opposite edges, then a vectorized per-cell lookup + binning —
+    # the reference's O(N) python lookup loop (grid.py:86-106) is a gather
+    field = np.zeros((tile, tile), np.float32)
+    border = np.zeros((tile, tile), bool)
+    dom = np.ones((tile, tile), np.float32)
+    field[:, :4] = 1.0
+    border[:, :4] = True
+    field[:, -4:] = 100.0
+    border[:, -4:] = True
+    # warmup at the SAME static max_itr (it is a static jit arg) but an
+    # immediate-convergence tolerance, so the warmup compile is the one the
+    # timed call reuses
+    jacobi_solve(field, border, dom, max_err=1e9, max_itr=pde_max_itr, check_every=2000)
+    t0 = time.perf_counter()
+    sol, n_itr, err = jacobi_solve(field, border, dom, max_err=1e-6, max_itr=pde_max_itr, check_every=2000)
+    cell_px = jnp.asarray(np.round(cents[0]).astype(np.int32))
+    heat = sol[cell_px[:, 0], cell_px[:, 1]]
+    digital_layer = jnp.clip(((heat - 1.0) / 99.0 * n_layers).astype(jnp.int32), 0, n_layers - 1)
+    digital_layer = np.asarray(digital_layer)
+    stages["digitization"] = time.perf_counter() - t0
+
+    wall = sum(stages.values())
+    total_cell_slices = N * n_slices
+    peak_hbm_gb = None
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        peak_hbm_gb = round(ms.get("peak_bytes_in_use", 0) / 2**30, 3)
+    except Exception:
+        pass
+
+    return {
+        "n_slices": n_slices,
+        "tile": tile,
+        "cells_per_slice": N,
+        "cells_found_per_slice": n_found,
+        "total_cell_slices": total_cell_slices,
+        "stage_seconds": {k: round(v, 3) for k, v in stages.items()},
+        "wall_seconds": round(wall, 3),
+        "cells_slices_per_min": round(total_cell_slices / (wall / 60.0), 1),
+        "peak_hbm_gb": peak_hbm_gb,
+        "pde_iters": int(n_itr),
+        "checks": {
+            "mask_frac": round(float(np.mean(masks[0])), 4),
+            "digital_layer_bins": int(len(np.unique(digital_layer))),
+            "div_finite": bool(np.isfinite(np.asarray(aligned[1].obs["divergence"], float)).all()),
+            # accumulated chain accuracy: the LAST slice's aligned coords vs
+            # its known tissue coordinates (slice 0's frame = tissue frame),
+            # median error in pixels (cell pitch = `spacing` px)
+            "align_last_slice_med_err_px": round(
+                float(
+                    np.median(
+                        np.linalg.norm(
+                            np.asarray(aligned[-1].obsm["align_spatial"])
+                            - np.asarray(aligned[-1].obsm["tissue_true"]),
+                            axis=1,
+                        )
+                    )
+                ),
+                3,
+            ),
+        },
+    }
+
+
 def main():
     # 2048^2 tiles, streamed: real Stereo-seq chips are 10-20k pixels square
     # — dozens of such tiles — so the representative unit of work is a tile

@@ -217,9 +217,15 @@ def score_and_mask_pixels(
     certain_layer: Optional[str] = None,
     scores_layer: Optional[str] = None,
     mask_layer: Optional[str] = None,
+    mesh=None,
 ):
     """Score and mask pixels by how likely they are occupied by a cell
-    (parity: reference icell.py:319)."""
+    (parity: reference icell.py:319).
+
+    ``mesh``: optional `jax.sharding.Mesh` — the EM+BP fused program runs
+    sharded, raster rows split over the mesh's 'data' axis (conv/BP shifts
+    become ICI halo exchanges under GSPMD; see `starro_em_bp_sharded`).
+    Only the fused EM+BP fast path shards; other methods ignore it."""
     X = SKM.select_layer_data(adata, layer, make_dense=True)
     certain_mask = None
     if certain_layer:
@@ -255,7 +261,12 @@ def score_and_mask_pixels(
                 fused_kwargs[dst] = bp_kwargs[src]
         if issparse(X):
             X = X.toarray()
-        scores_d, mask_d = starro_em_bp(np.asarray(X, dtype=float), k=k, mk=mk or k + 2, **fused_kwargs)
+        if mesh is not None:
+            from .starro import starro_em_bp_sharded
+
+            scores_d, mask_d = starro_em_bp_sharded(np.asarray(X, dtype=float), mesh=mesh, k=k, mk=mk or k + 2, **fused_kwargs)
+        else:
+            scores_d, mask_d = starro_em_bp(np.asarray(X, dtype=float), k=k, mk=mk or k + 2, **fused_kwargs)
         scores = np.asarray(scores_d)
         SKM.set_layer_data(adata, scores_layer or SKM.gen_new_layer_key(layer, SKM.SCORES_SUFFIX), scores)
         SKM.set_layer_data(adata, mask_layer or SKM.gen_new_layer_key(layer, SKM.MASK_SUFFIX), np.asarray(mask_d))

