@@ -656,12 +656,14 @@ def _atlas_paint(tile: int, centers: np.ndarray, seed: int) -> np.ndarray:
     return X
 
 
-def _atlas_expression(tissue_pts: np.ndarray, n_genes: int, seed: int) -> np.ndarray:
+def _atlas_expression(tissue_pts: np.ndarray, n_genes: int, seed: int, tile: int = 4096) -> np.ndarray:
     """Per-cell counts from smooth spatial gene programs of the TISSUE
     coordinates — adjacent slices see consistent expression, which is what
-    gives Morpho's expression-KL term its signal."""
+    gives Morpho's expression-KL term its signal. Program wavelengths scale
+    with the tile (1.5-6 periods across it) so small test tiles still carry
+    spatial signal."""
     rng = np.random.default_rng(seed)
-    w = rng.uniform(0.002, 0.012, (n_genes, 2)).astype(np.float32)
+    w = rng.uniform(2 * np.pi * 1.5 / tile, 2 * np.pi * 6.0 / tile, (n_genes, 2)).astype(np.float32)
     ph = rng.uniform(0, 2 * np.pi, (n_genes, 2)).astype(np.float32)
     logits = np.sin(tissue_pts[:, 0:1] * w[None, :, 0] + ph[None, :, 0]) + np.cos(
         tissue_pts[:, 1:2] * w[None, :, 1] + ph[None, :, 1]
@@ -670,20 +672,18 @@ def _atlas_expression(tissue_pts: np.ndarray, n_genes: int, seed: int) -> np.nda
 
 
 def _label_centroids(labels: np.ndarray) -> np.ndarray:
-    """Per-label centroid via device segment sums (labels 1..L; 0 = bg)."""
-    import jax.numpy as jnp
-
+    """Per-label centroid via host bincount segment sums (labels 1..L;
+    0 = background). Host-side on purpose: a 16M-index scatter-add is slow
+    on the TPU, while three bincounts over the already-pulled label raster
+    are ~100 ms."""
     H, W = labels.shape
-    lab = jnp.asarray(labels.ravel().astype(np.int32))
+    lab = labels.ravel()
     n = int(labels.max()) + 1
-    yy = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None], (H, W)).ravel()
-    xx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :], (H, W)).ravel()
-    cnt = jnp.zeros(n).at[lab].add(1.0)
-    sy = jnp.zeros(n).at[lab].add(yy)
-    sx = jnp.zeros(n).at[lab].add(xx)
-    cent = jnp.stack([sy, sx], 1) / jnp.maximum(cnt[:, None], 1.0)
-    cent, cnt = np.asarray(cent), np.asarray(cnt)
-    return cent[1:][cnt[1:] > 0]  # drop background + empty ids
+    cnt = np.bincount(lab, minlength=n)
+    sy = np.bincount(lab, weights=np.repeat(np.arange(H, dtype=np.float64), W), minlength=n)
+    sx = np.bincount(lab, weights=np.tile(np.arange(W, dtype=np.float64), H), minlength=n)
+    cent = np.stack([sy, sx], 1) / np.maximum(cnt[:, None], 1)
+    return cent[1:][cnt[1:] > 0].astype(np.float32)  # drop background + empty ids
 
 
 def atlas_e2e(
@@ -769,7 +769,7 @@ def atlas_e2e(
     for i in range(n_slices):
         R, t = transforms[i]
         tissue = (cents[i] - c_mid - t) @ R + c_mid
-        X = _atlas_expression(tissue, n_genes, seed)
+        X = _atlas_expression(tissue, n_genes, seed, tile=tile)
         a = st.AnnData(
             X=X,
             obs=pd.DataFrame(index=np.arange(N).astype(str)),
@@ -979,6 +979,32 @@ def main():
             extra.extend(r if isinstance(r, list) else [r])
         except Exception as e:
             extra.append({"metric": fn.__name__, "error": f"{type(e).__name__}: {e}"})
+
+    # atlas-scale end-to-end capstone (VERDICT r4 #1): 8 slices x 4096^2 px,
+    # ~140k segmented cells per slice, through segmentation stream ->
+    # labeling -> serial morpho_align chain -> batched morphofield ->
+    # digitization, with per-stage steady-state wall-clock. No single
+    # vs_baseline: it is a composite of the per-stage metrics above.
+    try:
+        r = atlas_e2e()
+        extra.append(
+            {
+                "metric": "atlas_e2e_throughput",
+                "value": r["cells_slices_per_min"],
+                "unit": "cell-slices/min",
+                "vs_baseline": None,
+                "baseline_source": "composite (stage baselines reported separately)",
+                "detail": {
+                    k: r[k]
+                    for k in (
+                        "n_slices", "tile", "cells_per_slice", "total_cell_slices",
+                        "stage_seconds", "wall_seconds", "peak_hbm_gb", "pde_iters", "checks",
+                    )
+                },
+            }
+        )
+    except Exception as e:
+        extra.append({"metric": "atlas_e2e_throughput", "error": f"{type(e).__name__}: {e}"})
 
     print(
         json.dumps(

@@ -250,7 +250,13 @@ class SpateoAdataKeyManager:
         if layer == SpateoAdataKeyManager.X_LAYER:
             adata.X[:, var_indices] = vals
         elif layer in adata.layers:
-            adata.layers[layer][:, var_indices] = vals
+            target = adata.layers[layer]
+            # a previously-stored layer may be a read-only view (e.g.
+            # np.asarray of a JAX device buffer) — copy-on-write then
+            if isinstance(target, np.ndarray) and not target.flags.writeable:
+                target = target.copy()
+                adata.layers[layer] = target
+            target[:, var_indices] = vals
         else:
             adata.layers[layer] = vals
 
