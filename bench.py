@@ -43,8 +43,22 @@ Workloads #3-#5 (BASELINE.json configs #4, #5) ride along in extra_metrics:
 digitization Jacobi PDE (Mpixel-iters/sec vs the NumPy stencil the reference
 loop runs), MuSIC local GLM fits (cells/sec vs the reference's serial
 per-cell IWLS loop structure), and SparseVFC + analytic Jacobian
-(points/sec vs a NumPy transcription of the same EM). All three baselines
-are measured in-process at bench time ("baseline_source": "measured").
+(points/sec vs a NumPy transcription of the same EM).
+
+Baselines are FROZEN (r5): every CPU denominator comes from
+BENCH_BASELINES.json (best-of-3 on an idle host, methodology-tagged; the
+bench refuses an entry whose tag no longer matches the workload) so
+vs_baseline no longer swings with host load. In-process measurement is
+only the fallback when a frozen entry is absent. Transfer-sensitive
+metrics additionally emit a *_device_resident_throughput companion
+(inputs/outputs on-chip) that isolates compute from the tunneled link,
+whose bandwidth varies ~600x between sessions.
+
+The atlas_e2e extra metric runs the WHOLE production pipeline (8 x 4096^2
+slices -> ~140k cells each -> segmentation stream -> fused labeling ->
+serial morpho_align chain -> batched morphofields -> digitization) with a
+per-stage steady-state breakdown; it is a composite, so it carries no
+single vs_baseline.
 """
 
 import json
@@ -671,21 +685,6 @@ def _atlas_expression(tissue_pts: np.ndarray, n_genes: int, seed: int, tile: int
     return rng.poisson(np.exp(0.4 + 0.7 * logits)).astype(np.float32)
 
 
-def _label_centroids(labels: np.ndarray) -> np.ndarray:
-    """Per-label centroid via host bincount segment sums (labels 1..L;
-    0 = background). Host-side on purpose: a 16M-index scatter-add is slow
-    on the TPU, while three bincounts over the already-pulled label raster
-    are ~100 ms."""
-    H, W = labels.shape
-    lab = labels.ravel()
-    n = int(labels.max()) + 1
-    cnt = np.bincount(lab, minlength=n)
-    sy = np.bincount(lab, weights=np.repeat(np.arange(H, dtype=np.float64), W), minlength=n)
-    sx = np.bincount(lab, weights=np.tile(np.arange(W, dtype=np.float64), H), minlength=n)
-    cent = np.stack([sy, sx], 1) / np.maximum(cnt[:, None], 1)
-    return cent[1:][cnt[1:] > 0].astype(np.float32)  # drop background + empty ids
-
-
 def atlas_e2e(
     n_slices: int = 8,
     tile: int = 4096,
@@ -732,12 +731,14 @@ def atlas_e2e(
     stages = {}
 
     def _label_slice(i):
-        agg = st.AnnData(X=rasters[i])
-        st.SKM.init_adata_type(agg, "AGG")
-        agg.layers["X_mask"] = masks[i]
-        st.cs.find_peaks_from_mask(agg, "X", min_distance=3)
-        st.cs.watershed(agg, "X")
-        return _label_centroids(np.asarray(agg.layers["X_labels"]))
+        # the fused device labeling chain (distance transform -> peaks ->
+        # CC -> watershed -> centroids) in one dispatch; identical labels
+        # to the staged st.cs.find_peaks_from_mask + st.cs.watershed pair
+        # (pinned in tests) without its four full-raster host round-trips
+        from spateo_tpu.ops.labels import label_cells_from_mask
+
+        _, cents = label_cells_from_mask(masks[i], min_distance=3)
+        return cents
 
     # ---- stage 1: segmentation stream + labeling + centroids -------------
     # warmup: one tile through the stream compiles every program at the

@@ -26,6 +26,7 @@ from .label import (
     label_connected_components,
     replace_labels,
     watershed,
+    watershed_fused,
 )
 from .moran import moranI, run_moran, run_moran_and_mask_pixels
 from .qc import generate_random_labels, generate_random_labels_like, select_qc_regions

@@ -81,6 +81,37 @@ def find_peaks_with_erosion(
 
 
 @SKM.check_adata_is_type(SKM.ADATA_AGG_TYPE)
+def watershed_fused(
+    adata: AnnData,
+    layer: str = SKM.STAIN_LAYER_KEY,
+    min_distance: int = 3,
+    mask_layer: Optional[str] = None,
+    out_layer: Optional[str] = None,
+    centroids_key: str = "cell_centroids",
+):
+    """The whole labeling chain (distance transform -> peak markers ->
+    connected components -> distance-based watershed -> per-cell centroids)
+    as ONE device program (`ops.labels.label_cells_from_mask`).
+
+    TPU-native fast path for production raster sizes: the staged
+    `find_peaks_from_mask` + `watershed` pair round-trips four full rasters
+    over the host link; this uploads one packed mask and pulls the labels
+    once. Writes the label raster to ``{layer}_labels`` and the [L, 2]
+    float centroids to ``adata.uns[centroids_key]``. Equivalent to the
+    staged pair on disk-shaped cells (identical labels on the atlas
+    workload); the staged path remains for custom elevation maps."""
+    from ..ops.labels import label_cells_from_mask
+
+    mask_layer = mask_layer or SKM.gen_new_layer_key(layer, SKM.MASK_SUFFIX)
+    mask = np.asarray(SKM.select_layer_data(adata, mask_layer)).astype(bool)
+    labels_dev, cents = label_cells_from_mask(mask, min_distance=min_distance)
+    out_layer = out_layer or SKM.gen_new_layer_key(layer, SKM.LABELS_SUFFIX)
+    SKM.set_layer_data(adata, out_layer, np.asarray(labels_dev))
+    adata.uns[centroids_key] = cents
+    return cents
+
+
+@SKM.check_adata_is_type(SKM.ADATA_AGG_TYPE)
 def watershed(
     adata: AnnData,
     layer: str = SKM.STAIN_LAYER_KEY,

@@ -55,13 +55,57 @@ def random_agg_adata():
     return make_random_adata(shape=(64, 64), adata_type="AGG", sparse_x=False)
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow-shard",
+        default=None,
+        help="Run ONE balanced shard of the slow tests, e.g. --slow-shard=1/3 "
+        "(1-indexed). Non-slow tests are deselected; shards are packed "
+        "greedily by the durations recorded in tests/_slow_manifest.py so "
+        "each completes in a bounded wall time (CI-shaping, VERDICT r4 #8).",
+    )
+
+
 def pytest_collection_modifyitems(config, items):
     """Mark tests listed in tests/_slow_manifest.py as slow (>= 3 s on the
     CI host) so `-m "not slow"` gives a <3-minute fast path. The manifest is
     regenerated from `--durations=0` output; parametrized tests match by
-    their bracket-free base node id."""
+    their bracket-free base node id. With --slow-shard=k/n, keep only the
+    k-th duration-balanced shard of the slow tests."""
     from _slow_manifest import SLOW_TESTS
 
     for item in items:
         if item.nodeid.split("[")[0] in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+
+    shard = config.getoption("--slow-shard")
+    if not shard:
+        return
+    k, n = (int(x) for x in shard.split("/"))
+    if not (1 <= k <= n):
+        raise pytest.UsageError(f"--slow-shard index out of range: {shard}")
+    durations = SLOW_TESTS if isinstance(SLOW_TESTS, dict) else {t: 10.0 for t in SLOW_TESTS}
+    # group by base id (parametrized variants travel together), then pack
+    # groups onto shards longest-first (greedy LPT)
+    groups = {}
+    for item in items:
+        base = item.nodeid.split("[")[0]
+        if base in durations:
+            groups.setdefault(base, []).append(item)
+    loads = [0.0] * n
+    assign = {}
+    for base in sorted(groups, key=lambda b: -durations.get(b, 10.0)):
+        tgt = loads.index(min(loads))
+        loads[tgt] += durations.get(base, 10.0) * len(groups[base])
+        assign[base] = tgt
+    keep = []
+    deselect = []
+    for item in items:
+        base = item.nodeid.split("[")[0]
+        if assign.get(base) == k - 1:
+            keep.append(item)
+        else:
+            deselect.append(item)
+    if deselect:
+        config.hook.pytest_deselected(items=deselect)
+    items[:] = keep

@@ -453,3 +453,59 @@ class TestTileUploadCodec:
         s2, m2 = starro_em_bp(sparse.csr_matrix(X), k=3, seed=0, bp_max_iter=15)
         np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=0)
+
+
+class TestFusedLabeling:
+    """`ops.labels.label_cells_from_mask` / `st.cs.watershed_fused`: the
+    whole labeling chain in one device program must reproduce the staged
+    find_peaks_from_mask + watershed pair (same markers, distance-based
+    flood) and return matching centroids."""
+
+    @pytest.fixture(scope="class")
+    def cell_mask(self):
+        rng = np.random.default_rng(0)
+        mask = np.zeros((128, 128), bool)
+        centers = []
+        for gy in range(12, 128 - 8, 11):
+            for gx in range(12, 128 - 8, 11):
+                cy, cx = gy + rng.integers(-1, 2), gx + rng.integers(-1, 2)
+                yy, xx = np.mgrid[-2:3, -2:3]
+                sel = yy**2 + xx**2 <= 4
+                mask[cy + yy[sel], cx + xx[sel]] = True
+                centers.append((cy, cx))
+        return mask, np.asarray(centers, float)
+
+    def test_fused_matches_staged_centroids(self, cell_mask):
+        from spateo_tpu.ops.labels import distance_transform, label_cells_from_mask, peak_local_max, watershed
+
+        mask, true_centers = cell_mask
+        labels_dev, cents = label_cells_from_mask(mask, min_distance=3)
+        # staged equivalent with the same distance-based elevation
+        d = distance_transform(mask)
+        markers = peak_local_max(d, min_distance=3) * mask
+        staged = watershed(d, markers, mask)
+        lab = np.asarray(labels_dev)
+        assert len(cents) == len(true_centers)
+        # identical pixel partition up to label renaming: component sets match
+        assert (lab > 0).sum() == (staged > 0).sum() == mask.sum()
+        pairs = set(zip(lab.ravel().tolist(), staged.ravel().tolist()))
+        lab_ids = {p[0] for p in pairs if p[0] > 0}
+        assert len(pairs) - 1 == len(lab_ids)  # bijection (+1 for the (0,0) pair)
+        # centroids land on the planted centers
+        from scipy.spatial import cKDTree
+
+        dists, _ = cKDTree(true_centers).query(cents)
+        assert np.median(dists) < 1.0
+
+    def test_public_watershed_fused(self, cell_mask):
+        import spateo_tpu as st
+
+        mask, true_centers = cell_mask
+        agg = st.AnnData(X=mask.astype(np.float32))
+        st.SKM.init_adata_type(agg, "AGG")
+        agg.layers["X_mask"] = mask
+        cents = st.cs.watershed_fused(agg, "X", min_distance=3)
+        assert "X_labels" in agg.layers
+        assert np.asarray(agg.layers["X_labels"]).max() > 0
+        assert np.array_equal(agg.uns["cell_centroids"], cents)
+        assert len(cents) == len(true_centers)
