@@ -1,6 +1,6 @@
 """Morphometrics (parity: reference spateo/tdr/morphometrics/)."""
 
-from .morphofield import cell_directions, morphofield_gp, morphofield_sparsevfc
+from .morphofield import cell_directions, morphofield_gp, morphofield_sparsevfc, morphofield_sparsevfc_batch
 from .morphofield_dg import (
     GPVectorField,
     morphofield_acceleration,

@@ -167,3 +167,69 @@ def morphofield_sparsevfc(
     adata.uns[key_added] = vf_dict
     adata.obsm["velocity_" + spatial_key.split("_")[-1] if "_" in spatial_key else "velocity"] = vf_dict["V"]
     return None if inplace else adata
+
+
+def morphofield_sparsevfc_batch(
+    adatas: list,
+    spatial_key: str = "align_spatial",
+    V_key: str = "V_mapping",
+    key_added: str = "VecFld_morpho",
+    M: int = 100,
+    lambda_: float = 3.0,
+    MaxIter: int = 500,
+    ecr: float = 1e-5,
+    seed: int = 0,
+    morphometrics: bool = True,
+    div_key: str = "divergence",
+    curl_key: str = "curl",
+    **kwargs,
+) -> None:
+    """Fit one morphofield PER SLICE for a whole aligned stack in a single
+    fused device program (`ops.vfc.SparseVFC_batch`).
+
+    The production atlas shape: a serial `morpho_align` chain yields one
+    displacement field per adjacent slice pair (reference
+    tdr/morphometrics/morphofield/sparsevfc.py:103 fits them one dynamo
+    call at a time); here all fields batch into ONE vmapped EM ([F, N, M]
+    matmuls on the MXU) with the analytic-Jacobian divergence/curl fused
+    onto the fixed point when ``morphometrics=True``. Slices are truncated
+    to the smallest common cell count so the batch shares one shape (and
+    one XLA compile).
+
+    Writes each slice's vecfld dict to ``.uns[key_added]`` and, with
+    ``morphometrics=True``, per-cell divergence/curl to
+    ``.obs[div_key]`` / ``.obs|.obsm[curl_key]`` — the same keys the
+    per-slice `morphofield_divergence`/`morphofield_curl` wrappers use.
+    """
+    from ....ops.vfc import SparseVFC_batch
+
+    Xs = [np.asarray(a.obsm[spatial_key], dtype=np.float32) for a in adatas]
+    Vs = [np.asarray(a.obsm[V_key], dtype=np.float32) for a in adatas]
+    N = min(len(x) for x in Xs)
+    rng = np.random.default_rng(seed)
+    sel = [rng.choice(len(x), N, replace=False) if len(x) > N else np.arange(N) for x in Xs]
+    fields = SparseVFC_batch(
+        np.stack([x[s] for x, s in zip(Xs, sel)]),
+        np.stack([v[s] for v, s in zip(Vs, sel)]),
+        M=M, lambda_=lambda_, MaxIter=MaxIter, ecr=ecr, seed=seed,
+        morphometrics=morphometrics, **kwargs,
+    )
+    for a, f, s in zip(adatas, fields, sel):
+        vf = {k: f[k] for k in ("X", "Y", "X_ctrl", "ctrl_idx", "beta", "V", "C", "P",
+                                "VFCIndex", "sigma2", "iteration", "tecr_traj", "E_traj")}
+        vf["subset_idx"] = s
+        a.uns[key_added] = vf
+        if morphometrics:
+            div = np.full(a.n_obs, np.nan, np.float32)
+            div[s] = f["div"]
+            a.obs[div_key] = div
+            curl = np.asarray(f["curl"])
+            if curl.ndim == 1:
+                c = np.full(a.n_obs, np.nan, np.float32)
+                c[s] = curl
+                a.obs[curl_key] = c
+            else:
+                c = np.full((a.n_obs, curl.shape[1]), np.nan, np.float32)
+                c[s] = curl
+                a.obsm[curl_key] = c
+                a.obs[curl_key] = np.linalg.norm(c, axis=1)

@@ -932,3 +932,35 @@ def test_interpolation_nn_blocks_surface():
     # non-siren h is a leaky-relu MLP
     h2 = h(input_network_dim=3, output_network_dim=4, sirens=False)
     assert np.asarray(h2(x)).shape == (10, 4)
+
+
+class TestMorphofieldBatchWrapper:
+    def test_batch_wrapper_writes_keys_and_geometry(self):
+        """`st.tdr.morphofield_sparsevfc_batch`: one fused fit for a whole
+        aligned stack writes per-slice vecfld + divergence/curl with the
+        same keys the per-slice wrappers use; slices of unequal size are
+        truncated to a common budget (NaN where unsampled)."""
+        import pandas as pd
+
+        rng = np.random.default_rng(0)
+        adatas = []
+        for t in range(3):
+            n = 400 + t * 13
+            X = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+            V = np.stack([-X[:, 1], X[:, 0]], 1).astype(np.float32)
+            V += rng.normal(0, 0.05, (n, 2)).astype(np.float32)
+            a = st.AnnData(X=np.ones((n, 3)), obs=pd.DataFrame(index=np.arange(n).astype(str)))
+            st.SKM.init_adata_type(a, "UMI")
+            a.obsm["align_spatial"] = X
+            a.obsm["V_mapping"] = V
+            adatas.append(a)
+        st.tdr.morphofield_sparsevfc_batch(adatas, M=40, MaxIter=30, ecr=0.0, seed=0)
+        for a in adatas:
+            vf = a.uns["VecFld_morpho"]
+            assert vf["V"].shape == (400, 2) and np.isfinite(vf["V"]).all()
+            d = np.asarray(a.obs["divergence"], float)
+            c = np.asarray(a.obs["curl"], float)
+            assert np.isfinite(d).sum() == 400  # the sampled budget
+            # rotation field: scalar 2-D curl ~ 2, divergence ~ 0
+            assert abs(np.nanmean(c) - 2.0) < 0.4
+            assert abs(np.nanmean(d)) < 0.5
