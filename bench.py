@@ -633,22 +633,34 @@ def vfc_bench():
 # ---------------------------------------------------------------------------
 
 
-def _atlas_centers(tile: int, spacing: float, n_slices: int, seed: int):
+def _atlas_centers(tile: int, spacing: float, n_slices: int, seed: int, seg_tile: int = 0):
     """A jittered-lattice 'tissue' shared by all slices; each slice sees it
     under a small known rigid transform (sections rotate/shift on the stage).
-    Returns (per-slice centers [C, 2] in pixel coords, transforms [(R, t)])."""
+    Returns (per-slice centers [C, 2] in pixel coords, transforms [(R, t)]).
+
+    With ``seg_tile`` > 0 the slice is processed as a grid of seg_tile^2
+    quadrants (the production tile-stream shape), and centers landing
+    within 6 px of an internal quadrant seam are dropped PER SLICE (<1% of
+    cells) so no cell straddles two labeling tiles."""
     rng = np.random.default_rng(seed)
     m = 12  # margin: disk radius + jitter (transform clipping is tolerated)
     g = np.arange(m, tile - m, spacing, dtype=np.float32)
     base = np.stack(np.meshgrid(g, g, indexing="ij"), -1).reshape(-1, 2)
     c = np.array([tile / 2, tile / 2], np.float32)
+    seams = np.arange(seg_tile, tile, seg_tile, dtype=np.float32) if seg_tile and seg_tile < tile else np.empty(0)
     out, transforms = [], []
     for i in range(n_slices):
         th = 0.01 * i
         R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]], np.float32)
         t = np.array([1.5 * i, -1.0 * i], np.float32)
         jit = rng.uniform(-0.5, 0.5, base.shape).astype(np.float32)
-        out.append((base - c) @ R.T + c + t + jit)
+        pts = (base - c) @ R.T + c + t + jit
+        if len(seams):
+            near = np.zeros(len(pts), bool)
+            for s in seams:
+                near |= (np.abs(pts[:, 0] - s) < 6) | (np.abs(pts[:, 1] - s) < 6)
+            pts = pts[~near]
+        out.append(pts)
         transforms.append((R, t))
     return out, transforms
 
@@ -696,19 +708,24 @@ def atlas_e2e(
     vfc_iters: int = 60,
     pde_max_itr: int = 20000,
     n_layers: int = 10,
+    seg_tile: int = 2048,
     seed: int = 0,
     verbose: bool = False,
 ) -> dict:
     """Run the atlas pipeline end-to-end on the current default device.
 
-    Default shape: 8 slices x 4096^2 px, ~165k planted / ~140k segmented
+    Default shape: 8 slices x 4096^2 px, ~160k planted / ~140k segmented
     cells per slice
     (>= the reference's 'hundreds of thousands of cells' per-slice headline,
     docs/technicals/spatial_transcriptomics_alignment.md:7, x8 slices toward
-    the 8M-cell atlas scale of README.md:33). Data synthesis (raster
-    painting, expression draws) is excluded from the clock; every pipeline
-    stage — segmentation, labeling, centroid extraction, serial alignment,
-    morphofield + div/curl, digitization PDE + per-cell layers — is timed.
+    the 8M-cell atlas scale of README.md:33). Each slice is processed as a
+    grid of ``seg_tile``^2 quadrants streamed through the segmentation
+    pipeline — the production shape (real Stereo-seq chips are 10-20k px,
+    i.e. always tiled) and the shape whose XLA programs the main bench
+    already compiles. Data synthesis (raster painting, expression draws)
+    is excluded from the clock; every pipeline stage — segmentation,
+    labeling, centroid extraction, serial alignment, morphofield +
+    div/curl, digitization PDE + per-cell layers — is timed.
     """
     import pandas as pd
 
@@ -724,34 +741,49 @@ def atlas_e2e(
         if verbose:
             print(msg, flush=True)
 
-    centers, transforms = _atlas_centers(tile, spacing, n_slices, seed)
+    seg_tile = min(seg_tile, tile)
+    nq = tile // seg_tile
+    assert nq * seg_tile == tile, "tile must be a multiple of seg_tile"
+    centers, transforms = _atlas_centers(tile, spacing, n_slices, seed, seg_tile=seg_tile)
     rasters = [_atlas_paint(tile, centers[i], seed + 100 + i) for i in range(n_slices)]
-    log(f"synthesized {n_slices} slices x {tile}^2 ({len(centers[0])} planted cells each)")
+    quad_rc = [(r, c) for r in range(nq) for c in range(nq)]
+    quads = [
+        rasters[i][r * seg_tile : (r + 1) * seg_tile, c * seg_tile : (c + 1) * seg_tile]
+        for i in range(n_slices)
+        for (r, c) in quad_rc
+    ]
+    log(f"synthesized {n_slices} slices x {tile}^2 = {len(quads)} tiles of {seg_tile}^2 "
+        f"({len(centers[0])} planted cells per slice)")
 
     stages = {}
-
-    def _label_slice(i):
-        # the fused device labeling chain (distance transform -> peaks ->
-        # CC -> watershed -> centroids) in one dispatch; identical labels
-        # to the staged st.cs.find_peaks_from_mask + st.cs.watershed pair
-        # (pinned in tests) without its four full-raster host round-trips
-        from spateo_tpu.ops.labels import label_cells_from_mask
-
-        _, cents = label_cells_from_mask(masks[i], min_distance=3)
-        return cents
 
     # ---- stage 1: segmentation stream + labeling + centroids -------------
     # warmup: one tile through the stream compiles every program at the
     # working shape (stage clocks report steady-state throughput; the
     # persistent XLA cache makes later processes start warm)
-    masks = [m for _, m in starro_em_bp_stream(rasters[:1], k=5, seed=seed, bp_max_iter=50, mask_only=True)]
+    list(starro_em_bp_stream(quads[:1], k=5, seed=seed, bp_max_iter=50, mask_only=True))
     jax.effects_barrier()
     t0 = time.perf_counter()
-    masks = [m for _, m in starro_em_bp_stream(rasters, k=5, seed=seed, bp_max_iter=50, mask_only=True)]
+    qmasks = [m for _, m in starro_em_bp_stream(quads, k=5, seed=seed, bp_max_iter=50, mask_only=True)]
     jax.effects_barrier()
     stages["segmentation_stream"] = time.perf_counter() - t0
 
-    _label_slice(0)  # warmup (labeling kernels at this shape)
+    def _label_slice(i):
+        # the fused device labeling chain (distance transform -> peaks ->
+        # CC -> watershed -> centroids) in one dispatch per quadrant;
+        # identical labels to the staged st.cs.find_peaks_from_mask +
+        # st.cs.watershed pair (pinned in tests) without its four
+        # full-raster host round-trips. No cell straddles a seam by
+        # construction, so quadrant-local labeling is exact.
+        from spateo_tpu.ops.labels import label_cells_from_mask
+
+        parts = []
+        for q, (r, c) in enumerate(quad_rc):
+            _, cq = label_cells_from_mask(qmasks[i * nq * nq + q], min_distance=3)
+            parts.append(cq + np.array([r * seg_tile, c * seg_tile], np.float32))
+        return np.concatenate(parts, axis=0)
+
+    _label_slice(0)  # warmup (labeling kernels at the quadrant shape)
     t0 = time.perf_counter()
     cents = [_label_slice(i) for i in range(n_slices)]
     stages["labeling_centroids"] = time.perf_counter() - t0
@@ -871,7 +903,7 @@ def atlas_e2e(
         "peak_hbm_gb": peak_hbm_gb,
         "pde_iters": int(n_itr),
         "checks": {
-            "mask_frac": round(float(np.mean(masks[0])), 4),
+            "mask_frac": round(float(np.mean([m.mean() for m in qmasks[: nq * nq]])), 4),
             "digital_layer_bins": int(len(np.unique(digital_layer))),
             "div_finite": bool(np.isfinite(np.asarray(aligned[1].obs["divergence"], float)).all()),
             # accumulated chain accuracy: the LAST slice's aligned coords vs

@@ -70,3 +70,25 @@ class TestAtlasE2E:
         assert abs(sum(stages.values()) - r["wall_seconds"]) < 0.02
         assert r["total_cell_slices"] == r["cells_per_slice"] * r["n_slices"]
         assert r["cells_slices_per_min"] > 0
+
+
+class TestAtlasQuadrantTiling:
+    def test_quadrant_tiling_matches_single_tile(self, atlas_result):
+        """Processing each slice as a grid of seg_tile quadrants (the
+        production tile-stream shape) finds the same cells as whole-slice
+        labeling, minus only the <2% seam-band exclusions, and keeps chain
+        accuracy."""
+        import bench
+
+        r = bench.atlas_e2e(
+            n_slices=2, tile=256, spacing=10, n_genes=12, align_max_iter=60,
+            svi_batch=400, vfc_M=24, vfc_iters=15, pde_max_itr=1500,
+            n_layers=5, seg_tile=128, seed=0,
+        )
+        whole = atlas_result  # nq=1 fixture (seg_tile clamped to tile)
+        # the 12 px seam band spans ~10% of a 256 px test tile (vs ~1% of
+        # the production 4096 px slice), so the tiny geometry loses more
+        for nq_cells, whole_cells in zip(r["cells_found_per_slice"], whole["cells_found_per_slice"]):
+            assert nq_cells >= 0.8 * whole_cells, (nq_cells, whole_cells)
+        assert r["checks"]["align_last_slice_med_err_px"] < 5.0
+        assert r["checks"]["div_finite"]
