@@ -862,10 +862,17 @@ def atlas_e2e(
     # the digitize compute core (st.dd grid.py drives this same jacobi
     # kernel): a layer field across the tissue with Dirichlet isolines on
     # two opposite edges, then a vectorized per-cell lookup + binning —
-    # the reference's O(N) python lookup loop (grid.py:86-106) is a gather
-    field = np.zeros((tile, tile), np.float32)
-    border = np.zeros((tile, tile), bool)
-    dom = np.ones((tile, tile), np.float32)
+    # the reference's O(N) python lookup loop (grid.py:86-106) is a gather.
+    # The heat field solves at <= seg_tile resolution: a 4096^2 f32 field
+    # (67 MB) cannot stay VMEM-resident so the Pallas sweep streams HBM
+    # every iteration (measured 4x slower per pixel-iter), while layer
+    # BINNING needs nowhere near pixel resolution — half-res with scaled
+    # lookups bins identically
+    pg = min(tile, seg_tile)
+    scale = pg / tile
+    field = np.zeros((pg, pg), np.float32)
+    border = np.zeros((pg, pg), bool)
+    dom = np.ones((pg, pg), np.float32)
     field[:, :4] = 1.0
     border[:, :4] = True
     field[:, -4:] = 100.0
@@ -876,7 +883,7 @@ def atlas_e2e(
     jacobi_solve(field, border, dom, max_err=1e9, max_itr=pde_max_itr, check_every=2000)
     t0 = time.perf_counter()
     sol, n_itr, err = jacobi_solve(field, border, dom, max_err=1e-6, max_itr=pde_max_itr, check_every=2000)
-    cell_px = jnp.asarray(np.round(cents[0]).astype(np.int32))
+    cell_px = jnp.asarray(np.clip(np.round(cents[0] * scale), 0, pg - 1).astype(np.int32))
     heat = sol[cell_px[:, 0], cell_px[:, 1]]
     digital_layer = jnp.clip(((heat - 1.0) / 99.0 * n_layers).astype(jnp.int32), 0, n_layers - 1)
     digital_layer = np.asarray(digital_layer)
