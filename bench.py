@@ -777,9 +777,13 @@ def atlas_e2e(
         # construction, so quadrant-local labeling is exact.
         from spateo_tpu.ops.labels import label_cells_from_mask
 
+        # max_labels sized to the planted density (2x headroom): the default
+        # HW/min_distance^2 bound would pull 5.6 MB of accumulators per
+        # quadrant for ~40k real cells
+        cap = int(2.0 * (seg_tile / spacing) ** 2) + 1024
         parts = []
         for q, (r, c) in enumerate(quad_rc):
-            _, cq = label_cells_from_mask(qmasks[i * nq * nq + q], min_distance=3)
+            _, cq = label_cells_from_mask(qmasks[i * nq * nq + q], min_distance=3, max_labels=cap)
             parts.append(cq + np.array([r * seg_tile, c * seg_tile], np.float32))
         return np.concatenate(parts, axis=0)
 
