@@ -65,6 +65,37 @@ def _starro_em_bp_fused(
     pack_mask: bool = False,
     bp_msg_dtype: str = "float32",
 ):
+    # one traced graph = the composition below; splitting it into the same
+    # helpers the batched-EM stream uses keeps this path's output identical
+    res, samp, w0, mu0, var0 = _starro_density_init_sample(X, key, k, n_samples)
+
+    # 4. NB-mixture EM on the sample (shared batched kernel, B=1)
+    w_, r_, p_ = _nbn_em_batched(
+        samp[None, :],
+        jnp.ones((1, n_samples), bool),
+        w0[None, :],
+        mu0[None, :],
+        var0[None, :],
+        max_iter=em_max_iter,
+        precision=em_precision,
+    )
+
+    return _starro_score_mask(
+        res, w_[0], r_[0], p_[0], mk, offsets, bp_p, bp_q, bp_precision,
+        bp_max_iter, use_pallas_bp, pack_mask, bp_msg_dtype,
+    )
+
+
+def _starro_density_init_sample(
+    X: jnp.ndarray,  # [H, W] raw UMI raster
+    key: jnp.ndarray,  # PRNG key for the downsample
+    k: int,
+    n_samples: int,
+):
+    """Steps 1-3 of the fused Starro program: density convolution, Otsu
+    initial NB params, Gumbel top-k weighted downsample. Returns
+    (density [H, W], sample [n_samples], w0 [2], mu0 [2], var0 [2]), all
+    device-resident."""
     X = X.astype(jnp.float32)
 
     # 1. density: circular convolution with symmetric padding. The circle
@@ -103,24 +134,34 @@ def _starro_em_bp_fused(
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (n,), minval=1e-12, maxval=1.0)))
     _, idx = jax.lax.top_k(logw + gumbel, n_samples)
     samp = flat[idx]
+    return res, samp, w0, mu0, var0
 
-    # 4. NB-mixture EM on the sample (shared batched kernel, B=1)
-    w_, r_, p_ = _nbn_em_batched(
-        samp[None, :],
-        jnp.ones((1, n_samples), bool),
-        w0[None, :],
-        mu0[None, :],
-        var0[None, :],
-        max_iter=em_max_iter,
-        precision=em_precision,
-    )
+
+def _starro_score_mask(
+    res: jnp.ndarray,  # [H, W] density raster (step-1 output)
+    w_: jnp.ndarray,  # [2] fitted mixture weights
+    r_: jnp.ndarray,  # [2] fitted NB r
+    p_: jnp.ndarray,  # [2] fitted NB theta
+    mk: int,
+    offsets: Tuple[Tuple[int, int], ...],
+    bp_p: float,
+    bp_q: float,
+    bp_precision: float,
+    bp_max_iter: int,
+    use_pallas_bp: bool = False,
+    pack_mask: bool = False,
+    bp_msg_dtype: str = "float32",
+):
+    """Steps 5-7 of the fused Starro program: per-pixel NB conditionals,
+    loopy BP marginals, Otsu threshold + close/open morphology."""
+    del w_  # parity: the conditional stack is normalized, weights cancel
 
     # 5. per-pixel conditionals. (A 32k-entry log-ratio table + gather for
     # integer rasters was tried and REVERTED: inside this fused program XLA
     # already amortizes the gammaln chains — the A/B measured 382 vs 393 ms
     # at 2048^2 with bit-identical masks, so the table bought nothing.)
-    bg_cond = jnp.exp(nb_logpmf(res, r_[0, 0], p_[0, 0]))
-    cell_cond = jnp.exp(nb_logpmf(res, r_[0, 1], p_[0, 1]))
+    bg_cond = jnp.exp(nb_logpmf(res, r_[0], p_[0]))
+    cell_cond = jnp.exp(nb_logpmf(res, r_[1], p_[1]))
     phi = jnp.stack([bg_cond, cell_cond], axis=-1)
     phi = phi / jnp.maximum(jnp.sum(phi, axis=-1, keepdims=True), 1e-30)
 
@@ -147,6 +188,36 @@ def _starro_em_bp_fused(
         # 8x smaller device->host transfer on tunneled TPUs
         return scores, jnp.packbits(mask.ravel())
     return scores, mask
+
+
+# phase dispatchers for the batched-EM stream (`em_batch > 1`): same traced
+# ops as the fused program, split so ONE `_nbn_em_batched` while_loop can
+# serve a whole chunk of tiles. The EM loop is launch-overhead-bound
+# (~43 us/iteration at [B, 2, S] for any small B — measured round 5), so
+# batching B tiles' fits amortizes its ~1000-iteration cost B-fold.
+_starro_phase_density = jax.jit(
+    _starro_density_init_sample, static_argnames=("k", "n_samples")
+)
+_starro_phase_mask = jax.jit(
+    _starro_score_mask,
+    static_argnames=(
+        "mk", "offsets", "bp_p", "bp_q", "bp_precision", "bp_max_iter",
+        "use_pallas_bp", "pack_mask", "bp_msg_dtype",
+    ),
+)
+
+
+@partial(jax.jit, static_argnames=("em_max_iter",))
+def _starro_phase_em(samps, w0s, mu0s, var0s, em_max_iter, em_precision):
+    return _nbn_em_batched(
+        jnp.stack(samps),
+        jnp.ones((len(samps), samps[0].shape[0]), bool),
+        jnp.stack(w0s),
+        jnp.stack(mu0s),
+        jnp.stack(var0s),
+        max_iter=em_max_iter,
+        precision=em_precision,
+    )
 
 
 def _narrow_upload(X: np.ndarray) -> np.ndarray:
@@ -465,6 +536,7 @@ def starro_em_bp_stream(
     bp_msg_dtype: str = "bfloat16",
     seed: Optional[int] = None,
     mask_only: bool = False,
+    em_batch: int = 1,
 ):
     """Pipelined Starro over a stream of rasters (tiles / fields of view).
 
@@ -481,7 +553,20 @@ def starro_em_bp_stream(
 
     Same-shape tiles reuse one compiled program; a shape change just
     triggers one recompile (or a compile-cache hit). Each tile uses the
-    same ``seed``, so outputs are bit-identical to per-tile calls.
+    same ``seed``, so with the default ``em_batch=1`` outputs are
+    bit-identical to per-tile calls.
+
+    ``em_batch > 1`` amortizes the NB-EM `while_loop` — the fused program's
+    single launch-overhead-bound stage (~43 us/iteration regardless of
+    batch size, ~1000 iterations at precision 1e-6, i.e. ~45 ms of the
+    ~118 ms per-2048^2-tile program) — by fitting up to ``em_batch``
+    consecutive same-shape tiles' mixtures in ONE batched EM. Per-tile
+    math is unchanged (the batched kernel freezes each tile's row at ITS
+    convergence); only f32 reduction tiling differs, so masks may differ
+    from per-tile calls on threshold-straddling pixels (IoU >= 0.999
+    pinned in tests, typically bit-identical). Each tile's density raster
+    stays device-resident between phases: budget ``em_batch * H * W * 8``
+    bytes of HBM (~134 MB at em_batch=4, 2048^2).
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
@@ -501,6 +586,14 @@ def starro_em_bp_stream(
     offsets = tuple(map(tuple, create_neighbor_offsets(neighborhood.astype(bool)).tolist()))
     key = jax.random.PRNGKey(0 if seed is None else seed)
     use_pallas = _use_pallas_bp(offsets)
+
+    if em_batch > 1:
+        yield from _stream_batched_em(
+            it, X, em_batch, k, mk_eff, downsample, em_max_iter, em_precision,
+            offsets, bp_p, bp_q, bp_precision, bp_max_iter, bp_msg_dtype,
+            key, mask_only, use_pallas,
+        )
+        return
 
     def dispatch(dev, size):
         n_samples = max(int(size * downsample), 1000) if downsample <= 1 else int(downsample)
@@ -564,6 +657,93 @@ def starro_em_bp_stream(
             # overlaps the next iteration's compute
             while len(inflight) > (1 if dev is not None else 0):
                 yield finalize(*inflight.popleft())
+    finally:
+        ex.shutdown(wait=False)
+
+
+def _stream_batched_em(
+    it, first, em_batch, k, mk, downsample, em_max_iter, em_precision,
+    offsets, bp_p, bp_q, bp_precision, bp_max_iter, bp_msg_dtype,
+    key, mask_only, use_pallas,
+):
+    """Chunked stream body for ``em_batch > 1``: density/init/sample per
+    tile, ONE batched NB-EM per chunk of consecutive same-shape tiles,
+    then BP+mask per tile. Chunk i's (bit-packed) mask pulls ride under
+    chunk i+1's encode/upload/compute, mirroring the per-tile pipeline at
+    chunk granularity."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from scipy import sparse as _sp
+
+    def _as_tile(t):
+        return t if _sp.issparse(t) else np.asarray(t)
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+
+        def chunks():
+            # group consecutive same-shape tiles, <= em_batch per chunk;
+            # encode is submitted the moment a tile is pulled, so the
+            # worker thread encodes chunk i+1 while chunk i computes
+            buf, shape = [], None
+            t = first
+            while t is not None:
+                if buf and (t.shape != shape or len(buf) == em_batch):
+                    yield buf, shape
+                    buf = []
+                shape = t.shape
+                buf.append(ex.submit(encode_tile, t))
+                nxt = next(it, None)
+                t = _as_tile(nxt) if nxt is not None else None
+            if buf:
+                yield buf, shape
+
+        def finalize(out, shape, size):
+            scores, mask = out
+            if mask_only:
+                mask = np.unpackbits(np.asarray(mask))[:size].reshape(shape).astype(bool)
+            return scores, mask
+
+        prev = deque()
+        for futs, shape in chunks():
+            size = int(shape[0]) * int(shape[1])
+            n_samples = max(int(size * downsample), 1000) if downsample <= 1 else int(downsample)
+            n_samples = min(n_samples, size)
+            # phase A (per tile, async): upload -> density/init/sample
+            phase_a = [
+                _starro_phase_density(_upload_encoded(f.result()), key, k, n_samples)
+                for f in futs
+            ]
+            # one batched EM while_loop for the whole chunk
+            w_, r_, p_ = _starro_phase_em(
+                [a[1] for a in phase_a],
+                [a[2] for a in phase_a],
+                [a[3] for a in phase_a],
+                [a[4] for a in phase_a],
+                em_max_iter,
+                float(em_precision),
+            )
+            # phase B (per tile, async): conditionals -> BP -> mask
+            outs = []
+            for j, a in enumerate(phase_a):
+                out = _starro_phase_mask(
+                    a[0], w_[j], r_[j], p_[j], mk, offsets, float(bp_p),
+                    float(bp_q), float(bp_precision), int(bp_max_iter),
+                    use_pallas, bool(mask_only), str(bp_msg_dtype),
+                )
+                if mask_only:
+                    try:
+                        out[1].copy_to_host_async()
+                    except (AttributeError, RuntimeError):  # pragma: no cover
+                        pass
+                outs.append((out, shape, size))
+            # yield chunk i-1 now: its pulls overlap this chunk's compute
+            while prev:
+                yield finalize(*prev.popleft())
+            prev.extend(outs)
+        while prev:
+            yield finalize(*prev.popleft())
     finally:
         ex.shutdown(wait=False)
 

@@ -332,10 +332,38 @@ class TestStarroStream:
             np.testing.assert_array_equal(np.asarray(m_st), np.asarray(m_ref))
             np.testing.assert_allclose(np.asarray(s_st), np.asarray(s_ref), atol=0)
 
+    def test_stream_batched_em_matches_per_tile(self):
+        """``em_batch > 1`` fits consecutive same-shape tiles' NB mixtures
+        in ONE batched EM while_loop (the launch-overhead-bound stage).
+        Per-tile math is unchanged; only f32 reduction tiling differs, so
+        masks are pinned at IoU >= 0.999 vs the per-tile path (typically
+        bit-identical), and a mid-stream shape change must split chunks."""
+        from spateo_tpu.segmentation.starro import starro_em_bp_stream
+
+        def tile(shape, seed):
+            r = np.random.default_rng(seed)
+            X = r.negative_binomial(1, 0.5, shape).astype(np.float32)
+            X[10:40, 10:40] += r.negative_binomial(8, 0.35, (30, 30)).astype(np.float32)
+            return X
+
+        tiles = [tile((96, 96), 0), tile((96, 96), 1), tile((64, 96), 2), tile((96, 96), 3)]
+        ref = list(starro_em_bp_stream(tiles, k=3, seed=0, bp_max_iter=15, mask_only=True))
+        bat = list(
+            starro_em_bp_stream(tiles, k=3, seed=0, bp_max_iter=15, mask_only=True, em_batch=3)
+        )
+        assert len(bat) == len(ref) == 4
+        for (_, m_ref), (_, m_bat), X in zip(ref, bat, tiles):
+            m_ref, m_bat = np.asarray(m_ref), np.asarray(m_bat)
+            assert m_bat.shape == X.shape and m_bat.dtype == bool
+            union = np.logical_or(m_ref, m_bat).sum()
+            iou = np.logical_and(m_ref, m_bat).sum() / max(union, 1)
+            assert iou >= 0.999, iou
+
     def test_stream_empty_and_single(self):
         from spateo_tpu.segmentation.starro import starro_em_bp_stream
 
         assert list(starro_em_bp_stream([], k=3)) == []
+        assert list(starro_em_bp_stream([], k=3, em_batch=4)) == []
         rng = np.random.default_rng(0)
         X = rng.negative_binomial(1, 0.5, (64, 64)).astype(np.float32)
         out = list(starro_em_bp_stream([X], k=3, seed=0, bp_max_iter=5, mask_only=True))
