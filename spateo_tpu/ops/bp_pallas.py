@@ -3,15 +3,26 @@
 
 Per iteration the XLA path materializes the belief product, four
 exclusion-divided messages, four 2x2 contractions and four normalizations —
-~20 HBM-sized intermediates. This kernel fuses the whole per-pixel chain in
-VMEM: one read of phi (2 planes) + messages (8 planes), one write of the 8
-outgoing planes; the cross-pixel delivery (static shifts) stays in XLA where
-it is a fused roll.
+~20 HBM-sized intermediates. This kernel fuses the ENTIRE iteration — the
+per-pixel message chain AND the cross-pixel delivery (the +-1 pixel shifts)
+— into one VMEM pass, and stores only 4 message planes instead of 8:
+messages are normalized pairs (o0 + o1 = 1 after the per-pixel
+normalization), so the state-1 plane is redundant (o1 := 1 - o0, exact to
+1 ulp). Per 2048^2 iteration that cuts HBM traffic from ~288 MB (8 planes
+written by the kernel, then all 8 re-read + re-written by an XLA roll pass)
+to ~96 MB at bf16 messages: one read of phi (2 f32 planes) + M (4 planes),
+one write of the 4 delivered planes.
+
+The shift fusion needs a 1-row halo across row-tile boundaries: the bulk
+block rides the auto-pipelined BlockSpec while the two halo rows are
+fetched with a small manual `make_async_copy` from the same HBM buffers
+(passed a second time in `memory_space=ANY`), overlapped with the center
+block's compute.
 
 Layout: planes-first [C, H, W] so the lane dimension is W (pad to 128) and
-the sublane dimension is H — the natural f32 (8, 128) tiling. Message plane
-2*d + s holds direction d's incoming message for state s; directions follow
-the 4-neighborhood order ((-1,0), (1,0), (0,-1), (0,1)) with reversal
+the sublane dimension is H — the natural f32 (8, 128) tiling. Message
+plane d holds direction d's DELIVERED state-0 message; directions follow
+the 4-neighborhood order ((-1, 0), (1, 0), (0, -1), (0, 1)) with reversal
 rev = [1, 0, 3, 2].
 """
 
@@ -28,24 +39,116 @@ _REV = (1, 0, 3, 2)
 OFFSETS4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
 
 
-def _msg_kernel(phi_ref, m_ref, out_ref, *, p: float, q: float):
-    """One BP message update for a [*, TILE_H, W] block (pre-shift).
-    Message storage may be bf16 (halves the HBM traffic that bounds the
-    loop); the arithmetic always runs in f32."""
-    phi0 = phi_ref[0]
-    phi1 = phi_ref[1]
-    M = m_ref[:].astype(jnp.float32)
-    prod0 = phi0 * M[0] * M[2] * M[4] * M[6]
-    prod1 = phi1 * M[1] * M[3] * M[5] * M[7]
+def _outgoing4(phi0, phi1, m0, *, p: float, q: float):
+    """Per-pixel message chain: 4 delivered state-0 planes in -> 4 outgoing
+    state-0 planes out (pre-shift), all arithmetic in f32.
+
+    `m0` is [4, h, w]; the state-1 messages are the complements (the stored
+    planes are normalized per pixel)."""
+    m0 = m0.astype(jnp.float32)
+    m1 = 1.0 - m0
+    prod0 = phi0 * (m0[0] * m0[1] * m0[2] * m0[3])
+    prod1 = phi1 * (m1[0] * m1[1] * m1[2] * m1[3])
+    outs = []
     for d in range(4):
         r = _REV[d]
-        e0 = prod0 / jnp.maximum(M[2 * r], _EPS)
-        e1 = prod1 / jnp.maximum(M[2 * r + 1], _EPS)
+        e0 = prod0 / jnp.maximum(m0[r], _EPS)
+        e1 = prod1 / jnp.maximum(m1[r], _EPS)
         o0 = e0 * p + e1 * q
         o1 = e0 * q + e1 * p
-        s = jnp.maximum(o0 + o1, _EPS)
-        out_ref[2 * d] = (o0 / s).astype(out_ref.dtype)
-        out_ref[2 * d + 1] = (o1 / s).astype(out_ref.dtype)
+        outs.append(o0 / jnp.maximum(o0 + o1, _EPS))
+    return outs
+
+
+def _step_kernel(
+    phi_blk, m_blk, phi_hbm, m_hbm, out_ref, phi_halo, m_halo, sems,
+    *, p: float, q: float, tile_h: int, H: int, W: int, sub_p: int, sub_m: int,
+):
+    """One fused BP iteration for a [4, tile_h, Wp] row tile: compute the
+    outgoing messages for the tile (+ its two halo rows) and write them
+    DELIVERED (shifted by each direction's offset), with 0.5 fill at the
+    true image edges.
+
+    Mosaic DMA slices must be sublane-tile-aligned, so each 1-row halo is
+    fetched as its full sublane GROUP (`sub_p` rows of phi, `sub_m` of M):
+    the top group [i*tile_h - sub, i*tile_h) lands in scratch rows
+    [0, sub) and the bottom group [(i+1)*tile_h, ...+sub) in [sub, 2*sub),
+    leaving the two needed rows adjacent at the group boundary."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    nblk = pl.num_programs(0)
+
+    # halo-group DMAs (skipped at the outer blocks; the edge masks below
+    # make their targets unconditionally 0.5 there, so stale scratch is
+    # harmless)
+    def _halo_dmas(which):  # 0 = top group, 1 = bottom group
+        # tile_h is a multiple of both sublane groups; tell Mosaic so it can
+        # prove the DMA slice offsets are tile-aligned
+        row_p = pl.multiple_of(i * tile_h - sub_p if which == 0 else (i + 1) * tile_h, sub_p)
+        row_m = pl.multiple_of(i * tile_h - sub_m if which == 0 else (i + 1) * tile_h, sub_m)
+        return (
+            pltpu.make_async_copy(
+                phi_hbm.at[:, pl.ds(row_p, sub_p), :],
+                phi_halo.at[:, pl.ds(which * sub_p, sub_p), :],
+                sems.at[2 * which],
+            ),
+            pltpu.make_async_copy(
+                m_hbm.at[:, pl.ds(row_m, sub_m), :],
+                m_halo.at[:, pl.ds(which * sub_m, sub_m), :],
+                sems.at[2 * which + 1],
+            ),
+        )
+
+    @pl.when(i > 0)
+    def _():
+        for dma in _halo_dmas(0):
+            dma.start()
+
+    @pl.when(i < nblk - 1)
+    def _():
+        for dma in _halo_dmas(1):
+            dma.start()
+
+    # center-block outgoing while the halo DMAs fly
+    out_c = _outgoing4(phi_blk[0], phi_blk[1], m_blk[:], p=p, q=q)
+
+    @pl.when(i > 0)
+    def _():
+        for dma in _halo_dmas(0):
+            dma.wait()
+
+    @pl.when(i < nblk - 1)
+    def _():
+        for dma in _halo_dmas(1):
+            dma.wait()
+
+    # the two needed halo rows sit adjacent at each scratch's group boundary
+    out_h = _outgoing4(
+        phi_halo[0, sub_p - 1 : sub_p + 1],
+        phi_halo[1, sub_p - 1 : sub_p + 1],
+        m_halo[:, sub_m - 1 : sub_m + 1],
+        p=p,
+        q=q,
+    )
+
+    gy = i * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, out_ref.shape[-1]), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (tile_h, out_ref.shape[-1]), 1)
+    half = jnp.float32(0.5)
+
+    # d0 = (-1, 0): delivered[y] = out0[y + 1]; bottom image row gets fill
+    d0 = jnp.concatenate([out_c[0][1:], out_h[0][1:2]], axis=0)
+    out_ref[0] = jnp.where(gy >= H - 1, half, d0).astype(out_ref.dtype)
+    # d1 = (+1, 0): delivered[y] = out1[y - 1]; top image row gets fill
+    d1 = jnp.concatenate([out_h[1][0:1], out_c[1][:-1]], axis=0)
+    out_ref[1] = jnp.where(gy == 0, half, d1).astype(out_ref.dtype)
+    # d2 = (0, -1): delivered[x] = out2[x + 1]; right image edge gets fill
+    d2 = jnp.concatenate([out_c[2][:, 1:], out_c[2][:, -1:]], axis=1)
+    out_ref[2] = jnp.where(xx >= W - 1, half, d2).astype(out_ref.dtype)
+    # d3 = (0, +1): delivered[x] = out3[x - 1]; left image edge gets fill
+    d3 = jnp.concatenate([out_c[3][:, -1:], out_c[3][:, :-1]], axis=1)
+    out_ref[3] = jnp.where(xx == 0, half, d3).astype(out_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -53,14 +156,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("p", "q", "interpret"))
-def bp_messages_pallas(phi: jnp.ndarray, M: jnp.ndarray, p: float, q: float, interpret: bool = False) -> jnp.ndarray:
-    """Compute the outgoing (pre-shift) messages.
+def bp_step_pallas(phi: jnp.ndarray, M: jnp.ndarray, p: float, q: float, interpret: bool = False) -> jnp.ndarray:
+    """One full BP iteration: message update + cross-pixel delivery.
 
     Args:
-        phi: [2, H, W] normalized node potentials (state-major planes).
-        M:   [8, H, W] incoming messages (direction-state planes).
+        phi: [2, H, W] normalized node potentials (state-major planes, f32).
+        M:   [4, H, W] DELIVERED state-0 messages per direction (the state-1
+             messages are the complements).
     Returns:
-        [8, H, W] outgoing messages, normalized per pixel.
+        [4, H, W] delivered state-0 messages after the update, with 0.5 at
+        pixels whose source neighbor falls outside the image.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -74,48 +179,42 @@ def bp_messages_pallas(phi: jnp.ndarray, M: jnp.ndarray, p: float, q: float, int
         phi = jnp.pad(phi, ((0, 0), (0, Hp - H), (0, Wp - W)), constant_values=0.5)
         M = jnp.pad(M, ((0, 0), (0, Hp - H), (0, Wp - W)), constant_values=0.5)
 
-    # tile H so a block (2+8+8 planes) fits comfortably in VMEM (~16 MB)
-    budget_rows = max((6 * 1024 * 1024) // (18 * Wp * 4), sub)
+    # tile H so the working set (f32 temporaries dominate: phi + m0/m1 +
+    # prod0/prod1 + 4 outgoing planes ~= 14 f32 planes + in/out blocks,
+    # double-buffered) fits comfortably in ~16 MB VMEM. 7 MB lands tile_h=32
+    # at W=2048 — measured ~12% faster than tile_h=16 (fewer halo DMAs per
+    # row); tile_h=128 exceeds VMEM and fails to compile.
+    budget_rows = max((7 * 1024 * 1024) // (24 * Wp * 4), sub)
     tile_h = min(Hp, _round_up(min(budget_rows, 512), sub))
     while Hp % tile_h != 0:
         tile_h -= sub
     grid = (Hp // tile_h,)
 
+    phi = phi.astype(jnp.float32)
+    sub_p = 8  # phi is always f32
+    sub_m = sub
     out = pl.pallas_call(
-        partial(_msg_kernel, p=float(p), q=float(q)),
-        out_shape=jax.ShapeDtypeStruct((8, Hp, Wp), msg_dtype),
+        partial(
+            _step_kernel, p=float(p), q=float(q), tile_h=tile_h, H=H, W=W,
+            sub_p=sub_p, sub_m=sub_m,
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, Hp, Wp), msg_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((2, tile_h, Wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, tile_h, Wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tile_h, Wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # phi again, for halo DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # M again, for halo DMA
         ],
-        out_specs=pl.BlockSpec((8, tile_h, Wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        # write the outgoing messages over the incoming buffer: the kernel
-        # loads the whole M block before its first store (`M = m_ref[:]`),
-        # so aliasing is safe, and it removes a [8, H, W] allocation +
-        # loop-carry copy per BP iteration (profiled at ~0.4 ms/iter @2048^2)
-        input_output_aliases={1: 0},
+        out_specs=pl.BlockSpec((4, tile_h, Wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * sub_p, Wp), jnp.float32),
+            pltpu.VMEM((4, 2 * sub_m, Wp), msg_dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
         interpret=interpret,
-    )(phi.astype(jnp.float32), M)
+    )(phi, M, phi, M)
     return out[:, :H, :W]
-
-
-def _shift_plane(arr: jnp.ndarray, dy: int, dx: int, fill: float) -> jnp.ndarray:
-    """[H, W] shift-with-fill: out[y, x] = arr[y-dy, x-dx]."""
-    out = jnp.roll(arr, (dy, dx), axis=(0, 1))
-    H, W = arr.shape
-    yy = jnp.arange(H)[:, None]
-    xx = jnp.arange(W)[None, :]
-    invalid = jnp.zeros((H, W), bool)
-    if dy > 0:
-        invalid |= yy < dy
-    elif dy < 0:
-        invalid |= yy >= H + dy
-    if dx > 0:
-        invalid |= xx < dx
-    elif dx < 0:
-        invalid |= xx >= W + dx
-    return jnp.where(invalid, fill, out)
 
 
 @partial(jax.jit, static_argnames=("p", "q", "precision", "max_iter", "check_every", "msg_dtype", "interpret"))
@@ -129,7 +228,7 @@ def bp_kernel_pallas(
     msg_dtype: str = "float32",
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Full loopy-BP marginals with the Pallas message kernel in the loop.
+    """Full loopy-BP marginals with the fused Pallas iteration in the loop.
 
     Drop-in for `ops.bp._bp_kernel` restricted to the standard circle(3)
     4-neighborhood; returns the per-pixel P(cell) marginal.
@@ -144,15 +243,10 @@ def bp_kernel_pallas(
     H, W, _ = phi.shape
     phi_pl = jnp.moveaxis(phi, -1, 0).astype(jnp.float32)  # [2, H, W]
     mdt = jnp.dtype(msg_dtype)
-    M0 = jnp.full((8, H, W), 0.5, mdt)
+    M0 = jnp.full((4, H, W), 0.5, mdt)
 
     def one_iter(M):
-        out = bp_messages_pallas(phi_pl, M, p, q, interpret)
-        planes = []
-        for d, (dy, dx) in enumerate(OFFSETS4):
-            planes.append(_shift_plane(out[2 * d], dy, dx, 0.5))
-            planes.append(_shift_plane(out[2 * d + 1], dy, dx, 0.5))
-        return jnp.stack(planes)
+        return bp_step_pallas(phi_pl, M, p, q, interpret)
 
     if precision <= 0:
         M = jax.lax.fori_loop(0, max_iter, lambda k, A: one_iter(A), M0)
@@ -170,11 +264,15 @@ def bp_kernel_pallas(
             n_free = jnp.minimum(check - 1, jnp.maximum(max_iter - i - 1, 0))
             M_mid = jax.lax.fori_loop(0, n_free, lambda k, A: one_iter(A), M)
             M_new = one_iter(M_mid)
-            delta = jnp.sqrt(jnp.sum((M_new.astype(jnp.float32) - M_mid.astype(jnp.float32)) ** 2))
+            # the stored planes are half the message vector; the mirrored
+            # state-1 planes change by the same amount, so the reference's
+            # 8-plane L2 delta is sqrt(2) x the 4-plane one
+            diff = M_new.astype(jnp.float32) - M_mid.astype(jnp.float32)
+            delta = jnp.sqrt(2.0 * jnp.sum(diff**2))
             return (i + n_free + 1, M_new, delta)
 
         _, M, _ = jax.lax.while_loop(cond, body, (0, M0, jnp.asarray(jnp.inf, jnp.float32)))
     M = M.astype(jnp.float32)
-    belief0 = phi_pl[0] * M[0] * M[2] * M[4] * M[6]
-    belief1 = phi_pl[1] * M[1] * M[3] * M[5] * M[7]
+    belief0 = phi_pl[0] * M[0] * M[1] * M[2] * M[3]
+    belief1 = phi_pl[1] * (1.0 - M[0]) * (1.0 - M[1]) * (1.0 - M[2]) * (1.0 - M[3])
     return belief1 / jnp.maximum(belief0 + belief1, _EPS)
